@@ -1,0 +1,20 @@
+"""kvazaar_tpu — a TPU-native HEVC (H.265) encoder.
+
+A from-scratch re-design of the capabilities of the Kvazaar HEVC encoder
+(reference: 1314wu/kvazaar, analyzed in SURVEY.md) for TPU hardware:
+
+- per-CTU compute (intra/inter search, transform, quant, reconstruction,
+  in-loop filters) runs as batched JAX/XLA/Pallas programs over whole
+  wavefronts of CTUs at once (reference: per-LCU pthread jobs,
+  src/encoderstate.c:612);
+- the serial-by-nature CABAC entropy stage runs host-side, fed by
+  device-computed syntax-element tensors (reference: src/cabac.c,
+  src/encode_coding_tree.c);
+- multi-chip scaling uses jax.sharding meshes (tiles / CTU-row shards
+  within a frame, GOP pipelining across hosts) instead of the reference's
+  pthread threadqueue (src/threadqueue.c).
+"""
+
+__version__ = "0.1.0"
+
+from kvazaar_tpu.config import Config  # noqa: F401

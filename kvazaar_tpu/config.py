@@ -1,0 +1,108 @@
+"""Encoder configuration.
+
+The reference drives everything through a single string-keyed config struct
+(kvz_config, src/kvazaar.h:240-398; parser src/cfg.c:358) with presets that
+replay option lists through the parser (src/cfg.c:386).  We mirror that
+shape: a dataclass of options, a `set(key, value)` string parser, and preset
+tables; validation happens in `validate()` (the analogue of
+kvz_encoder_control_init's checks, src/encoder.c:206).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Config:
+    # Source format.
+    width: int = 0
+    height: int = 0
+    input_bitdepth: int = 8
+    framerate_num: int = 25
+    framerate_denom: int = 1
+    chroma_format: int = 420  # 400 or 420 (reference: KVZ_CSP_400/420)
+
+    # Coding structure.
+    qp: int = 22
+    intra_period: int = 64     # 0 = only first frame intra; 1 = all intra
+    gop_len: int = 0           # 0 = IPPP low-delay, 4/8 = B-pyramid (later)
+    ref_frames: int = 1
+
+    # Coding tools (subset grows toward the reference's kvz_config).
+    deblock: bool = True
+    sao: bool = False          # TODO(round>=2): SAO search+apply
+    rdoq: bool = False
+    signhide: bool = False
+    transform_skip: bool = False
+    lossless: bool = False
+    rd: int = 0                # RDO level, like the reference's --rd
+
+    # Partitioning (device-friendly knobs; see encoder/intra_frame.py).
+    # pu_depth ranges as in the reference's --pu-depth-intra/inter.
+    intra_min_cu: int = 8
+    intra_max_cu: int = 32
+    inter_min_cu: int = 16
+    inter_max_cu: int = 32
+
+    # Motion estimation.
+    me_range: int = 16         # full-search window radius (TPU: exhaustive)
+    me_subpel: bool = True
+
+    # Rate control (0 = fixed QP).
+    bitrate: int = 0
+
+    # Parallelism: device mesh shape for within-frame sharding.
+    mesh_tiles: int = 1
+
+    def validate(self) -> "Config":
+        if self.width <= 0 or self.height <= 0:
+            raise ValueError("width/height must be set")
+        if self.qp < 0 or self.qp > 51:
+            raise ValueError("qp out of [0, 51]")
+        if self.input_bitdepth not in (8, 10):
+            raise ValueError("bitdepth must be 8 or 10")
+        if self.chroma_format not in (400, 420):
+            raise ValueError("chroma_format must be 400 or 420")
+        for v in (self.intra_min_cu, self.intra_max_cu):
+            if v not in (8, 16, 32, 64):
+                raise ValueError("cu sizes must be in {8,16,32,64}")
+        if self.intra_min_cu > self.intra_max_cu:
+            raise ValueError("intra_min_cu > intra_max_cu")
+        return self
+
+    def set(self, name: str, value: str) -> "Config":
+        """String-keyed option setter (analogue of kvz_config_parse)."""
+        name = name.replace("-", "_")
+        if not hasattr(self, name):
+            raise KeyError(f"unknown option: {name}")
+        cur = getattr(self, name)
+        if isinstance(cur, bool):
+            setattr(self, name, value.lower() in ("1", "true", "yes", "on"))
+        elif isinstance(cur, int):
+            setattr(self, name, int(value))
+        else:
+            setattr(self, name, value)
+        return self
+
+
+PRESETS = {
+    # Reference preset ladder (README.md:290-315); we currently map them to
+    # the knobs that exist. The ladder widens as tools land.
+    "ultrafast": dict(rd=0, rdoq=False, signhide=False, me_range=16,
+                      intra_max_cu=32, intra_min_cu=8),
+    "fast": dict(rd=1, rdoq=False, signhide=False, me_range=16),
+    "medium": dict(rd=1, rdoq=True, signhide=True, me_range=16),
+    "slow": dict(rd=2, rdoq=True, signhide=True, me_range=32),
+    "veryslow": dict(rd=2, rdoq=True, signhide=True, me_range=32),
+}
+
+
+def config_from_preset(name: str, **overrides) -> Config:
+    cfg = Config()
+    for k, v in PRESETS[name].items():
+        setattr(cfg, k, v)
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    return cfg
