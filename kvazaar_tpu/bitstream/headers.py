@@ -1,0 +1,220 @@
+"""VPS / SPS / PPS / slice-header writers (H.265 7.3.2, 7.3.6).
+
+Reference behavior being matched: src/encoder_state-bitstream.c:57-1085
+(kvazaar's parameter-set writers).  This is a clean-room writer driven by
+our Config; field order follows the spec clause by clause.
+
+Current operating point (widens as tools land): Main / Main10 profile,
+one slice per picture, SAO/deblock flags from config, no tiles, WPP flag
+plumbed for entry-point offsets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from kvazaar_tpu.bitstream.bits import BitWriter, nal_unit
+from kvazaar_tpu.constants import (NAL_IDR_W_RADL, NAL_PPS, NAL_SPS, NAL_VPS,
+                                   SLICE_I)
+
+
+@dataclasses.dataclass
+class StreamParams:
+    """Everything the header writers (and the oracle decoder) need."""
+    width: int              # coded width (multiple of min CU)
+    height: int
+    bitdepth: int = 8
+    chroma_format_idc: int = 1   # 0=400, 1=420
+    qp: int = 22
+    log2_ctu: int = 6
+    log2_min_cu: int = 3
+    log2_min_tu: int = 2
+    log2_max_tu: int = 5
+    max_tr_depth_intra: int = 0
+    max_tr_depth_inter: int = 0
+    sao_enabled: bool = False
+    deblock_enabled: bool = False
+    deblock_beta_offset_div2: int = 0
+    deblock_tc_offset_div2: int = 0
+    sign_hiding: bool = False
+    transform_skip: bool = False
+    transquant_bypass: bool = False
+    strong_intra_smoothing: bool = True
+    wpp: bool = False
+    amp: bool = False
+    conf_win: tuple = (0, 0, 0, 0)   # left, right, top, bottom (luma px)
+    level_idc: int = 120             # level 4.0 * 30
+    log2_max_poc_lsb: int = 8
+
+    @property
+    def ctu_size(self) -> int:
+        return 1 << self.log2_ctu
+
+    @property
+    def width_in_ctus(self) -> int:
+        return -(-self.width // self.ctu_size)
+
+    @property
+    def height_in_ctus(self) -> int:
+        return -(-self.height // self.ctu_size)
+
+
+def _profile_tier_level(w: BitWriter, p: StreamParams) -> None:
+    """profile_tier_level(1, 0) — H.265 7.3.3."""
+    w.u(0, 2)               # general_profile_space
+    w.u(0, 1)               # general_tier_flag
+    profile_idc = 1 if p.bitdepth == 8 else 2   # Main / Main 10
+    w.u(profile_idc, 5)
+    compat = (1 << (31 - 1)) | (1 << (31 - 2))  # Main + Main10 compatible
+    if p.bitdepth > 8:
+        compat = 1 << (31 - 2)
+    w.u(compat, 32)
+    w.u(1, 1)               # general_progressive_source_flag
+    w.u(0, 1)               # general_interlaced_source_flag
+    w.u(0, 1)               # general_non_packed_constraint_flag
+    w.u(1, 1)               # general_frame_only_constraint_flag
+    w.u(0, 32)              # general_reserved_zero_44bits
+    w.u(0, 12)
+    w.u(p.level_idc, 8)     # general_level_idc
+
+
+def write_vps(p: StreamParams) -> bytes:
+    w = BitWriter()
+    w.u(0, 4)               # vps_video_parameter_set_id
+    w.u(1, 1)               # vps_base_layer_internal_flag
+    w.u(1, 1)               # vps_base_layer_available_flag
+    w.u(0, 6)               # vps_max_layers_minus1
+    w.u(0, 3)               # vps_max_sub_layers_minus1
+    w.u(1, 1)               # vps_temporal_id_nesting_flag
+    w.u(0xFFFF, 16)         # vps_reserved_0xffff_16bits
+    _profile_tier_level(w, p)
+    w.u(0, 1)               # vps_sub_layer_ordering_info_present_flag
+    w.ue(1)                 # vps_max_dec_pic_buffering_minus1[0]
+    w.ue(0)                 # vps_max_num_reorder_pics[0]
+    w.ue(0)                 # vps_max_latency_increase_plus1[0]
+    w.u(0, 6)               # vps_max_layer_id
+    w.ue(0)                 # vps_num_layer_sets_minus1
+    w.u(0, 1)               # vps_timing_info_present_flag
+    w.u(0, 1)               # vps_extension_flag
+    w.rbsp_trailing_bits()
+    return nal_unit(w.get_bytes(), NAL_VPS)
+
+
+def write_sps(p: StreamParams) -> bytes:
+    w = BitWriter()
+    w.u(0, 4)               # sps_video_parameter_set_id
+    w.u(0, 3)               # sps_max_sub_layers_minus1
+    w.u(1, 1)               # sps_temporal_id_nesting_flag
+    _profile_tier_level(w, p)
+    w.ue(0)                 # sps_seq_parameter_set_id
+    w.ue(p.chroma_format_idc)
+    w.ue(p.width)
+    w.ue(p.height)
+    cl, cr, ct, cb = p.conf_win
+    if any(p.conf_win):
+        w.u(1, 1)
+        # Offsets are in chroma units for 4:2:0.
+        sub = 2 if p.chroma_format_idc == 1 else 1
+        w.ue(cl // sub)
+        w.ue(cr // sub)
+        w.ue(ct // sub)
+        w.ue(cb // sub)
+    else:
+        w.u(0, 1)
+    w.ue(p.bitdepth - 8)    # bit_depth_luma_minus8
+    w.ue(p.bitdepth - 8)    # bit_depth_chroma_minus8
+    w.ue(p.log2_max_poc_lsb - 4)
+    w.u(0, 1)               # sps_sub_layer_ordering_info_present_flag
+    w.ue(1)                 # sps_max_dec_pic_buffering_minus1[0]
+    w.ue(0)                 # sps_max_num_reorder_pics[0]
+    w.ue(0)                 # sps_max_latency_increase_plus1[0]
+    w.ue(p.log2_min_cu - 3)
+    w.ue(p.log2_ctu - p.log2_min_cu)
+    w.ue(p.log2_min_tu - 2)
+    w.ue(p.log2_max_tu - p.log2_min_tu)
+    w.ue(p.max_tr_depth_inter)
+    w.ue(p.max_tr_depth_intra)
+    w.u(0, 1)               # scaling_list_enabled_flag
+    w.u(1 if p.amp else 0, 1)
+    w.u(1 if p.sao_enabled else 0, 1)
+    w.u(0, 1)               # pcm_enabled_flag
+    w.ue(0)                 # num_short_term_ref_pic_sets
+    w.u(0, 1)               # long_term_ref_pics_present_flag
+    w.u(0, 1)               # sps_temporal_mvp_enabled_flag
+    w.u(1 if p.strong_intra_smoothing else 0, 1)
+    w.u(0, 1)               # vui_parameters_present_flag
+    w.u(0, 1)               # sps_extension_present_flag
+    w.rbsp_trailing_bits()
+    return nal_unit(w.get_bytes(), NAL_SPS)
+
+
+def write_pps(p: StreamParams) -> bytes:
+    w = BitWriter()
+    w.ue(0)                 # pps_pic_parameter_set_id
+    w.ue(0)                 # pps_seq_parameter_set_id
+    w.u(0, 1)               # dependent_slice_segments_enabled_flag
+    w.u(0, 1)               # output_flag_present_flag
+    w.u(0, 3)               # num_extra_slice_header_bits
+    w.u(1 if p.sign_hiding else 0, 1)
+    w.u(0, 1)               # cabac_init_present_flag
+    w.ue(0)                 # num_ref_idx_l0_default_active_minus1
+    w.ue(0)                 # num_ref_idx_l1_default_active_minus1
+    w.se(p.qp - 26)         # init_qp_minus26
+    w.u(0, 1)               # constrained_intra_pred_flag
+    w.u(1 if p.transform_skip else 0, 1)
+    w.u(0, 1)               # cu_qp_delta_enabled_flag
+    w.se(0)                 # pps_cb_qp_offset
+    w.se(0)                 # pps_cr_qp_offset
+    w.u(0, 1)               # pps_slice_chroma_qp_offsets_present_flag
+    w.u(0, 1)               # weighted_pred_flag
+    w.u(0, 1)               # weighted_bipred_flag
+    w.u(1 if p.transquant_bypass else 0, 1)
+    w.u(0, 1)               # tiles_enabled_flag
+    w.u(1 if p.wpp else 0, 1)   # entropy_coding_sync_enabled_flag
+    w.u(1, 1)               # pps_loop_filter_across_slices_enabled_flag
+    w.u(1, 1)               # deblocking_filter_control_present_flag
+    w.u(0, 1)               # deblocking_filter_override_enabled_flag
+    w.u(0 if p.deblock_enabled else 1, 1)  # pps_deblocking_filter_disabled
+    if p.deblock_enabled:
+        w.se(p.deblock_beta_offset_div2)
+        w.se(p.deblock_tc_offset_div2)
+    w.u(0, 1)               # pps_scaling_list_data_present_flag
+    w.u(0, 1)               # lists_modification_present_flag
+    w.ue(0)                 # log2_parallel_merge_level_minus2
+    w.u(0, 1)               # slice_segment_header_extension_present_flag
+    w.u(0, 1)               # pps_extension_present_flag
+    w.rbsp_trailing_bits()
+    return nal_unit(w.get_bytes(), NAL_PPS)
+
+
+def write_slice_header(w: BitWriter, p: StreamParams, slice_type: int,
+                       nal_type: int, slice_qp: int, poc: int = 0,
+                       num_entry_points: int = 0,
+                       entry_point_offsets=()) -> None:
+    """Write the slice segment header into `w` (caller then byte-aligns
+    into slice data).  H.265 7.3.6.1; one full-picture slice."""
+    w.u(1, 1)               # first_slice_segment_in_pic_flag
+    if 16 <= nal_type <= 23:
+        w.u(0, 1)           # no_output_of_prior_pics_flag
+    w.ue(0)                 # slice_pic_parameter_set_id
+    w.ue(slice_type)
+    if nal_type not in (NAL_IDR_W_RADL, NAL_IDR_W_RADL + 1):
+        w.u(poc & ((1 << p.log2_max_poc_lsb) - 1), p.log2_max_poc_lsb)
+        raise NotImplementedError("non-IDR slices arrive with inter frames")
+    if p.sao_enabled:
+        w.u(1, 1)           # slice_sao_luma_flag
+        w.u(1 if p.chroma_format_idc else 0, 1)
+    w.se(slice_qp - p.qp)   # slice_qp_delta (relative to PPS init QP)
+    if p.sao_enabled or p.deblock_enabled:
+        w.u(1, 1)           # slice_loop_filter_across_slices_enabled_flag
+    if p.wpp:
+        w.ue(num_entry_points)
+        if num_entry_points:
+            offset_len = max(o.bit_length() for o in entry_point_offsets)
+            offset_len = max(offset_len, 1)
+            w.ue(offset_len - 1)
+            for off in entry_point_offsets:
+                w.u(off - 1, offset_len)
+    # byte_alignment()
+    w.bit(1)
+    w.align_zero()

@@ -1,0 +1,694 @@
+"""Slice-data syntax: coding quadtree, intra CU, transform tree, residual
+coding — both the CABAC serializer and its exact inverse parser.
+
+Reference behavior being matched: src/encode_coding_tree.c (serializer
+only; the reference has no decoder).  We additionally implement the
+*decoder* direction so every bitstream we emit can be verified end-to-end
+without an external HEVC decoder (SURVEY.md §4 gate).  Spec clauses:
+7.3.8.4 (coding quadtree), 7.3.8.5 (coding unit), 7.3.8.8 (transform
+tree), 7.3.8.11 (residual coding), 9.3.4.2 (ctxInc derivations).
+
+Data model: the device hands the host dense frame-shaped tensors (depth
+per 8x8 cell, intra mode per 4x4 cell, quantized levels per pixel
+position); the serializer walks the quadtree they imply.  This is the
+compact device→host layout planned in SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+from kvazaar_tpu.bitstream.cabac import CabacDecoder, CabacEncoder
+from kvazaar_tpu.bitstream.contexts import Contexts
+from kvazaar_tpu.bitstream.headers import StreamParams
+from kvazaar_tpu.constants import INTRA_DC, INTRA_PLANAR
+from kvazaar_tpu.ops.scan import (SCAN_DIAG, SCAN_VER, coeff_scan,
+                                  intra_scan_idx, scan_order)
+
+# H.265 9.3.4.2.5: sig_coeff_flag ctx map for 4x4 TBs, indexed (yC<<2)+xC.
+CTX_IDX_MAP_4X4 = (0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8)
+
+
+@dataclasses.dataclass
+class FrameData:
+    """Dense per-frame syntax tensors exchanged between device and host."""
+    depth8: np.ndarray       # (H/8, W/8) uint8 — CU depth per 8x8 cell
+    mode4: np.ndarray        # (H/4, W/4) uint8 — luma intra mode per 4x4
+    coeff_y: np.ndarray      # (H, W) int32 — quantized levels, pixel layout
+    coeff_cb: np.ndarray     # (H/2, W/2) int32 (empty for 4:0:0)
+    coeff_cr: np.ndarray
+
+    @staticmethod
+    def empty(width: int, height: int, chroma: bool = True) -> "FrameData":
+        cw, ch = (width // 2, height // 2) if chroma else (0, 0)
+        return FrameData(
+            depth8=np.zeros((height // 8, width // 8), dtype=np.uint8),
+            mode4=np.zeros((height // 4, width // 4), dtype=np.uint8),
+            coeff_y=np.zeros((height, width), dtype=np.int32),
+            coeff_cb=np.zeros((ch, cw), dtype=np.int32),
+            coeff_cr=np.zeros((ch, cw), dtype=np.int32),
+        )
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_coeff_scan(log2_size: int, scan_idx: int) -> np.ndarray:
+    """(size, size) map from (y, x) to linear scan index."""
+    scan = coeff_scan(log2_size, scan_idx)
+    size = 1 << log2_size
+    inv = np.zeros((size, size), dtype=np.int32)
+    for i, (x, y) in enumerate(scan):
+        inv[y, x] = i
+    return inv
+
+
+def _last_prefix_ctx_params(log2_size: int, is_chroma: bool):
+    """(ctx_offset, ctx_shift) for last_sig_coeff_{x,y}_prefix
+    (9.3.4.2.3)."""
+    if is_chroma:
+        return 15, log2_size - 2
+    return 3 * (log2_size - 2) + ((log2_size - 1) >> 2), (log2_size + 1) >> 2
+
+
+def _sig_ctx(xc: int, yc: int, log2_size: int, scan_idx: int,
+             is_chroma: bool, csbf_right: int, csbf_below: int) -> int:
+    """sig_coeff_flag ctxInc (9.3.4.2.5), before the +27 chroma offset is
+    folded into the context array split (we keep separate luma/chroma
+    halves in one 42-entry array)."""
+    if log2_size == 2:
+        sig = CTX_IDX_MAP_4X4[(yc << 2) + xc]
+    elif xc + yc == 0:
+        sig = 0
+    else:
+        xb, yb = xc & 3, yc & 3
+        prev = csbf_right + 2 * csbf_below
+        if prev == 0:
+            sig = 2 if xb + yb == 0 else (1 if xb + yb < 3 else 0)
+        elif prev == 1:
+            sig = 2 if yb == 0 else (1 if yb == 1 else 0)
+        elif prev == 2:
+            sig = 2 if xb == 0 else (1 if xb == 1 else 0)
+        else:
+            sig = 2
+        if not is_chroma and (xc >> 2, yc >> 2) != (0, 0):
+            sig += 3
+        if log2_size == 3:
+            sig += (9 if scan_idx == SCAN_DIAG else 15) if not is_chroma \
+                else 9
+        else:
+            sig += 12 if is_chroma else 21
+    return sig + (27 if is_chroma else 0)
+
+
+def intra_mpm(cand_left: int, cand_above: int) -> list[int]:
+    """The 3 most probable intra modes (H.265 8.4.2)."""
+    if cand_left == cand_above:
+        if cand_left < 2:
+            return [INTRA_PLANAR, INTRA_DC, 26]
+        m = cand_left
+        return [m, 2 + ((m + 29) % 32), 2 + ((m - 2 + 1) % 32)]
+    mpm = [cand_left, cand_above]
+    if INTRA_PLANAR not in mpm:
+        mpm.append(INTRA_PLANAR)
+    elif INTRA_DC not in mpm:
+        mpm.append(INTRA_DC)
+    else:
+        mpm.append(26)
+    return mpm
+
+
+class _SliceSyntaxBase:
+    """Geometry and context-derivation shared by serializer and parser."""
+
+    def __init__(self, params: StreamParams, data: FrameData,
+                 contexts: Contexts):
+        self.p = params
+        self.d = data
+        self.ctx = contexts
+        self.chroma = params.chroma_format_idc != 0
+
+    # -- neighbor queries against the (partially filled) frame data --
+
+    def _neighbor_depth(self, x: int, y: int) -> int:
+        if x < 0 or y < 0:
+            return -1
+        return int(self.d.depth8[y >> 3, x >> 3])
+
+    def split_ctx(self, x0: int, y0: int, depth: int) -> int:
+        inc = 0
+        if x0 > 0 and self._neighbor_depth(x0 - 1, y0) > depth:
+            inc += 1
+        if y0 > 0 and self._neighbor_depth(x0, y0 - 1) > depth:
+            inc += 1
+        return inc
+
+    def mpm_for(self, x0: int, y0: int) -> list[int]:
+        # Left neighbor PU; above must be inside the same CTU row
+        # (above outside the CTU → DC), both default DC when unavailable.
+        cand_l = INTRA_DC
+        cand_a = INTRA_DC
+        if x0 > 0:
+            cand_l = int(self.d.mode4[y0 >> 2, (x0 - 1) >> 2])
+        if y0 > 0 and (y0 % self.p.ctu_size) != 0:
+            cand_a = int(self.d.mode4[(y0 - 1) >> 2, x0 >> 2])
+        return intra_mpm(cand_l, cand_a)
+
+    def _plane(self, c_idx: int) -> np.ndarray:
+        return (self.d.coeff_y, self.d.coeff_cb, self.d.coeff_cr)[c_idx]
+
+
+class SliceDataEncoder(_SliceSyntaxBase):
+    """Serialize a fully populated FrameData into CABAC slice data."""
+
+    def __init__(self, params, data, contexts, cabac: CabacEncoder):
+        super().__init__(params, data, contexts)
+        self.c = cabac
+
+    def encode_slice_data(self) -> None:
+        ctus_x = self.p.width_in_ctus
+        ctus_y = self.p.height_in_ctus
+        n = ctus_x * ctus_y
+        for i in range(n):
+            x0 = (i % ctus_x) << self.p.log2_ctu
+            y0 = (i // ctus_x) << self.p.log2_ctu
+            self.coding_quadtree(x0, y0, self.p.log2_ctu, 0)
+            self.c.encode_terminate(1 if i == n - 1 else 0)
+
+    def coding_quadtree(self, x0, y0, log2_size, depth) -> None:
+        size = 1 << log2_size
+        inside = x0 + size <= self.p.width and y0 + size <= self.p.height
+        split = int(self.d.depth8[y0 >> 3, x0 >> 3]) > depth
+        if inside and log2_size > self.p.log2_min_cu:
+            self.c.encode_bin(
+                self.ctx("split_flag", self.split_ctx(x0, y0, depth)),
+                1 if split else 0)
+        elif log2_size > self.p.log2_min_cu:
+            split = True   # boundary: inferred split, no flag
+        if split:
+            half = size >> 1
+            for dy in (0, half):
+                for dx in (0, half):
+                    x1, y1 = x0 + dx, y0 + dy
+                    if x1 < self.p.width and y1 < self.p.height:
+                        self.coding_quadtree(x1, y1, log2_size - 1,
+                                             depth + 1)
+        else:
+            self.coding_unit(x0, y0, log2_size)
+
+    def coding_unit(self, x0, y0, log2_size) -> None:
+        # I-slice, no transquant bypass, 2Nx2N intra only (NxN arrives
+        # with the 4x4 TU path).
+        if log2_size == self.p.log2_min_cu:
+            self.c.encode_bin(self.ctx("part_size", 0), 1)  # PART_2Nx2N
+        mode = int(self.d.mode4[y0 >> 2, x0 >> 2])
+        mpm = self.mpm_for(x0, y0)
+        if mode in mpm:
+            self.c.encode_bin(self.ctx("intra_mode", 0), 1)
+            idx = mpm.index(mode)
+            self.c.encode_bypass(1 if idx else 0)
+            if idx:
+                self.c.encode_bypass(idx - 1)
+        else:
+            self.c.encode_bin(self.ctx("intra_mode", 0), 0)
+            rem = mode
+            for m in sorted(mpm, reverse=True):
+                if rem > m:
+                    rem -= 1
+            self.c.encode_bypass_bins(rem, 5)
+        if self.chroma:
+            # Derived (DM) chroma mode only, a single context bin = 0.
+            self.c.encode_bin(self.ctx("chroma_pred_mode", 0), 0)
+        self.transform_tree(x0, y0, log2_size, 0)
+
+    def transform_tree(self, x0, y0, log2_size, tr_depth) -> None:
+        # max_tr_depth_intra = 0: split only when size exceeds max TU;
+        # the flag is never coded (7.3.8.8 inference rules).
+        split = log2_size > self.p.log2_max_tu
+        cbf_cb = cbf_cr = 0
+        if self.chroma and log2_size > 2:
+            cb = self._tu_cbf(1, x0, y0, log2_size)
+            cr = self._tu_cbf(2, x0, y0, log2_size)
+            self.c.encode_bin(self.ctx("cbf_chroma", tr_depth), cb)
+            self.c.encode_bin(self.ctx("cbf_chroma", tr_depth), cr)
+            cbf_cb, cbf_cr = cb, cr
+        if split:
+            half = 1 << (log2_size - 1)
+            for dy in (0, half):
+                for dx in (0, half):
+                    self._transform_leaf_or_split(
+                        x0 + dx, y0 + dy, log2_size - 1, tr_depth + 1,
+                        cbf_cb, cbf_cr)
+        else:
+            cbf_luma = self._tu_cbf(0, x0, y0, log2_size)
+            self.c.encode_bin(
+                self.ctx("cbf_luma", 1 if tr_depth == 0 else 0), cbf_luma)
+            self._transform_unit(x0, y0, log2_size, cbf_luma,
+                                 cbf_cb, cbf_cr)
+
+    def _transform_leaf_or_split(self, x0, y0, log2_size, tr_depth,
+                                 parent_cb, parent_cr) -> None:
+        # Children of a (forced) split: chroma cbf re-coded per child only
+        # if the parent cbf was set; we keep tr-depth <= 1 (64x64 CU).
+        cbf_cb = cbf_cr = 0
+        if self.chroma and log2_size > 2:
+            if parent_cb:
+                cbf_cb = self._tu_cbf(1, x0, y0, log2_size)
+                self.c.encode_bin(self.ctx("cbf_chroma", tr_depth), cbf_cb)
+            if parent_cr:
+                cbf_cr = self._tu_cbf(2, x0, y0, log2_size)
+                self.c.encode_bin(self.ctx("cbf_chroma", tr_depth), cbf_cr)
+        cbf_luma = self._tu_cbf(0, x0, y0, log2_size)
+        self.c.encode_bin(
+            self.ctx("cbf_luma", 1 if tr_depth == 0 else 0), cbf_luma)
+        self._transform_unit(x0, y0, log2_size, cbf_luma, cbf_cb, cbf_cr)
+
+    def _tu_cbf(self, c_idx, x0, y0, log2_size) -> int:
+        shift = 1 if c_idx else 0
+        n = 1 << (log2_size - shift)
+        x, y = x0 >> shift, y0 >> shift
+        block = self._plane(c_idx)[y:y + n, x:x + n]
+        return 1 if np.any(block) else 0
+
+    def _transform_unit(self, x0, y0, log2_size, cbf_luma, cbf_cb,
+                        cbf_cr) -> None:
+        if cbf_luma:
+            self.residual_coding(x0, y0, log2_size, 0)
+        if self.chroma and log2_size > 2:
+            if cbf_cb:
+                self.residual_coding(x0 >> 1, y0 >> 1, log2_size - 1, 1)
+            if cbf_cr:
+                self.residual_coding(x0 >> 1, y0 >> 1, log2_size - 1, 2)
+
+    def residual_coding(self, x0, y0, log2_size, c_idx) -> None:
+        """7.3.8.11 — serialize one TB's quantized levels."""
+        p, c, ctx = self.p, self.c, self.ctx
+        size = 1 << log2_size
+        chroma = c_idx > 0
+        plane = self._plane(c_idx)
+        block = plane[y0:y0 + size, x0:x0 + size]
+
+        if chroma:
+            mode = int(self.d.mode4[(y0 * 2) >> 2, (x0 * 2) >> 2])  # DM
+        else:
+            mode = int(self.d.mode4[y0 >> 2, x0 >> 2])
+        scan_idx = intra_scan_idx(mode, log2_size, chroma)
+        scan = coeff_scan(log2_size, scan_idx)
+        levels = block[scan[:, 1], scan[:, 0]]       # scan-ordered
+        nz = np.nonzero(levels)[0]
+        assert len(nz), "residual_coding called with all-zero block"
+        last = int(nz[-1])
+        lx, ly = int(scan[last, 0]), int(scan[last, 1])
+        if scan_idx == SCAN_VER:
+            lx, ly = ly, lx
+        self._encode_last_xy(lx, ly, log2_size, chroma)
+
+        n_sb = size >> 2
+        sb_scan = scan_order(n_sb, scan_idx)
+        last_sb, last_pos = last >> 4, last & 15
+        csbf = np.zeros((n_sb, n_sb), dtype=np.int32)
+        for i in range(last_sb + 1):
+            sx, sy = int(sb_scan[i, 0]), int(sb_scan[i, 1])
+            if np.any(levels[i * 16:(i + 1) * 16]):
+                csbf[sy, sx] = 1
+        csbf[int(sb_scan[0, 1]), int(sb_scan[0, 0])] = 1
+        csbf[int(sb_scan[last_sb, 1]), int(sb_scan[last_sb, 0])] = 1
+
+        gt1_state = 1   # "c1": persists across subblocks (9.3.4.2.6)
+        for i in range(last_sb, -1, -1):
+            sx, sy = int(sb_scan[i, 0]), int(sb_scan[i, 1])
+            sb_levels = levels[i * 16:(i + 1) * 16]
+            infer_dc = False
+            if 0 < i < last_sb:
+                right = csbf[sy, sx + 1] if sx + 1 < n_sb else 0
+                below = csbf[sy + 1, sx] if sy + 1 < n_sb else 0
+                ctx_i = (1 if (right or below) else 0) + (2 if chroma else 0)
+                c.encode_bin(ctx("sig_cg", ctx_i), int(csbf[sy, sx]))
+                infer_dc = True
+            if not csbf[sy, sx]:
+                continue
+
+            # sig_coeff_flag
+            sig = (sb_levels != 0).astype(np.int32)
+            start_n = last_pos - 1 if i == last_sb else 15
+            right_csbf = int(csbf[sy, sx + 1]) if sx + 1 < n_sb else 0
+            below_csbf = int(csbf[sy + 1, sx]) if sy + 1 < n_sb else 0
+            for n in range(start_n, -1, -1):
+                if n > 0 or not infer_dc:
+                    xc = int(scan[i * 16 + n, 0])
+                    yc = int(scan[i * 16 + n, 1])
+                    s_ctx = _sig_ctx(xc, yc, log2_size, scan_idx, chroma,
+                                     right_csbf, below_csbf)
+                    c.encode_bin(ctx("sig", s_ctx), int(sig[n]))
+                    if sig[n]:
+                        infer_dc = False
+
+            sig_pos = [n for n in range(15, -1, -1) if sig[n]]
+            if i == last_sb:
+                assert sig_pos[0] == last_pos
+            if not sig_pos:
+                # Forced-on DC subblock with no levels: gt1 state and
+                # context-set selection skip empty subsets entirely.
+                continue
+
+            # greater1 / greater2 flags
+            ctx_set = 0 if (i == 0 or chroma) else 2
+            if gt1_state == 0:
+                ctx_set += 1
+            gt1_state = 1
+            abs_levels = np.abs(sb_levels)
+            first_gt1 = -1
+            for n in sig_pos[:8]:
+                flag = 1 if abs_levels[n] > 1 else 0
+                inc = ctx_set * 4 + min(3, gt1_state) + \
+                    (16 if chroma else 0)
+                c.encode_bin(ctx("gt1", inc), flag)
+                if flag:
+                    gt1_state = 0
+                    if first_gt1 < 0:
+                        first_gt1 = n
+                elif gt1_state > 0:
+                    gt1_state = min(3, gt1_state + 1)
+            if first_gt1 >= 0:
+                flag = 1 if abs_levels[first_gt1] > 2 else 0
+                c.encode_bin(ctx("gt2", ctx_set + (4 if chroma else 0)),
+                             flag)
+
+            # signs (sign hiding arrives with the RDOQ/signhide pass;
+            # PPS flag is off until then)
+            for n in sig_pos:
+                c.encode_bypass(1 if sb_levels[n] < 0 else 0)
+
+            # remaining levels: present iff the coded flags saturated
+            rice = 0
+            for k, n in enumerate(sig_pos):
+                a = int(abs_levels[n])
+                if k < 8:
+                    base = 3 if n == first_gt1 else 2
+                else:
+                    base = 1
+                if a >= base:
+                    self._encode_remaining(a - base, rice)
+                    if a > (3 << rice):
+                        rice = min(rice + 1, 4)
+
+    def _encode_last_xy(self, lx, ly, log2_size, chroma) -> None:
+        off, shift = _last_prefix_ctx_params(log2_size, chroma)
+        cmax = (log2_size << 1) - 1
+        for val, name in ((lx, "last_x"), (ly, "last_y")):
+            prefix = self._last_prefix(val)
+            for b in range(min(prefix, cmax)):
+                self.c.encode_bin(self.ctx(name, off + (b >> shift)), 1)
+            if prefix < cmax:
+                self.c.encode_bin(self.ctx(name, off + (prefix >> shift)),
+                                  0)
+        for val in (lx, ly):
+            prefix = self._last_prefix(val)
+            if prefix > 3:
+                nbits = (prefix >> 1) - 1
+                suffix = val - ((2 + (prefix & 1)) << nbits)
+                self.c.encode_bypass_bins(suffix, nbits)
+
+    @staticmethod
+    def _last_prefix(val: int) -> int:
+        """Prefix index for a last-coefficient coordinate (9.3.3.2
+        inverse: val -> groupIdx)."""
+        if val < 4:
+            return val
+        return ((val >> (val.bit_length() - 2)) & 1) + \
+            ((val.bit_length() - 2) << 1) + 2
+
+    def _encode_remaining(self, value: int, rice: int) -> None:
+        """coeff_abs_level_remaining Golomb-Rice/EGk (9.3.3.9)."""
+        c = self.c
+        if (value >> rice) < 3:
+            q = value >> rice
+            for _ in range(q):
+                c.encode_bypass(1)
+            c.encode_bypass(0)
+            if rice:
+                c.encode_bypass_bins(value & ((1 << rice) - 1), rice)
+        else:
+            v = value - (3 << rice)
+            length = rice
+            while v >= (1 << length):
+                v -= 1 << length
+                length += 1
+            for _ in range(3 + length - rice):
+                c.encode_bypass(1)
+            c.encode_bypass(0)
+            if length:
+                c.encode_bypass_bins(v, length)
+
+
+class SliceDataDecoder(_SliceSyntaxBase):
+    """Parse CABAC slice data back into a FrameData — the conformance
+    oracle's front half (exact inverse of SliceDataEncoder)."""
+
+    def __init__(self, params, data, contexts, cabac: CabacDecoder):
+        super().__init__(params, data, contexts)
+        self.c = cabac
+
+    def decode_slice_data(self) -> None:
+        ctus_x = self.p.width_in_ctus
+        ctus_y = self.p.height_in_ctus
+        n = ctus_x * ctus_y
+        for i in range(n):
+            x0 = (i % ctus_x) << self.p.log2_ctu
+            y0 = (i // ctus_x) << self.p.log2_ctu
+            self.coding_quadtree(x0, y0, self.p.log2_ctu, 0)
+            end = self.c.decode_terminate()
+            if end != (1 if i == n - 1 else 0):
+                raise ValueError(f"end_of_slice at CTU {i}/{n} mismatched")
+
+    def coding_quadtree(self, x0, y0, log2_size, depth) -> None:
+        size = 1 << log2_size
+        inside = x0 + size <= self.p.width and y0 + size <= self.p.height
+        if inside and log2_size > self.p.log2_min_cu:
+            split = self.c.decode_bin(
+                self.ctx("split_flag", self.split_ctx(x0, y0, depth)))
+        elif log2_size > self.p.log2_min_cu:
+            split = 1
+        else:
+            split = 0
+        if split:
+            half = size >> 1
+            for dy in (0, half):
+                for dx in (0, half):
+                    x1, y1 = x0 + dx, y0 + dy
+                    if x1 < self.p.width and y1 < self.p.height:
+                        self.coding_quadtree(x1, y1, log2_size - 1,
+                                             depth + 1)
+        else:
+            cells = max(size >> 3, 1)
+            self.d.depth8[y0 >> 3:(y0 >> 3) + cells,
+                          x0 >> 3:(x0 >> 3) + cells] = depth
+            self.coding_unit(x0, y0, log2_size)
+
+    def coding_unit(self, x0, y0, log2_size) -> None:
+        if log2_size == self.p.log2_min_cu:
+            part = self.c.decode_bin(self.ctx("part_size", 0))
+            if part != 1:
+                raise NotImplementedError("NxN partition not in v1 subset")
+        mpm = self.mpm_for(x0, y0)
+        if self.c.decode_bin(self.ctx("intra_mode", 0)):
+            idx = self.c.decode_bypass()
+            if idx:
+                idx = 1 + self.c.decode_bypass()
+            mode = mpm[idx]
+        else:
+            rem = self.c.decode_bypass_bins(5)
+            for m in sorted(mpm):
+                if rem >= m:
+                    rem += 1
+            mode = rem
+        n4 = 1 << (log2_size - 2)
+        self.d.mode4[y0 >> 2:(y0 >> 2) + n4, x0 >> 2:(x0 >> 2) + n4] = mode
+        if self.chroma:
+            dm = self.c.decode_bin(self.ctx("chroma_pred_mode", 0))
+            if dm != 0:
+                raise NotImplementedError("non-DM chroma not in v1 subset")
+        self.transform_tree(x0, y0, log2_size, 0)
+
+    def transform_tree(self, x0, y0, log2_size, tr_depth) -> None:
+        split = log2_size > self.p.log2_max_tu
+        cbf_cb = cbf_cr = 0
+        if self.chroma and log2_size > 2:
+            cbf_cb = self.c.decode_bin(self.ctx("cbf_chroma", tr_depth))
+            cbf_cr = self.c.decode_bin(self.ctx("cbf_chroma", tr_depth))
+        if split:
+            half = 1 << (log2_size - 1)
+            for dy in (0, half):
+                for dx in (0, half):
+                    self._transform_leaf_or_split(
+                        x0 + dx, y0 + dy, log2_size - 1, tr_depth + 1,
+                        cbf_cb, cbf_cr)
+        else:
+            cbf_luma = self.c.decode_bin(
+                self.ctx("cbf_luma", 1 if tr_depth == 0 else 0))
+            self._transform_unit(x0, y0, log2_size, cbf_luma,
+                                 cbf_cb, cbf_cr)
+
+    def _transform_leaf_or_split(self, x0, y0, log2_size, tr_depth,
+                                 parent_cb, parent_cr) -> None:
+        cbf_cb = cbf_cr = 0
+        if self.chroma and log2_size > 2:
+            if parent_cb:
+                cbf_cb = self.c.decode_bin(self.ctx("cbf_chroma", tr_depth))
+            if parent_cr:
+                cbf_cr = self.c.decode_bin(self.ctx("cbf_chroma", tr_depth))
+        cbf_luma = self.c.decode_bin(
+            self.ctx("cbf_luma", 1 if tr_depth == 0 else 0))
+        self._transform_unit(x0, y0, log2_size, cbf_luma, cbf_cb, cbf_cr)
+
+    def _transform_unit(self, x0, y0, log2_size, cbf_luma, cbf_cb,
+                        cbf_cr) -> None:
+        if cbf_luma:
+            self.residual_coding(x0, y0, log2_size, 0)
+        if self.chroma and log2_size > 2:
+            if cbf_cb:
+                self.residual_coding(x0 >> 1, y0 >> 1, log2_size - 1, 1)
+            if cbf_cr:
+                self.residual_coding(x0 >> 1, y0 >> 1, log2_size - 1, 2)
+
+    def residual_coding(self, x0, y0, log2_size, c_idx) -> None:
+        p, c, ctx = self.p, self.c, self.ctx
+        size = 1 << log2_size
+        chroma = c_idx > 0
+        if chroma:
+            mode = int(self.d.mode4[(y0 * 2) >> 2, (x0 * 2) >> 2])
+        else:
+            mode = int(self.d.mode4[y0 >> 2, x0 >> 2])
+        scan_idx = intra_scan_idx(mode, log2_size, chroma)
+        scan = coeff_scan(log2_size, scan_idx)
+        inv = _inv_coeff_scan(log2_size, scan_idx)
+
+        lx, ly = self._decode_last_xy(log2_size, chroma)
+        if scan_idx == SCAN_VER:
+            lx, ly = ly, lx
+        last = int(inv[ly, lx])
+        last_sb, last_pos = last >> 4, last & 15
+
+        levels = np.zeros(size * size, dtype=np.int64)
+        n_sb = size >> 2
+        sb_scan = scan_order(n_sb, scan_idx)
+        csbf = np.zeros((n_sb, n_sb), dtype=np.int32)
+        csbf[int(sb_scan[0, 1]), int(sb_scan[0, 0])] = 1
+        csbf[int(sb_scan[last_sb, 1]), int(sb_scan[last_sb, 0])] = 1
+
+        gt1_state = 1
+        for i in range(last_sb, -1, -1):
+            sx, sy = int(sb_scan[i, 0]), int(sb_scan[i, 1])
+            infer_dc = False
+            if 0 < i < last_sb:
+                right = csbf[sy, sx + 1] if sx + 1 < n_sb else 0
+                below = csbf[sy + 1, sx] if sy + 1 < n_sb else 0
+                ctx_i = (1 if (right or below) else 0) + (2 if chroma else 0)
+                csbf[sy, sx] = c.decode_bin(ctx("sig_cg", ctx_i))
+                infer_dc = True
+            if not csbf[sy, sx]:
+                continue
+
+            sig = np.zeros(16, dtype=np.int32)
+            start_n = last_pos - 1 if i == last_sb else 15
+            if i == last_sb:
+                sig[last_pos] = 1
+            right_csbf = int(csbf[sy, sx + 1]) if sx + 1 < n_sb else 0
+            below_csbf = int(csbf[sy + 1, sx]) if sy + 1 < n_sb else 0
+            for n in range(start_n, -1, -1):
+                if n > 0 or not infer_dc:
+                    xc = int(scan[i * 16 + n, 0])
+                    yc = int(scan[i * 16 + n, 1])
+                    s_ctx = _sig_ctx(xc, yc, log2_size, scan_idx, chroma,
+                                     right_csbf, below_csbf)
+                    sig[n] = c.decode_bin(ctx("sig", s_ctx))
+                    if sig[n]:
+                        infer_dc = False
+                elif infer_dc:
+                    sig[0] = 1
+
+            sig_pos = [n for n in range(15, -1, -1) if sig[n]]
+            if not sig_pos:
+                continue
+
+            ctx_set = 0 if (i == 0 or chroma) else 2
+            if gt1_state == 0:
+                ctx_set += 1
+            gt1_state = 1
+            gt1 = {}
+            first_gt1 = -1
+            for n in sig_pos[:8]:
+                inc = ctx_set * 4 + min(3, gt1_state) + \
+                    (16 if chroma else 0)
+                flag = c.decode_bin(ctx("gt1", inc))
+                gt1[n] = flag
+                if flag:
+                    gt1_state = 0
+                    if first_gt1 < 0:
+                        first_gt1 = n
+                elif gt1_state > 0:
+                    gt1_state = min(3, gt1_state + 1)
+            gt2 = 0
+            if first_gt1 >= 0:
+                gt2 = c.decode_bin(ctx("gt2",
+                                       ctx_set + (4 if chroma else 0)))
+
+            signs = {n: c.decode_bypass() for n in sig_pos}
+
+            rice = 0
+            for k, n in enumerate(sig_pos):
+                if k < 8:
+                    base = 1 + gt1[n] + (gt2 if n == first_gt1 else 0)
+                    saturated = gt1[n] == 1 and \
+                        (n != first_gt1 or gt2 == 1)
+                else:
+                    base = 1
+                    saturated = True
+                a = base
+                if saturated:
+                    a += self._decode_remaining(rice)
+                    if a > (3 << rice):
+                        rice = min(rice + 1, 4)
+                levels[i * 16 + n] = -a if signs[n] else a
+
+        block = np.zeros((size, size), dtype=np.int64)
+        block[scan[:, 1], scan[:, 0]] = levels
+        plane = self._plane(c_idx)
+        plane[y0:y0 + size, x0:x0 + size] = block
+
+    def _decode_last_xy(self, log2_size, chroma):
+        off, shift = _last_prefix_ctx_params(log2_size, chroma)
+        cmax = (log2_size << 1) - 1
+        prefixes = []
+        for name in ("last_x", "last_y"):
+            prefix = 0
+            while prefix < cmax and self.c.decode_bin(
+                    self.ctx(name, off + (prefix >> shift))):
+                prefix += 1
+            prefixes.append(prefix)
+        coords = []
+        for prefix in prefixes:
+            if prefix > 3:
+                nbits = (prefix >> 1) - 1
+                suffix = self.c.decode_bypass_bins(nbits)
+                coords.append(((2 + (prefix & 1)) << nbits) + suffix)
+            else:
+                coords.append(prefix)
+        return coords[0], coords[1]
+
+    def _decode_remaining(self, rice: int) -> int:
+        c = self.c
+        prefix = 0
+        while c.decode_bypass():
+            prefix += 1
+            if prefix > 40:
+                raise ValueError("runaway coeff_abs_level_remaining")
+        if prefix < 3:
+            value = prefix << rice
+            if rice:
+                value += c.decode_bypass_bins(rice)
+            return value
+        length = rice + prefix - 3
+        return (3 << rice) + (1 << length) - (1 << rice) + \
+            c.decode_bypass_bins(length)
