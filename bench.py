@@ -1,0 +1,117 @@
+"""Benchmark: all-intra 832x480 QP22 encode fps (BASELINE.json config #1).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline compares against the reference kvazaar CLI compiled from
+/root/reference with generic (no-asm) strategies and run on THIS host's
+CPU with all cores (--preset ultrafast -p 1 -q 22): measured 44.68 fps on
+the 4-core driver box (see BENCH_NOTES.md).  If the reference binary can
+be built at bench time, it is re-measured live for an honest same-host
+ratio; otherwise the recorded constant is used.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+W, H, FRAMES, QP = 832, 480, 8, 22
+REF_FPS_RECORDED = 44.68
+
+
+def synth_clip(n, w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    frames = []
+    yy, xx = np.mgrid[0:h, 0:w]
+    for i in range(n):
+        y = np.clip(128 + 60 * np.sin(xx / 9.0 + i * 0.3)
+                    * np.cos(yy / 13.0) + rng.normal(0, 6, (h, w)),
+                    0, 255).astype(np.uint8)
+        cb = np.clip(110 + 30 * np.sin(xx[::2, ::2] / 17.0 + i * 0.2)
+                     + rng.normal(0, 3, (h // 2, w // 2)), 0,
+                     255).astype(np.uint8)
+        cr = np.clip(140 + 25 * np.cos(yy[::2, ::2] / 11.0)
+                     + rng.normal(0, 3, (h // 2, w // 2)), 0,
+                     255).astype(np.uint8)
+        frames.append((y, cb, cr))
+    return frames
+
+
+def measure_reference_fps() -> float:
+    """Best-effort live baseline: build + run the reference CLI."""
+    try:
+        import glob
+        ref = "/root/reference/src"
+        if not os.path.isdir(ref):
+            return REF_FPS_RECORDED
+        exe = os.path.join(tempfile.gettempdir(), "kvazaar_ref_bench")
+        if not os.path.exists(exe):
+            srcs = (glob.glob(f"{ref}/*.c")
+                    + glob.glob(f"{ref}/strategies/*.c")
+                    + glob.glob(f"{ref}/strategies/*/*.c")
+                    + [f"{ref}/extras/libmd5.c"])
+            r = subprocess.run(
+                ["gcc", "-O2", "-pthread", "-DNDEBUG", f"-I{ref}",
+                 f"-I{ref}/extras"] + srcs + ["-lm", "-lpthread",
+                                             "-o", exe],
+                capture_output=True, timeout=300)
+            if r.returncode != 0:
+                return REF_FPS_RECORDED
+        yuv = os.path.join(tempfile.gettempdir(), "bench_in.yuv")
+        if not os.path.exists(yuv):
+            with open(yuv, "wb") as f:
+                for y, cb, cr in synth_clip(20, W, H):
+                    f.write(y.tobytes())
+                    f.write(cb.tobytes())
+                    f.write(cr.tobytes())
+        out = subprocess.run(
+            [exe, "-i", yuv, "--input-res", f"{W}x{H}", "-o",
+             "/dev/null", "--preset", "ultrafast", "-p", "1",
+             "-q", str(QP)],
+            capture_output=True, text=True, timeout=300)
+        for line in out.stderr.splitlines():
+            if line.strip().startswith("FPS:"):
+                return float(line.split(":")[1])
+    except Exception:
+        pass
+    return REF_FPS_RECORDED
+
+
+def main():
+    from kvazaar_tpu.api import Encoder
+    from kvazaar_tpu.config import Config
+
+    frames = synth_clip(FRAMES, W, H)
+    cfg = Config(width=W, height=H, qp=QP, intra_max_cu=16,
+                 intra_min_cu=16)
+    enc = Encoder(cfg)
+    # Warmup / compile.
+    enc.encode(*frames[0])
+    t0 = time.time()
+    total_bits = 0
+    psnr_y = 0.0
+    for y, cb, cr in frames:
+        chunks, info, _ = enc.encode(y, cb, cr)
+        total_bits += info.bits
+        psnr_y += info.psnr_y
+    dt = time.time() - t0
+    fps = FRAMES / dt
+
+    ref_fps = measure_reference_fps()
+    print(json.dumps({
+        "metric": "all_intra_832x480_qp22_fps",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / ref_fps, 4),
+        "psnr_y_db": round(psnr_y / FRAMES, 3),
+        "bits_per_frame": total_bits // FRAMES,
+        "ref_fps": ref_fps,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

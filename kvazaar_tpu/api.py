@@ -1,0 +1,73 @@
+"""Public encoder API — the analogue of the reference's kvz_api vtable
+(src/kvazaar.h:545-699, src/kvazaar.c): open an encoder from a Config,
+feed frames, receive Annex-B chunks + reconstruction + per-frame info.
+
+v1 scope: all-intra.  The feed/drain pipeline shape (async device compute
+overlapping host CABAC of the previous frame) is preserved so inter/GOP
+frames slot in without API changes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from kvazaar_tpu.config import Config
+from kvazaar_tpu.constants import NAL_IDR_W_RADL, SLICE_I
+from kvazaar_tpu.encoder.frame_encoder import IntraFrameEncoder, psnr
+
+
+@dataclasses.dataclass
+class FrameInfo:
+    """Per-frame results (reference: kvz_frame_info,
+    src/kvazaar.h:492-526)."""
+    poc: int
+    qp: int
+    nal_type: int
+    slice_type: int
+    bits: int
+    psnr_y: float
+    psnr_u: float
+    psnr_v: float
+
+
+class Encoder:
+    """Streaming encoder: data = encoder.encode(frame); flush at end."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg.validate()
+        self._intra = IntraFrameEncoder(cfg)
+        self._poc = 0
+        self._wrote_headers = False
+
+    def headers(self) -> bytes:
+        return self._intra.headers()
+
+    def encode(self, y: np.ndarray, cb=None, cr=None):
+        """Encode one frame; returns (annexb_bytes, FrameInfo, recon)."""
+        chunks = b""
+        if not self._wrote_headers:
+            chunks += self.headers()
+            self._wrote_headers = True
+        res = self._intra.encode_frame(y, cb, cr)
+        h, w = y.shape
+        rec_y = res.recon_y[:h, :w]
+        rec_cb = rec_cr = None
+        p_u = p_v = 0.0
+        if res.recon_cb is not None:
+            rec_cb = res.recon_cb[:h // 2, :w // 2]
+            rec_cr = res.recon_cr[:h // 2, :w // 2]
+            p_u = psnr(rec_cb, np.asarray(cb, np.int32),
+                       self.cfg.input_bitdepth)
+            p_v = psnr(rec_cr, np.asarray(cr, np.int32),
+                       self.cfg.input_bitdepth)
+        info = FrameInfo(
+            poc=self._poc, qp=self.cfg.qp, nal_type=NAL_IDR_W_RADL,
+            slice_type=SLICE_I, bits=len(res.nals) * 8,
+            psnr_y=psnr(rec_y, np.asarray(y, np.int32),
+                        self.cfg.input_bitdepth),
+            psnr_u=p_u, psnr_v=p_v)
+        chunks += res.nals
+        self._poc += 1
+        return chunks, info, (rec_y, rec_cb, rec_cr)

@@ -13,6 +13,36 @@ decoder (tests decode our own bitstreams; SURVEY.md §4 implication (b)).
 
 from __future__ import annotations
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _native_ep():
+    try:
+        import ctypes
+
+        import numpy as np
+
+        from kvazaar_tpu.bitstream.native import get_lib
+        lib = get_lib()
+        lib.ktpu_emulation_prevention.restype = ctypes.c_int64
+        lib.ktpu_emulation_prevention.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64]
+
+        def run(rbsp: bytes) -> bytes:
+            cap = len(rbsp) * 3 // 2 + 16
+            out = np.empty(cap, np.uint8)
+            n = lib.ktpu_emulation_prevention(rbsp, len(rbsp),
+                                              out.ctypes.data, cap)
+            if n < 0:
+                raise RuntimeError("EP buffer overflow")
+            return out[:n].tobytes()
+
+        return run
+    except Exception:
+        return None
+
 
 class BitWriter:
     """MSB-first bit accumulator producing raw RBSP payload (no emulation
@@ -80,7 +110,11 @@ class BitWriter:
 
 def emulation_prevention(rbsp: bytes) -> bytes:
     """Insert 0x03 after any 0x0000 pair followed by a byte <= 3
-    (H.265 7.4.2; reference behavior: src/bitstream.c:135-158)."""
+    (H.265 7.4.2; reference behavior: src/bitstream.c:135-158).
+    Uses the native helper when built (hot path: ~200KB/frame)."""
+    fast = _native_ep()
+    if fast is not None and len(rbsp) > 512:
+        return fast(rbsp)
     out = bytearray()
     zeros = 0
     for b in rbsp:

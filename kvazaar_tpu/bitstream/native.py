@@ -1,0 +1,83 @@
+"""ctypes bridge to the native CABAC slice-data serializer
+(native/hevc_cabac.cpp).
+
+The Python serializer (bitstream/syntax.py) is the tested oracle; this
+module is the production path (~100x faster).  Byte-identical output is
+enforced by tests/test_native_cabac.py.  Builds the shared library on
+first use if missing/stale (g++ is a baked-in tool).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "hevc_cabac.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "libhevc_cabac.so")
+
+_lib = None
+
+
+def _build() -> None:
+    subprocess.run(
+        ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC],
+        check=True, capture_output=True)
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if (not os.path.exists(_LIB)
+            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+        _build()
+    lib = ctypes.CDLL(_LIB)
+    lib.ktpu_encode_slice_data.restype = ctypes.c_int64
+    lib.ktpu_encode_slice_data.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        get_lib()
+        return True
+    except Exception:
+        return False
+
+
+def encode_slice_data_native(params, fd, qp: int) -> bytes:
+    """Native equivalent of SliceDataEncoder.encode_slice_data + final
+    alignment; returns the CABAC slice-data bytes."""
+    lib = get_lib()
+    depth8 = np.ascontiguousarray(fd.depth8, np.uint8)
+    mode4 = np.ascontiguousarray(fd.mode4, np.uint8)
+    cy = np.ascontiguousarray(fd.coeff_y, np.int32)
+    chroma = 1 if params.chroma_format_idc else 0
+    if chroma:
+        ccb = np.ascontiguousarray(fd.coeff_cb, np.int32)
+        ccr = np.ascontiguousarray(fd.coeff_cr, np.int32)
+        pcb, pcr = ccb.ctypes.data, ccr.ctypes.data
+    else:
+        pcb = pcr = None
+    cap = cy.nbytes * 2 + 65536
+    out = np.empty(cap, np.uint8)
+    n = lib.ktpu_encode_slice_data(
+        params.width, params.height, chroma, qp,
+        params.log2_ctu, params.log2_min_cu, params.log2_max_tu,
+        depth8.ctypes.data, mode4.ctypes.data,
+        cy.ctypes.data, pcb, pcr, out.ctypes.data, cap)
+    if n < 0:
+        raise RuntimeError("native slice buffer overflow")
+    return out[:n].tobytes()

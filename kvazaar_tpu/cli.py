@@ -1,0 +1,87 @@
+"""Command-line front end (reference: src/encmain.c, src/cli.c).
+
+Usage:
+    python -m kvazaar_tpu -i in.yuv --input-res 832x480 -o out.hevc \
+        [--qp 22] [--frames N] [--preset ultrafast] [--debug rec.yuv]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from kvazaar_tpu.config import Config, config_from_preset
+from kvazaar_tpu.io.yuv import read_frames, write_frame
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="kvazaar_tpu")
+    ap.add_argument("-i", "--input", required=True)
+    ap.add_argument("--input-res", required=True,
+                    help="WxH of the raw input")
+    ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("-q", "--qp", type=int, default=22)
+    ap.add_argument("-n", "--frames", type=int, default=None)
+    ap.add_argument("--preset", default="ultrafast")
+    ap.add_argument("--input-bitdepth", type=int, default=8)
+    ap.add_argument("--input-format", default="P420",
+                    choices=["P400", "P420"])
+    ap.add_argument("--period", type=int, default=1,
+                    help="intra period (v1: all-intra only)")
+    ap.add_argument("--debug", default=None,
+                    help="write reconstruction YUV for comparison "
+                         "(reference --debug)")
+    ap.add_argument("--no-psnr", action="store_true")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    w, h = (int(v) for v in args.input_res.split("x"))
+    cfg = config_from_preset(args.preset, width=w, height=h, qp=args.qp,
+                             input_bitdepth=args.input_bitdepth,
+                             chroma_format=420
+                             if args.input_format == "P420" else 400)
+    from kvazaar_tpu.api import Encoder   # deferred: jax import cost
+    enc = Encoder(cfg)
+
+    chroma = cfg.chroma_format == 420
+    t0 = time.time()
+    n = 0
+    total_bits = 0
+    psnr_acc = [0.0, 0.0, 0.0]
+    dbg = open(args.debug, "wb") if args.debug else None
+    with open(args.output, "wb") as out:
+        for y, cb, cr in read_frames(args.input, w, h,
+                                     args.input_bitdepth, chroma,
+                                     args.frames):
+            chunks, info, rec = enc.encode(y, cb, cr)
+            out.write(chunks)
+            total_bits += info.bits
+            psnr_acc[0] += info.psnr_y
+            psnr_acc[1] += info.psnr_u
+            psnr_acc[2] += info.psnr_v
+            if dbg:
+                write_frame(dbg, rec[0], rec[1], rec[2],
+                            args.input_bitdepth)
+            if not args.no_psnr:
+                print(f"POC {info.poc} QP {info.qp} "
+                      f"({total_bits // 8} bytes total) "
+                      f"PSNR Y {info.psnr_y:.4f} U {info.psnr_u:.4f} "
+                      f"V {info.psnr_v:.4f}", file=sys.stderr)
+            n += 1
+    if dbg:
+        dbg.close()
+    dt = time.time() - t0
+    if n:
+        print(f" Processed {n} frames, {total_bits} bits "
+              f"AVG PSNR Y {psnr_acc[0] / n:.4f} U {psnr_acc[1] / n:.4f} "
+              f"V {psnr_acc[2] / n:.4f}", file=sys.stderr)
+        print(f" Total time: {dt:.3f} s, FPS: {n / dt:.2f}",
+              file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

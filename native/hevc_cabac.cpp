@@ -1,0 +1,615 @@
+// Native host-side CABAC slice-data serializer for kvazaar_tpu.
+//
+// Role: the sequential entropy-coding finalize stage of the TPU encoder
+// (SURVEY.md §2.4 — the reference runs this as a per-frame bitstream job,
+// src/encoder_state-bitstream.c:1066).  The device produces dense syntax
+// tensors (CU depth / intra modes / quantized levels); this module walks
+// the implied quadtree and arithmetic-codes the slice data.  It is a
+// performance mirror of kvazaar_tpu/bitstream/syntax.py, which remains
+// the tested oracle: outputs must be byte-identical.
+//
+// Build: g++ -O2 -shared -fPIC -o libhevc_cabac.so hevc_cabac.cpp
+// ABI: plain C functions at the bottom, driven via ctypes.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---------------- CABAC tables (ITU-T H.265 9.3.4) ----------------
+
+const uint8_t kRangeTabLps[64][4] = {
+  {128,176,208,240},{128,167,197,227},{128,158,187,216},{123,150,178,205},
+  {116,142,169,195},{111,135,160,185},{105,128,152,175},{100,122,144,166},
+  {95,116,137,158},{90,110,130,150},{85,104,123,142},{81,99,117,135},
+  {77,94,111,128},{73,89,105,122},{69,85,100,116},{66,80,95,110},
+  {62,76,90,104},{59,72,86,99},{56,69,81,94},{53,65,77,89},
+  {51,62,73,85},{48,59,69,80},{46,56,66,76},{43,53,63,72},
+  {41,50,59,69},{39,48,56,65},{37,45,54,62},{35,43,51,59},
+  {33,41,48,56},{32,39,46,53},{30,37,43,50},{29,35,41,48},
+  {27,33,39,45},{26,31,37,43},{24,30,35,41},{23,28,33,39},
+  {22,27,32,37},{21,26,30,35},{20,24,29,33},{19,23,27,31},
+  {18,22,26,30},{17,21,25,28},{16,20,23,27},{15,19,22,25},
+  {14,18,21,24},{14,17,20,23},{13,16,19,22},{12,15,18,21},
+  {12,14,17,20},{11,14,16,19},{11,13,15,18},{10,12,15,17},
+  {10,12,14,16},{9,11,13,15},{9,11,12,14},{8,10,12,14},
+  {8,9,11,13},{7,9,11,12},{7,9,10,12},{7,8,10,11},
+  {6,8,9,11},{6,7,9,10},{6,7,8,9},{2,2,2,2}};
+
+const uint8_t kTransIdxLps[64] = {
+  0,0,1,2,2,4,4,5,6,7,8,9,9,11,11,12,13,13,15,15,16,16,18,18,19,19,21,21,
+  22,23,23,24,24,25,26,26,27,27,28,29,29,30,30,30,31,32,32,33,33,33,34,34,
+  35,35,35,36,36,36,37,37,37,38,38,63};
+
+inline int transIdxMps(int s) { return s < 62 ? s + 1 : 62; }
+
+struct Ctx { uint8_t state, mps; };
+
+void ctx_init(Ctx &c, int init_value, int qp) {
+  int slope = (init_value >> 4) * 5 - 45;
+  int offset = ((init_value & 15) << 3) - 16;
+  if (qp < 0) qp = 0; if (qp > 51) qp = 51;
+  int pre = ((slope * qp) >> 4) + offset;
+  if (pre < 1) pre = 1; if (pre > 126) pre = 126;
+  if (pre <= 63) { c.state = 63 - pre; c.mps = 0; }
+  else { c.state = pre - 64; c.mps = 1; }
+}
+
+// ---------------- context registry ----------------
+// Same layout as bitstream/contexts.py; I-slice init row (slice idx 2).
+
+struct Contexts {
+  Ctx split_flag[3];
+  Ctx part_size[1];
+  Ctx intra_mode[1];
+  Ctx chroma_pred_mode[1];
+  Ctx cbf_luma[2];
+  Ctx cbf_chroma[4];
+  Ctx sig_cg[4];
+  Ctx sig[42];
+  Ctx last_x[18];
+  Ctx last_y[18];
+  Ctx gt1[24];
+  Ctx gt2[6];
+
+  void init(int qp) {
+    static const uint8_t SPLIT[3] = {139, 141, 157};
+    static const uint8_t PART[1] = {184};
+    static const uint8_t IMODE[1] = {184};
+    static const uint8_t CMODE[1] = {63};
+    static const uint8_t CBFL[2] = {111, 141};
+    static const uint8_t CBFC[4] = {94, 138, 182, 154};
+    static const uint8_t SIGCG[4] = {91, 171, 134, 141};
+    static const uint8_t SIG[42] = {
+      111,111,125,110,110,94,124,108,124,107,125,141,179,153,125,107,
+      125,141,179,153,125,107,125,141,179,153,125,140,139,182,182,152,
+      136,152,136,153,136,139,111,136,139,111};
+    static const uint8_t LAST[18] = {
+      110,110,124,125,140,153,125,127,140,109,111,143,127,111,79,108,
+      123,63};
+    static const uint8_t GT1[24] = {
+      140,92,137,138,140,152,138,139,153,74,149,92,139,107,122,152,
+      140,179,166,182,140,227,122,197};
+    static const uint8_t GT2[6] = {138,153,136,167,152,152};
+    for (int i = 0; i < 3; i++) ctx_init(split_flag[i], SPLIT[i], qp);
+    ctx_init(part_size[0], PART[0], qp);
+    ctx_init(intra_mode[0], IMODE[0], qp);
+    ctx_init(chroma_pred_mode[0], CMODE[0], qp);
+    for (int i = 0; i < 2; i++) ctx_init(cbf_luma[i], CBFL[i], qp);
+    for (int i = 0; i < 4; i++) ctx_init(cbf_chroma[i], CBFC[i], qp);
+    for (int i = 0; i < 4; i++) ctx_init(sig_cg[i], SIGCG[i], qp);
+    for (int i = 0; i < 42; i++) ctx_init(sig[i], SIG[i], qp);
+    for (int i = 0; i < 18; i++) { ctx_init(last_x[i], LAST[i], qp);
+                                   ctx_init(last_y[i], LAST[i], qp); }
+    for (int i = 0; i < 24; i++) ctx_init(gt1[i], GT1[i], qp);
+    for (int i = 0; i < 6; i++) ctx_init(gt2[i], GT2[i], qp);
+  }
+};
+
+// ---------------- bit + arithmetic writer ----------------
+
+struct CabacEnc {
+  std::vector<uint8_t> bytes;
+  uint32_t cur = 0; int nbits = 0;          // raw bit accumulator
+  uint32_t low = 0, range = 510;
+  int outstanding = 0; bool first = true;
+
+  void raw_bit(int b) {
+    cur = (cur << 1) | (b & 1);
+    if (++nbits == 8) { bytes.push_back((uint8_t)cur); cur = 0; nbits = 0; }
+  }
+  void put_bit(int b) {
+    if (first) first = false; else raw_bit(b);
+    while (outstanding > 0) { raw_bit(1 - b); outstanding--; }
+  }
+  void renorm() {
+    while (range < 256) {
+      if (low >= 512) { put_bit(1); low -= 512; }
+      else if (low < 256) put_bit(0);
+      else { low -= 256; outstanding++; }
+      range <<= 1; low <<= 1;
+    }
+  }
+  void bin(Ctx &c, int v) {
+    uint32_t lps = kRangeTabLps[c.state][(range >> 6) & 3];
+    range -= lps;
+    if (v != c.mps) {
+      low += range; range = lps;
+      if (c.state == 0) c.mps ^= 1;
+      c.state = kTransIdxLps[c.state];
+    } else {
+      c.state = transIdxMps(c.state);
+    }
+    renorm();
+  }
+  void bypass(int v) {
+    low <<= 1;
+    if (v) low += range;
+    if (low >= 1024) { put_bit(1); low -= 1024; }
+    else if (low < 512) put_bit(0);
+    else { low -= 512; outstanding++; }
+  }
+  void bypass_bins(uint32_t v, int n) {
+    for (int i = n - 1; i >= 0; i--) bypass((v >> i) & 1);
+  }
+  void terminate(int v) {
+    range -= 2;
+    if (v) { low += range; range = 2; renorm(); flush(); }
+    else renorm();
+  }
+  void flush() {
+    put_bit((low >> 9) & 1);
+    // two raw bits: ((low >> 7) & 3) | 1
+    raw_bit((low >> 8) & 1);
+    raw_bit(1);
+  }
+  void align_zero() { while (nbits) raw_bit(0); }
+};
+
+// ---------------- scan tables ----------------
+
+struct Scans {
+  // [log2-2][scanIdx][pos] -> (x,y) packed, plus subblock scans.
+  std::vector<uint16_t> coeff[4][3];
+  std::vector<uint16_t> sub[4][3];
+
+  static void scan_grid(int size, int scan_idx,
+                        std::vector<uint16_t> &out) {
+    out.clear();
+    if (scan_idx == 1) {            // horizontal
+      for (int y = 0; y < size; y++)
+        for (int x = 0; x < size; x++) out.push_back((y << 8) | x);
+    } else if (scan_idx == 2) {     // vertical
+      for (int x = 0; x < size; x++)
+        for (int y = 0; y < size; y++) out.push_back((y << 8) | x);
+    } else {                        // up-right diagonal
+      for (int d = 0; d < 2 * size - 1; d++) {
+        int y = d < size ? d : size - 1;
+        int x = d - y;
+        while (y >= 0 && x < size) { out.push_back((y << 8) | x);
+                                     x++; y--; }
+      }
+    }
+  }
+
+  Scans() {
+    for (int l = 2; l <= 5; l++) {
+      int size = 1 << l;
+      for (int s = 0; s < 3; s++) {
+        std::vector<uint16_t> inner, subg;
+        scan_grid(4, s, inner);
+        if (size == 4) {
+          coeff[l - 2][s] = inner;
+          scan_grid(1, s, sub[l - 2][s]);
+        } else {
+          scan_grid(size / 4, s, subg);
+          sub[l - 2][s] = subg;
+          auto &c = coeff[l - 2][s];
+          for (auto sb : subg) {
+            int sx = (sb & 255) * 4, sy = (sb >> 8) * 4;
+            for (auto p : inner)
+              c.push_back(((sy + (p >> 8)) << 8) | (sx + (p & 255)));
+          }
+        }
+      }
+    }
+  }
+};
+
+const Scans g_scans;
+
+int intra_scan_idx(int mode, int log2_size, bool is_chroma) {
+  if (log2_size == 2 || (log2_size == 3 && !is_chroma)) {
+    if (mode >= 6 && mode <= 14) return 2;
+    if (mode >= 22 && mode <= 30) return 1;
+  }
+  return 0;
+}
+
+const uint8_t kCtxIdxMap4x4[16] = {0,1,4,5,2,3,4,5,6,6,8,8,7,7,8,8};
+
+int sig_ctx(int xc, int yc, int log2_size, int scan_idx, bool chroma,
+            int csbf_right, int csbf_below) {
+  int s;
+  if (log2_size == 2) s = kCtxIdxMap4x4[(yc << 2) + xc];
+  else if (xc + yc == 0) s = 0;
+  else {
+    int xb = xc & 3, yb = yc & 3;
+    int prev = csbf_right + 2 * csbf_below;
+    if (prev == 0) s = (xb + yb == 0) ? 2 : (xb + yb < 3 ? 1 : 0);
+    else if (prev == 1) s = (yb == 0) ? 2 : (yb == 1 ? 1 : 0);
+    else if (prev == 2) s = (xb == 0) ? 2 : (xb == 1 ? 1 : 0);
+    else s = 2;
+    if (!chroma && ((xc >> 2) || (yc >> 2))) s += 3;
+    if (log2_size == 3) s += chroma ? 9 : (scan_idx == 0 ? 9 : 15);
+    else s += chroma ? 12 : 21;
+  }
+  return s + (chroma ? 27 : 0);
+}
+
+int last_prefix(int v) {
+  if (v < 4) return v;
+  int bl = 32 - __builtin_clz((unsigned)v);  // bit_length
+  return ((v >> (bl - 2)) & 1) + ((bl - 2) << 1) + 2;
+}
+
+// ---------------- frame serializer ----------------
+
+struct FrameParams {
+  int width, height;       // coded luma size
+  int chroma;              // 0 or 1 (4:2:0)
+  int qp;
+  int log2_ctu, log2_min_cu, log2_max_tu;
+  const uint8_t *depth8;   // (h/8, w/8)
+  const uint8_t *mode4;    // (h/4, w/4)
+  const int32_t *coeff_y;  // (h, w)
+  const int32_t *coeff_cb; // (h/2, w/2)
+  const int32_t *coeff_cr;
+};
+
+struct Serializer {
+  const FrameParams &p;
+  Contexts ctx;
+  CabacEnc c;
+
+  explicit Serializer(const FrameParams &fp) : p(fp) { ctx.init(p.qp); }
+
+  int depth_at(int x, int y) const {
+    return p.depth8[(y >> 3) * (p.width >> 3) + (x >> 3)];
+  }
+  int mode_at(int x, int y) const {
+    return p.mode4[(y >> 2) * (p.width >> 2) + (x >> 2)];
+  }
+  const int32_t *plane(int cidx, int &stride) const {
+    if (cidx == 0) { stride = p.width; return p.coeff_y; }
+    stride = p.width >> 1;
+    return cidx == 1 ? p.coeff_cb : p.coeff_cr;
+  }
+
+  void mpm_for(int x0, int y0, int mpm[3]) const {
+    int ctu = 1 << p.log2_ctu;
+    int cl = 1, ca = 1;  // DC default
+    if (x0 > 0) cl = mode_at(x0 - 1, y0);
+    if (y0 > 0 && (y0 % ctu) != 0) ca = mode_at(x0, y0 - 1);
+    if (cl == ca) {
+      if (cl < 2) { mpm[0] = 0; mpm[1] = 1; mpm[2] = 26; }
+      else { mpm[0] = cl; mpm[1] = 2 + ((cl + 29) % 32);
+             mpm[2] = 2 + ((cl - 1) % 32); }
+    } else {
+      mpm[0] = cl; mpm[1] = ca;
+      if (cl != 0 && ca != 0) mpm[2] = 0;
+      else if (cl != 1 && ca != 1) mpm[2] = 1;
+      else mpm[2] = 26;
+    }
+  }
+
+  void encode_slice() {
+    int ctu = 1 << p.log2_ctu;
+    int cx = (p.width + ctu - 1) >> p.log2_ctu;
+    int cy = (p.height + ctu - 1) >> p.log2_ctu;
+    int n = cx * cy;
+    for (int i = 0; i < n; i++) {
+      quadtree((i % cx) << p.log2_ctu, (i / cx) << p.log2_ctu,
+               p.log2_ctu, 0);
+      c.terminate(i == n - 1 ? 1 : 0);
+    }
+    c.align_zero();
+  }
+
+  void quadtree(int x0, int y0, int log2_size, int depth) {
+    int size = 1 << log2_size;
+    bool inside = x0 + size <= p.width && y0 + size <= p.height;
+    bool split = depth_at(x0, y0) > depth;
+    if (inside && log2_size > p.log2_min_cu) {
+      int inc = 0;
+      if (x0 > 0 && depth_at(x0 - 1, y0) > depth) inc++;
+      if (y0 > 0 && depth_at(x0, y0 - 1) > depth) inc++;
+      c.bin(ctx.split_flag[inc], split ? 1 : 0);
+    } else if (log2_size > p.log2_min_cu) {
+      split = true;
+    }
+    if (split) {
+      int half = size >> 1;
+      for (int dy = 0; dy <= half; dy += half ? half : 1) {
+        for (int dx = 0; dx <= half; dx += half ? half : 1) {
+          int x1 = x0 + dx, y1 = y0 + dy;
+          if (x1 < p.width && y1 < p.height)
+            quadtree(x1, y1, log2_size - 1, depth + 1);
+          if (!half) break;
+        }
+        if (!half) break;
+      }
+    } else {
+      coding_unit(x0, y0, log2_size);
+    }
+  }
+
+  void coding_unit(int x0, int y0, int log2_size) {
+    if (log2_size == p.log2_min_cu) c.bin(ctx.part_size[0], 1);
+    int mode = mode_at(x0, y0);
+    int mpm[3]; mpm_for(x0, y0, mpm);
+    int idx = mode == mpm[0] ? 0 : mode == mpm[1] ? 1 :
+              mode == mpm[2] ? 2 : -1;
+    if (idx >= 0) {
+      c.bin(ctx.intra_mode[0], 1);
+      c.bypass(idx ? 1 : 0);
+      if (idx) c.bypass(idx - 1);
+    } else {
+      c.bin(ctx.intra_mode[0], 0);
+      int sorted[3] = {mpm[0], mpm[1], mpm[2]};
+      if (sorted[0] > sorted[1]) std::swap(sorted[0], sorted[1]);
+      if (sorted[1] > sorted[2]) std::swap(sorted[1], sorted[2]);
+      if (sorted[0] > sorted[1]) std::swap(sorted[0], sorted[1]);
+      int rem = mode;
+      for (int i = 2; i >= 0; i--) if (rem > sorted[i]) rem--;
+      c.bypass_bins((uint32_t)rem, 5);
+    }
+    if (p.chroma) c.bin(ctx.chroma_pred_mode[0], 0);   // DM
+    transform_tree(x0, y0, log2_size, 0);
+  }
+
+  int tu_cbf(int cidx, int x0, int y0, int log2_size) const {
+    int shift = cidx ? 1 : 0;
+    int n = 1 << (log2_size - shift);
+    int stride; const int32_t *pl = plane(cidx, stride);
+    int x = x0 >> shift, y = y0 >> shift;
+    for (int j = 0; j < n; j++)
+      for (int i = 0; i < n; i++)
+        if (pl[(y + j) * stride + x + i]) return 1;
+    return 0;
+  }
+
+  void transform_tree(int x0, int y0, int log2_size, int tr_depth) {
+    bool split = log2_size > p.log2_max_tu;
+    int cbf_cb = 0, cbf_cr = 0;
+    if (p.chroma && log2_size > 2) {
+      cbf_cb = tu_cbf(1, x0, y0, log2_size);
+      cbf_cr = tu_cbf(2, x0, y0, log2_size);
+      c.bin(ctx.cbf_chroma[tr_depth], cbf_cb);
+      c.bin(ctx.cbf_chroma[tr_depth], cbf_cr);
+    }
+    if (split) {
+      int half = 1 << (log2_size - 1);
+      for (int dy = 0; dy <= half; dy += half)
+        for (int dx = 0; dx <= half; dx += half)
+          leaf_or_split(x0 + dx, y0 + dy, log2_size - 1, tr_depth + 1,
+                        cbf_cb, cbf_cr);
+    } else {
+      int cbf_luma = tu_cbf(0, x0, y0, log2_size);
+      c.bin(ctx.cbf_luma[tr_depth == 0 ? 1 : 0], cbf_luma);
+      transform_unit(x0, y0, log2_size, cbf_luma, cbf_cb, cbf_cr);
+    }
+  }
+
+  void leaf_or_split(int x0, int y0, int log2_size, int tr_depth,
+                     int parent_cb, int parent_cr) {
+    int cbf_cb = 0, cbf_cr = 0;
+    if (p.chroma && log2_size > 2) {
+      if (parent_cb) { cbf_cb = tu_cbf(1, x0, y0, log2_size);
+                       c.bin(ctx.cbf_chroma[tr_depth], cbf_cb); }
+      if (parent_cr) { cbf_cr = tu_cbf(2, x0, y0, log2_size);
+                       c.bin(ctx.cbf_chroma[tr_depth], cbf_cr); }
+    }
+    int cbf_luma = tu_cbf(0, x0, y0, log2_size);
+    c.bin(ctx.cbf_luma[tr_depth == 0 ? 1 : 0], cbf_luma);
+    transform_unit(x0, y0, log2_size, cbf_luma, cbf_cb, cbf_cr);
+  }
+
+  void transform_unit(int x0, int y0, int log2_size, int cbf_luma,
+                      int cbf_cb, int cbf_cr) {
+    if (cbf_luma) residual(x0, y0, log2_size, 0);
+    if (p.chroma && log2_size > 2) {
+      if (cbf_cb) residual(x0 >> 1, y0 >> 1, log2_size - 1, 1);
+      if (cbf_cr) residual(x0 >> 1, y0 >> 1, log2_size - 1, 2);
+    }
+  }
+
+  void encode_last_xy(int lx, int ly, int log2_size, bool chroma) {
+    int off, shift;
+    if (chroma) { off = 15; shift = log2_size - 2; }
+    else { off = 3 * (log2_size - 2) + ((log2_size - 1) >> 2);
+           shift = (log2_size + 1) >> 2; }
+    int cmax = (log2_size << 1) - 1;
+    int vals[2] = {lx, ly};
+    Ctx *arrs[2] = {ctx.last_x, ctx.last_y};
+    for (int k = 0; k < 2; k++) {
+      int prefix = last_prefix(vals[k]);
+      int b = 0;
+      for (; b < prefix && b < cmax; b++)
+        c.bin(arrs[k][off + (b >> shift)], 1);
+      if (prefix < cmax) c.bin(arrs[k][off + (prefix >> shift)], 0);
+    }
+    for (int k = 0; k < 2; k++) {
+      int prefix = last_prefix(vals[k]);
+      if (prefix > 3) {
+        int nbits = (prefix >> 1) - 1;
+        int suffix = vals[k] - ((2 + (prefix & 1)) << nbits);
+        c.bypass_bins((uint32_t)suffix, nbits);
+      }
+    }
+  }
+
+  void encode_remaining(int value, int rice) {
+    if ((value >> rice) < 3) {
+      int q = value >> rice;
+      for (int i = 0; i < q; i++) c.bypass(1);
+      c.bypass(0);
+      if (rice) c.bypass_bins((uint32_t)(value & ((1 << rice) - 1)),
+                              rice);
+    } else {
+      int v = value - (3 << rice);
+      int length = rice;
+      while (v >= (1 << length)) { v -= 1 << length; length++; }
+      for (int i = 0; i < 3 + length - rice; i++) c.bypass(1);
+      c.bypass(0);
+      if (length) c.bypass_bins((uint32_t)v, length);
+    }
+  }
+
+  void residual(int x0, int y0, int log2_size, int cidx) {
+    int size = 1 << log2_size;
+    bool chroma = cidx > 0;
+    int stride; const int32_t *pl = plane(cidx, stride);
+    int mode = chroma ? mode_at(x0 * 2, y0 * 2) : mode_at(x0, y0);
+    int scan_idx = intra_scan_idx(mode, log2_size, chroma);
+    const auto &scan = g_scans.coeff[log2_size - 2][scan_idx];
+    const auto &sbscan = g_scans.sub[log2_size - 2][scan_idx];
+
+    int32_t levels[32 * 32];
+    int last = -1;
+    for (int i = 0; i < size * size; i++) {
+      int x = scan[i] & 255, y = scan[i] >> 8;
+      levels[i] = pl[(y0 + y) * stride + x0 + x];
+      if (levels[i]) last = i;
+    }
+    int lx = scan[last] & 255, ly = scan[last] >> 8;
+    if (scan_idx == 2) { int t = lx; lx = ly; ly = t; }
+    encode_last_xy(lx, ly, log2_size, chroma);
+
+    int n_sb = size >> 2;
+    int last_sb = last >> 4, last_pos = last & 15;
+    uint8_t csbf[8 * 8];
+    std::memset(csbf, 0, sizeof(csbf));
+    for (int i = 0; i <= last_sb; i++) {
+      int sx = sbscan[i] & 255, sy = sbscan[i] >> 8;
+      bool any = false;
+      for (int n = 0; n < 16; n++) if (levels[i * 16 + n]) any = true;
+      if (any) csbf[sy * n_sb + sx] = 1;
+    }
+    csbf[(sbscan[0] >> 8) * n_sb + (sbscan[0] & 255)] = 1;
+    csbf[(sbscan[last_sb] >> 8) * n_sb + (sbscan[last_sb] & 255)] = 1;
+
+    int gt1_state = 1;
+    for (int i = last_sb; i >= 0; i--) {
+      int sx = sbscan[i] & 255, sy = sbscan[i] >> 8;
+      const int32_t *sb = levels + i * 16;
+      bool infer_dc = false;
+      int right = sx + 1 < n_sb ? csbf[sy * n_sb + sx + 1] : 0;
+      int below = sy + 1 < n_sb ? csbf[(sy + 1) * n_sb + sx] : 0;
+      if (i > 0 && i < last_sb) {
+        c.bin(ctx.sig_cg[((right || below) ? 1 : 0) + (chroma ? 2 : 0)],
+              csbf[sy * n_sb + sx]);
+        infer_dc = true;
+      }
+      if (!csbf[sy * n_sb + sx]) continue;
+
+      int start_n = (i == last_sb) ? last_pos - 1 : 15;
+      for (int n = start_n; n >= 0; n--) {
+        if (n > 0 || !infer_dc) {
+          int xc = scan[i * 16 + n] & 255, yc = scan[i * 16 + n] >> 8;
+          int s = sig_ctx(xc, yc, log2_size, scan_idx, chroma, right,
+                          below);
+          int sigv = sb[n] != 0;
+          c.bin(ctx.sig[s], sigv);
+          if (sigv) infer_dc = false;
+        }
+      }
+
+      int sig_pos[16], n_sig = 0;
+      for (int n = 15; n >= 0; n--) if (sb[n]) sig_pos[n_sig++] = n;
+      if (!n_sig) continue;
+
+      int ctx_set = (i == 0 || chroma) ? 0 : 2;
+      if (gt1_state == 0) ctx_set++;
+      gt1_state = 1;
+      int first_gt1 = -1;
+      int lim = n_sig < 8 ? n_sig : 8;
+      for (int k = 0; k < lim; k++) {
+        int n = sig_pos[k];
+        int a = sb[n] < 0 ? -sb[n] : sb[n];
+        int flag = a > 1;
+        int inc = ctx_set * 4 + (gt1_state < 3 ? gt1_state : 3) +
+                  (chroma ? 16 : 0);
+        c.bin(ctx.gt1[inc], flag);
+        if (flag) { gt1_state = 0; if (first_gt1 < 0) first_gt1 = n; }
+        else if (gt1_state > 0 && gt1_state < 3) gt1_state++;
+      }
+      if (first_gt1 >= 0) {
+        int a = sb[first_gt1] < 0 ? -sb[first_gt1] : sb[first_gt1];
+        c.bin(ctx.gt2[ctx_set + (chroma ? 4 : 0)], a > 2);
+      }
+      for (int k = 0; k < n_sig; k++)
+        c.bypass(sb[sig_pos[k]] < 0 ? 1 : 0);
+      int rice = 0;
+      for (int k = 0; k < n_sig; k++) {
+        int n = sig_pos[k];
+        int a = sb[n] < 0 ? -sb[n] : sb[n];
+        int base = k < 8 ? (n == first_gt1 ? 3 : 2) : 1;
+        if (a >= base) {
+          encode_remaining(a - base, rice);
+          if (a > (3 << rice)) rice = rice < 4 ? rice + 1 : 4;
+        }
+      }
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Serialize slice data (CABAC, starting byte-aligned after the slice
+// header) into out[]; returns byte count, or -1 if out_cap too small.
+int64_t ktpu_encode_slice_data(
+    int width, int height, int chroma, int qp,
+    int log2_ctu, int log2_min_cu, int log2_max_tu,
+    const uint8_t *depth8, const uint8_t *mode4,
+    const int32_t *coeff_y, const int32_t *coeff_cb,
+    const int32_t *coeff_cr,
+    uint8_t *out, int64_t out_cap) {
+  FrameParams fp{width, height, chroma, qp, log2_ctu, log2_min_cu,
+                 log2_max_tu, depth8, mode4, coeff_y, coeff_cb, coeff_cr};
+  Serializer s(fp);
+  s.encode_slice();
+  int64_t n = (int64_t)s.c.bytes.size();
+  if (n > out_cap) return -1;
+  std::memcpy(out, s.c.bytes.data(), (size_t)n);
+  return n;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Emulation prevention (H.265 7.4.2): insert 0x03 after 00 00 when the
+// next byte is <= 3.  Returns output length (worst case in_len * 3 / 2).
+int64_t ktpu_emulation_prevention(const uint8_t *in, int64_t in_len,
+                                  uint8_t *out, int64_t out_cap) {
+  int64_t o = 0;
+  int zeros = 0;
+  for (int64_t i = 0; i < in_len; i++) {
+    uint8_t b = in[i];
+    if (zeros >= 2 && b <= 3) {
+      if (o >= out_cap) return -1;
+      out[o++] = 3;
+      zeros = 0;
+    }
+    if (o >= out_cap) return -1;
+    out[o++] = b;
+    zeros = (b == 0) ? zeros + 1 : 0;
+  }
+  return o;
+}
+
+}  // extern "C"

@@ -1,0 +1,54 @@
+"""Native (C++) slice serializer must be byte-identical to the Python
+oracle — the TPU-build analogue of the reference's generic-vs-SIMD
+strategy equivalence tests (tests/test_strategies.c)."""
+
+import numpy as np
+import pytest
+
+from kvazaar_tpu.bitstream import native
+from kvazaar_tpu.bitstream.bits import BitWriter
+from kvazaar_tpu.bitstream.cabac import CabacEncoder
+from kvazaar_tpu.bitstream.contexts import Contexts
+from kvazaar_tpu.bitstream.headers import StreamParams
+from kvazaar_tpu.bitstream.syntax import SliceDataEncoder
+from kvazaar_tpu.constants import SLICE_I
+
+from tests.test_syntax import random_frame_data
+
+
+def python_slice_bytes(params, fd, qp):
+    w = BitWriter()
+    enc = SliceDataEncoder(params, fd, Contexts(SLICE_I, qp),
+                           CabacEncoder(w))
+    enc.encode_slice_data()
+    w.align_zero()
+    return w.get_bytes()
+
+
+@pytest.mark.parametrize("width,height,chroma,seed,qp", [
+    (64, 64, True, 0, 27),
+    (128, 64, True, 1, 22),
+    (64, 64, False, 2, 37),
+    (192, 128, True, 3, 32),
+    (80, 48, True, 4, 17),
+    (104, 72, True, 5, 45),
+])
+def test_native_matches_python(width, height, chroma, seed, qp):
+    assert native.available()
+    rng = np.random.default_rng(seed)
+    params = StreamParams(width=width, height=height, qp=qp,
+                          chroma_format_idc=1 if chroma else 0)
+    fd = random_frame_data(rng, width, height, chroma)
+    py = python_slice_bytes(params, fd, qp)
+    nat = native.encode_slice_data_native(params, fd, qp)
+    assert nat == py
+
+
+def test_native_zero_frame():
+    from kvazaar_tpu.bitstream.syntax import FrameData
+    params = StreamParams(width=128, height=64, qp=22)
+    fd = FrameData.empty(128, 64)
+    fd.depth8[:] = 2
+    fd.mode4[:] = 26
+    assert native.encode_slice_data_native(params, fd, 22) == \
+        python_slice_bytes(params, fd, 22)
