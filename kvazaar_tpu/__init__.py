@@ -17,4 +17,13 @@ A from-scratch re-design of the capabilities of the Kvazaar HEVC encoder
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: encoder programs are large (the
+# wavefront scan) and geometry-keyed; caching across processes turns
+# ~minutes of first-frame compile into milliseconds on re-runs.
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       _os.path.expanduser("~/.cache/kvazaar_tpu_xla"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
 from kvazaar_tpu.config import Config  # noqa: F401

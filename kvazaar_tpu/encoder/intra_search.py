@@ -22,6 +22,7 @@ import numpy as np
 
 from kvazaar_tpu.constants import INTRA_DC, INTRA_PLANAR
 from kvazaar_tpu.encoder.geometry import IntraFramePlan
+from kvazaar_tpu.ops.exactmm import einsum_exact, einsum_exact_f32
 from kvazaar_tpu.ops.intra import predict_all_modes
 
 
@@ -42,8 +43,10 @@ def satd8_batch(diff):
     h = jnp.asarray(_hadamard8_np())
     d = diff.reshape(*diff.shape[:-2], s // 8, 8, s // 8, 8)
     d = jnp.swapaxes(d, -3, -2)            # (..., s/8, s/8, 8, 8)
-    t = jnp.einsum("ij,...jk,lk->...il", h, d, h,
-                   preferred_element_type=jnp.int32)
+    # Exact on the MXU: diffs fit +-2^10, Hadamard intermediates +-2^14,
+    # all partial sums < 2^24 (ops/exactmm.py).
+    t1 = einsum_exact("ij,...jk->...ik", h, d, 1 << 10)
+    t = einsum_exact("lk,...ik->...il", h, t1, 1 << 14)
     per_tile = (jnp.sum(jnp.abs(t), axis=(-2, -1)) + 2) >> 2
     return jnp.sum(per_tile, axis=(-2, -1))
 

@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from kvazaar_tpu.ops.exactmm import einsum_exact
+
 # H.265 Table 8-4/8-5.
 INTRA_PRED_ANGLE = np.array(
     [32, 26, 21, 17, 13, 9, 5, 2, 0, -2, -5, -9, -13, -17, -21, -26, -32,
@@ -219,8 +221,7 @@ def predict_all_modes(refs, n: int, luma: bool = True, bitdepth: int = 8,
     else:
         filt = refs
     refs2 = jnp.concatenate([refs, filt], axis=-1)
-    raw = jnp.einsum("mpr,br->bmp", w, refs2,
-                     preferred_element_type=jnp.int32)
+    raw = einsum_exact("mpr,br->bmp", w, refs2, 1 << bitdepth)
     pred = (raw + (1 << (shifts - 1))[None, :, None]) >> shifts[None, :, None]
     pred = pred.reshape(pred.shape[0], 35, n, n)
     return _apply_fixups(pred, refs, n, luma, bitdepth)
@@ -278,8 +279,7 @@ def predict_modes(refs, modes, n: int, luma: bool = True, bitdepth: int = 8,
     refs2 = jnp.concatenate([refs, filt], axis=-1)
     wsel = w[modes]                      # (B, N*N, 2R)
     ssel = shifts[modes]                 # (B,)
-    raw = jnp.einsum("bpr,br->bp", wsel, refs2,
-                     preferred_element_type=jnp.int32)
+    raw = einsum_exact("bpr,br->bp", wsel, refs2, 1 << bitdepth)
     pred = (raw + (1 << (ssel - 1))[:, None]) >> ssel[:, None]
     pred = pred.reshape(pred.shape[0], n, n)
     if not luma or n >= 32:

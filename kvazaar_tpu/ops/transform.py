@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from kvazaar_tpu.constants import MAX_TR_DYNAMIC_RANGE
+from kvazaar_tpu.ops.exactmm import einsum_exact
 
 # Odd-row magnitude constants per transform size (H.265 8.6.4.2 tables).
 _ODD_MAGS = {
@@ -106,10 +107,13 @@ def forward_transform(resid, size: int, bitdepth: int = 8, dst: bool = False):
     t = _matrices(size, dst)
     x = resid.astype(jnp.int32)
     # Stage 1 transforms columns: (T @ X), then rows: (. @ T^T).
-    e = _round_shift(jnp.einsum("kn,...nm->...km", t, x,
-                                preferred_element_type=jnp.int32), shift1)
-    c = _round_shift(jnp.einsum("...km,lm->...kl", e, t,
-                                preferred_element_type=jnp.int32), shift2)
+    # MXU-exact float paths (ops/exactmm.py): residuals fit +-2^10, the
+    # stage-1 output fits +-2^15 (MAX_TR_DYNAMIC_RANGE) so it takes the
+    # hi/lo-split route.
+    e = _round_shift(
+        einsum_exact("kn,...nm->...km", t, x, 1 << bitdepth), shift1)
+    c = _round_shift(
+        einsum_exact("lm,...km->...kl", t, e, 1 << 15), shift2)
     return c
 
 
@@ -124,11 +128,9 @@ def inverse_transform(coeff, size: int, bitdepth: int = 8, dst: bool = False):
     t = _matrices(size, dst)
     c = coeff.astype(jnp.int32)
     e = _clip16(_round_shift(
-        jnp.einsum("kn,...km->...nm", t, c,
-                   preferred_element_type=jnp.int32), shift1))
+        einsum_exact("kn,...km->...nm", t, c, 1 << 15), shift1))
     r = _clip16(_round_shift(
-        jnp.einsum("...nm,ml->...nl", e, t,
-                   preferred_element_type=jnp.int32), shift2))
+        einsum_exact("ml,...nm->...nl", t, e, 1 << 15), shift2))
     return r
 
 
