@@ -89,17 +89,20 @@ def main():
     cfg = Config(width=W, height=H, qp=QP, intra_max_cu=16,
                  intra_min_cu=16)
     enc = Encoder(cfg)
-    # Warmup / compile.
-    enc.encode(*frames[0])
+    # Warmup / compile (batched path).
+    enc.encode_many(frames)
     t0 = time.time()
     total_bits = 0
     psnr_y = 0.0
-    for y, cb, cr in frames:
-        chunks, info, _ = enc.encode(y, cb, cr)
-        total_bits += info.bits
-        psnr_y += info.psnr_y
+    reps = 3
+    for _ in range(reps):
+        for chunks, info, _ in enc.encode_many(frames):
+            total_bits += info.bits
+            psnr_y += info.psnr_y
     dt = time.time() - t0
-    fps = FRAMES / dt
+    fps = FRAMES * reps / dt
+    total_bits //= reps
+    psnr_y /= reps
 
     ref_fps = measure_reference_fps()
     print(json.dumps({

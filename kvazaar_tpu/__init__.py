@@ -26,4 +26,19 @@ _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                        _os.path.expanduser("~/.cache/kvazaar_tpu_xla"))
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
+
+def enable_compile_cache() -> None:
+    """Explicitly enable the persistent compile cache (the env var is
+    not always honored by every platform plugin)."""
+    import jax
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.environ["JAX_COMPILATION_CACHE_DIR"])
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
 from kvazaar_tpu.config import Config  # noqa: F401

@@ -71,3 +71,37 @@ class Encoder:
         chunks += res.nals
         self._poc += 1
         return chunks, info, (rec_y, rec_cb, rec_cr)
+
+    def encode_many(self, frames):
+        """Encode a batch of frames through one vmapped device program
+        (all-intra frames are independent).  Returns a list of
+        (chunks, FrameInfo, recon) like encode()."""
+        results = self._intra.encode_frames(frames)
+        out = []
+        for (y, cb, cr), res in zip(frames, results):
+            chunks = b""
+            if not self._wrote_headers:
+                chunks += self.headers()
+                self._wrote_headers = True
+            h, w = y.shape
+            rec_y = res.recon_y[:h, :w]
+            rec_cb = rec_cr = None
+            p_u = p_v = 0.0
+            if res.recon_cb is not None:
+                rec_cb = res.recon_cb[:h // 2, :w // 2]
+                rec_cr = res.recon_cr[:h // 2, :w // 2]
+                p_u = psnr(rec_cb, np.asarray(cb, np.int32),
+                           self.cfg.input_bitdepth)
+                p_v = psnr(rec_cr, np.asarray(cr, np.int32),
+                           self.cfg.input_bitdepth)
+            info = FrameInfo(
+                poc=self._poc, qp=self.cfg.qp,
+                nal_type=NAL_IDR_W_RADL, slice_type=SLICE_I,
+                bits=len(res.nals) * 8,
+                psnr_y=psnr(rec_y, np.asarray(y, np.int32),
+                            self.cfg.input_bitdepth),
+                psnr_u=p_u, psnr_v=p_v)
+            chunks += res.nals
+            self._poc += 1
+            out.append((chunks, info, (rec_y, rec_cb, rec_cr)))
+        return out

@@ -106,3 +106,8 @@ class Contexts:
         for name, models in self._groups.items():
             for dst, src in zip(models, other._groups[name]):
                 dst.copy_from(src)
+
+    def clone(self) -> "Contexts":
+        c = Contexts(self.slice_type, self.qp)
+        c.copy_from(self)
+        return c

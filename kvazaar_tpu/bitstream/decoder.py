@@ -33,8 +33,9 @@ from kvazaar_tpu.ops.quant import dequantize
 from kvazaar_tpu.ops.transform import inverse_transform
 
 
-def parse_slice_header_i(r: BitReader, p: StreamParams) -> int:
-    """Parse the IDR I-slice header we emit; returns slice QP."""
+def parse_slice_header_i(r: BitReader, p: StreamParams):
+    """Parse the IDR I-slice header we emit; returns (slice QP,
+    entry-point offsets)."""
     assert r.u(1) == 1            # first_slice_segment_in_pic_flag
     r.u(1)                        # no_output_of_prior_pics_flag
     assert r.ue() == 0            # slice_pic_parameter_set_id
@@ -47,15 +48,15 @@ def parse_slice_header_i(r: BitReader, p: StreamParams) -> int:
     qp = p.qp + r.se()
     if p.sao_enabled or p.deblock_enabled:
         r.u(1)
+    entries = []
     if p.wpp:
         n = r.ue()
         if n:
             ln = r.ue() + 1
-            for _ in range(n):
-                r.u(ln)
+            entries = [r.u(ln) + 1 for _ in range(n)]
     assert r.bit() == 1           # byte alignment bit
     r.byte_align()
-    return qp
+    return qp, entries
 
 
 def decode_stream(stream: bytes, params: StreamParams):
@@ -65,12 +66,20 @@ def decode_stream(stream: bytes, params: StreamParams):
     for nal_type, _tid, rbsp in split_annexb(stream):
         if nal_type in (19, 20):  # IDR slice
             r = BitReader(rbsp)
-            qp = parse_slice_header_i(r, params)
+            qp, entries = parse_slice_header_i(r, params)
             chroma = params.chroma_format_idc != 0
             fd = FrameData.empty(params.width, params.height, chroma)
             cab = CabacDecoder(r)
             dec = SliceDataDecoder(params, fd, Contexts(SLICE_I, qp), cab)
-            dec.decode_slice_data()
+            if params.wpp:
+                # The header parse ended byte-aligned; the CabacDecoder
+                # init then read 9 bits, so slice data begins at
+                # bit_position - 9.
+                start = (r.bit_position - 9) // 8
+                sizes = entries + [len(rbsp) - start - sum(entries)]
+                dec.decode_slice_data_wpp(rbsp, start, sizes)
+            else:
+                dec.decode_slice_data()
             recon = reconstruct_parsed(fd, params, qp)
             frames.append((recon, fd))
     return frames
@@ -98,9 +107,16 @@ def reconstruct_parsed(fd: FrameData, params: StreamParams, qp: int):
                             None if lv_cb is None else jnp.asarray(lv_cb),
                             None if lv_cr is None else jnp.asarray(lv_cr),
                             jnp.asarray(modes))
-    rec_y = np.asarray(out[0])
-    rec_cb = None if out[1] is None else np.asarray(out[1])
-    rec_cr = None if out[2] is None else np.asarray(out[2])
+    rec_y, rec_cb, rec_cr = out[0], out[1], out[2]
+    if params.deblock_enabled:
+        from kvazaar_tpu.ops.deblock import deblock_frame
+        rec_y, rec_cb, rec_cr = deblock_frame(
+            rec_y, rec_cb, rec_cr, qp, s, params.bitdepth,
+            params.deblock_beta_offset_div2,
+            params.deblock_tc_offset_div2)
+    rec_y = np.asarray(rec_y)
+    rec_cb = None if rec_cb is None else np.asarray(rec_cb)
+    rec_cr = None if rec_cr is None else np.asarray(rec_cr)
     return rec_y, rec_cb, rec_cr
 
 

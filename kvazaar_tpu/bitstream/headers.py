@@ -189,10 +189,14 @@ def write_pps(p: StreamParams) -> bytes:
 
 def write_slice_header(w: BitWriter, p: StreamParams, slice_type: int,
                        nal_type: int, slice_qp: int, poc: int = 0,
+                       ref_poc_diff: int = 1,
                        num_entry_points: int = 0,
                        entry_point_offsets=()) -> None:
     """Write the slice segment header into `w` (caller then byte-aligns
-    into slice data).  H.265 7.3.6.1; one full-picture slice."""
+    into slice data).  H.265 7.3.6.1; one full-picture slice.
+
+    P slices carry an inline short-term RPS with one negative reference
+    `ref_poc_diff` pictures back (low-delay, single L0 ref)."""
     w.u(1, 1)               # first_slice_segment_in_pic_flag
     if 16 <= nal_type <= 23:
         w.u(0, 1)           # no_output_of_prior_pics_flag
@@ -200,10 +204,19 @@ def write_slice_header(w: BitWriter, p: StreamParams, slice_type: int,
     w.ue(slice_type)
     if nal_type not in (NAL_IDR_W_RADL, NAL_IDR_W_RADL + 1):
         w.u(poc & ((1 << p.log2_max_poc_lsb) - 1), p.log2_max_poc_lsb)
-        raise NotImplementedError("non-IDR slices arrive with inter frames")
+        w.u(0, 1)           # short_term_ref_pic_set_sps_flag
+        # st_ref_pic_set(0): idx 0 → no inter-RPS prediction flag.
+        w.ue(1)             # num_negative_pics
+        w.ue(0)             # num_positive_pics
+        w.ue(ref_poc_diff - 1)   # delta_poc_s0_minus1[0]
+        w.u(1, 1)           # used_by_curr_pic_s0_flag[0]
     if p.sao_enabled:
         w.u(1, 1)           # slice_sao_luma_flag
         w.u(1 if p.chroma_format_idc else 0, 1)
+    if slice_type != SLICE_I:
+        w.u(0, 1)           # num_ref_idx_active_override_flag
+        # (lists_modification absent: PPS flag 0; no temporal MVP)
+        w.ue(0)             # five_minus_max_num_merge_cand → 5
     w.se(slice_qp - p.qp)   # slice_qp_delta (relative to PPS init QP)
     if p.sao_enabled or p.deblock_enabled:
         w.u(1, 1)           # slice_loop_filter_across_slices_enabled_flag

@@ -45,6 +45,10 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int64,
     ]
+    lib.ktpu_encode_slice_data_wpp.restype = ctypes.c_int64
+    lib.ktpu_encode_slice_data_wpp.argtypes = \
+        lib.ktpu_encode_slice_data.argtypes + [ctypes.c_void_p,
+                                               ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -57,10 +61,7 @@ def available() -> bool:
         return False
 
 
-def encode_slice_data_native(params, fd, qp: int) -> bytes:
-    """Native equivalent of SliceDataEncoder.encode_slice_data + final
-    alignment; returns the CABAC slice-data bytes."""
-    lib = get_lib()
+def _frame_args(params, fd):
     depth8 = np.ascontiguousarray(fd.depth8, np.uint8)
     mode4 = np.ascontiguousarray(fd.mode4, np.uint8)
     cy = np.ascontiguousarray(fd.coeff_y, np.int32)
@@ -68,16 +69,47 @@ def encode_slice_data_native(params, fd, qp: int) -> bytes:
     if chroma:
         ccb = np.ascontiguousarray(fd.coeff_cb, np.int32)
         ccr = np.ascontiguousarray(fd.coeff_cr, np.int32)
-        pcb, pcr = ccb.ctypes.data, ccr.ctypes.data
     else:
-        pcb = pcr = None
+        ccb = ccr = None
+    # Hold references so buffers outlive the call.
+    return depth8, mode4, cy, ccb, ccr, chroma
+
+
+def encode_slice_data_native(params, fd, qp: int) -> bytes:
+    """Native equivalent of SliceDataEncoder.encode_slice_data + final
+    alignment; returns the CABAC slice-data bytes."""
+    lib = get_lib()
+    depth8, mode4, cy, ccb, ccr, chroma = _frame_args(params, fd)
     cap = cy.nbytes * 2 + 65536
     out = np.empty(cap, np.uint8)
     n = lib.ktpu_encode_slice_data(
         params.width, params.height, chroma, qp,
         params.log2_ctu, params.log2_min_cu, params.log2_max_tu,
-        depth8.ctypes.data, mode4.ctypes.data,
-        cy.ctypes.data, pcb, pcr, out.ctypes.data, cap)
+        depth8.ctypes.data, mode4.ctypes.data, cy.ctypes.data,
+        None if ccb is None else ccb.ctypes.data,
+        None if ccr is None else ccr.ctypes.data,
+        out.ctypes.data, cap)
     if n < 0:
         raise RuntimeError("native slice buffer overflow")
     return out[:n].tobytes()
+
+
+def encode_slice_data_native_wpp(params, fd, qp: int):
+    """WPP variant: returns (bytes, per-substream byte sizes)."""
+    lib = get_lib()
+    depth8, mode4, cy, ccb, ccr, chroma = _frame_args(params, fd)
+    cap = cy.nbytes * 2 + 65536
+    out = np.empty(cap, np.uint8)
+    rows = params.height_in_ctus
+    sizes = np.zeros(rows + 1, np.int64)
+    nss = np.zeros(1, np.int32)
+    n = lib.ktpu_encode_slice_data_wpp(
+        params.width, params.height, chroma, qp,
+        params.log2_ctu, params.log2_min_cu, params.log2_max_tu,
+        depth8.ctypes.data, mode4.ctypes.data, cy.ctypes.data,
+        None if ccb is None else ccb.ctypes.data,
+        None if ccr is None else ccr.ctypes.data,
+        out.ctypes.data, cap, sizes.ctypes.data, nss.ctypes.data)
+    if n < 0:
+        raise RuntimeError("native slice buffer overflow")
+    return out[:n].tobytes(), [int(v) for v in sizes[:int(nss[0])]]

@@ -34,22 +34,39 @@ CTX_IDX_MAP_4X4 = (0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8)
 
 @dataclasses.dataclass
 class FrameData:
-    """Dense per-frame syntax tensors exchanged between device and host."""
+    """Dense per-frame syntax tensors exchanged between device and host.
+
+    Inter fields live on the 8x8 CU-marker grid (valid at each CU's
+    top-left cell; mv8/inter8 are filled across the whole CU for
+    neighbor derivations)."""
     depth8: np.ndarray       # (H/8, W/8) uint8 — CU depth per 8x8 cell
     mode4: np.ndarray        # (H/4, W/4) uint8 — luma intra mode per 4x4
     coeff_y: np.ndarray      # (H, W) int32 — quantized levels, pixel layout
     coeff_cb: np.ndarray     # (H/2, W/2) int32 (empty for 4:0:0)
     coeff_cr: np.ndarray
+    inter8: np.ndarray = None   # (H/8, W/8) uint8 — 1 = inter CU
+    skip8: np.ndarray = None    # (H/8, W/8) uint8 — 1 = cu_skip_flag
+    merge8: np.ndarray = None   # (H/8, W/8) int8 — merge_idx or -1
+    mvp8: np.ndarray = None     # (H/8, W/8) uint8 — mvp_l0_flag
+    mvd8: np.ndarray = None     # (H/8, W/8, 2) int32
+    mv8: np.ndarray = None      # (H/8, W/8, 2) int32 — final qpel MVs
 
     @staticmethod
     def empty(width: int, height: int, chroma: bool = True) -> "FrameData":
         cw, ch = (width // 2, height // 2) if chroma else (0, 0)
+        g8 = (height // 8, width // 8)
         return FrameData(
-            depth8=np.zeros((height // 8, width // 8), dtype=np.uint8),
+            depth8=np.zeros(g8, dtype=np.uint8),
             mode4=np.zeros((height // 4, width // 4), dtype=np.uint8),
             coeff_y=np.zeros((height, width), dtype=np.int32),
             coeff_cb=np.zeros((ch, cw), dtype=np.int32),
             coeff_cr=np.zeros((ch, cw), dtype=np.int32),
+            inter8=np.zeros(g8, dtype=np.uint8),
+            skip8=np.zeros(g8, dtype=np.uint8),
+            merge8=np.full(g8, -1, dtype=np.int8),
+            mvp8=np.zeros(g8, dtype=np.uint8),
+            mvd8=np.zeros(g8 + (2,), dtype=np.int32),
+            mv8=np.zeros(g8 + (2,), dtype=np.int32),
         )
 
 
@@ -144,14 +161,28 @@ class _SliceSyntaxBase:
             inc += 1
         return inc
 
+    def _is_inter_cu(self, x0: int, y0: int) -> bool:
+        return bool(self.d.inter8 is not None
+                    and self.d.inter8[y0 >> 3, x0 >> 3])
+
+    def skip_ctx(self, x0: int, y0: int) -> int:
+        inc = 0
+        if x0 > 0 and self.d.skip8[y0 >> 3, (x0 - 1) >> 3]:
+            inc += 1
+        if y0 > 0 and self.d.skip8[(y0 - 1) >> 3, x0 >> 3]:
+            inc += 1
+        return inc
+
     def mpm_for(self, x0: int, y0: int) -> list[int]:
         # Left neighbor PU; above must be inside the same CTU row
-        # (above outside the CTU → DC), both default DC when unavailable.
+        # (above outside the CTU → DC); unavailable or NON-INTRA
+        # neighbors default to DC (8.4.2).
         cand_l = INTRA_DC
         cand_a = INTRA_DC
-        if x0 > 0:
+        if x0 > 0 and not self._is_inter_cu(x0 - 1, y0):
             cand_l = int(self.d.mode4[y0 >> 2, (x0 - 1) >> 2])
-        if y0 > 0 and (y0 % self.p.ctu_size) != 0:
+        if y0 > 0 and (y0 % self.p.ctu_size) != 0 \
+                and not self._is_inter_cu(x0, y0 - 1):
             cand_a = int(self.d.mode4[(y0 - 1) >> 2, x0 >> 2])
         return intra_mpm(cand_l, cand_a)
 
@@ -176,6 +207,42 @@ class SliceDataEncoder(_SliceSyntaxBase):
             self.coding_quadtree(x0, y0, self.p.log2_ctu, 0)
             self.c.encode_terminate(1 if i == n - 1 else 0)
 
+    def encode_slice_data_wpp(self) -> list[int]:
+        """WPP: one CABAC substream per CTU row, contexts inherited from
+        the row above after its 2nd CTU (9.3.2.3; reference:
+        src/encoderstate.c:685-721).  Returns the byte size of each
+        substream (for slice-header entry points)."""
+        from kvazaar_tpu.bitstream.cabac import CabacEncoder
+        w = self.c.writer
+        assert w.byte_aligned
+        ctus_x = self.p.width_in_ctus
+        ctus_y = self.p.height_in_ctus
+        sizes = []
+        saved = None
+        for row in range(ctus_y):
+            start = len(w.get_bytes())
+            if row > 0:
+                if saved is not None:
+                    self.ctx.copy_from(saved)
+                else:
+                    self.ctx = Contexts(self.ctx.slice_type, self.ctx.qp)
+                self.c = CabacEncoder(w)
+            for cx in range(ctus_x):
+                x0 = cx << self.p.log2_ctu
+                y0 = row << self.p.log2_ctu
+                self.coding_quadtree(x0, y0, self.p.log2_ctu, 0)
+                last_ctu = (row == ctus_y - 1) and (cx == ctus_x - 1)
+                self.c.encode_terminate(1 if last_ctu else 0)
+                if cx == 1:
+                    # Spec stores sync state only after the 2nd CTU; a
+                    # 1-CTU-wide picture re-inits every row.
+                    saved = self.ctx.clone()
+                if cx == ctus_x - 1 and not last_ctu:
+                    self.c.encode_terminate(1)  # end_of_subset_one_bit
+            w.align_zero()
+            sizes.append(len(w.get_bytes()) - start)
+        return sizes
+
     def coding_quadtree(self, x0, y0, log2_size, depth) -> None:
         size = 1 << log2_size
         inside = x0 + size <= self.p.width and y0 + size <= self.p.height
@@ -198,8 +265,91 @@ class SliceDataEncoder(_SliceSyntaxBase):
             self.coding_unit(x0, y0, log2_size)
 
     def coding_unit(self, x0, y0, log2_size) -> None:
-        # I-slice, no transquant bypass, 2Nx2N intra only (NxN arrives
-        # with the 4x4 TU path).
+        from kvazaar_tpu.constants import SLICE_I
+        c8y, c8x = y0 >> 3, x0 >> 3
+        if self.ctx.slice_type != SLICE_I:
+            skip = int(self.d.skip8[c8y, c8x])
+            self.c.encode_bin(self.ctx("skip", self.skip_ctx(x0, y0)),
+                              skip)
+            if skip:
+                self._encode_merge_idx(int(self.d.merge8[c8y, c8x]))
+                return
+            inter = int(self.d.inter8[c8y, c8x])
+            self.c.encode_bin(self.ctx("pred_mode", 0),
+                              0 if inter else 1)
+            if inter:
+                self._encode_inter_cu(x0, y0, log2_size)
+                return
+        self._encode_intra_cu(x0, y0, log2_size)
+
+    def _encode_merge_idx(self, idx: int) -> None:
+        """TR cMax=4: first bin context-coded, rest bypass unary."""
+        assert 0 <= idx <= 4
+        self.c.encode_bin(self.ctx("merge_idx", 0), 1 if idx else 0)
+        if idx:
+            for k in range(1, idx):
+                self.c.encode_bypass(1)
+            if idx < 4:
+                self.c.encode_bypass(0)
+
+    def _encode_mvd(self, mvd) -> None:
+        """mvd_coding (7.3.8.9): greater0/greater1 flags then EG1
+        remainders + signs, x before y."""
+        ax, ay = abs(int(mvd[0])), abs(int(mvd[1]))
+        self.c.encode_bin(self.ctx("mvd", 0), 1 if ax else 0)
+        self.c.encode_bin(self.ctx("mvd", 0), 1 if ay else 0)
+        if ax:
+            self.c.encode_bin(self.ctx("mvd", 1), 1 if ax > 1 else 0)
+        if ay:
+            self.c.encode_bin(self.ctx("mvd", 1), 1 if ay > 1 else 0)
+        for a, v in ((ax, int(mvd[0])), (ay, int(mvd[1]))):
+            if a:
+                if a > 1:
+                    self._encode_egk(a - 2, 1)
+                self.c.encode_bypass(1 if v < 0 else 0)
+
+    def _encode_egk(self, value: int, k: int) -> None:
+        """Exp-Golomb order-k, bypass bins (9.3.3.3)."""
+        while value >= (1 << k):
+            self.c.encode_bypass(1)
+            value -= 1 << k
+            k += 1
+        self.c.encode_bypass(0)
+        if k:
+            self.c.encode_bypass_bins(value, k)
+
+    def _encode_inter_cu(self, x0, y0, log2_size) -> None:
+        c8y, c8x = y0 >> 3, x0 >> 3
+        self.c.encode_bin(self.ctx("part_size", 0), 1)   # PART_2Nx2N
+        merge_idx = int(self.d.merge8[c8y, c8x])
+        if merge_idx >= 0:
+            self.c.encode_bin(self.ctx("merge_flag", 0), 1)
+            self._encode_merge_idx(merge_idx)
+        else:
+            self.c.encode_bin(self.ctx("merge_flag", 0), 0)
+            # Single L0 reference: no inter_pred_idc (P), no ref_idx.
+            self._encode_mvd(self.d.mvd8[c8y, c8x])
+            self.c.encode_bin(self.ctx("mvp_idx", 0),
+                              int(self.d.mvp8[c8y, c8x]))
+        root = self._root_cbf(x0, y0, log2_size)
+        if merge_idx < 0:
+            self.c.encode_bin(self.ctx("qt_root_cbf", 0), root)
+        else:
+            assert root, "merge non-skip CU must carry coefficients"
+        if root:
+            self.transform_tree(x0, y0, log2_size, 0)
+
+    def _root_cbf(self, x0, y0, log2_size) -> int:
+        if self._tu_cbf(0, x0, y0, log2_size):
+            return 1
+        if self.chroma and (self._tu_cbf(1, x0, y0, log2_size)
+                            or self._tu_cbf(2, x0, y0, log2_size)):
+            return 1
+        return 0
+
+    def _encode_intra_cu(self, x0, y0, log2_size) -> None:
+        # No transquant bypass, 2Nx2N intra only (NxN arrives with the
+        # 4x4 TU path).
         if log2_size == self.p.log2_min_cu:
             self.c.encode_bin(self.ctx("part_size", 0), 1)  # PART_2Nx2N
         mode = int(self.d.mode4[y0 >> 2, x0 >> 2])
@@ -242,8 +392,15 @@ class SliceDataEncoder(_SliceSyntaxBase):
                         cbf_cb, cbf_cr)
         else:
             cbf_luma = self._tu_cbf(0, x0, y0, log2_size)
-            self.c.encode_bin(
-                self.ctx("cbf_luma", 1 if tr_depth == 0 else 0), cbf_luma)
+            if (not self._is_inter_cu(x0, y0) or tr_depth != 0
+                    or cbf_cb or cbf_cr):
+                self.c.encode_bin(
+                    self.ctx("cbf_luma", 1 if tr_depth == 0 else 0),
+                    cbf_luma)
+            else:
+                # Inter depth-0 TU, no chroma cbf: luma cbf inferred 1
+                # (7.3.8.10); encoder guarantees via root-cbf/skip.
+                assert cbf_luma == 1, "inter TU with no coefficients"
             self._transform_unit(x0, y0, log2_size, cbf_luma,
                                  cbf_cb, cbf_cr)
 
@@ -289,11 +446,13 @@ class SliceDataEncoder(_SliceSyntaxBase):
         plane = self._plane(c_idx)
         block = plane[y0:y0 + size, x0:x0 + size]
 
-        if chroma:
-            mode = int(self.d.mode4[(y0 * 2) >> 2, (x0 * 2) >> 2])  # DM
+        lx0 = x0 * 2 if chroma else x0
+        ly0 = y0 * 2 if chroma else y0
+        if self._is_inter_cu(lx0, ly0):
+            scan_idx = SCAN_DIAG       # mode-dependent scan is intra-only
         else:
-            mode = int(self.d.mode4[y0 >> 2, x0 >> 2])
-        scan_idx = intra_scan_idx(mode, log2_size, chroma)
+            mode = int(self.d.mode4[ly0 >> 2, lx0 >> 2])  # chroma: DM
+            scan_idx = intra_scan_idx(mode, log2_size, chroma)
         scan = coeff_scan(log2_size, scan_idx)
         levels = block[scan[:, 1], scan[:, 0]]       # scan-ordered
         nz = np.nonzero(levels)[0]
@@ -462,6 +621,39 @@ class SliceDataDecoder(_SliceSyntaxBase):
             if end != (1 if i == n - 1 else 0):
                 raise ValueError(f"end_of_slice at CTU {i}/{n} mismatched")
 
+    def decode_slice_data_wpp(self, rbsp: bytes, data_offset: int,
+                              sizes: list[int]) -> None:
+        """Parse WPP substreams: one per CTU row at the given byte
+        offsets (slice-header entry points + final substream)."""
+        from kvazaar_tpu.bitstream.bits import BitReader
+        from kvazaar_tpu.bitstream.cabac import CabacDecoder
+        ctus_x = self.p.width_in_ctus
+        ctus_y = self.p.height_in_ctus
+        assert len(sizes) == ctus_y
+        off = data_offset
+        saved = None
+        for row in range(ctus_y):
+            if row > 0:
+                if saved is not None:
+                    self.ctx.copy_from(saved)
+                else:
+                    self.ctx = Contexts(self.ctx.slice_type, self.ctx.qp)
+                self.c = CabacDecoder(BitReader(rbsp[off:]))
+            for cx in range(ctus_x):
+                x0 = cx << self.p.log2_ctu
+                y0 = row << self.p.log2_ctu
+                self.coding_quadtree(x0, y0, self.p.log2_ctu, 0)
+                last_ctu = (row == ctus_y - 1) and (cx == ctus_x - 1)
+                end = self.c.decode_terminate()
+                if end != (1 if last_ctu else 0):
+                    raise ValueError("end_of_slice mismatch (wpp)")
+                if cx == 1:
+                    saved = self.ctx.clone()
+                if cx == ctus_x - 1 and not last_ctu:
+                    if self.c.decode_terminate() != 1:
+                        raise ValueError("missing end_of_subset bit")
+            off += sizes[row]
+
     def coding_quadtree(self, x0, y0, log2_size, depth) -> None:
         size = 1 << log2_size
         inside = x0 + size <= self.p.width and y0 + size <= self.p.height
@@ -487,6 +679,74 @@ class SliceDataDecoder(_SliceSyntaxBase):
             self.coding_unit(x0, y0, log2_size)
 
     def coding_unit(self, x0, y0, log2_size) -> None:
+        from kvazaar_tpu.constants import SLICE_I
+        c8y, c8x = y0 >> 3, x0 >> 3
+        cells = 1 << (log2_size - 3)
+        if self.ctx.slice_type != SLICE_I:
+            skip = self.c.decode_bin(
+                self.ctx("skip", self.skip_ctx(x0, y0)))
+            if skip:
+                self.d.skip8[c8y:c8y + cells, c8x:c8x + cells] = 1
+                self.d.inter8[c8y:c8y + cells, c8x:c8x + cells] = 1
+                self.d.merge8[c8y, c8x] = self._decode_merge_idx()
+                return
+            intra = self.c.decode_bin(self.ctx("pred_mode", 0))
+            if not intra:
+                self.d.inter8[c8y:c8y + cells, c8x:c8x + cells] = 1
+                self._decode_inter_cu(x0, y0, log2_size)
+                return
+        self._decode_intra_cu(x0, y0, log2_size)
+
+    def _decode_merge_idx(self) -> int:
+        if not self.c.decode_bin(self.ctx("merge_idx", 0)):
+            return 0
+        idx = 1
+        while idx < 4 and self.c.decode_bypass():
+            idx += 1
+        return idx
+
+    def _decode_mvd(self):
+        g0x = self.c.decode_bin(self.ctx("mvd", 0))
+        g0y = self.c.decode_bin(self.ctx("mvd", 0))
+        g1x = self.c.decode_bin(self.ctx("mvd", 1)) if g0x else 0
+        g1y = self.c.decode_bin(self.ctx("mvd", 1)) if g0y else 0
+        out = []
+        for g0, g1 in ((g0x, g1x), (g0y, g1y)):
+            if not g0:
+                out.append(0)
+                continue
+            a = 2 + self._decode_egk(1) if g1 else 1
+            out.append(-a if self.c.decode_bypass() else a)
+        return out
+
+    def _decode_egk(self, k: int) -> int:
+        value = 0
+        while self.c.decode_bypass():
+            value += 1 << k
+            k += 1
+            if k > 30:
+                raise ValueError("runaway EGk")
+        if k:
+            value += self.c.decode_bypass_bins(k)
+        return value
+
+    def _decode_inter_cu(self, x0, y0, log2_size) -> None:
+        c8y, c8x = y0 >> 3, x0 >> 3
+        part = self.c.decode_bin(self.ctx("part_size", 0))
+        if part != 1:
+            raise NotImplementedError("non-2Nx2N inter not in v1 subset")
+        if self.c.decode_bin(self.ctx("merge_flag", 0)):
+            self.d.merge8[c8y, c8x] = self._decode_merge_idx()
+            root = 1                      # inferred for 2Nx2N merge
+        else:
+            self.d.mvd8[c8y, c8x] = self._decode_mvd()
+            self.d.mvp8[c8y, c8x] = self.c.decode_bin(
+                self.ctx("mvp_idx", 0))
+            root = self.c.decode_bin(self.ctx("qt_root_cbf", 0))
+        if root:
+            self.transform_tree(x0, y0, log2_size, 0)
+
+    def _decode_intra_cu(self, x0, y0, log2_size) -> None:
         if log2_size == self.p.log2_min_cu:
             part = self.c.decode_bin(self.ctx("part_size", 0))
             if part != 1:
@@ -525,8 +785,12 @@ class SliceDataDecoder(_SliceSyntaxBase):
                         x0 + dx, y0 + dy, log2_size - 1, tr_depth + 1,
                         cbf_cb, cbf_cr)
         else:
-            cbf_luma = self.c.decode_bin(
-                self.ctx("cbf_luma", 1 if tr_depth == 0 else 0))
+            if (not self._is_inter_cu(x0, y0) or tr_depth != 0
+                    or cbf_cb or cbf_cr):
+                cbf_luma = self.c.decode_bin(
+                    self.ctx("cbf_luma", 1 if tr_depth == 0 else 0))
+            else:
+                cbf_luma = 1               # inferred (7.3.8.10)
             self._transform_unit(x0, y0, log2_size, cbf_luma,
                                  cbf_cb, cbf_cr)
 
@@ -556,11 +820,13 @@ class SliceDataDecoder(_SliceSyntaxBase):
         p, c, ctx = self.p, self.c, self.ctx
         size = 1 << log2_size
         chroma = c_idx > 0
-        if chroma:
-            mode = int(self.d.mode4[(y0 * 2) >> 2, (x0 * 2) >> 2])
+        lx0 = x0 * 2 if chroma else x0
+        ly0 = y0 * 2 if chroma else y0
+        if self._is_inter_cu(lx0, ly0):
+            scan_idx = SCAN_DIAG
         else:
-            mode = int(self.d.mode4[y0 >> 2, x0 >> 2])
-        scan_idx = intra_scan_idx(mode, log2_size, chroma)
+            mode = int(self.d.mode4[ly0 >> 2, lx0 >> 2])
+            scan_idx = intra_scan_idx(mode, log2_size, chroma)
         scan = coeff_scan(log2_size, scan_idx)
         inv = _inv_coeff_scan(log2_size, scan_idx)
 

@@ -55,6 +55,9 @@ class Config:
 
     # Parallelism: device mesh shape for within-frame sharding.
     mesh_tiles: int = 1
+    # Wavefront parallel processing (entropy_coding_sync): per-CTU-row
+    # CABAC substreams, on by default like the reference (src/cfg.c:91).
+    wpp: bool = True
 
     def validate(self) -> "Config":
         if self.width <= 0 or self.height <= 0:

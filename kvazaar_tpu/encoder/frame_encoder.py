@@ -29,6 +29,7 @@ _NATIVE_OK = native.available()
 from kvazaar_tpu.config import Config
 from kvazaar_tpu.constants import NAL_IDR_W_RADL, SLICE_I
 from kvazaar_tpu.encoder.geometry import make_intra_plan
+from kvazaar_tpu.ops.deblock import deblock_frame
 from kvazaar_tpu.encoder.intra_recon import (blocks_to_plane,
                                              reconstruct_frame)
 from kvazaar_tpu.encoder.intra_search import search_frame_modes
@@ -75,6 +76,8 @@ class IntraFrameEncoder:
     """Encodes I-frames for a fixed geometry/config."""
 
     def __init__(self, cfg: Config):
+        import kvazaar_tpu
+        kvazaar_tpu.enable_compile_cache()
         cfg.validate()
         self.cfg = cfg
         self.chroma = cfg.chroma_format == 420
@@ -89,6 +92,8 @@ class IntraFrameEncoder:
             bitdepth=self.bitdepth,
             chroma_format_idc=1 if self.chroma else 0,
             qp=cfg.qp,
+            deblock_enabled=cfg.deblock,
+            wpp=cfg.wpp,
             conf_win=(0, self.coded_w - cfg.width, 0,
                       self.coded_h - cfg.height),
         )
@@ -96,6 +101,13 @@ class IntraFrameEncoder:
         lam = qp_to_lambda(cfg.qp)
         self.lambda_satd = math.sqrt(lam)
         self._device_encode = jax.jit(self._device_encode_impl)
+        # Batched path: frames are independent in all-intra coding, so a
+        # leading frame axis is the natural TPU throughput dimension (the
+        # analogue of the reference's OWF frame pipelining,
+        # src/encoderstate.c:790-806, recast as data parallelism).
+        self._device_encode_batch = jax.jit(
+            jax.vmap(self._device_encode_impl))
+        self._host_pool = None
 
     def headers(self) -> bytes:
         return (write_vps(self.params) + write_sps(self.params)
@@ -104,9 +116,22 @@ class IntraFrameEncoder:
     def _device_encode_impl(self, y, cb, cr):
         modes, _ = search_frame_modes(y, self.plan, self.lambda_satd,
                                       self.bitdepth)
-        return reconstruct_frame(y, cb, cr, modes, self.plan,
-                                 self.cfg.qp, self.qp_c, self.bitdepth), \
-            modes
+        rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr = reconstruct_frame(
+            y, cb, cr, modes, self.plan, self.cfg.qp, self.qp_c,
+            self.bitdepth)
+        if self.cfg.deblock:
+            # In-loop filter as a batched post-pass: intra prediction
+            # reads unfiltered samples (spec 8.4.4.2.1), so deblocking
+            # never feeds the wavefront.
+            rdt = rec_y.dtype
+            dy, dcb, dcr = deblock_frame(rec_y, rec_cb, rec_cr,
+                                         self.cfg.qp, self.cu,
+                                         self.bitdepth)
+            rec_y = dy.astype(rdt)
+            if rec_cb is not None:
+                rec_cb = dcb.astype(rdt)
+                rec_cr = dcr.astype(rdt)
+        return (rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr), modes
 
     def encode_frame(self, y: np.ndarray, cb=None, cr=None) -> FrameResult:
         """y: (H, W) source luma (uint8/uint16); cb/cr half size."""
@@ -118,43 +143,94 @@ class IntraFrameEncoder:
             crp = pad_to_multiple(np.asarray(cr, np.int32), s // 2)
         (rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr), modes = \
             self._device_encode(yp, cbp, crp)
-        modes = np.asarray(modes)
+        return self._host_finalize(
+            np.asarray(modes), np.asarray(lv_y),
+            None if lv_cb is None else np.asarray(lv_cb),
+            None if lv_cr is None else np.asarray(lv_cr),
+            np.asarray(rec_y),
+            None if rec_cb is None else np.asarray(rec_cb),
+            None if rec_cr is None else np.asarray(rec_cr))
 
+
+    def _host_finalize(self, modes, lv_y, lv_cb, lv_cr, rec_y, rec_cb,
+                       rec_cr) -> FrameResult:
+        s = self.cu
         fd = FrameData.empty(self.coded_w, self.coded_h, self.chroma)
-        depth = 6 - int(math.log2(s))
-        fd.depth8[:] = depth
-        fd.mode4[:] = np.kron(modes,
-                              np.ones((s // 4, s // 4), np.uint8))
-        fd.coeff_y[:] = blocks_to_plane(np.asarray(lv_y), self.plan, s,
+        fd.depth8[:] = 6 - int(math.log2(s))
+        fd.mode4[:] = np.kron(modes, np.ones((s // 4, s // 4), np.uint8))
+        fd.coeff_y[:] = blocks_to_plane(lv_y, self.plan, s,
                                         self.coded_w, self.coded_h)
         if self.chroma:
-            fd.coeff_cb[:] = blocks_to_plane(
-                np.asarray(lv_cb), self.plan, s // 2,
-                self.coded_w // 2, self.coded_h // 2)
-            fd.coeff_cr[:] = blocks_to_plane(
-                np.asarray(lv_cr), self.plan, s // 2,
-                self.coded_w // 2, self.coded_h // 2)
-
+            fd.coeff_cb[:] = blocks_to_plane(lv_cb, self.plan, s // 2,
+                                             self.coded_w // 2,
+                                             self.coded_h // 2)
+            fd.coeff_cr[:] = blocks_to_plane(lv_cr, self.plan, s // 2,
+                                             self.coded_w // 2,
+                                             self.coded_h // 2)
+        # Slice data first (entry-point offsets go into the header).
+        sizes = []
+        if _NATIVE_OK:
+            if self.params.wpp:
+                data, sizes = native.encode_slice_data_native_wpp(
+                    self.params, fd, self.cfg.qp)
+            else:
+                data = native.encode_slice_data_native(self.params, fd,
+                                                       self.cfg.qp)
+        else:
+            dw = BitWriter()
+            enc = SliceDataEncoder(self.params, fd,
+                                   Contexts(SLICE_I, self.cfg.qp),
+                                   CabacEncoder(dw))
+            if self.params.wpp:
+                sizes = enc.encode_slice_data_wpp()
+            else:
+                enc.encode_slice_data()
+                dw.align_zero()
+            data = dw.get_bytes()
         w = BitWriter()
         write_slice_header(w, self.params, SLICE_I, NAL_IDR_W_RADL,
-                           self.cfg.qp)
-        header_bytes = w.get_bytes()   # slice header ends byte-aligned
-        if _NATIVE_OK:
-            data = native.encode_slice_data_native(self.params, fd,
-                                                   self.cfg.qp)
-        else:
-            cab = CabacEncoder(w)
-            enc = SliceDataEncoder(self.params, fd,
-                                   Contexts(SLICE_I, self.cfg.qp), cab)
-            enc.encode_slice_data()
-            w.align_zero()
-            data = w.get_bytes()[len(header_bytes):]
-        nal = nal_unit(header_bytes + data, NAL_IDR_W_RADL)
-        return FrameResult(
-            nals=nal, recon_y=np.asarray(rec_y),
-            recon_cb=None if rec_cb is None else np.asarray(rec_cb),
-            recon_cr=None if rec_cr is None else np.asarray(rec_cr),
-            frame_data=fd, bits=len(nal) * 8)
+                           self.cfg.qp,
+                           num_entry_points=max(len(sizes) - 1, 0),
+                           entry_point_offsets=sizes[:-1])
+        nal = nal_unit(w.get_bytes() + data, NAL_IDR_W_RADL)
+        return FrameResult(nals=nal, recon_y=rec_y, recon_cb=rec_cb,
+                           recon_cr=rec_cr, frame_data=fd,
+                           bits=len(nal) * 8)
+
+    def encode_frames(self, frames) -> list[FrameResult]:
+        """Encode a batch of frames through one vmapped device program;
+        host serialization fans out over a thread pool (the native CABAC
+        releases the GIL)."""
+        import concurrent.futures as cf
+        s = self.cu
+        ys = np.stack([pad_to_multiple(np.asarray(f[0], np.int32), s)
+                       for f in frames])
+        cbs = crs = None
+        if self.chroma:
+            cbs = np.stack([pad_to_multiple(np.asarray(f[1], np.int32),
+                                            s // 2) for f in frames])
+            crs = np.stack([pad_to_multiple(np.asarray(f[2], np.int32),
+                                            s // 2) for f in frames])
+        (rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr), modes = \
+            self._device_encode_batch(ys, cbs, crs)
+        modes = np.asarray(modes)
+        rec_y = np.asarray(rec_y)
+        lv_y = np.asarray(lv_y)
+        if self.chroma:
+            rec_cb, rec_cr = np.asarray(rec_cb), np.asarray(rec_cr)
+            lv_cb, lv_cr = np.asarray(lv_cb), np.asarray(lv_cr)
+        if self._host_pool is None:
+            self._host_pool = cf.ThreadPoolExecutor(max_workers=4)
+        futs = []
+        for i in range(len(frames)):
+            futs.append(self._host_pool.submit(
+                self._host_finalize, modes[i], lv_y[i],
+                lv_cb[i] if self.chroma else None,
+                lv_cr[i] if self.chroma else None,
+                rec_y[i],
+                rec_cb[i] if self.chroma else None,
+                rec_cr[i] if self.chroma else None))
+        return [f.result() for f in futs]
 
 
 def psnr(a: np.ndarray, b: np.ndarray, bitdepth: int = 8) -> float:

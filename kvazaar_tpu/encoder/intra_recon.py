@@ -1,28 +1,33 @@
 """Exact wavefront reconstruction pass (device, lax.scan).
 
 Given the chosen intra modes, reconstruct the frame exactly as a decoder
-will: each wavefront step predicts a batch of blocks from already-
-reconstructed neighbor samples (gather maps from geometry.py), runs the
-residual through forward transform → quant → dequant → inverse transform,
-and scatters the clipped reconstruction back.  The quantized levels are
-the syntax elements handed to the host CABAC stage.
+will.  State design is the key TPU decision: the reconstruction lives as
+a block-grid tensor (B, By, Bx, S, S) updated with dynamic_update_slice
+(in-place under XLA), NEVER a flat frame buffer with scatters — scatter
+into a large carry copies the buffer every scan step (measured ~15 ms /
+step on TPU, 3 orders over the arithmetic).  Reference samples are read
+as neighbor-block edge slices, and spec reference substitution
+(8.4.4.2.2) collapses to a 5-region fill chain because neighbor
+availability is whole-region for a uniform CU grid.
 
-This is the TPU replacement for the reference's per-LCU reconstruction
-inside search (kvz_intra_recon_cu, src/intra.c:652; quantize loop
-src/transform.c:424): one compiled lax.scan over ~O(W/S + 2H/S) steps
-instead of a thread pool over LCUs.
+This replaces the reference's per-LCU recursive reconstruction
+(kvz_intra_recon_cu, src/intra.c:652; quantize loop src/transform.c:424)
+and its hor/ver boundary buffers (src/encoderstate.h:170-186) — the
+block-grid edge reads ARE those boundary buffers, expressed as slices.
+
+The conformance decoder (bitstream/decoder.py) deliberately does NOT use
+this code — it reconstructs via independent per-sample gather maps, so
+the e2e bit-exactness test cross-validates two implementations.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from kvazaar_tpu.encoder.geometry import IntraFramePlan, PlaneMaps
-from kvazaar_tpu.ops.intra import predict_modes
+from kvazaar_tpu.ops.intra import predict_all_modes
 from kvazaar_tpu.ops.quant import dequantize, quantize
 from kvazaar_tpu.ops.transform import forward_transform, inverse_transform
 
@@ -48,93 +53,221 @@ def blocks_to_plane(blocks: np.ndarray, plan: IntraFramePlan,
     return out[:-1].reshape(height, width)
 
 
-def _plane_step(recon_flat, gidx, noref, scatter, orig, modes, size,
-                qp, bitdepth, luma):
-    """One wavefront step for one plane.  Returns (new_recon_flat,
-    levels)."""
-    refs = recon_flat[gidx]
-    refs = jnp.where(noref[:, None], 1 << (bitdepth - 1), refs)
-    pred = predict_modes(refs.astype(jnp.int32), modes, size, luma=luma,
-                         bitdepth=bitdepth)
+def step_schedule(plan: IntraFramePlan):
+    """Static per-(step, slot) tensors: block coords, 5-region neighbor
+    availability, pad-slot validity."""
+    bos = plan.block_of_slot
+    valid = bos >= 0
+    bids = np.maximum(bos, 0)
+    by = (bids // plan.blocks_x).astype(np.int32)
+    bx = (bids % plan.blocks_x).astype(np.int32)
+    avail = plan.avail.reshape(-1, 5)[bids.reshape(-1)].reshape(
+        plan.n_steps, plan.n_slots, 5)
+    avail = avail & valid[..., None]
+    return (jnp.asarray(bx), jnp.asarray(by), jnp.asarray(avail),
+            jnp.asarray(valid))
+
+
+def _edge_col(state, b, by, bx, s):
+    """Right column of block (by, bx): (B, S) top-to-bottom."""
+    blk = jax.lax.dynamic_slice(state, (0, by, bx, 0, s - 1),
+                                (b, 1, 1, s, 1))
+    return blk.reshape(b, s)
+
+
+def _edge_row(state, b, by, bx, s):
+    """Bottom row of block (by, bx): (B, S) left-to-right."""
+    blk = jax.lax.dynamic_slice(state, (0, by, bx, s - 1, 0),
+                                (b, 1, 1, 1, s))
+    return blk.reshape(b, s)
+
+
+def _corner(state, b, by, bx, s):
+    blk = jax.lax.dynamic_slice(state, (0, by, bx, s - 1, s - 1),
+                                (b, 1, 1, 1, 1))
+    return blk.reshape(b, 1)
+
+
+def build_refs(state, bx, by, avail, s, bitdepth):
+    """Reference vector (B, 4S+1) for one block from the block-grid
+    state, applying regional substitution.  avail: (5,) bool traced
+    [L, A, AR, BL, AL] (geometry.py order)."""
+    b = state.shape[0]
+    a_l, a_a, a_ar, a_bl, a_al = (avail[0], avail[1], avail[2],
+                                  avail[3], avail[4])
+    left = _edge_col(state, b, by, jnp.maximum(bx - 1, 0), s)
+    below_left = _edge_col(state, b, jnp.minimum(by + 1, state.shape[1]
+                                                 - 1),
+                           jnp.maximum(bx - 1, 0), s)
+    top = _edge_row(state, b, jnp.maximum(by - 1, 0), bx, s)
+    top_right = _edge_row(state, b, jnp.maximum(by - 1, 0),
+                          jnp.minimum(bx + 1, state.shape[2] - 1), s)
+    corner = _corner(state, b, jnp.maximum(by - 1, 0),
+                     jnp.maximum(bx - 1, 0), s)
+
+    # Vector order: BL (bottom-up), L (bottom-up), corner, T, TR.
+    bl_v = below_left[:, ::-1]
+    l_v = left[:, ::-1]
+    regions = [(a_bl, bl_v), (a_l, l_v), (a_al, corner), (a_a, top),
+               (a_ar, top_right)]
+
+    # First available sample (for the leading gap).
+    default = jnp.full((b, 1), 1 << (bitdepth - 1), state.dtype)
+    first = default
+    for flag, reg in reversed(regions):
+        first = jnp.where(flag, reg[:, :1], first)
+
+    out = []
+    carry = first
+    for flag, reg in regions:
+        filled = jnp.where(flag, reg,
+                           jnp.broadcast_to(carry, reg.shape))
+        out.append(filled)
+        carry = filled[:, -1:]
+    return jnp.concatenate(out, axis=-1)
+
+
+def _predict_select(refs, modes, s, luma, bitdepth):
+    """All-mode prediction then per-item mode select.  refs: (N, R),
+    modes: (N,) → (N, S, S).  The all-modes einsum is MXU-batched; the
+    per-item weight gather it replaces was the measured scan bottleneck."""
+    preds = predict_all_modes(refs, s, luma=luma, bitdepth=bitdepth)
+    sel = jnp.take_along_axis(
+        preds, modes[:, None, None, None].astype(jnp.int32), axis=1)
+    return sel[:, 0]
+
+
+def _tu_roundtrip(orig, pred, s, qp, bitdepth):
     resid = orig.astype(jnp.int32) - pred
-    coeff = forward_transform(resid, size, bitdepth)
-    levels = quantize(coeff, qp, size, bitdepth, intra=True)
-    dq = dequantize(levels, qp, size, bitdepth)
-    rec_res = inverse_transform(dq, size, bitdepth)
-    rec = jnp.clip(pred + rec_res, 0, (1 << bitdepth) - 1)
-    # Pad slots all point at the trailing trash element, so indices are
-    # NOT unique; plain scatter keeps the semantics defined.
-    recon_flat = recon_flat.at[scatter.reshape(-1)].set(rec.reshape(-1))
-    # Levels fit int16 (quant clips to +-32767): halve the device->host
-    # transfer, which is a measured bottleneck over the device tunnel.
-    return recon_flat, levels.astype(jnp.int16)
+    coeff = forward_transform(resid, s, bitdepth)
+    levels = quantize(coeff, qp, s, bitdepth, intra=True)
+    dq = dequantize(levels, qp, s, bitdepth)
+    rec = jnp.clip(pred + inverse_transform(dq, s, bitdepth), 0,
+                   (1 << bitdepth) - 1)
+    return levels.astype(jnp.int16), rec
+
+
+def _plane_pass(state, bxs, bys, avail, valid, origs, modes, s, qp,
+                bitdepth, luma):
+    """One wavefront step for one plane over all slots.
+
+    state: (B, By, Bx, S, S); bxs/bys: (slots,); avail: (slots, 5);
+    origs: (slots, B, S, S); modes: (slots, B).
+    Returns (state, levels (slots, B, S, S))."""
+    b = state.shape[0]
+    n_slots = origs.shape[0]
+    refs = []
+    for k in range(n_slots):
+        refs.append(build_refs(state, bxs[k], bys[k], avail[k], s,
+                               bitdepth))
+    refs = jnp.stack(refs)                       # (slots, B, R)
+    flat_refs = refs.reshape(n_slots * b, -1)
+    flat_modes = modes.reshape(n_slots * b)
+    pred = _predict_select(flat_refs, flat_modes, s, luma, bitdepth)
+    levels, rec = _tu_roundtrip(origs.reshape(n_slots * b, s, s), pred,
+                                s, qp, bitdepth)
+    rec = rec.reshape(n_slots, b, s, s)
+    for k in range(n_slots):
+        upd = rec[k].reshape(b, 1, 1, s, s).astype(state.dtype)
+        # Pad slots must not touch the state: select against the current
+        # block content (small read), NOT against the whole buffer — a
+        # full-buffer where() would copy it per slot.
+        cur = jax.lax.dynamic_slice(state, (0, bys[k], bxs[k], 0, 0),
+                                    (b, 1, 1, s, s))
+        upd = jnp.where(valid[k], upd, cur)
+        state = jax.lax.dynamic_update_slice(state, upd,
+                                             (0, bys[k], bxs[k], 0, 0))
+    return state, levels.reshape(n_slots, b, s, s)
+
+
+def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
+                       qp: int, qp_c: int, bitdepth: int = 8):
+    """Batched wavefront over all planes.
+
+    ys: (B, H, W) int32; cbs/crs: (B, H/2, W/2) or None;
+    modes: (B, By, Bx) int32.
+    Returns (recon_y, levels_y, recon_cb, levels_cb, recon_cr,
+    levels_cr); recon as (B, H, W) uint8/16, levels as
+    (B, steps, slots, S, S) int16.
+    """
+    s = plan.cu_size
+    chroma = cbs is not None
+    b = ys.shape[0]
+    bxs, bys, avail, valid = step_schedule(plan)
+    slot_ids = jnp.asarray(np.maximum(plan.block_of_slot, 0))
+
+    def to_steps(planes, size):
+        by_, bx_ = plan.blocks_y, plan.blocks_x
+        blocks = planes.reshape(b, by_, size, bx_, size)
+        blocks = blocks.transpose(1, 3, 0, 2, 4).reshape(
+            by_ * bx_, b, size, size)
+        return blocks[slot_ids]          # (steps, slots, B, S, S)
+
+    oy = to_steps(ys.astype(jnp.int32), s)
+    modes_steps = modes.reshape(b, -1).T[slot_ids]   # (steps, slots, B)
+    if chroma:
+        s2 = plan.chroma.size
+        ocb = to_steps(cbs.astype(jnp.int32), s2)
+        ocr = to_steps(crs.astype(jnp.int32), s2)
+
+    st_y0 = jnp.zeros((b, plan.blocks_y, plan.blocks_x, s, s), jnp.int32)
+    if chroma:
+        st_c0 = jnp.zeros((b, plan.blocks_y, plan.blocks_x, s2, s2),
+                          jnp.int32)
+
+    def step_fn(carry, xs):
+        if chroma:
+            sy, scb, scr = carry
+            bx_t, by_t, av_t, va_t, o_y, o_cb, o_cr, m = xs
+            sy, lv_y = _plane_pass(sy, bx_t, by_t, av_t, va_t, o_y, m,
+                                   s, qp, bitdepth, True)
+            scb, lv_cb = _plane_pass(scb, bx_t, by_t, av_t, va_t, o_cb,
+                                     m, s2, qp_c, bitdepth, False)
+            scr, lv_cr = _plane_pass(scr, bx_t, by_t, av_t, va_t, o_cr,
+                                     m, s2, qp_c, bitdepth, False)
+            return (sy, scb, scr), (lv_y, lv_cb, lv_cr)
+        (sy,) = carry
+        bx_t, by_t, av_t, va_t, o_y, m = xs
+        sy, lv_y = _plane_pass(sy, bx_t, by_t, av_t, va_t, o_y, m, s,
+                               qp, bitdepth, True)
+        return (sy,), (lv_y,)
+
+    if chroma:
+        xs = (bxs, bys, avail, valid, oy, ocb, ocr, modes_steps)
+        carry0 = (st_y0, st_c0, st_c0)
+    else:
+        xs = (bxs, bys, avail, valid, oy, modes_steps)
+        carry0 = (st_y0,)
+    carry, levels = jax.lax.scan(step_fn, carry0, xs)
+
+    rdt = jnp.uint8 if bitdepth <= 8 else jnp.uint16
+
+    def grid_to_plane(state, size):
+        return state.transpose(0, 1, 3, 2, 4).reshape(
+            b, plan.blocks_y * size, plan.blocks_x * size).astype(rdt)
+
+    def lv_out(lv):
+        # (steps, slots, B, S, S) -> (B, steps, slots, S, S)
+        return lv.transpose(2, 0, 1, 3, 4)
+
+    rec_y = grid_to_plane(carry[0], s)
+    if chroma:
+        return (rec_y, lv_out(levels[0]),
+                grid_to_plane(carry[1], s2), lv_out(levels[1]),
+                grid_to_plane(carry[2], s2), lv_out(levels[2]))
+    return rec_y, lv_out(levels[0]), None, None, None, None
 
 
 def reconstruct_frame(y, cb, cr, modes, plan: IntraFramePlan, qp: int,
                       qp_c: int, bitdepth: int = 8):
-    """Run the wavefront over all planes.
-
-    y: (H, W) int32; cb/cr: (H/2, W/2) or None; modes: (By, Bx) int32.
-    Returns (recon_y, levels_y, recon_cb, levels_cb, recon_cr, levels_cr)
-    with levels in (steps, slots, S, S) layout.
-    """
-    s = plan.cu_size
+    """Single-frame wrapper over reconstruct_frames."""
     chroma = cb is not None
-    slot_ids = jnp.asarray(np.maximum(plan.block_of_slot, 0))
-
-    def to_steps(plane, size):
-        by, bx = plan.blocks_y, plan.blocks_x
-        blocks = plane.reshape(by, size, bx, size).transpose(0, 2, 1, 3)
-        return blocks.reshape(by * bx, size, size)[slot_ids]
-
-    oy = to_steps(y.astype(jnp.int32), s)
-    modes_steps = modes.reshape(-1)[slot_ids].astype(jnp.int32)
-    g_y = jnp.asarray(plan.luma.gather_idx)
-    n_y = jnp.asarray(plan.luma.no_refs)
-    sc_y = jnp.asarray(plan.luma.scatter_idx)
-
+    out = reconstruct_frames(
+        y[None], None if not chroma else cb[None],
+        None if not chroma else cr[None], modes[None], plan, qp, qp_c,
+        bitdepth)
+    rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr = out
     if chroma:
-        sc2 = plan.chroma.size
-        ocb = to_steps(cb.astype(jnp.int32), sc2)
-        ocr = to_steps(cr.astype(jnp.int32), sc2)
-        g_c = jnp.asarray(plan.chroma.gather_idx)
-        n_c = jnp.asarray(plan.chroma.no_refs)
-        sc_c = jnp.asarray(plan.chroma.scatter_idx)
-
-    h, w = plan.height, plan.width
-    rec_y0 = jnp.zeros((h * w + 1,), jnp.int32)
-    if chroma:
-        rec_c0 = jnp.zeros(((h // 2) * (w // 2) + 1,), jnp.int32)
-
-    def step_fn(carry, xs):
-        if chroma:
-            ry, rcb, rcr = carry
-            gy, ny, scy, o_y, gc, nc, scc, o_cb, o_cr, m = xs
-        else:
-            (ry,) = carry
-            gy, ny, scy, o_y, m = xs
-        ry, lv_y = _plane_step(ry, gy, ny, scy, o_y, m, s, qp,
-                               bitdepth, True)
-        if chroma:
-            rcb, lv_cb = _plane_step(rcb, gc, nc, scc, o_cb, m, sc2,
-                                     qp_c, bitdepth, False)
-            rcr, lv_cr = _plane_step(rcr, gc, nc, scc, o_cr, m, sc2,
-                                     qp_c, bitdepth, False)
-            return (ry, rcb, rcr), (lv_y, lv_cb, lv_cr)
-        return (ry,), (lv_y,)
-
-    if chroma:
-        xs = (g_y, n_y, sc_y, oy, g_c, n_c, sc_c, ocb, ocr, modes_steps)
-        carry0 = (rec_y0, rec_c0, rec_c0)
-    else:
-        xs = (g_y, n_y, sc_y, oy, modes_steps)
-        carry0 = (rec_y0,)
-
-    carry, levels = jax.lax.scan(step_fn, carry0, xs)
-    rdt = jnp.uint8 if bitdepth <= 8 else jnp.uint16
-    rec_y = carry[0][:-1].reshape(h, w).astype(rdt)
-    if chroma:
-        rec_cb = carry[1][:-1].reshape(h // 2, w // 2).astype(rdt)
-        rec_cr = carry[2][:-1].reshape(h // 2, w // 2).astype(rdt)
-        return rec_y, levels[0], rec_cb, levels[1], rec_cr, levels[2]
-    return rec_y, levels[0], None, None, None, None
+        return (rec_y[0], lv_y[0], rec_cb[0], lv_cb[0], rec_cr[0],
+                lv_cr[0])
+    return rec_y[0], lv_y[0], None, None, None, None

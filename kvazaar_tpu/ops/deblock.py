@@ -1,0 +1,264 @@
+"""HEVC deblocking filter (8.7.2) for the all-intra uniform-CU case.
+
+Reference behavior: src/filter.c (kvz_filter_deblock_lcu and the
+strong/weak luma + chroma filters at src/filter.c:83-188).  The reference
+runs deblock per-LCU inside the job DAG with right/bottom-edge delays;
+on TPU the filter is a *frame-level post-pass*: intra prediction reads
+unfiltered reconstruction (spec), so deblocking has no feedback into the
+wavefront — every vertical edge filters in parallel, then every
+horizontal edge on that output.  No scatters: edges live on a static
+S-grid, so stripe extraction/insertion is static slicing.
+
+All-intra specifics baked in: boundary strength is always 2 (both sides
+intra, 8.7.2.4), every CU-grid line is a TU+PU boundary, uniform QP.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+# Spec Table 8-12 constants.
+TC_TABLE = np.array([
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 5, 5,
+    6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 22, 24], dtype=np.int32)
+BETA_TABLE = np.array([
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 7, 8, 9,
+    10, 11, 12, 13, 14, 15, 16, 17, 18, 20, 22, 24, 26, 28, 30, 32,
+    34, 36, 38, 40, 42, 44, 46, 48, 50, 52, 54, 56, 58, 60, 62, 64],
+    dtype=np.int32)
+
+
+def luma_params(qp: int, beta_off2: int, tc_off2: int, bitdepth: int):
+    """(beta, tc) for an intra edge (bs=2)."""
+    scale = 1 << (bitdepth - 8)
+    b_idx = min(max(qp + (beta_off2 << 1), 0), 51)
+    t_idx = min(max(qp + 2 + (tc_off2 << 1), 0), 53)
+    return int(BETA_TABLE[b_idx]) * scale, int(TC_TABLE[t_idx]) * scale
+
+
+def _clip(v, lo, hi):
+    return jnp.clip(v, lo, hi)
+
+
+def _filter_luma_stripes(stripe, beta: int, tc, bitdepth: int):
+    """Filter across an edge.  stripe: (..., G, 4, 8) int32 where the
+    last axis is [p3 p2 p1 p0 q0 q1 q2 q3] across the edge and axis -2
+    is the 4 lines of one decision group.  tc: scalar or array
+    broadcastable to the group shape (..., G) — bs-dependent per group.
+    Returns filtered stripes."""
+    tc = jnp.asarray(tc)
+    tc_l = tc[..., None] if tc.ndim else tc   # per-line broadcast
+    p3, p2, p1, p0 = (stripe[..., 0], stripe[..., 1], stripe[..., 2],
+                      stripe[..., 3])
+    q0, q1, q2, q3 = (stripe[..., 4], stripe[..., 5], stripe[..., 6],
+                      stripe[..., 7])
+    maxv = (1 << bitdepth) - 1
+
+    dp = jnp.abs(p2 - 2 * p1 + p0)         # (..., G, 4)
+    dq = jnp.abs(q2 - 2 * q1 + q0)
+    dp03 = dp[..., 0] + dp[..., 3]         # (..., G)
+    dq03 = dq[..., 0] + dq[..., 3]
+    d = dp03 + dq03
+    filter_on = d < beta
+
+    def strong_cond(i):
+        return ((2 * (dp[..., i] + dq[..., i]) < (beta >> 2))
+                & (jnp.abs(p3[..., i] - p0[..., i])
+                   + jnp.abs(q0[..., i] - q3[..., i]) < (beta >> 3))
+                & (jnp.abs(p0[..., i] - q0[..., i])
+                   < ((5 * tc + 1) >> 1)))
+
+    strong = strong_cond(0) & strong_cond(3)     # (..., G)
+
+    # Strong filter (clipped to +-2tc around the originals).
+    def sclip(v, orig):
+        return _clip(v, orig - 2 * tc_l, orig + 2 * tc_l)
+
+    sp0 = sclip((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3, p0)
+    sp1 = sclip((p2 + p1 + p0 + q0 + 2) >> 2, p1)
+    sp2 = sclip((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
+    sq0 = sclip((p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3, q0)
+    sq1 = sclip((p0 + q0 + q1 + q2 + 2) >> 2, q1)
+    sq2 = sclip((p0 + q0 + q1 + 3 * q2 + 2 * q3 + 4) >> 3, q2)
+
+    # Weak filter.
+    delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+    weak_on = jnp.abs(delta) < 10 * tc_l          # per line
+    dlt = _clip(delta, -tc_l, tc_l)
+    wp0 = _clip(p0 + dlt, 0, maxv)
+    wq0 = _clip(q0 - dlt, 0, maxv)
+    side_thr = (beta + (beta >> 1)) >> 3
+    filt_p = (dp03 < side_thr)[..., None]
+    filt_q = (dq03 < side_thr)[..., None]
+    tc2 = tc_l >> 1
+    dp1 = _clip((((p2 + p0 + 1) >> 1) - p1 + dlt) >> 1, -tc2, tc2)
+    dq1 = _clip((((q2 + q0 + 1) >> 1) - q1 - dlt) >> 1, -tc2, tc2)
+    wp1 = _clip(p1 + dp1, 0, maxv)
+    wq1 = _clip(q1 + dq1, 0, maxv)
+
+    on = (filter_on & (tc > 0) if tc.ndim else filter_on)[..., None]
+    st = strong[..., None] & on
+    wk = (~strong)[..., None] & on & weak_on
+
+    out = stripe
+    out = out.at[..., 1].set(jnp.where(st, sp2, p2))
+    out = out.at[..., 2].set(
+        jnp.where(st, sp1, jnp.where(wk & filt_p, wp1, p1)))
+    out = out.at[..., 3].set(jnp.where(st, sp0, jnp.where(wk, wp0, p0)))
+    out = out.at[..., 4].set(jnp.where(st, sq0, jnp.where(wk, wq0, q0)))
+    out = out.at[..., 5].set(
+        jnp.where(st, sq1, jnp.where(wk & filt_q, wq1, q1)))
+    out = out.at[..., 6].set(jnp.where(st, sq2, q2))
+    return out
+
+
+def _filter_chroma_stripes_tc(stripe, tc, bitdepth: int):
+    """stripe: (..., 4) = [p1 p0 q0 q1]; tc broadcastable to the line
+    shape (tc 0 disables — the clip pins delta to 0)."""
+    p1, p0, q0, q1 = (stripe[..., 0], stripe[..., 1], stripe[..., 2],
+                      stripe[..., 3])
+    maxv = (1 << bitdepth) - 1
+    delta = _clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
+    out = stripe
+    out = out.at[..., 1].set(_clip(p0 + delta, 0, maxv))
+    out = out.at[..., 2].set(_clip(q0 - delta, 0, maxv))
+    return out
+
+
+def _deblock_plane_vertical(plane, edge_step: int, filt_fn, taps: int,
+                            bs_edges):
+    """Filter all vertical edges at x = edge_step, 2*edge_step, ...
+    plane: (..., H, W).  bs_edges: (E, By) int32 boundary strength per
+    edge per block-row (or None for all-bs2 intra frames)."""
+    w = plane.shape[-1]
+    edges = list(range(edge_step, w, edge_step))
+    if not edges:
+        return plane
+    half = taps // 2
+    stripes = jnp.stack([plane[..., :, x - half:x + half]
+                         for x in edges], axis=-2)  # (..., H, E, taps)
+    filtered = filt_fn(stripes, bs_edges)
+    for i, x in enumerate(edges):
+        plane = plane.at[..., :, x - half:x + half].set(
+            filtered[..., :, i, :])
+    return plane
+
+
+def _tc_lookup(qp_plus: int, bs, scale: int):
+    """tc per entry from a bs array (0 → tc 0, disabling the filter;
+    all clips become +-0 no-ops exactly as the spec skips bs=0)."""
+    idx = jnp.clip(qp_plus + 2 * (bs - 1), 0, 53)
+    tc = jnp.asarray(TC_TABLE)[idx] * scale
+    return jnp.where(bs > 0, tc, 0)
+
+
+def deblock_plane(plane, qp: int, edge_step: int, bitdepth: int = 8,
+                  beta_off2: int = 0, tc_off2: int = 0,
+                  chroma: bool = False, bs_v=None, bs_h=None,
+                  blk: int = 0):
+    """Deblock one plane: vertical edges pass then horizontal pass.
+
+    plane: (..., H, W) int32; edge_step: S for luma, S/2 for chroma
+    (chroma only filters edges on its own 8-grid).  bs_v/bs_h:
+    (By, Bx) int32 boundary strength of each block's left/top edge on
+    the *block* grid of size `blk` (defaults: all 2 = all-intra)."""
+    scale = 1 << (bitdepth - 8)
+    if chroma:
+        from kvazaar_tpu.encoder.frame_encoder import chroma_qp
+        cqp = chroma_qp(qp)
+        qp_plus = cqp + (tc_off2 << 1)
+        step = max(edge_step, 8)   # chroma filters only its 8-grid
+        taps = 4
+    else:
+        beta, _ = luma_params(qp, beta_off2, tc_off2, bitdepth)
+        if beta == 0:
+            return plane
+        qp_plus = qp + (tc_off2 << 1)
+        step = edge_step
+        taps = 8
+    if blk == 0:
+        blk = step
+
+    def edge_bs(bs_map, n_edges, transposed):
+        # (E, By_blocks): bs of edge e (coordinate (e+1)*step) for each
+        # block row along the edge.
+        if bs_map is None:
+            return None
+        m = jnp.swapaxes(bs_map, 0, 1) if transposed else bs_map
+        cols = (np.arange(n_edges) + 1) * step // blk
+        return jnp.swapaxes(m[:, cols], 0, 1)    # (E, Brows)
+
+    def tc_groups(bs_e, n_edges, n_groups, lines_per_blk):
+        # (E, G) tc per 4-line decision group.
+        if bs_e is None:
+            bs_arr = jnp.full((n_edges, n_groups), 2, jnp.int32)
+        else:
+            rows = np.minimum(np.arange(n_groups) * 4 // lines_per_blk,
+                              bs_e.shape[1] - 1)
+            bs_arr = bs_e[:, rows]
+        return _tc_lookup(qp_plus, bs_arr, scale)
+
+    def filt_factory(bs_map, transposed, height):
+        if chroma:
+            def filt(stripes, _bs):
+                # stripes: (..., H, E, 4); per-line tc from per-block bs
+                # (chroma filters only bs==2).
+                n_e = stripes.shape[-2]
+                bs_e = edge_bs(bs_map, n_e, transposed)
+                if bs_e is None:
+                    bs_lines = jnp.full((n_e, height), 2, jnp.int32)
+                else:
+                    rows = np.minimum(np.arange(height) // blk,
+                                      bs_e.shape[1] - 1)
+                    bs_lines = bs_e[:, rows]
+                tc = _tc_lookup(qp_plus, jnp.where(bs_lines == 2, 2, 0),
+                                scale)
+                tc = jnp.swapaxes(tc, 0, 1)      # (H, E)
+                return _filter_chroma_stripes_tc(stripes, tc, bitdepth)
+            return filt
+
+        def filt(stripes, _bs):
+            sh = stripes.shape
+            g = sh[-3] // 4
+            n_e = sh[-2]
+            bs_e = edge_bs(bs_map, n_e, transposed)
+            tc = tc_groups(bs_e, n_e, g, blk)    # (E, g)
+            s4 = stripes.reshape(*sh[:-3], g, 4, sh[-2], sh[-1])
+            s4 = jnp.swapaxes(s4, -2, -3)   # (..., g, E, 4, taps)
+            s4 = jnp.swapaxes(s4, -4, -3)   # (..., E, g, 4, taps)
+            out = _filter_luma_stripes(s4, beta, tc, bitdepth)
+            out = jnp.swapaxes(out, -4, -3)
+            out = jnp.swapaxes(out, -2, -3)
+            return out.reshape(sh)
+        return filt
+
+    h, w = plane.shape[-2], plane.shape[-1]
+    plane = _deblock_plane_vertical(
+        plane, step, filt_factory(bs_v, False, h), taps, None)
+    # Horizontal edges = vertical pass on the transpose.
+    planeT = jnp.swapaxes(plane, -1, -2)
+    planeT = _deblock_plane_vertical(
+        planeT, step, filt_factory(bs_h, True, w), taps, None)
+    return jnp.swapaxes(planeT, -1, -2)
+
+
+def deblock_frame(y, cb, cr, qp: int, cu_size: int, bitdepth: int = 8,
+                  beta_off2: int = 0, tc_off2: int = 0,
+                  bs_v=None, bs_h=None):
+    """Deblock a full frame (y: (..., H, W); cb/cr half size or None).
+
+    bs_v/bs_h: per-CU-edge boundary strengths on the (By, Bx) grid
+    (bs_v[by][bx] = edge at x = bx*S); None = all-intra bs 2."""
+    y = deblock_plane(y.astype(jnp.int32), qp, cu_size, bitdepth,
+                      beta_off2, tc_off2, chroma=False,
+                      bs_v=bs_v, bs_h=bs_h, blk=cu_size)
+    if cb is not None:
+        cb = deblock_plane(cb.astype(jnp.int32), qp, cu_size // 2,
+                           bitdepth, beta_off2, tc_off2, chroma=True,
+                           bs_v=bs_v, bs_h=bs_h, blk=cu_size // 2)
+        cr = deblock_plane(cr.astype(jnp.int32), qp, cu_size // 2,
+                           bitdepth, beta_off2, tc_off2, chroma=True,
+                           bs_v=bs_v, bs_h=bs_h, blk=cu_size // 2)
+    return y, cb, cr

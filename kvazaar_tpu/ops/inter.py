@@ -1,0 +1,141 @@
+"""Inter prediction ops: fractional-sample interpolation and batched
+full-search SAD motion estimation.
+
+Reference behavior: src/strategies/generic/ipol-generic.c (8-tap luma /
+4-tap chroma filters), src/inter.c:314 (inter_recon_unipred),
+src/search_inter.c:886 (search_mv_full).  TPU design notes:
+
+- MC gathers a clamped (S+7)x(S+7) window per block (the gather's index
+  clamp IS the spec's edge padding, 8.5.4.2.2) and applies the
+  separable filters as per-block 8-tap contractions via the exact
+  bf16 einsum layer.
+- ME is exhaustive: SAD of every MV in a +-R window, computed as a scan
+  over dy with all dx evaluated by static shifts — the reference's
+  hexagon/tz searches are branch-and-prune CPU patterns; on TPU dense
+  evaluation is cheaper than divergence (SURVEY.md §7 stage 5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kvazaar_tpu.ops.exactmm import einsum_exact
+
+# H.265 Table 8-11: luma 8-tap filters per quarter phase.
+LUMA_FILTERS = np.array([
+    [0, 0, 0, 64, 0, 0, 0, 0],
+    [-1, 4, -10, 58, 17, -5, 1, 0],
+    [-1, 4, -11, 40, 40, -11, 4, -1],
+    [0, 1, -5, 17, 58, -10, 4, -1],
+], dtype=np.int32)
+
+# H.265 Table 8-12 (chroma): 4-tap filters per eighth phase.
+CHROMA_FILTERS = np.array([
+    [0, 64, 0, 0],
+    [-2, 58, 10, -2],
+    [-4, 54, 16, -2],
+    [-6, 46, 28, -4],
+    [-4, 36, 36, -4],
+    [-4, 28, 46, -6],
+    [-2, 16, 54, -4],
+    [-2, 10, 58, -2],
+], dtype=np.int32)
+
+
+def gather_windows(plane, x0s, y0s, win: int):
+    """Clamped window gather: (N, win, win) from (H, W) at per-block
+    integer origins (may be out of bounds — clamping implements the
+    spec's boundary padding)."""
+    h, w = plane.shape[-2], plane.shape[-1]
+    ys = jnp.clip(y0s[:, None] + jnp.arange(win)[None, :], 0, h - 1)
+    xs = jnp.clip(x0s[:, None] + jnp.arange(win)[None, :], 0, w - 1)
+    return plane[ys[:, :, None], xs[:, None, :]]
+
+
+def _tap_contract(win, coeffs, taps: int, out_len: int, axis_last: bool,
+                  x_bound: int):
+    """Apply a per-block FIR along the last (or second-to-last) axis.
+
+    win: (N, H, W); coeffs: (N, taps).  Returns (N, H, out_len) for
+    axis_last else (N, out_len, W)."""
+    if not axis_last:
+        return jnp.swapaxes(
+            _tap_contract(jnp.swapaxes(win, -1, -2), coeffs, taps,
+                          out_len, True, x_bound), -1, -2)
+    sl = jnp.stack([win[..., k:k + out_len] for k in range(taps)],
+                   axis=1)                      # (N, taps, H, out)
+    return einsum_exact("bk,bkyx->byx", coeffs, sl, x_bound)
+
+
+def mc_luma(plane, x0s, y0s, mvs, size: int, bitdepth: int = 8):
+    """Motion-compensated luma prediction (uni-pred, 8.5.4.2.2.1).
+
+    plane: (H, W) int32 reference; x0s/y0s: (N,) block origins;
+    mvs: (N, 2) quarter-pel (mvx, mvy).  Returns (N, S, S) int32 pixels.
+    """
+    ix = x0s + (mvs[:, 0] >> 2)
+    iy = y0s + (mvs[:, 1] >> 2)
+    fx = mvs[:, 0] & 3
+    fy = mvs[:, 1] & 3
+    win = gather_windows(plane, ix - 3, iy - 3, size + 7)
+    lf = jnp.asarray(LUMA_FILTERS)
+    cfx = lf[fx]                                # (N, 8)
+    cfy = lf[fy]
+    shift1 = bitdepth - 8
+    # Horizontal pass over rows (need size+7 rows for the vertical tap).
+    hor = _tap_contract(win, cfx, 8, size, True, 1 << bitdepth)
+    hor = hor >> shift1 if shift1 else hor      # 14-bit intermediates
+    ver = _tap_contract(hor, cfy, 8, size, False, 1 << 15) >> 6
+    # Default weighted-sample process for uni-pred (8.5.4.2.3.1).
+    shift2 = 14 - bitdepth
+    off = 1 << (shift2 - 1)
+    return jnp.clip((ver + off) >> shift2, 0, (1 << bitdepth) - 1)
+
+
+def mc_chroma(plane, x0s, y0s, mvs, size: int, bitdepth: int = 8):
+    """Chroma MC (4-tap, eighth-pel).  mvs are the LUMA quarter-pel MVs;
+    chroma MV = luma MV (eighth-pel in chroma samples for 4:2:0)."""
+    cx = mvs[:, 0]
+    cy = mvs[:, 1]
+    ix = x0s + (cx >> 3)
+    iy = y0s + (cy >> 3)
+    fx = cx & 7
+    fy = cy & 7
+    win = gather_windows(plane, ix - 1, iy - 1, size + 3)
+    cf = jnp.asarray(CHROMA_FILTERS)
+    shift1 = bitdepth - 8
+    hor = _tap_contract(win, cf[fx], 4, size, True, 1 << bitdepth)
+    hor = hor >> shift1 if shift1 else hor
+    ver = _tap_contract(hor, cf[fy], 4, size, False, 1 << 15) >> 6
+    shift2 = 14 - bitdepth
+    off = 1 << (shift2 - 1)
+    return jnp.clip((ver + off) >> shift2, 0, (1 << bitdepth) - 1)
+
+
+def sad_full_search(cur_blocks, ref_plane, x0s, y0s, radius: int,
+                    size: int):
+    """Exhaustive integer-pel SAD over a +-radius window.
+
+    cur_blocks: (N, S, S); ref_plane: (H, W); x0s/y0s: (N,).
+    Returns sads: (N, 2R+1, 2R+1) int32 indexed [dy+R, dx+R].
+    """
+    r = radius
+    n = cur_blocks.shape[0]
+    cur = cur_blocks.astype(jnp.int32)
+
+    def row_sads(dy):
+        # Rows y0+dy..y0+dy+S-1, columns x0-R..x0+S+R-1 (clamped).
+        win = gather_windows(ref_plane, x0s - r, y0s + dy,
+                             size + 2 * r)[:, :size, :]
+        # (N, S, S+2R) -> SAD for each dx by static shifts.
+        sl = jnp.stack([win[..., k:k + size] for k in range(2 * r + 1)],
+                       axis=1)                  # (N, 2R+1, S, S)
+        return jnp.sum(jnp.abs(sl - cur[:, None]), axis=(-2, -1))
+
+    dys = jnp.arange(-r, r + 1)
+    sads = jax.lax.map(row_sads, dys)           # (2R+1, N, 2R+1)
+    return jnp.transpose(sads, (1, 0, 2)).astype(jnp.int32)

@@ -317,6 +317,35 @@ struct Serializer {
     c.align_zero();
   }
 
+  // WPP: one CABAC substream per CTU row; contexts inherited from the
+  // row above after its 2nd CTU (9.3.2.3).  Substream bytes appended to
+  // `out`; per-row byte sizes into `sizes`.
+  void encode_slice_wpp(std::vector<uint8_t> &out,
+                        std::vector<int64_t> &sizes) {
+    int ctu = 1 << p.log2_ctu;
+    int ctus_x = (p.width + ctu - 1) >> p.log2_ctu;
+    int ctus_y = (p.height + ctu - 1) >> p.log2_ctu;
+    Contexts saved;
+    bool have_saved = false;
+    for (int row = 0; row < ctus_y; row++) {
+      if (row > 0) {
+        if (have_saved) ctx = saved;
+        else ctx.init(p.qp);
+        c = CabacEnc();
+      }
+      for (int cxi = 0; cxi < ctus_x; cxi++) {
+        quadtree(cxi << p.log2_ctu, row << p.log2_ctu, p.log2_ctu, 0);
+        bool last = (row == ctus_y - 1) && (cxi == ctus_x - 1);
+        c.terminate(last ? 1 : 0);
+        if (cxi == 1) { saved = ctx; have_saved = true; }
+        if (cxi == ctus_x - 1 && !last) c.terminate(1);
+      }
+      c.align_zero();
+      sizes.push_back((int64_t)c.bytes.size());
+      out.insert(out.end(), c.bytes.begin(), c.bytes.end());
+    }
+  }
+
   void quadtree(int x0, int y0, int log2_size, int depth) {
     int size = 1 << log2_size;
     bool inside = x0 + size <= p.width && y0 + size <= p.height;
@@ -585,6 +614,30 @@ int64_t ktpu_encode_slice_data(
   int64_t n = (int64_t)s.c.bytes.size();
   if (n > out_cap) return -1;
   std::memcpy(out, s.c.bytes.data(), (size_t)n);
+  return n;
+}
+
+// WPP variant: entry_sizes must hold >= height_in_ctus entries; the
+// number of substreams is written to *n_substreams.
+int64_t ktpu_encode_slice_data_wpp(
+    int width, int height, int chroma, int qp,
+    int log2_ctu, int log2_min_cu, int log2_max_tu,
+    const uint8_t *depth8, const uint8_t *mode4,
+    const int32_t *coeff_y, const int32_t *coeff_cb,
+    const int32_t *coeff_cr,
+    uint8_t *out, int64_t out_cap,
+    int64_t *entry_sizes, int32_t *n_substreams) {
+  FrameParams fp{width, height, chroma, qp, log2_ctu, log2_min_cu,
+                 log2_max_tu, depth8, mode4, coeff_y, coeff_cb, coeff_cr};
+  Serializer s(fp);
+  std::vector<uint8_t> bytes;
+  std::vector<int64_t> sizes;
+  s.encode_slice_wpp(bytes, sizes);
+  int64_t n = (int64_t)bytes.size();
+  if (n > out_cap) return -1;
+  std::memcpy(out, bytes.data(), (size_t)n);
+  for (size_t i = 0; i < sizes.size(); i++) entry_sizes[i] = sizes[i];
+  *n_substreams = (int32_t)sizes.size();
   return n;
 }
 

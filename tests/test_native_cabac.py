@@ -52,3 +52,25 @@ def test_native_zero_frame():
     fd.mode4[:] = 26
     assert native.encode_slice_data_native(params, fd, 22) == \
         python_slice_bytes(params, fd, 22)
+
+
+def python_slice_bytes_wpp(params, fd, qp):
+    w = BitWriter()
+    enc = SliceDataEncoder(params, fd, Contexts(SLICE_I, qp),
+                           CabacEncoder(w))
+    sizes = enc.encode_slice_data_wpp()
+    return w.get_bytes(), sizes
+
+
+@pytest.mark.parametrize("width,height,seed,qp", [
+    (192, 128, 7, 27), (128, 256, 8, 35), (64, 64, 9, 22),
+])
+def test_native_wpp_matches_python(width, height, seed, qp):
+    from kvazaar_tpu.bitstream import native as nat
+    rng = np.random.default_rng(seed)
+    params = StreamParams(width=width, height=height, qp=qp, wpp=True)
+    fd = random_frame_data(rng, width, height, True)
+    py, py_sizes = python_slice_bytes_wpp(params, fd, qp)
+    nb, nb_sizes = nat.encode_slice_data_native_wpp(params, fd, qp)
+    assert nb_sizes == py_sizes
+    assert nb == py

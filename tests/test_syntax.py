@@ -122,3 +122,91 @@ def test_slice_data_zero_frame():
     out, nbytes = roundtrip(fd, params)
     np.testing.assert_array_equal(out.coeff_y, fd.coeff_y)
     assert nbytes < 200   # skip-ish frame stays tiny
+
+
+def random_p_frame_data(rng, width, height, chroma=True):
+    """Random P-slice FrameData obeying encoder invariants: skip CUs
+    have no coefficients; merge non-skip CUs carry >=1 luma coeff."""
+    fd = random_frame_data(rng, width, height, chroma, density=0.15)
+    g8h, g8w = fd.depth8.shape
+    seen = np.zeros((g8h, g8w), bool)
+    for c8y in range(g8h):
+        for c8x in range(g8w):
+            if seen[c8y, c8x]:
+                continue
+            depth = fd.depth8[c8y, c8x]
+            size = 64 >> depth
+            cells = max(size >> 3, 1)
+            y0, x0 = c8y * 8, c8x * 8
+            seen[c8y:c8y + cells, c8x:c8x + cells] = True
+            kind = rng.random()
+            if kind < 0.35:
+                continue                      # stays intra
+            fd.inter8[c8y:c8y + cells, c8x:c8x + cells] = 1
+            mv = rng.integers(-64, 65, 2)
+            fd.mv8[c8y:c8y + cells, c8x:c8x + cells] = mv
+            ys, xs = slice(y0, y0 + size), slice(x0, x0 + size)
+            cys = slice(y0 // 2, (y0 + size) // 2)
+            cxs = slice(x0 // 2, (x0 + size) // 2)
+            if kind < 0.55:                   # skip: merge, no coeffs
+                # skip flag lives on every cell of the CU: the
+                # cu_skip_flag ctx reads neighbor CUs' edge cells.
+                fd.skip8[c8y:c8y + cells, c8x:c8x + cells] = 1
+                fd.merge8[c8y, c8x] = rng.integers(0, 5)
+                fd.coeff_y[ys, xs] = 0
+                if chroma:
+                    fd.coeff_cb[cys, cxs] = 0
+                    fd.coeff_cr[cys, cxs] = 0
+            elif kind < 0.75:                 # merge non-skip
+                fd.merge8[c8y, c8x] = rng.integers(0, 5)
+                if not np.any(fd.coeff_y[ys, xs]):
+                    fd.coeff_y[y0 + rng.integers(size),
+                               x0 + rng.integers(size)] = \
+                        rng.integers(1, 9)
+            else:                             # AMVP
+                fd.mvd8[c8y, c8x] = rng.integers(-200, 201, 2)
+                fd.mvp8[c8y, c8x] = rng.integers(0, 2)
+    return fd
+
+
+def roundtrip_p(fd, params):
+    from kvazaar_tpu.constants import SLICE_P
+    w = BitWriter()
+    enc = SliceDataEncoder(params, fd, Contexts(SLICE_P, params.qp),
+                           CabacEncoder(w))
+    enc.encode_slice_data()
+    w.align_zero()
+    data = w.get_bytes()
+    out = FrameData.empty(params.width, params.height,
+                          params.chroma_format_idc != 0)
+    dec = SliceDataDecoder(params, out, Contexts(SLICE_P, params.qp),
+                           CabacDecoder(BitReader(data)))
+    dec.decode_slice_data()
+    return out, len(data)
+
+
+@pytest.mark.parametrize("width,height,chroma,seed", [
+    (64, 64, True, 10),
+    (128, 128, True, 11),
+    (192, 64, False, 12),
+    (104, 72, True, 13),
+])
+def test_p_slice_roundtrip(width, height, chroma, seed):
+    rng = np.random.default_rng(seed)
+    params = StreamParams(width=width, height=height, qp=30,
+                          chroma_format_idc=1 if chroma else 0)
+    fd = random_p_frame_data(rng, width, height, chroma)
+    out, _ = roundtrip_p(fd, params)
+    np.testing.assert_array_equal(out.depth8, fd.depth8)
+    np.testing.assert_array_equal(out.inter8, fd.inter8)
+    np.testing.assert_array_equal(out.skip8, fd.skip8)
+    np.testing.assert_array_equal(out.merge8, fd.merge8)
+    np.testing.assert_array_equal(out.mvp8 * (fd.merge8 < 0),
+                                  fd.mvp8 * (fd.merge8 < 0))
+    np.testing.assert_array_equal(out.mvd8, fd.mvd8)
+    np.testing.assert_array_equal(out.coeff_y, fd.coeff_y)
+    np.testing.assert_array_equal(out.coeff_cb, fd.coeff_cb)
+    np.testing.assert_array_equal(out.coeff_cr, fd.coeff_cr)
+    # Intra modes preserved where intra.
+    intra4 = np.kron(1 - fd.inter8, np.ones((2, 2), np.uint8))
+    np.testing.assert_array_equal(out.mode4 * intra4, fd.mode4 * intra4)
