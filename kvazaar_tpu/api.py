@@ -45,12 +45,23 @@ class Encoder:
         return self._intra.headers()
 
     def encode(self, y: np.ndarray, cb=None, cr=None):
-        """Encode one frame; returns (annexb_bytes, FrameInfo, recon)."""
+        """Encode one frame; returns (annexb_bytes, FrameInfo, recon).
+
+        GOP control (low-delay IPPP, reference's --period semantics):
+        intra_period == 1 → all-intra; N > 1 → IDR every N frames;
+        0 → only the first frame is intra."""
         chunks = b""
         if not self._wrote_headers:
             chunks += self.headers()
             self._wrote_headers = True
-        res = self._intra.encode_frame(y, cb, cr)
+        period = self.cfg.intra_period
+        is_intra = (self._poc == 0 or period == 1
+                    or (period > 1 and self._poc % period == 0))
+        if is_intra:
+            res = self._intra.encode_frame(y, cb, cr)
+        else:
+            res = self._intra.encode_p_frame(y, cb, cr, poc=self._poc,
+                                             ref_poc=self._poc - 1)
         h, w = y.shape
         rec_y = res.recon_y[:h, :w]
         rec_cb = rec_cr = None

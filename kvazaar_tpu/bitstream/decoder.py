@@ -33,18 +33,31 @@ from kvazaar_tpu.ops.quant import dequantize
 from kvazaar_tpu.ops.transform import inverse_transform
 
 
-def parse_slice_header_i(r: BitReader, p: StreamParams):
-    """Parse the IDR I-slice header we emit; returns (slice QP,
-    entry-point offsets)."""
+def parse_slice_header(r: BitReader, p: StreamParams, nal_type: int):
+    """Parse the slice headers we emit; returns (slice_type, QP, POC,
+    ref_poc_diff, entry-point offsets)."""
     assert r.u(1) == 1            # first_slice_segment_in_pic_flag
-    r.u(1)                        # no_output_of_prior_pics_flag
+    if 16 <= nal_type <= 23:
+        r.u(1)                    # no_output_of_prior_pics_flag
     assert r.ue() == 0            # slice_pic_parameter_set_id
     slice_type = r.ue()
-    assert slice_type == 2
+    poc = 0
+    ref_poc_diff = 1
+    if nal_type not in (19, 20):
+        poc = r.u(p.log2_max_poc_lsb)
+        assert r.u(1) == 0        # short_term_ref_pic_set_sps_flag
+        neg = r.ue()              # num_negative_pics
+        assert r.ue() == 0        # num_positive_pics
+        assert neg == 1
+        ref_poc_diff = r.ue() + 1
+        r.u(1)                    # used_by_curr_pic_s0_flag
     if p.sao_enabled:
         r.u(1)
         if p.chroma_format_idc:
             r.u(1)
+    if slice_type != 2:
+        assert r.u(1) == 0        # num_ref_idx_active_override_flag
+        r.ue()                    # five_minus_max_num_merge_cand
     qp = p.qp + r.se()
     if p.sao_enabled or p.deblock_enabled:
         r.u(1)
@@ -56,21 +69,34 @@ def parse_slice_header_i(r: BitReader, p: StreamParams):
             entries = [r.u(ln) + 1 for _ in range(n)]
     assert r.bit() == 1           # byte alignment bit
     r.byte_align()
+    return slice_type, qp, poc, ref_poc_diff, entries
+
+
+def parse_slice_header_i(r: BitReader, p: StreamParams):
+    """Back-compat wrapper: (QP, entry offsets) of an IDR I slice."""
+    st, qp, _poc, _rpd, entries = parse_slice_header(r, p, 19)
+    assert st == 2
     return qp, entries
 
 
 def decode_stream(stream: bytes, params: StreamParams):
     """Decode the (subset) stream → list of (recon_y, recon_cb, recon_cr)
-    per frame, plus parsed FrameData per frame."""
+    per frame, plus parsed FrameData per frame.  Maintains a 1-picture
+    DPB for P slices."""
+    from kvazaar_tpu.constants import SLICE_P
     frames = []
+    ref = None
     for nal_type, _tid, rbsp in split_annexb(stream):
-        if nal_type in (19, 20):  # IDR slice
+        if nal_type in (0, 1, 19, 20):   # TRAIL or IDR slices
             r = BitReader(rbsp)
-            qp, entries = parse_slice_header_i(r, params)
+            slice_type, qp, _poc, _rpd, entries = parse_slice_header(
+                r, params, nal_type)
             chroma = params.chroma_format_idc != 0
             fd = FrameData.empty(params.width, params.height, chroma)
             cab = CabacDecoder(r)
-            dec = SliceDataDecoder(params, fd, Contexts(SLICE_I, qp), cab)
+            ctx_slice = 2 if slice_type == 2 else SLICE_P
+            dec = SliceDataDecoder(params, fd, Contexts(ctx_slice, qp),
+                                   cab)
             if params.wpp:
                 # The header parse ended byte-aligned; the CabacDecoder
                 # init then read 9 bits, so slice data begins at
@@ -80,9 +106,107 @@ def decode_stream(stream: bytes, params: StreamParams):
                 dec.decode_slice_data_wpp(rbsp, start, sizes)
             else:
                 dec.decode_slice_data()
-            recon = reconstruct_parsed(fd, params, qp)
+            if slice_type == 2:
+                recon = reconstruct_parsed(fd, params, qp)
+            else:
+                reconstruct_mvs(fd, params)
+                recon = reconstruct_parsed_p(fd, params, qp, ref)
             frames.append((recon, fd))
+            ref = recon
     return frames
+
+
+def reconstruct_mvs(fd: FrameData, params: StreamParams) -> None:
+    """Sequential decode-order MV reconstruction for a P frame
+    (8.5.3.2): merge index → candidate list, or AMVP + mvd.  Fills
+    fd.mv8 in place."""
+    from kvazaar_tpu.encoder.geometry import make_intra_plan
+    from kvazaar_tpu.encoder.inter_cands import (amvp_pair_at,
+                                                 merge_list_at)
+    depth = int(fd.depth8[0, 0])
+    s = params.ctu_size >> depth
+    c8 = s // 8
+    chroma = params.chroma_format_idc != 0
+    plan = make_intra_plan(params.width, params.height, s, chroma)
+    by, bx = plan.blocks_y, plan.blocks_x
+    inter_map = fd.inter8[::c8, ::c8].astype(bool)
+    mv = np.zeros((by, bx, 2), np.int32)
+    order = np.argsort(
+        (plan.step_of_block.astype(np.int64) * (by * bx)
+         + np.arange(by * bx).reshape(by, bx)).ravel(), kind="stable")
+    # Decode order: any topological order consistent with availability
+    # works for MV reconstruction; wavefront step order is one.
+    for bid in order:
+        y, x = divmod(int(bid), bx)
+        if not inter_map[y, x]:
+            continue
+        midx = int(fd.merge8[y * c8, x * c8])
+        if midx >= 0:
+            cands = merge_list_at(inter_map, mv, plan.avail, y, x)
+            mv[y, x] = cands[midx]
+        else:
+            pair = amvp_pair_at(inter_map, mv, plan.avail, y, x)
+            mvp = pair[int(fd.mvp8[y * c8, x * c8])]
+            mv[y, x] = (mvp[0] + fd.mvd8[y * c8, x * c8][0],
+                        mvp[1] + fd.mvd8[y * c8, x * c8][1])
+    fd.mv8[:] = np.kron(mv, np.ones((c8, c8, 1), np.int32)).reshape(
+        fd.mv8.shape)
+
+
+def reconstruct_parsed_p(fd: FrameData, params: StreamParams, qp: int,
+                         ref):
+    """P-frame reconstruction from parsed syntax + reference planes."""
+    from kvazaar_tpu.encoder.frame_encoder import (chroma_qp,
+                                                   compute_bs_maps)
+    from kvazaar_tpu.encoder.inter_search import mc_planes
+    from kvazaar_tpu.ops.deblock import deblock_frame
+    depth = int(fd.depth8[0, 0])
+    s = params.ctu_size >> depth
+    c8 = s // 8
+    chroma = params.chroma_format_idc != 0
+    plan = make_intra_plan(params.width, params.height, s, chroma)
+    modes = fd.mode4[::s // 4, ::s // 4].astype(np.int32)
+    inter_map = fd.inter8[::c8, ::c8].astype(bool)
+    mv = fd.mv8[::c8, ::c8].astype(np.int32)
+
+    ref_y, ref_cb, ref_cr = ref
+    mc_y, mc_cb, mc_cr = mc_planes(
+        jnp.asarray(np.asarray(ref_y, np.int32)),
+        None if ref_cb is None else jnp.asarray(
+            np.asarray(ref_cb, np.int32)),
+        None if ref_cr is None else jnp.asarray(
+            np.asarray(ref_cr, np.int32)),
+        jnp.asarray(mv), plan, params.bitdepth)
+
+    lv_y = _blocks_by_step(fd.coeff_y, plan.luma, plan)
+    lv_cb = lv_cr = None
+    if chroma:
+        lv_cb = _blocks_by_step(fd.coeff_cb, plan.chroma, plan)
+        lv_cr = _blocks_by_step(fd.coeff_cr, plan.chroma, plan)
+
+    out = _decode_recon_impl(
+        plan, s, chroma, qp, chroma_qp(qp), params.bitdepth,
+        jnp.asarray(lv_y),
+        None if lv_cb is None else jnp.asarray(lv_cb),
+        None if lv_cr is None else jnp.asarray(lv_cr),
+        jnp.asarray(modes), is_inter=jnp.asarray(inter_map),
+        mc_y=mc_y, mc_cb=mc_cb, mc_cr=mc_cr)
+    rec_y, rec_cb, rec_cr = out
+    if params.deblock_enabled:
+        cbf_blk = np.any(
+            fd.coeff_y.reshape(plan.blocks_y, s, plan.blocks_x, s) != 0,
+            axis=(1, 3))
+        bs_v, bs_h = compute_bs_maps(jnp.asarray(inter_map),
+                                     jnp.asarray(cbf_blk),
+                                     jnp.asarray(mv))
+        rec_y, rec_cb, rec_cr = deblock_frame(
+            rec_y, rec_cb, rec_cr, qp, s, params.bitdepth,
+            params.deblock_beta_offset_div2,
+            params.deblock_tc_offset_div2, bs_v=bs_v, bs_h=bs_h)
+    rec_y = np.asarray(rec_y)
+    rec_cb = None if rec_cb is None else np.asarray(rec_cb)
+    rec_cr = None if rec_cr is None else np.asarray(rec_cr)
+    return rec_y, rec_cb, rec_cr
 
 
 def reconstruct_parsed(fd: FrameData, params: StreamParams, qp: int):
@@ -121,11 +245,14 @@ def reconstruct_parsed(fd: FrameData, params: StreamParams, qp: int):
 
 
 def _plane_step_from_levels(recon_flat, gidx, noref, scatter, levels,
-                            modes, size, qp, bitdepth, luma):
+                            modes, size, qp, bitdepth, luma,
+                            inter=None, mc=None):
     refs = recon_flat[gidx]
     refs = jnp.where(noref[:, None], 1 << (bitdepth - 1), refs)
     pred = predict_modes(refs.astype(jnp.int32), modes, size, luma=luma,
                          bitdepth=bitdepth)
+    if inter is not None:
+        pred = jnp.where(inter[:, None, None], mc, pred)
     dq = dequantize(levels, qp, size, bitdepth)
     res = inverse_transform(dq, size, bitdepth)
     rec = jnp.clip(pred + res, 0, (1 << bitdepth) - 1)
@@ -133,12 +260,27 @@ def _plane_step_from_levels(recon_flat, gidx, noref, scatter, levels,
 
 
 def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
-                       lv_cr, modes):
+                       lv_cr, modes, is_inter=None, mc_y=None,
+                       mc_cb=None, mc_cr=None):
     h, w = plan.height, plan.width
-    modes_steps = jnp.asarray(
-        np.zeros((plan.n_steps, plan.n_slots), np.int32))
-    modes_steps = modes.reshape(-1)[
-        jnp.asarray(np.maximum(plan.block_of_slot, 0))]
+    slot_ids = jnp.asarray(np.maximum(plan.block_of_slot, 0))
+    modes_steps = modes.reshape(-1)[slot_ids]
+    inter = is_inter is not None
+    if inter:
+        inter_steps = is_inter.reshape(-1)[slot_ids]
+        sc2p = plan.chroma.size if chroma else 0
+
+        def mc_steps(plane, size):
+            flat_ext = jnp.concatenate(
+                [plane.reshape(-1), jnp.zeros((1,), plane.dtype)])
+            maps = plan.luma if size == s else plan.chroma
+            return flat_ext[jnp.asarray(maps.scatter_idx)].reshape(
+                plan.n_steps, plan.n_slots, size, size)
+
+        mcy_steps = mc_steps(mc_y.astype(jnp.int32), s)
+        if chroma:
+            mccb_steps = mc_steps(mc_cb.astype(jnp.int32), sc2p)
+            mccr_steps = mc_steps(mc_cr.astype(jnp.int32), sc2p)
     g_y = jnp.asarray(plan.luma.gather_idx)
     n_y = jnp.asarray(plan.luma.no_refs)
     sc_y = jnp.asarray(plan.luma.scatter_idx)
@@ -153,26 +295,39 @@ def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
     def step_fn(carry, xs):
         if chroma:
             ry, rcb, rcr = carry
-            gy, ny, scy, ly, gc, nc, scc, lcb, lcr, m = xs
+            if inter:
+                (gy, ny, scy, ly, gc, nc, scc, lcb, lcr, m, it, my,
+                 mcb, mcr) = xs
+            else:
+                gy, ny, scy, ly, gc, nc, scc, lcb, lcr, m = xs
+                it = my = mcb = mcr = None
             ry = _plane_step_from_levels(ry, gy, ny, scy, ly, m, s, qp,
-                                         bitdepth, True)
+                                         bitdepth, True, it, my)
             rcb = _plane_step_from_levels(rcb, gc, nc, scc, lcb, m, sc2,
-                                          qp_c, bitdepth, False)
+                                          qp_c, bitdepth, False, it, mcb)
             rcr = _plane_step_from_levels(rcr, gc, nc, scc, lcr, m, sc2,
-                                          qp_c, bitdepth, False)
+                                          qp_c, bitdepth, False, it, mcr)
             return (ry, rcb, rcr), None
         (ry,) = carry
-        gy, ny, scy, ly, m = xs
+        if inter:
+            gy, ny, scy, ly, m, it, my = xs
+        else:
+            gy, ny, scy, ly, m = xs
+            it = my = None
         ry = _plane_step_from_levels(ry, gy, ny, scy, ly, m, s, qp,
-                                     bitdepth, True)
+                                     bitdepth, True, it, my)
         return (ry,), None
 
     if chroma:
         xs = (g_y, n_y, sc_y, lv_y, g_c, n_c, sc_c, lv_cb, lv_cr,
               modes_steps)
+        if inter:
+            xs = xs + (inter_steps, mcy_steps, mccb_steps, mccr_steps)
         carry0 = (rec_y0, rec_c0, rec_c0)
     else:
         xs = (g_y, n_y, sc_y, lv_y, modes_steps)
+        if inter:
+            xs = xs + (inter_steps, mcy_steps)
         carry0 = (rec_y0,)
     carry, _ = jax.lax.scan(step_fn, carry0, xs)
     rec_y = carry[0][:-1].reshape(h, w)

@@ -27,9 +27,12 @@ from kvazaar_tpu.bitstream.syntax import FrameData, SliceDataEncoder
 
 _NATIVE_OK = native.available()
 from kvazaar_tpu.config import Config
-from kvazaar_tpu.constants import NAL_IDR_W_RADL, SLICE_I
+from kvazaar_tpu.constants import (NAL_IDR_W_RADL, NAL_TRAIL_R, SLICE_I, SLICE_P)
 from kvazaar_tpu.encoder.geometry import make_intra_plan
 from kvazaar_tpu.ops.deblock import deblock_frame
+from kvazaar_tpu.encoder.inter_cands import (amvp_candidates,
+                                             merge_candidates)
+from kvazaar_tpu.encoder.inter_search import mc_planes, search_inter_frame
 from kvazaar_tpu.encoder.intra_recon import (blocks_to_plane,
                                              reconstruct_frame)
 from kvazaar_tpu.encoder.intra_search import search_frame_modes
@@ -72,8 +75,185 @@ class FrameResult:
     bits: int
 
 
-class IntraFrameEncoder:
-    """Encodes I-frames for a fixed geometry/config."""
+class PFrameMixin:
+    """P-frame device programs + host decision logic, mixed into the
+    frame encoder (orchestration analogue of the reference's inter path
+    under encoder_state_worker_encode_lcu)."""
+
+    def _setup_p(self):
+        self.lambda_me = self.lambda_satd
+        self._device_search_p = jax.jit(self._search_p_impl)
+        self._device_recon_p = jax.jit(self._recon_p_impl)
+
+    def _search_p_impl(self, y, ref_y):
+        modes, intra_cost = search_frame_modes(
+            y, self.plan, self.lambda_satd, self.bitdepth)
+        mv, inter_cost = search_inter_frame(
+            y, ref_y.astype(jnp.int32), self.plan, self.lambda_me,
+            self.cfg.me_range, self.bitdepth)
+        return modes, intra_cost, mv, inter_cost
+
+    def _recon_p_impl(self, y, cb, cr, ref_y, ref_cb, ref_cr, modes, mv,
+                      is_inter):
+        mc_y, mc_cb, mc_cr = mc_planes(
+            ref_y.astype(jnp.int32),
+            None if ref_cb is None else ref_cb.astype(jnp.int32),
+            None if ref_cr is None else ref_cr.astype(jnp.int32),
+            mv, self.plan, self.bitdepth)
+        from kvazaar_tpu.encoder.intra_recon import reconstruct_frames
+        rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr = reconstruct_frames(
+            y[None], None if cb is None else cb[None],
+            None if cr is None else cr[None], modes[None], self.plan,
+            self.cfg.qp, self.qp_c, self.bitdepth,
+            is_inter=is_inter[None], mc_y=mc_y[None],
+            mc_cb=None if mc_cb is None else mc_cb[None],
+            mc_cr=None if mc_cr is None else mc_cr[None])
+        rec_y, lv_y = rec_y[0], lv_y[0]
+        if cb is not None:
+            rec_cb, lv_cb = rec_cb[0], lv_cb[0]
+            rec_cr, lv_cr = rec_cr[0], lv_cr[0]
+        # Deblock with real boundary strengths (device-side: cbf per
+        # block reduced from the levels tensor).
+        cbf_steps = jnp.any(lv_y != 0, axis=(-1, -2))  # (steps, slots)
+        n = self.plan.blocks_y * self.plan.blocks_x
+        ids = jnp.asarray(np.where(self.plan.block_of_slot >= 0,
+                                   self.plan.block_of_slot, n))
+        cbf_flat = jnp.zeros((n + 1,), bool).at[ids.reshape(-1)].set(
+            cbf_steps.reshape(-1))
+        cbf_blk = cbf_flat[:n].reshape(self.plan.blocks_y,
+                                       self.plan.blocks_x)
+        dbs = None
+        if self.cfg.deblock:
+            bs_v, bs_h = compute_bs_maps(is_inter, cbf_blk, mv)
+            dy, dcb, dcr = deblock_frame(
+                rec_y, rec_cb, rec_cr, self.cfg.qp, self.cu,
+                self.bitdepth, bs_v=bs_v, bs_h=bs_h)
+            rdt = rec_y.dtype
+            rec_y = dy.astype(rdt)
+            if rec_cb is not None:
+                rec_cb, rec_cr = dcb.astype(rdt), dcr.astype(rdt)
+        return rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr
+
+    def encode_p_frame(self, y, cb=None, cr=None, poc: int = 1,
+                       ref_poc: int = 0):
+        s = self.cu
+        yp = jnp.asarray(pad_to_multiple(np.asarray(y, np.int32), s))
+        cbp = crp = None
+        if self.chroma:
+            cbp = jnp.asarray(
+                pad_to_multiple(np.asarray(cb, np.int32), s // 2))
+            crp = jnp.asarray(
+                pad_to_multiple(np.asarray(cr, np.int32), s // 2))
+        ref_y, ref_cb, ref_cr = self._dpb
+
+        modes, intra_cost, mv, inter_cost = self._device_search_p(
+            yp, ref_y)
+        modes = np.asarray(modes)
+        mv = np.asarray(mv)
+        # Slight bias toward inter (covers un-modeled merge savings).
+        inter_map = np.asarray(inter_cost) <= np.asarray(intra_cost) * 1.02
+        mv = np.where(inter_map[..., None], mv, 0).astype(np.int32)
+
+        # Merge / AMVP decisions against decode-order candidates.
+        mcands = merge_candidates(inter_map, mv, self.plan.avail)
+        eq = np.all(mcands == mv[:, :, None, :], axis=-1)  # (By,Bx,5)
+        has_merge = eq.any(axis=-1)
+        merge_idx = np.where(has_merge, eq.argmax(axis=-1), -1)
+        acands = amvp_candidates(inter_map, mv, self.plan.avail)
+        d0 = np.abs(mv - acands[:, :, 0]).sum(axis=-1)
+        d1 = np.abs(mv - acands[:, :, 1]).sum(axis=-1)
+        mvp_idx = (d1 < d0).astype(np.uint8)
+        mvd = mv - np.take_along_axis(
+            acands, mvp_idx[..., None, None].astype(np.int64),
+            axis=2)[:, :, 0]
+
+        rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr = self._device_recon_p(
+            yp, cbp, crp, ref_y, ref_cb, ref_cr, jnp.asarray(modes),
+            jnp.asarray(mv), jnp.asarray(inter_map))
+
+        fd = self._assemble_p_frame_data(
+            modes, inter_map, mv, merge_idx, mvp_idx, mvd,
+            np.asarray(lv_y),
+            None if lv_cb is None else np.asarray(lv_cb),
+            None if lv_cr is None else np.asarray(lv_cr))
+
+        nal = self._serialize_p(fd, poc, poc - ref_poc)
+        self._dpb = (rec_y, rec_cb, rec_cr)
+        return FrameResult(
+            nals=nal, recon_y=np.asarray(rec_y),
+            recon_cb=None if rec_cb is None else np.asarray(rec_cb),
+            recon_cr=None if rec_cr is None else np.asarray(rec_cr),
+            frame_data=fd, bits=len(nal) * 8)
+
+    def _assemble_p_frame_data(self, modes, inter_map, mv, merge_idx,
+                               mvp_idx, mvd, lv_y, lv_cb, lv_cr):
+        s = self.cu
+        c8 = s // 8
+        fd = FrameData.empty(self.coded_w, self.coded_h, self.chroma)
+        fd.depth8[:] = 6 - int(math.log2(s))
+        fd.mode4[:] = np.kron(modes.astype(np.uint8),
+                              np.ones((s // 4, s // 4), np.uint8))
+        fd.coeff_y[:] = blocks_to_plane(lv_y, self.plan, s,
+                                        self.coded_w, self.coded_h)
+        if self.chroma:
+            fd.coeff_cb[:] = blocks_to_plane(lv_cb, self.plan, s // 2,
+                                             self.coded_w // 2,
+                                             self.coded_h // 2)
+            fd.coeff_cr[:] = blocks_to_plane(lv_cr, self.plan, s // 2,
+                                             self.coded_w // 2,
+                                             self.coded_h // 2)
+
+        ones = np.ones((c8, c8), np.uint8)
+        fd.inter8[:] = np.kron(inter_map.astype(np.uint8), ones)
+        fd.mv8[:] = np.kron(mv, np.ones((c8, c8, 1), np.int32)) \
+            .reshape(fd.mv8.shape)
+
+        # Per-CU zero-coefficient detection → skip (merge CUs only).
+        by, bx = inter_map.shape
+        czero = np.ones((by, bx), bool)
+        ys = fd.coeff_y.reshape(by, s, bx, s)
+        czero &= ~np.any(ys, axis=(1, 3))
+        if self.chroma:
+            s2 = s // 2
+            cbs = fd.coeff_cb.reshape(by, s2, bx, s2)
+            crs = fd.coeff_cr.reshape(by, s2, bx, s2)
+            czero &= ~np.any(cbs, axis=(1, 3))
+            czero &= ~np.any(crs, axis=(1, 3))
+
+        skip = inter_map & (merge_idx >= 0) & czero
+        fd.skip8[:] = np.kron(skip.astype(np.uint8), ones)
+        # merge8/mvp8/mvd8 live at CU marker cells.
+        fd.merge8[::c8, ::c8] = np.where(inter_map, merge_idx,
+                                         -1).astype(np.int8)
+        use_amvp = inter_map & (merge_idx < 0)
+        fd.mvp8[::c8, ::c8] = np.where(use_amvp, mvp_idx, 0)
+        fd.mvd8[::c8, ::c8] = np.where(use_amvp[..., None], mvd, 0)
+        return fd
+
+    def _serialize_p(self, fd, poc, ref_poc_diff):
+        sizes = []
+        dw = BitWriter()
+        enc = SliceDataEncoder(self.params, fd,
+                               Contexts(SLICE_P, self.cfg.qp),
+                               CabacEncoder(dw))
+        if self.params.wpp:
+            sizes = enc.encode_slice_data_wpp()
+        else:
+            enc.encode_slice_data()
+            dw.align_zero()
+        data = dw.get_bytes()
+        w = BitWriter()
+        write_slice_header(w, self.params, SLICE_P, NAL_TRAIL_R,
+                           self.cfg.qp, poc=poc,
+                           ref_poc_diff=ref_poc_diff,
+                           num_entry_points=max(len(sizes) - 1, 0),
+                           entry_point_offsets=sizes[:-1])
+        return nal_unit(w.get_bytes() + data, NAL_TRAIL_R)
+
+
+class IntraFrameEncoder(PFrameMixin):
+    """Encodes I- and P-frames for a fixed geometry/config (the name
+    is historical; P support lives in PFrameMixin)."""
 
     def __init__(self, cfg: Config):
         import kvazaar_tpu
@@ -108,6 +288,8 @@ class IntraFrameEncoder:
         self._device_encode_batch = jax.jit(
             jax.vmap(self._device_encode_impl))
         self._host_pool = None
+        self._dpb = None
+        self._setup_p()
 
     def headers(self) -> bytes:
         return (write_vps(self.params) + write_sps(self.params)
@@ -143,6 +325,7 @@ class IntraFrameEncoder:
             crp = pad_to_multiple(np.asarray(cr, np.int32), s // 2)
         (rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr), modes = \
             self._device_encode(yp, cbp, crp)
+        self._dpb = (rec_y, rec_cb, rec_cr)
         return self._host_finalize(
             np.asarray(modes), np.asarray(lv_y),
             None if lv_cb is None else np.asarray(lv_cb),
@@ -239,3 +422,32 @@ def psnr(a: np.ndarray, b: np.ndarray, bitdepth: int = 8) -> float:
         return 999.99
     peak = (1 << bitdepth) - 1
     return 10.0 * math.log10(peak * peak / mse)
+
+
+def compute_bs_maps(is_inter, cbf_luma_blk, mv):
+    """Per-CU-edge boundary strengths (H.265 8.7.2.4, single-ref P).
+
+    is_inter/cbf: (By, Bx) bool; mv: (By, Bx, 2) qpel.
+    Returns (bs_v, bs_h) int32 (By, Bx): bs of each block's left / top
+    edge (column/row 0 entries are picture borders, never filtered)."""
+    intra_b = ~is_inter
+
+    def edge(sl_a, sl_b):
+        a_i, b_i = intra_b[sl_a], intra_b[sl_b]
+        cbf = cbf_luma_blk[sl_a] | cbf_luma_blk[sl_b]
+        mvd = jnp.any(jnp.abs(mv[sl_a] - mv[sl_b]) >= 4, axis=-1)
+        return jnp.where(a_i | b_i, 2,
+                         jnp.where(cbf | mvd, 1, 0)).astype(jnp.int32)
+
+    by, bx = is_inter.shape
+    bs_v = jnp.zeros((by, bx), jnp.int32)
+    bs_h = jnp.zeros((by, bx), jnp.int32)
+    bs_v = bs_v.at[:, 1:].set(
+        edge((slice(None), slice(0, bx - 1)),
+             (slice(None), slice(1, bx))))
+    bs_h = bs_h.at[1:, :].set(
+        edge((slice(0, by - 1), slice(None)),
+             (slice(1, by), slice(None))))
+    return bs_v, bs_h
+
+

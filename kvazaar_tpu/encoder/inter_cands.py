@@ -32,13 +32,14 @@ def _neighbor_fields(inter_map: np.ndarray, mv: np.ndarray,
     by, bx = inter_map.shape
 
     def shifted(dy, dx):
+        # out[y, x] = mv[y+dy, x+dx] where in bounds.
         v = np.zeros((by, bx, 2), mv.dtype)
         i = np.zeros((by, bx), bool)
-        ys0, ys1 = max(dy, 0), by + min(dy, 0)
-        xs0, xs1 = max(dx, 0), bx + min(dx, 0)
-        v[ys0:ys1, xs0:xs1] = mv[ys0 - dy:ys1 - dy, xs0 - dx:xs1 - dx]
-        i[ys0:ys1, xs0:xs1] = inter_map[ys0 - dy:ys1 - dy,
-                                        xs0 - dx:xs1 - dx]
+        ys0, ys1 = max(0, -dy), min(by, by - dy)
+        xs0, xs1 = max(0, -dx), min(bx, bx - dx)
+        v[ys0:ys1, xs0:xs1] = mv[ys0 + dy:ys1 + dy, xs0 + dx:xs1 + dx]
+        i[ys0:ys1, xs0:xs1] = inter_map[ys0 + dy:ys1 + dy,
+                                        xs0 + dx:xs1 + dx]
         return v, i
 
     deltas = {_L: (0, -1), _A: (-1, 0), _AR: (-1, 1), _BL: (1, -1),
@@ -117,4 +118,63 @@ def amvp_candidates(inter_map: np.ndarray, mv: np.ndarray,
     out[:, :, 1] = np.where(second_ok[..., None], b, 0)
     # When the first filled slot was B (no A) the second stays zero,
     # and zero-fill is the spec's fallback either way.
+    return out
+
+
+_DELTAS = {_L: (0, -1), _A: (-1, 0), _AR: (-1, 1), _BL: (1, -1),
+           _AL: (-1, -1)}
+
+
+def _nbr_mv(inter_map, mv, avail, by, bx, pos):
+    """Scalar neighbor MV or None (decode-order availability + inter)."""
+    if not avail[by, bx, pos]:
+        return None
+    dy, dx = _DELTAS[pos]
+    ny, nx = by + dy, bx + dx
+    if not inter_map[ny, nx]:
+        return None
+    return (int(mv[ny, nx, 0]), int(mv[ny, nx, 1]))
+
+
+def merge_list_at(inter_map, mv, avail, by, bx):
+    """Scalar merge list for one block (decode-order sequential use by
+    the decoder; must match merge_candidates exactly — tested)."""
+    a1 = _nbr_mv(inter_map, mv, avail, by, bx, _L)
+    b1 = _nbr_mv(inter_map, mv, avail, by, bx, _A)
+    b0 = _nbr_mv(inter_map, mv, avail, by, bx, _AR)
+    a0 = _nbr_mv(inter_map, mv, avail, by, bx, _BL)
+    b2 = _nbr_mv(inter_map, mv, avail, by, bx, _AL)
+    out = []
+    if a1 is not None:
+        out.append(a1)
+    if b1 is not None and b1 != a1:
+        out.append(b1)
+    if b0 is not None and b0 != b1:
+        out.append(b0)
+    if a0 is not None and a0 != a1:
+        out.append(a0)
+    if len(out) < 4 and b2 is not None and b2 != a1 and b2 != b1:
+        out.append(b2)
+    while len(out) < MAX_MERGE_CANDS:
+        out.append((0, 0))
+    return out
+
+
+def amvp_pair_at(inter_map, mv, avail, by, bx):
+    a = _nbr_mv(inter_map, mv, avail, by, bx, _BL)
+    if a is None:
+        a = _nbr_mv(inter_map, mv, avail, by, bx, _L)
+    b = _nbr_mv(inter_map, mv, avail, by, bx, _AR)
+    if b is None:
+        b = _nbr_mv(inter_map, mv, avail, by, bx, _A)
+    if b is None:
+        b = _nbr_mv(inter_map, mv, avail, by, bx, _AL)
+    out = []
+    if a is not None:
+        out.append(a)
+    if b is not None and (a is None or b != a):
+        out.append(b)
+    while len(out) < 2:
+        out.append((0, 0))
+    # Match amvp_candidates: when A is missing, B fills slot 0.
     return out

@@ -137,10 +137,10 @@ def _predict_select(refs, modes, s, luma, bitdepth):
     return sel[:, 0]
 
 
-def _tu_roundtrip(orig, pred, s, qp, bitdepth):
+def _tu_roundtrip(orig, pred, s, qp, bitdepth, intra=True):
     resid = orig.astype(jnp.int32) - pred
     coeff = forward_transform(resid, s, bitdepth)
-    levels = quantize(coeff, qp, s, bitdepth, intra=True)
+    levels = quantize(coeff, qp, s, bitdepth, intra=intra)
     dq = dequantize(levels, qp, s, bitdepth)
     rec = jnp.clip(pred + inverse_transform(dq, s, bitdepth), 0,
                    (1 << bitdepth) - 1)
@@ -148,11 +148,15 @@ def _tu_roundtrip(orig, pred, s, qp, bitdepth):
 
 
 def _plane_pass(state, bxs, bys, avail, valid, origs, modes, s, qp,
-                bitdepth, luma):
+                bitdepth, luma, is_inter=None, mc_pred=None):
     """One wavefront step for one plane over all slots.
 
     state: (B, By, Bx, S, S); bxs/bys: (slots,); avail: (slots, 5);
     origs: (slots, B, S, S); modes: (slots, B).
+    P frames: is_inter (slots, B) bool, mc_pred (slots, B, S, S) —
+    inter blocks take the motion-compensated prediction (computed
+    batched outside the scan; it has no wavefront dependency) and the
+    inter quantizer rounding.
     Returns (state, levels (slots, B, S, S))."""
     b = state.shape[0]
     n_slots = origs.shape[0]
@@ -164,8 +168,14 @@ def _plane_pass(state, bxs, bys, avail, valid, origs, modes, s, qp,
     flat_refs = refs.reshape(n_slots * b, -1)
     flat_modes = modes.reshape(n_slots * b)
     pred = _predict_select(flat_refs, flat_modes, s, luma, bitdepth)
+    intra_flag = True
+    if is_inter is not None:
+        flat_inter = is_inter.reshape(n_slots * b)
+        pred = jnp.where(flat_inter[:, None, None],
+                         mc_pred.reshape(n_slots * b, s, s), pred)
+        intra_flag = ~flat_inter
     levels, rec = _tu_roundtrip(origs.reshape(n_slots * b, s, s), pred,
-                                s, qp, bitdepth)
+                                s, qp, bitdepth, intra_flag)
     rec = rec.reshape(n_slots, b, s, s)
     for k in range(n_slots):
         upd = rec[k].reshape(b, 1, 1, s, s).astype(state.dtype)
@@ -181,17 +191,21 @@ def _plane_pass(state, bxs, bys, avail, valid, origs, modes, s, qp,
 
 
 def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
-                       qp: int, qp_c: int, bitdepth: int = 8):
+                       qp: int, qp_c: int, bitdepth: int = 8,
+                       is_inter=None, mc_y=None, mc_cb=None, mc_cr=None):
     """Batched wavefront over all planes.
 
     ys: (B, H, W) int32; cbs/crs: (B, H/2, W/2) or None;
     modes: (B, By, Bx) int32.
+    P frames additionally pass is_inter (B, By, Bx) bool and full-frame
+    MC prediction planes mc_y (B, H, W) (+ chroma).
     Returns (recon_y, levels_y, recon_cb, levels_cb, recon_cr,
     levels_cr); recon as (B, H, W) uint8/16, levels as
     (B, steps, slots, S, S) int16.
     """
     s = plan.cu_size
     chroma = cbs is not None
+    inter = is_inter is not None
     b = ys.shape[0]
     bxs, bys, avail, valid = step_schedule(plan)
     slot_ids = jnp.asarray(np.maximum(plan.block_of_slot, 0))
@@ -209,6 +223,12 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
         s2 = plan.chroma.size
         ocb = to_steps(cbs.astype(jnp.int32), s2)
         ocr = to_steps(crs.astype(jnp.int32), s2)
+    if inter:
+        ii = is_inter.reshape(b, -1).T[slot_ids]     # (steps, slots, B)
+        my = to_steps(mc_y.astype(jnp.int32), s)
+        if chroma:
+            mcb = to_steps(mc_cb.astype(jnp.int32), s2)
+            mcr = to_steps(mc_cr.astype(jnp.int32), s2)
 
     st_y0 = jnp.zeros((b, plan.blocks_y, plan.blocks_x, s, s), jnp.int32)
     if chroma:
@@ -217,26 +237,43 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
 
     def step_fn(carry, xs):
         if chroma:
-            sy, scb, scr = carry
-            bx_t, by_t, av_t, va_t, o_y, o_cb, o_cr, m = xs
+            if inter:
+                (sy, scb, scr) = carry
+                (bx_t, by_t, av_t, va_t, o_y, o_cb, o_cr, m, ii_t,
+                 my_t, mcb_t, mcr_t) = xs
+            else:
+                (sy, scb, scr) = carry
+                bx_t, by_t, av_t, va_t, o_y, o_cb, o_cr, m = xs
+                ii_t = my_t = mcb_t = mcr_t = None
             sy, lv_y = _plane_pass(sy, bx_t, by_t, av_t, va_t, o_y, m,
-                                   s, qp, bitdepth, True)
+                                   s, qp, bitdepth, True, ii_t, my_t)
             scb, lv_cb = _plane_pass(scb, bx_t, by_t, av_t, va_t, o_cb,
-                                     m, s2, qp_c, bitdepth, False)
+                                     m, s2, qp_c, bitdepth, False,
+                                     ii_t, mcb_t)
             scr, lv_cr = _plane_pass(scr, bx_t, by_t, av_t, va_t, o_cr,
-                                     m, s2, qp_c, bitdepth, False)
+                                     m, s2, qp_c, bitdepth, False,
+                                     ii_t, mcr_t)
             return (sy, scb, scr), (lv_y, lv_cb, lv_cr)
-        (sy,) = carry
-        bx_t, by_t, av_t, va_t, o_y, m = xs
+        if inter:
+            (sy,) = carry
+            bx_t, by_t, av_t, va_t, o_y, m, ii_t, my_t = xs
+        else:
+            (sy,) = carry
+            bx_t, by_t, av_t, va_t, o_y, m = xs
+            ii_t = my_t = None
         sy, lv_y = _plane_pass(sy, bx_t, by_t, av_t, va_t, o_y, m, s,
-                               qp, bitdepth, True)
+                               qp, bitdepth, True, ii_t, my_t)
         return (sy,), (lv_y,)
 
     if chroma:
         xs = (bxs, bys, avail, valid, oy, ocb, ocr, modes_steps)
+        if inter:
+            xs = xs + (ii, my, mcb, mcr)
         carry0 = (st_y0, st_c0, st_c0)
     else:
         xs = (bxs, bys, avail, valid, oy, modes_steps)
+        if inter:
+            xs = xs + (ii, my)
         carry0 = (st_y0,)
     carry, levels = jax.lax.scan(step_fn, carry0, xs)
 

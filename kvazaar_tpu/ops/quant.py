@@ -31,15 +31,21 @@ def quant_params(qp: int, log2_size: int, bitdepth: int):
 
 
 def quantize(coeff, qp: int, size: int, bitdepth: int = 8,
-             intra: bool = True):
+             intra=True):
     """Scalar (non-RDOQ) quantization, the reference's kvz_quant path.
 
-    Rounding offset 171/512 for intra, 85/512 for inter, as in HM and the
-    reference (src/strategies/generic/quant-generic.c).
+    Rounding offset 171/512 for intra, 85/512 for inter, as in HM and
+    the reference (src/strategies/generic/quant-generic.c).  `intra` may
+    be a bool or a boolean array broadcastable against the leading axes
+    of coeff (mixed P-frame batches).
     """
     log2n = size.bit_length() - 1
     scale, qbits, _, _ = quant_params(qp, log2n, bitdepth)
-    offset = (171 if intra else 85) << (qbits - 9)
+    if isinstance(intra, bool):
+        offset = (171 if intra else 85) << (qbits - 9)
+    else:
+        offset = jnp.where(intra, 171, 85).astype(jnp.int32) << (qbits - 9)
+        offset = offset[..., None, None]
     # int32-safe: |coeff| <= 32767 (transform output fits int16), so
     # |coeff|*scale + offset < 2^31.
     c = coeff.astype(jnp.int32)

@@ -124,3 +124,24 @@ def test_sad_full_search_finds_shift():
     best = np.unravel_index(np.argmin(sads), sads.shape)
     assert sads[best] == 0
     assert (best[0] - 8, best[1] - 8) == (-2, 3)
+
+
+def test_cand_scalar_matches_vectorized():
+    from kvazaar_tpu.encoder.geometry import make_intra_plan
+    from kvazaar_tpu.encoder.inter_cands import (
+        amvp_candidates, amvp_pair_at, merge_candidates, merge_list_at)
+    rng = np.random.default_rng(5)
+    plan = make_intra_plan(128, 128, 16, True)
+    by, bx = plan.blocks_y, plan.blocks_x
+    inter_map = rng.random((by, bx)) < 0.7
+    mv = rng.integers(-32, 33, (by, bx, 2)).astype(np.int32)
+    # Duplicate some MVs to exercise pruning.
+    mv[1::2] = mv[0::2]
+    vec_m = merge_candidates(inter_map, mv, plan.avail)
+    vec_a = amvp_candidates(inter_map, mv, plan.avail)
+    for y in range(by):
+        for x in range(bx):
+            sm = merge_list_at(inter_map, mv, plan.avail, y, x)
+            assert [tuple(v) for v in vec_m[y, x]] == sm, (y, x)
+            sa = amvp_pair_at(inter_map, mv, plan.avail, y, x)
+            assert [tuple(v) for v in vec_a[y, x]] == sa, (y, x)
