@@ -40,6 +40,31 @@ class Encoder:
         self._intra = IntraFrameEncoder(cfg)
         self._poc = 0
         self._wrote_headers = False
+        self._rc = None
+        self._rc_lambda = None
+        self._prev_qp = cfg.qp
+        self._encoders = {cfg.qp: self._intra}
+        if cfg.bitrate > 0:
+            from kvazaar_tpu.encoder.rate_control import RateController
+            fps = cfg.framerate_num / max(cfg.framerate_denom, 1)
+            self._rc = RateController(cfg.bitrate, fps, cfg.width,
+                                      cfg.height)
+
+    def _encoder_for_qp(self, qp: int) -> "IntraFrameEncoder":
+        """Per-QP compiled encoder (QP is static in the device
+        programs); DPB handed over on switch."""
+        if qp not in self._encoders:
+            import dataclasses as dc
+            cfg2 = dc.replace(self.cfg, qp=qp)
+            enc2 = IntraFrameEncoder(cfg2)
+            # One PPS in the stream: slice_qp_delta is coded against the
+            # base config's init QP, not this encoder's QP.
+            enc2.params.qp = self.cfg.qp
+            self._encoders[qp] = enc2
+        enc = self._encoders[qp]
+        enc._dpb = self._intra._dpb if self._intra is not enc else \
+            enc._dpb
+        return enc
 
     def headers(self) -> bytes:
         return self._intra.headers()
@@ -57,11 +82,24 @@ class Encoder:
         period = self.cfg.intra_period
         is_intra = (self._poc == 0 or period == 1
                     or (period > 1 and self._poc % period == 0))
-        if is_intra:
-            res = self._intra.encode_frame(y, cb, cr)
+        if self._rc is not None:
+            lam, qp = self._rc.frame_lambda_qp(is_intra)
+            # Clamp QP swings (keeps quality stable and bounds the
+            # number of distinct compiled programs).
+            qp = min(max(qp, self._prev_qp - 3), self._prev_qp + 3)
+            self._rc_lambda = lam
+            enc = self._encoder_for_qp(qp)
+            self._prev_qp = qp
         else:
-            res = self._intra.encode_p_frame(y, cb, cr, poc=self._poc,
-                                             ref_poc=self._poc - 1)
+            enc = self._intra
+        if is_intra:
+            res = enc.encode_frame(y, cb, cr)
+        else:
+            res = enc.encode_p_frame(y, cb, cr, poc=self._poc,
+                                     ref_poc=self._poc - 1)
+        if self._rc is not None:
+            self._rc.update(len(res.nals) * 8, self._rc_lambda)
+            self._intra = enc     # DPB owner for the next frame
         h, w = y.shape
         rec_y = res.recon_y[:h, :w]
         rec_cb = rec_cr = None
@@ -74,8 +112,10 @@ class Encoder:
             p_v = psnr(rec_cr, np.asarray(cr, np.int32),
                        self.cfg.input_bitdepth)
         info = FrameInfo(
-            poc=self._poc, qp=self.cfg.qp, nal_type=NAL_IDR_W_RADL,
-            slice_type=SLICE_I, bits=len(res.nals) * 8,
+            poc=self._poc, qp=enc.cfg.qp,
+            nal_type=NAL_IDR_W_RADL if is_intra else 1,
+            slice_type=SLICE_I if is_intra else 1,
+            bits=len(res.nals) * 8,
             psnr_y=psnr(rec_y, np.asarray(y, np.int32),
                         self.cfg.input_bitdepth),
             psnr_u=p_u, psnr_v=p_v)

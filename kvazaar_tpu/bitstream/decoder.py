@@ -190,7 +190,8 @@ def reconstruct_parsed_p(fd: FrameData, params: StreamParams, qp: int,
         None if lv_cb is None else jnp.asarray(lv_cb),
         None if lv_cr is None else jnp.asarray(lv_cr),
         jnp.asarray(modes), is_inter=jnp.asarray(inter_map),
-        mc_y=mc_y, mc_cb=mc_cb, mc_cr=mc_cr)
+        mc_y=mc_y, mc_cb=mc_cb, mc_cr=mc_cr,
+        lossless=params.transquant_bypass)
     rec_y, rec_cb, rec_cr = out
     if params.deblock_enabled:
         cbf_blk = np.any(
@@ -230,7 +231,8 @@ def reconstruct_parsed(fd: FrameData, params: StreamParams, qp: int):
                             params.bitdepth, jnp.asarray(lv_y),
                             None if lv_cb is None else jnp.asarray(lv_cb),
                             None if lv_cr is None else jnp.asarray(lv_cr),
-                            jnp.asarray(modes))
+                            jnp.asarray(modes),
+                            lossless=params.transquant_bypass)
     rec_y, rec_cb, rec_cr = out[0], out[1], out[2]
     if params.deblock_enabled:
         from kvazaar_tpu.ops.deblock import deblock_frame
@@ -246,22 +248,25 @@ def reconstruct_parsed(fd: FrameData, params: StreamParams, qp: int):
 
 def _plane_step_from_levels(recon_flat, gidx, noref, scatter, levels,
                             modes, size, qp, bitdepth, luma,
-                            inter=None, mc=None):
+                            inter=None, mc=None, lossless=False):
     refs = recon_flat[gidx]
     refs = jnp.where(noref[:, None], 1 << (bitdepth - 1), refs)
     pred = predict_modes(refs.astype(jnp.int32), modes, size, luma=luma,
                          bitdepth=bitdepth)
     if inter is not None:
         pred = jnp.where(inter[:, None, None], mc, pred)
-    dq = dequantize(levels, qp, size, bitdepth)
-    res = inverse_transform(dq, size, bitdepth)
+    if lossless:
+        res = levels.astype(jnp.int32)
+    else:
+        dq = dequantize(levels, qp, size, bitdepth)
+        res = inverse_transform(dq, size, bitdepth)
     rec = jnp.clip(pred + res, 0, (1 << bitdepth) - 1)
     return recon_flat.at[scatter.reshape(-1)].set(rec.reshape(-1))
 
 
 def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
                        lv_cr, modes, is_inter=None, mc_y=None,
-                       mc_cb=None, mc_cr=None):
+                       mc_cb=None, mc_cr=None, lossless=False):
     h, w = plan.height, plan.width
     slot_ids = jnp.asarray(np.maximum(plan.block_of_slot, 0))
     modes_steps = modes.reshape(-1)[slot_ids]
@@ -302,11 +307,14 @@ def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
                 gy, ny, scy, ly, gc, nc, scc, lcb, lcr, m = xs
                 it = my = mcb = mcr = None
             ry = _plane_step_from_levels(ry, gy, ny, scy, ly, m, s, qp,
-                                         bitdepth, True, it, my)
+                                         bitdepth, True, it, my,
+                                         lossless)
             rcb = _plane_step_from_levels(rcb, gc, nc, scc, lcb, m, sc2,
-                                          qp_c, bitdepth, False, it, mcb)
+                                          qp_c, bitdepth, False, it,
+                                          mcb, lossless)
             rcr = _plane_step_from_levels(rcr, gc, nc, scc, lcr, m, sc2,
-                                          qp_c, bitdepth, False, it, mcr)
+                                          qp_c, bitdepth, False, it,
+                                          mcr, lossless)
             return (ry, rcb, rcr), None
         (ry,) = carry
         if inter:
@@ -315,7 +323,7 @@ def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
             gy, ny, scy, ly, m = xs
             it = my = None
         ry = _plane_step_from_levels(ry, gy, ny, scy, ly, m, s, qp,
-                                     bitdepth, True, it, my)
+                                     bitdepth, True, it, my, lossless)
         return (ry,), None
 
     if chroma:
@@ -338,7 +346,8 @@ def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
 
 
 def _decode_recon_jit(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
-                      lv_cr, modes):
+                      lv_cr, modes, lossless=False):
     # jit keyed on the static arguments via closure; plans are cached.
     return _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth,
-                              lv_y, lv_cb, lv_cr, modes)
+                              lv_y, lv_cb, lv_cr, modes,
+                              lossless=lossless)

@@ -113,3 +113,47 @@ def encode_slice_data_native_wpp(params, fd, qp: int):
     if n < 0:
         raise RuntimeError("native slice buffer overflow")
     return out[:n].tobytes(), [int(v) for v in sizes[:int(nss[0])]]
+
+
+def encode_slice_data_native_p(params, fd, qp: int, wpp: bool):
+    """P-slice native serializer.  Returns (bytes, sizes) — sizes empty
+    when wpp is off."""
+    import ctypes
+    lib = get_lib()
+    if not hasattr(lib, "_p_configured"):
+        lib.ktpu_encode_slice_data_p.restype = ctypes.c_int64
+        lib.ktpu_encode_slice_data_p.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib._p_configured = True
+    depth8, mode4, cy, ccb, ccr, chroma = _frame_args(params, fd)
+    inter8 = np.ascontiguousarray(fd.inter8, np.uint8)
+    skip8 = np.ascontiguousarray(fd.skip8, np.uint8)
+    merge8 = np.ascontiguousarray(fd.merge8, np.int8)
+    mvp8 = np.ascontiguousarray(fd.mvp8, np.uint8)
+    mvd8 = np.ascontiguousarray(fd.mvd8, np.int32)
+    cap = cy.nbytes * 2 + 65536
+    out = np.empty(cap, np.uint8)
+    rows = params.height_in_ctus
+    sizes = np.zeros(rows + 1, np.int64)
+    nss = np.zeros(1, np.int32)
+    n = lib.ktpu_encode_slice_data_p(
+        params.width, params.height, chroma, qp, 1 if wpp else 0,
+        params.log2_ctu, params.log2_min_cu, params.log2_max_tu,
+        depth8.ctypes.data, mode4.ctypes.data, cy.ctypes.data,
+        None if ccb is None else ccb.ctypes.data,
+        None if ccr is None else ccr.ctypes.data,
+        inter8.ctypes.data, skip8.ctypes.data, merge8.ctypes.data,
+        mvp8.ctypes.data, mvd8.ctypes.data,
+        out.ctypes.data, cap, sizes.ctypes.data, nss.ctypes.data)
+    if n < 0:
+        raise RuntimeError("native slice buffer overflow")
+    szs = [int(v) for v in sizes[:int(nss[0])]] if wpp else []
+    return out[:n].tobytes(), szs

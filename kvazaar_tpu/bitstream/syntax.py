@@ -267,6 +267,10 @@ class SliceDataEncoder(_SliceSyntaxBase):
     def coding_unit(self, x0, y0, log2_size) -> None:
         from kvazaar_tpu.constants import SLICE_I
         c8y, c8x = y0 >> 3, x0 >> 3
+        if self.p.transquant_bypass:
+            # Lossless operating point: every CU bypasses (7.3.8.5
+            # order: this flag precedes cu_skip_flag).
+            self.c.encode_bin(self.ctx("transquant_bypass", 0), 1)
         if self.ctx.slice_type != SLICE_I:
             skip = int(self.d.skip8[c8y, c8x])
             self.c.encode_bin(self.ctx("skip", self.skip_ctx(x0, y0)),
@@ -682,6 +686,10 @@ class SliceDataDecoder(_SliceSyntaxBase):
         from kvazaar_tpu.constants import SLICE_I
         c8y, c8x = y0 >> 3, x0 >> 3
         cells = 1 << (log2_size - 3)
+        if self.p.transquant_bypass:
+            if self.c.decode_bin(self.ctx("transquant_bypass", 0)) != 1:
+                raise NotImplementedError(
+                    "mixed bypass/coded CUs not in v1 subset")
         if self.ctx.slice_type != SLICE_I:
             skip = self.c.decode_bin(
                 self.ctx("skip", self.skip_ctx(x0, y0)))

@@ -28,7 +28,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--input-format", default="P420",
                     choices=["P400", "P420"])
     ap.add_argument("--period", type=int, default=1,
-                    help="intra period (v1: all-intra only)")
+                    help="intra period: 1=all-intra, N=IDR every N, "
+                         "0=first frame only (low-delay IPPP)")
+    ap.add_argument("--bitrate", type=int, default=0,
+                    help="target bits/s (0 = fixed QP)")
     ap.add_argument("--debug", default=None,
                     help="write reconstruction YUV for comparison "
                          "(reference --debug)")
@@ -41,6 +44,8 @@ def main(argv=None) -> int:
     w, h = (int(v) for v in args.input_res.split("x"))
     cfg = config_from_preset(args.preset, width=w, height=h, qp=args.qp,
                              input_bitdepth=args.input_bitdepth,
+                             intra_period=args.period,
+                             bitrate=args.bitrate,
                              chroma_format=420
                              if args.input_format == "P420" else 400)
     from kvazaar_tpu.api import Encoder   # deferred: jax import cost

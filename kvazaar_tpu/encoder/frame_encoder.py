@@ -107,7 +107,8 @@ class PFrameMixin:
             self.cfg.qp, self.qp_c, self.bitdepth,
             is_inter=is_inter[None], mc_y=mc_y[None],
             mc_cb=None if mc_cb is None else mc_cb[None],
-            mc_cr=None if mc_cr is None else mc_cr[None])
+            mc_cr=None if mc_cr is None else mc_cr[None],
+            lossless=self.cfg.lossless)
         rec_y, lv_y = rec_y[0], lv_y[0]
         if cb is not None:
             rec_cb, lv_cb = rec_cb[0], lv_cb[0]
@@ -231,17 +232,21 @@ class PFrameMixin:
         return fd
 
     def _serialize_p(self, fd, poc, ref_poc_diff):
-        sizes = []
-        dw = BitWriter()
-        enc = SliceDataEncoder(self.params, fd,
-                               Contexts(SLICE_P, self.cfg.qp),
-                               CabacEncoder(dw))
-        if self.params.wpp:
-            sizes = enc.encode_slice_data_wpp()
+        if _NATIVE_OK and not self.params.transquant_bypass:
+            data, sizes = native.encode_slice_data_native_p(
+                self.params, fd, self.cfg.qp, self.params.wpp)
         else:
-            enc.encode_slice_data()
-            dw.align_zero()
-        data = dw.get_bytes()
+            sizes = []
+            dw = BitWriter()
+            enc = SliceDataEncoder(self.params, fd,
+                                   Contexts(SLICE_P, self.cfg.qp),
+                                   CabacEncoder(dw))
+            if self.params.wpp:
+                sizes = enc.encode_slice_data_wpp()
+            else:
+                enc.encode_slice_data()
+                dw.align_zero()
+            data = dw.get_bytes()
         w = BitWriter()
         write_slice_header(w, self.params, SLICE_P, NAL_TRAIL_R,
                            self.cfg.qp, poc=poc,
@@ -267,12 +272,17 @@ class IntraFrameEncoder(PFrameMixin):
         self.coded_h = -(-cfg.height // self.cu) * self.cu
         self.plan = make_intra_plan(self.coded_w, self.coded_h, self.cu,
                                     self.chroma)
+        if cfg.lossless:
+            # Deblocking would break bit-exactness of bypass blocks;
+            # the reference's --lossless implies the same choice.
+            cfg.deblock = False
         self.params = StreamParams(
             width=self.coded_w, height=self.coded_h,
             bitdepth=self.bitdepth,
             chroma_format_idc=1 if self.chroma else 0,
             qp=cfg.qp,
             deblock_enabled=cfg.deblock,
+            transquant_bypass=cfg.lossless,
             wpp=cfg.wpp,
             conf_win=(0, self.coded_w - cfg.width, 0,
                       self.coded_h - cfg.height),
@@ -300,7 +310,7 @@ class IntraFrameEncoder(PFrameMixin):
                                       self.bitdepth)
         rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr = reconstruct_frame(
             y, cb, cr, modes, self.plan, self.cfg.qp, self.qp_c,
-            self.bitdepth)
+            self.bitdepth, lossless=self.cfg.lossless)
         if self.cfg.deblock:
             # In-loop filter as a batched post-pass: intra prediction
             # reads unfiltered samples (spec 8.4.4.2.1), so deblocking
@@ -352,7 +362,7 @@ class IntraFrameEncoder(PFrameMixin):
                                              self.coded_h // 2)
         # Slice data first (entry-point offsets go into the header).
         sizes = []
-        if _NATIVE_OK:
+        if _NATIVE_OK and not self.params.transquant_bypass:
             if self.params.wpp:
                 data, sizes = native.encode_slice_data_native_wpp(
                     self.params, fd, self.cfg.qp)

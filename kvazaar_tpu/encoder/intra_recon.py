@@ -137,8 +137,13 @@ def _predict_select(refs, modes, s, luma, bitdepth):
     return sel[:, 0]
 
 
-def _tu_roundtrip(orig, pred, s, qp, bitdepth, intra=True):
+def _tu_roundtrip(orig, pred, s, qp, bitdepth, intra=True,
+                  lossless=False):
     resid = orig.astype(jnp.int32) - pred
+    if lossless:
+        # transquant bypass (cu_transquant_bypass_flag): the residual
+        # itself is the coded level array; reconstruction is exact.
+        return resid.astype(jnp.int16), orig.astype(jnp.int32)
     coeff = forward_transform(resid, s, bitdepth)
     levels = quantize(coeff, qp, s, bitdepth, intra=intra)
     dq = dequantize(levels, qp, s, bitdepth)
@@ -148,7 +153,8 @@ def _tu_roundtrip(orig, pred, s, qp, bitdepth, intra=True):
 
 
 def _plane_pass(state, bxs, bys, avail, valid, origs, modes, s, qp,
-                bitdepth, luma, is_inter=None, mc_pred=None):
+                bitdepth, luma, is_inter=None, mc_pred=None,
+                lossless=False):
     """One wavefront step for one plane over all slots.
 
     state: (B, By, Bx, S, S); bxs/bys: (slots,); avail: (slots, 5);
@@ -175,7 +181,7 @@ def _plane_pass(state, bxs, bys, avail, valid, origs, modes, s, qp,
                          mc_pred.reshape(n_slots * b, s, s), pred)
         intra_flag = ~flat_inter
     levels, rec = _tu_roundtrip(origs.reshape(n_slots * b, s, s), pred,
-                                s, qp, bitdepth, intra_flag)
+                                s, qp, bitdepth, intra_flag, lossless)
     rec = rec.reshape(n_slots, b, s, s)
     for k in range(n_slots):
         upd = rec[k].reshape(b, 1, 1, s, s).astype(state.dtype)
@@ -192,7 +198,8 @@ def _plane_pass(state, bxs, bys, avail, valid, origs, modes, s, qp,
 
 def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
                        qp: int, qp_c: int, bitdepth: int = 8,
-                       is_inter=None, mc_y=None, mc_cb=None, mc_cr=None):
+                       is_inter=None, mc_y=None, mc_cb=None, mc_cr=None,
+                       lossless=False):
     """Batched wavefront over all planes.
 
     ys: (B, H, W) int32; cbs/crs: (B, H/2, W/2) or None;
@@ -246,13 +253,14 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
                 bx_t, by_t, av_t, va_t, o_y, o_cb, o_cr, m = xs
                 ii_t = my_t = mcb_t = mcr_t = None
             sy, lv_y = _plane_pass(sy, bx_t, by_t, av_t, va_t, o_y, m,
-                                   s, qp, bitdepth, True, ii_t, my_t)
+                                   s, qp, bitdepth, True, ii_t, my_t,
+                                   lossless)
             scb, lv_cb = _plane_pass(scb, bx_t, by_t, av_t, va_t, o_cb,
                                      m, s2, qp_c, bitdepth, False,
-                                     ii_t, mcb_t)
+                                     ii_t, mcb_t, lossless)
             scr, lv_cr = _plane_pass(scr, bx_t, by_t, av_t, va_t, o_cr,
                                      m, s2, qp_c, bitdepth, False,
-                                     ii_t, mcr_t)
+                                     ii_t, mcr_t, lossless)
             return (sy, scb, scr), (lv_y, lv_cb, lv_cr)
         if inter:
             (sy,) = carry
@@ -262,7 +270,7 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
             bx_t, by_t, av_t, va_t, o_y, m = xs
             ii_t = my_t = None
         sy, lv_y = _plane_pass(sy, bx_t, by_t, av_t, va_t, o_y, m, s,
-                               qp, bitdepth, True, ii_t, my_t)
+                               qp, bitdepth, True, ii_t, my_t, lossless)
         return (sy,), (lv_y,)
 
     if chroma:
@@ -296,13 +304,13 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
 
 
 def reconstruct_frame(y, cb, cr, modes, plan: IntraFramePlan, qp: int,
-                      qp_c: int, bitdepth: int = 8):
+                      qp_c: int, bitdepth: int = 8, lossless=False):
     """Single-frame wrapper over reconstruct_frames."""
     chroma = cb is not None
     out = reconstruct_frames(
         y[None], None if not chroma else cb[None],
         None if not chroma else cr[None], modes[None], plan, qp, qp_c,
-        bitdepth)
+        bitdepth, lossless=lossless)
     rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr = out
     if chroma:
         return (rec_y[0], lv_y[0], rec_cb[0], lv_cb[0], rec_cr[0],

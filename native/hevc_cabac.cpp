@@ -72,38 +72,73 @@ struct Contexts {
   Ctx last_y[18];
   Ctx gt1[24];
   Ctx gt2[6];
+  Ctx skip[3];
+  Ctx pred_mode[1];
+  Ctx merge_flag[1];
+  Ctx merge_idx[1];
+  Ctx mvd[2];
+  Ctx mvp_idx[1];
+  Ctx qt_root_cbf[1];
+  Ctx tqb[1];
 
-  void init(int qp) {
-    static const uint8_t SPLIT[3] = {139, 141, 157};
-    static const uint8_t PART[1] = {184};
-    static const uint8_t IMODE[1] = {184};
-    static const uint8_t CMODE[1] = {63};
-    static const uint8_t CBFL[2] = {111, 141};
-    static const uint8_t CBFC[4] = {94, 138, 182, 154};
-    static const uint8_t SIGCG[4] = {91, 171, 134, 141};
-    static const uint8_t SIG[42] = {
-      111,111,125,110,110,94,124,108,124,107,125,141,179,153,125,107,
-      125,141,179,153,125,107,125,141,179,153,125,140,139,182,182,152,
-      136,152,136,153,136,139,111,136,139,111};
-    static const uint8_t LAST[18] = {
-      110,110,124,125,140,153,125,127,140,109,111,143,127,111,79,108,
-      123,63};
-    static const uint8_t GT1[24] = {
-      140,92,137,138,140,152,138,139,153,74,149,92,139,107,122,152,
-      140,179,166,182,140,227,122,197};
-    static const uint8_t GT2[6] = {138,153,136,167,152,152};
-    for (int i = 0; i < 3; i++) ctx_init(split_flag[i], SPLIT[i], qp);
-    ctx_init(part_size[0], PART[0], qp);
-    ctx_init(intra_mode[0], IMODE[0], qp);
-    ctx_init(chroma_pred_mode[0], CMODE[0], qp);
-    for (int i = 0; i < 2; i++) ctx_init(cbf_luma[i], CBFL[i], qp);
-    for (int i = 0; i < 4; i++) ctx_init(cbf_chroma[i], CBFC[i], qp);
-    for (int i = 0; i < 4; i++) ctx_init(sig_cg[i], SIGCG[i], qp);
-    for (int i = 0; i < 42; i++) ctx_init(sig[i], SIG[i], qp);
-    for (int i = 0; i < 18; i++) { ctx_init(last_x[i], LAST[i], qp);
-                                   ctx_init(last_y[i], LAST[i], qp); }
-    for (int i = 0; i < 24; i++) ctx_init(gt1[i], GT1[i], qp);
-    for (int i = 0; i < 6; i++) ctx_init(gt2[i], GT2[i], qp);
+  // slice: 1 = P, 2 = I (index into the [P, I] init rows).
+  void init(int qp, int slice) {
+    int s = (slice == 2) ? 1 : 0;
+    static const uint8_t SPLIT[2][3] = {{107,139,126},{139,141,157}};
+    static const uint8_t PART[2][1] = {{154},{184}};
+    static const uint8_t IMODE[2][1] = {{154},{184}};
+    static const uint8_t CMODE[2][1] = {{152},{63}};
+    static const uint8_t CBFL[2][2] = {{153,111},{111,141}};
+    static const uint8_t CBFC[2][4] = {{149,107,167,154},
+                                       {94,138,182,154}};
+    static const uint8_t SIGCG[2][4] = {{121,140,61,154},
+                                        {91,171,134,141}};
+    static const uint8_t SIG[2][42] = {
+      {155,154,139,153,139,123,123,63,153,166,183,140,136,153,154,166,
+       183,140,136,153,154,166,183,140,136,153,154,170,153,123,123,107,
+       121,107,121,167,151,183,140,151,183,140},
+      {111,111,125,110,110,94,124,108,124,107,125,141,179,153,125,107,
+       125,141,179,153,125,107,125,141,179,153,125,140,139,182,182,152,
+       136,152,136,153,136,139,111,136,139,111}};
+    static const uint8_t LAST[2][18] = {
+      {125,110,94,110,95,79,125,111,110,78,110,111,111,95,94,108,123,
+       108},
+      {110,110,124,125,140,153,125,127,140,109,111,143,127,111,79,108,
+       123,63}};
+    static const uint8_t GT1[2][24] = {
+      {154,196,196,167,154,152,167,182,182,134,149,136,153,121,136,137,
+       169,194,166,167,154,167,137,182},
+      {140,92,137,138,140,152,138,139,153,74,149,92,139,107,122,152,
+       140,179,166,182,140,227,122,197}};
+    static const uint8_t GT2[2][6] = {{107,167,91,122,107,167},
+                                      {138,153,136,167,152,152}};
+    static const uint8_t SKIP[2][3] = {{197,185,201},{154,154,154}};
+    static const uint8_t PRED[2][1] = {{149},{154}};
+    static const uint8_t MRGF[2][1] = {{110},{154}};
+    static const uint8_t MRGI[2][1] = {{122},{154}};
+    static const uint8_t MVD[2][2] = {{140,198},{154,154}};
+    static const uint8_t MVP[2][1] = {{168},{154}};
+    static const uint8_t ROOT[2][1] = {{79},{154}};
+    for (int i = 0; i < 3; i++) ctx_init(split_flag[i], SPLIT[s][i], qp);
+    ctx_init(part_size[0], PART[s][0], qp);
+    ctx_init(intra_mode[0], IMODE[s][0], qp);
+    ctx_init(chroma_pred_mode[0], CMODE[s][0], qp);
+    for (int i = 0; i < 2; i++) ctx_init(cbf_luma[i], CBFL[s][i], qp);
+    for (int i = 0; i < 4; i++) ctx_init(cbf_chroma[i], CBFC[s][i], qp);
+    for (int i = 0; i < 4; i++) ctx_init(sig_cg[i], SIGCG[s][i], qp);
+    for (int i = 0; i < 42; i++) ctx_init(sig[i], SIG[s][i], qp);
+    for (int i = 0; i < 18; i++) { ctx_init(last_x[i], LAST[s][i], qp);
+                                   ctx_init(last_y[i], LAST[s][i], qp); }
+    for (int i = 0; i < 24; i++) ctx_init(gt1[i], GT1[s][i], qp);
+    for (int i = 0; i < 6; i++) ctx_init(gt2[i], GT2[s][i], qp);
+    for (int i = 0; i < 3; i++) ctx_init(skip[i], SKIP[s][i], qp);
+    ctx_init(pred_mode[0], PRED[s][0], qp);
+    ctx_init(merge_flag[0], MRGF[s][0], qp);
+    ctx_init(merge_idx[0], MRGI[s][0], qp);
+    for (int i = 0; i < 2; i++) ctx_init(mvd[i], MVD[s][i], qp);
+    ctx_init(mvp_idx[0], MVP[s][0], qp);
+    ctx_init(qt_root_cbf[0], ROOT[s][0], qp);
+    ctx_init(tqb[0], 154, qp);
   }
 };
 
@@ -266,6 +301,13 @@ struct FrameParams {
   const int32_t *coeff_y;  // (h, w)
   const int32_t *coeff_cb; // (h/2, w/2)
   const int32_t *coeff_cr;
+  int slice_type = 2;      // 2 = I, 1 = P
+  int transquant_bypass = 0;
+  const uint8_t *inter8 = nullptr;   // (h/8, w/8)
+  const uint8_t *skip8 = nullptr;
+  const int8_t *merge8 = nullptr;    // merge_idx or -1
+  const uint8_t *mvp8 = nullptr;
+  const int32_t *mvd8 = nullptr;     // (h/8, w/8, 2)
 };
 
 struct Serializer {
@@ -273,7 +315,16 @@ struct Serializer {
   Contexts ctx;
   CabacEnc c;
 
-  explicit Serializer(const FrameParams &fp) : p(fp) { ctx.init(p.qp); }
+  explicit Serializer(const FrameParams &fp) : p(fp) {
+    ctx.init(p.qp, p.slice_type);
+  }
+
+  bool is_inter_cu(int x, int y) const {
+    return p.inter8 && p.inter8[(y >> 3) * (p.width >> 3) + (x >> 3)];
+  }
+  int cell8(int x, int y) const {
+    return (y >> 3) * (p.width >> 3) + (x >> 3);
+  }
 
   int depth_at(int x, int y) const {
     return p.depth8[(y >> 3) * (p.width >> 3) + (x >> 3)];
@@ -289,9 +340,10 @@ struct Serializer {
 
   void mpm_for(int x0, int y0, int mpm[3]) const {
     int ctu = 1 << p.log2_ctu;
-    int cl = 1, ca = 1;  // DC default
-    if (x0 > 0) cl = mode_at(x0 - 1, y0);
-    if (y0 > 0 && (y0 % ctu) != 0) ca = mode_at(x0, y0 - 1);
+    int cl = 1, ca = 1;  // DC default (also for non-intra neighbors)
+    if (x0 > 0 && !is_inter_cu(x0 - 1, y0)) cl = mode_at(x0 - 1, y0);
+    if (y0 > 0 && (y0 % ctu) != 0 && !is_inter_cu(x0, y0 - 1))
+      ca = mode_at(x0, y0 - 1);
     if (cl == ca) {
       if (cl < 2) { mpm[0] = 0; mpm[1] = 1; mpm[2] = 26; }
       else { mpm[0] = cl; mpm[1] = 2 + ((cl + 29) % 32);
@@ -330,7 +382,7 @@ struct Serializer {
     for (int row = 0; row < ctus_y; row++) {
       if (row > 0) {
         if (have_saved) ctx = saved;
-        else ctx.init(p.qp);
+        else ctx.init(p.qp, p.slice_type);
         c = CabacEnc();
       }
       for (int cxi = 0; cxi < ctus_x; cxi++) {
@@ -374,7 +426,67 @@ struct Serializer {
     }
   }
 
+  void egk(int value, int k) {
+    while (value >= (1 << k)) { c.bypass(1); value -= 1 << k; k++; }
+    c.bypass(0);
+    if (k) c.bypass_bins((uint32_t)value, k);
+  }
+
+  void write_merge_idx(int idx) {
+    c.bin(ctx.merge_idx[0], idx ? 1 : 0);
+    if (idx) {
+      for (int k = 1; k < idx; k++) c.bypass(1);
+      if (idx < 4) c.bypass(0);
+    }
+  }
+
+  void write_mvd(const int32_t *mvd) {
+    int ax = mvd[0] < 0 ? -mvd[0] : mvd[0];
+    int ay = mvd[1] < 0 ? -mvd[1] : mvd[1];
+    c.bin(ctx.mvd[0], ax ? 1 : 0);
+    c.bin(ctx.mvd[0], ay ? 1 : 0);
+    if (ax) c.bin(ctx.mvd[1], ax > 1 ? 1 : 0);
+    if (ay) c.bin(ctx.mvd[1], ay > 1 ? 1 : 0);
+    if (ax) { if (ax > 1) egk(ax - 2, 1); c.bypass(mvd[0] < 0); }
+    if (ay) { if (ay > 1) egk(ay - 2, 1); c.bypass(mvd[1] < 0); }
+  }
+
+  int root_cbf(int x0, int y0, int log2_size) const {
+    if (tu_cbf(0, x0, y0, log2_size)) return 1;
+    if (p.chroma && (tu_cbf(1, x0, y0, log2_size)
+                     || tu_cbf(2, x0, y0, log2_size))) return 1;
+    return 0;
+  }
+
   void coding_unit(int x0, int y0, int log2_size) {
+    if (p.transquant_bypass) c.bin(ctx.tqb[0], 1);
+    if (p.slice_type != 2) {
+      int cell = cell8(x0, y0);
+      int skipv = p.skip8[cell];
+      int inc = 0;
+      if (x0 > 0 && p.skip8[cell8(x0 - 1, y0)]) inc++;
+      if (y0 > 0 && p.skip8[cell8(x0, y0 - 1)]) inc++;
+      c.bin(ctx.skip[inc], skipv);
+      if (skipv) { write_merge_idx(p.merge8[cell]); return; }
+      int inter = p.inter8[cell];
+      c.bin(ctx.pred_mode[0], inter ? 0 : 1);
+      if (inter) {
+        c.bin(ctx.part_size[0], 1);   // 2Nx2N
+        int midx = p.merge8[cell];
+        if (midx >= 0) {
+          c.bin(ctx.merge_flag[0], 1);
+          write_merge_idx(midx);
+        } else {
+          c.bin(ctx.merge_flag[0], 0);
+          write_mvd(p.mvd8 + cell * 2);
+          c.bin(ctx.mvp_idx[0], p.mvp8[cell]);
+        }
+        int root = root_cbf(x0, y0, log2_size);
+        if (midx < 0) c.bin(ctx.qt_root_cbf[0], root);
+        if (root) transform_tree(x0, y0, log2_size, 0);
+        return;
+      }
+    }
     if (log2_size == p.log2_min_cu) c.bin(ctx.part_size[0], 1);
     int mode = mode_at(x0, y0);
     int mpm[3]; mpm_for(x0, y0, mpm);
@@ -426,7 +538,8 @@ struct Serializer {
                         cbf_cb, cbf_cr);
     } else {
       int cbf_luma = tu_cbf(0, x0, y0, log2_size);
-      c.bin(ctx.cbf_luma[tr_depth == 0 ? 1 : 0], cbf_luma);
+      if (!is_inter_cu(x0, y0) || tr_depth != 0 || cbf_cb || cbf_cr)
+        c.bin(ctx.cbf_luma[tr_depth == 0 ? 1 : 0], cbf_luma);
       transform_unit(x0, y0, log2_size, cbf_luma, cbf_cb, cbf_cr);
     }
   }
@@ -500,8 +613,15 @@ struct Serializer {
     int size = 1 << log2_size;
     bool chroma = cidx > 0;
     int stride; const int32_t *pl = plane(cidx, stride);
-    int mode = chroma ? mode_at(x0 * 2, y0 * 2) : mode_at(x0, y0);
-    int scan_idx = intra_scan_idx(mode, log2_size, chroma);
+    int lx0 = chroma ? x0 * 2 : x0;
+    int ly0 = chroma ? y0 * 2 : y0;
+    int scan_idx;
+    if (is_inter_cu(lx0, ly0)) {
+      scan_idx = 0;                     // inter: always diagonal
+    } else {
+      int mode = mode_at(lx0, ly0);
+      scan_idx = intra_scan_idx(mode, log2_size, chroma);
+    }
     const auto &scan = g_scans.coeff[log2_size - 2][scan_idx];
     const auto &sbscan = g_scans.sub[log2_size - 2][scan_idx];
 
@@ -614,6 +734,42 @@ int64_t ktpu_encode_slice_data(
   int64_t n = (int64_t)s.c.bytes.size();
   if (n > out_cap) return -1;
   std::memcpy(out, s.c.bytes.data(), (size_t)n);
+  return n;
+}
+
+// P-slice variant with inter syntax arrays; wpp != 0 selects the
+// per-row substream mode (entry_sizes/n_substreams as below, may be
+// null when wpp == 0).
+int64_t ktpu_encode_slice_data_p(
+    int width, int height, int chroma, int qp, int wpp,
+    int log2_ctu, int log2_min_cu, int log2_max_tu,
+    const uint8_t *depth8, const uint8_t *mode4,
+    const int32_t *coeff_y, const int32_t *coeff_cb,
+    const int32_t *coeff_cr,
+    const uint8_t *inter8, const uint8_t *skip8, const int8_t *merge8,
+    const uint8_t *mvp8, const int32_t *mvd8,
+    uint8_t *out, int64_t out_cap,
+    int64_t *entry_sizes, int32_t *n_substreams) {
+  FrameParams fp{width, height, chroma, qp, log2_ctu, log2_min_cu,
+                 log2_max_tu, depth8, mode4, coeff_y, coeff_cb,
+                 coeff_cr, 1, 0, inter8, skip8, merge8, mvp8, mvd8};
+  Serializer s(fp);
+  if (wpp) {
+    std::vector<uint8_t> bytes;
+    std::vector<int64_t> sizes;
+    s.encode_slice_wpp(bytes, sizes);
+    int64_t n = (int64_t)bytes.size();
+    if (n > out_cap) return -1;
+    std::memcpy(out, bytes.data(), (size_t)n);
+    for (size_t i = 0; i < sizes.size(); i++) entry_sizes[i] = sizes[i];
+    *n_substreams = (int32_t)sizes.size();
+    return n;
+  }
+  s.encode_slice();
+  int64_t n = (int64_t)s.c.bytes.size();
+  if (n > out_cap) return -1;
+  std::memcpy(out, s.c.bytes.data(), (size_t)n);
+  if (n_substreams) *n_substreams = 1;
   return n;
 }
 

@@ -1,0 +1,51 @@
+"""Lossless (transquant bypass) and 10-bit operating points —
+BASELINE.json config #5 requirements."""
+
+import numpy as np
+import pytest
+
+from kvazaar_tpu.bitstream.decoder import decode_stream
+from kvazaar_tpu.config import Config
+from kvazaar_tpu.encoder.frame_encoder import IntraFrameEncoder
+
+
+def test_lossless_intra_bit_exact_to_source():
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    cb = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    cr = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    cfg = Config(width=64, height=64, qp=27, intra_max_cu=16,
+                 intra_min_cu=16, lossless=True)
+    enc = IntraFrameEncoder(cfg)
+    res = enc.encode_frame(y, cb, cr)
+    # --lossless bit-exact to input (north-star requirement).
+    np.testing.assert_array_equal(res.recon_y, y)
+    np.testing.assert_array_equal(res.recon_cb, cb)
+    np.testing.assert_array_equal(res.recon_cr, cr)
+    frames = decode_stream(enc.headers() + res.nals, enc.params)
+    (ry, rcb, rcr), _fd = frames[0]
+    np.testing.assert_array_equal(ry, y)
+    np.testing.assert_array_equal(rcb, cb)
+    np.testing.assert_array_equal(rcr, cr)
+
+
+def test_10bit_intra_e2e():
+    rng = np.random.default_rng(1)
+    yy, xx = np.mgrid[0:64, 0:64]
+    y = np.clip(512 + 300 * np.sin(xx / 9.0) * np.cos(yy / 13.0)
+                + rng.normal(0, 12, (64, 64)), 0, 1023).astype(np.uint16)
+    cb = np.clip(400 + 120 * np.sin(xx[::2, ::2] / 17.0), 0,
+                 1023).astype(np.uint16)
+    cr = np.clip(600 + 100 * np.cos(yy[::2, ::2] / 11.0), 0,
+                 1023).astype(np.uint16)
+    cfg = Config(width=64, height=64, qp=27, intra_max_cu=16,
+                 intra_min_cu=16, input_bitdepth=10)
+    enc = IntraFrameEncoder(cfg)
+    res = enc.encode_frame(y, cb, cr)
+    frames = decode_stream(enc.headers() + res.nals, enc.params)
+    (ry, rcb, rcr), _fd = frames[0]
+    np.testing.assert_array_equal(ry, res.recon_y)
+    np.testing.assert_array_equal(rcb, res.recon_cb)
+    np.testing.assert_array_equal(rcr, res.recon_cr)
+    from kvazaar_tpu.encoder.frame_encoder import psnr
+    assert psnr(res.recon_y, y.astype(np.int32), 10) > 34.0

@@ -74,3 +74,29 @@ def test_native_wpp_matches_python(width, height, seed, qp):
     nb, nb_sizes = nat.encode_slice_data_native_wpp(params, fd, qp)
     assert nb_sizes == py_sizes
     assert nb == py
+
+
+@pytest.mark.parametrize("width,height,seed,qp,wpp", [
+    (128, 128, 20, 30, False), (192, 128, 21, 27, True),
+    (64, 64, 22, 40, False),
+])
+def test_native_p_matches_python(width, height, seed, qp, wpp):
+    from kvazaar_tpu.bitstream import native as nat
+    from kvazaar_tpu.constants import SLICE_P
+    from tests.test_syntax import random_p_frame_data
+    rng = np.random.default_rng(seed)
+    params = StreamParams(width=width, height=height, qp=qp, wpp=wpp)
+    fd = random_p_frame_data(rng, width, height, True)
+    w = BitWriter()
+    enc = SliceDataEncoder(params, fd, Contexts(SLICE_P, qp),
+                           CabacEncoder(w))
+    if wpp:
+        py_sizes = enc.encode_slice_data_wpp()
+    else:
+        enc.encode_slice_data()
+        w.align_zero()
+        py_sizes = []
+    py = w.get_bytes()
+    nb, nb_sizes = nat.encode_slice_data_native_p(params, fd, qp, wpp)
+    assert nb_sizes == py_sizes
+    assert nb == py
