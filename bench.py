@@ -84,21 +84,28 @@ def measure_reference_fps() -> float:
 def main():
     from kvazaar_tpu.api import Encoder
     from kvazaar_tpu.config import Config
+    from kvazaar_tpu.encoder.frame_encoder import psnr
 
     frames = synth_clip(FRAMES, W, H)
     cfg = Config(width=W, height=H, qp=QP, intra_max_cu=16,
                  intra_min_cu=16)
     enc = Encoder(cfg)
+    ife = enc._intra
     # Warmup / compile (batched path).
-    enc.encode_many(frames)
+    ife.encode_frames(frames)
     t0 = time.time()
     total_bits = 0
     psnr_y = 0.0
-    reps = 3
-    for _ in range(reps):
-        for chunks, info, _ in enc.encode_many(frames):
-            total_bits += info.bits
-            psnr_y += info.psnr_y
+    reps = 4
+    # Two-stage pipeline: device batch N+1 queued (async dispatch)
+    # while host CABAC finalizes batch N.
+    pending = ife.submit_frames(frames)
+    for r in range(reps):
+        nxt = ife.submit_frames(frames) if r + 1 < reps else None
+        for (y, _, _), res in zip(frames, ife.finalize_frames(pending)):
+            total_bits += res.bits
+            psnr_y += psnr(res.recon_y[:H, :W], y.astype(np.int32))
+        pending = nxt
     dt = time.time() - t0
     fps = FRAMES * reps / dt
     total_bits //= reps

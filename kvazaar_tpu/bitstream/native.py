@@ -43,12 +43,12 @@ def get_lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
     ]
     lib.ktpu_encode_slice_data_wpp.restype = ctypes.c_int64
     lib.ktpu_encode_slice_data_wpp.argtypes = \
-        lib.ktpu_encode_slice_data.argtypes + [ctypes.c_void_p,
-                                               ctypes.c_void_p]
+        lib.ktpu_encode_slice_data.argtypes[:-1] + [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
     _lib = lib
     return lib
 
@@ -88,7 +88,7 @@ def encode_slice_data_native(params, fd, qp: int) -> bytes:
         depth8.ctypes.data, mode4.ctypes.data, cy.ctypes.data,
         None if ccb is None else ccb.ctypes.data,
         None if ccr is None else ccr.ctypes.data,
-        out.ctypes.data, cap)
+        out.ctypes.data, cap, 1 if params.sign_hiding else 0)
     if n < 0:
         raise RuntimeError("native slice buffer overflow")
     return out[:n].tobytes()
@@ -109,7 +109,8 @@ def encode_slice_data_native_wpp(params, fd, qp: int):
         depth8.ctypes.data, mode4.ctypes.data, cy.ctypes.data,
         None if ccb is None else ccb.ctypes.data,
         None if ccr is None else ccr.ctypes.data,
-        out.ctypes.data, cap, sizes.ctypes.data, nss.ctypes.data)
+        out.ctypes.data, cap, sizes.ctypes.data, nss.ctypes.data,
+        1 if params.sign_hiding else 0)
     if n < 0:
         raise RuntimeError("native slice buffer overflow")
     return out[:n].tobytes(), [int(v) for v in sizes[:int(nss[0])]]
@@ -130,7 +131,7 @@ def encode_slice_data_native_p(params, fd, qp: int, wpp: bool):
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64,
-            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ]
         lib._p_configured = True
     depth8, mode4, cy, ccb, ccr, chroma = _frame_args(params, fd)
@@ -152,7 +153,8 @@ def encode_slice_data_native_p(params, fd, qp: int, wpp: bool):
         None if ccr is None else ccr.ctypes.data,
         inter8.ctypes.data, skip8.ctypes.data, merge8.ctypes.data,
         mvp8.ctypes.data, mvd8.ctypes.data,
-        out.ctypes.data, cap, sizes.ctypes.data, nss.ctypes.data)
+        out.ctypes.data, cap, sizes.ctypes.data, nss.ctypes.data,
+        1 if params.sign_hiding else 0)
     if n < 0:
         raise RuntimeError("native slice buffer overflow")
     szs = [int(v) for v in sizes[:int(nss[0])]] if wpp else []

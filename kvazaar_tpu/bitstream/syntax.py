@@ -538,9 +538,14 @@ class SliceDataEncoder(_SliceSyntaxBase):
                 c.encode_bin(ctx("gt2", ctx_set + (4 if chroma else 0)),
                              flag)
 
-            # signs (sign hiding arrives with the RDOQ/signhide pass;
-            # PPS flag is off until then)
+            # signs; with sign hiding the first (DC-ward) coeff's sign
+            # is omitted when the group spans > 3 scan positions —
+            # the device guarantees the parity invariant.
+            hide = (p.sign_hiding and not p.transquant_bypass
+                    and sig_pos[0] - sig_pos[-1] > 3)
             for n in sig_pos:
+                if hide and n == sig_pos[-1]:
+                    continue
                 c.encode_bypass(1 if sb_levels[n] < 0 else 0)
 
             # remaining levels: present iff the coded flags saturated
@@ -908,9 +913,17 @@ class SliceDataDecoder(_SliceSyntaxBase):
                 gt2 = c.decode_bin(ctx("gt2",
                                        ctx_set + (4 if chroma else 0)))
 
-            signs = {n: c.decode_bypass() for n in sig_pos}
+            hide = (p.sign_hiding and not p.transquant_bypass
+                    and sig_pos[0] - sig_pos[-1] > 3)
+            signs = {}
+            for n in sig_pos:
+                if hide and n == sig_pos[-1]:
+                    signs[n] = None         # inferred from parity below
+                else:
+                    signs[n] = c.decode_bypass()
 
             rice = 0
+            absvals = {}
             for k, n in enumerate(sig_pos):
                 if k < 8:
                     base = 1 + gt1[n] + (gt2 if n == first_gt1 else 0)
@@ -924,7 +937,13 @@ class SliceDataDecoder(_SliceSyntaxBase):
                     a += self._decode_remaining(rice)
                     if a > (3 << rice):
                         rice = min(rice + 1, 4)
-                levels[i * 16 + n] = -a if signs[n] else a
+                absvals[n] = a
+            sum_abs = sum(absvals.values())
+            for n in sig_pos:
+                sgn = signs[n]
+                if sgn is None:
+                    sgn = 1 if (sum_abs & 1) else 0
+                levels[i * 16 + n] = -absvals[n] if sgn else absvals[n]
 
         block = np.zeros((size, size), dtype=np.int64)
         block[scan[:, 1], scan[:, 0]] = levels

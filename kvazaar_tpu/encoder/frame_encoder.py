@@ -108,7 +108,7 @@ class PFrameMixin:
             is_inter=is_inter[None], mc_y=mc_y[None],
             mc_cb=None if mc_cb is None else mc_cb[None],
             mc_cr=None if mc_cr is None else mc_cr[None],
-            lossless=self.cfg.lossless)
+            lossless=self.cfg.lossless, signhide=self.cfg.signhide)
         rec_y, lv_y = rec_y[0], lv_y[0]
         if cb is not None:
             rec_cb, lv_cb = rec_cb[0], lv_cb[0]
@@ -283,6 +283,7 @@ class IntraFrameEncoder(PFrameMixin):
             qp=cfg.qp,
             deblock_enabled=cfg.deblock,
             transquant_bypass=cfg.lossless,
+            sign_hiding=cfg.signhide and not cfg.lossless,
             wpp=cfg.wpp,
             conf_win=(0, self.coded_w - cfg.width, 0,
                       self.coded_h - cfg.height),
@@ -310,7 +311,8 @@ class IntraFrameEncoder(PFrameMixin):
                                       self.bitdepth)
         rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr = reconstruct_frame(
             y, cb, cr, modes, self.plan, self.cfg.qp, self.qp_c,
-            self.bitdepth, lossless=self.cfg.lossless)
+            self.bitdepth, lossless=self.cfg.lossless,
+            signhide=self.cfg.signhide)
         if self.cfg.deblock:
             # In-loop filter as a batched post-pass: intra prediction
             # reads unfiltered samples (spec 8.4.4.2.1), so deblocking
@@ -390,11 +392,10 @@ class IntraFrameEncoder(PFrameMixin):
                            recon_cr=rec_cr, frame_data=fd,
                            bits=len(nal) * 8)
 
-    def encode_frames(self, frames) -> list[FrameResult]:
-        """Encode a batch of frames through one vmapped device program;
-        host serialization fans out over a thread pool (the native CABAC
-        releases the GIL)."""
-        import concurrent.futures as cf
+    def submit_frames(self, frames):
+        """Queue the device program for a batch (async dispatch); pair
+        with finalize_frames.  Queuing batch N+1 before finalizing batch
+        N overlaps device compute with host CABAC."""
         s = self.cu
         ys = np.stack([pad_to_multiple(np.asarray(f[0], np.int32), s)
                        for f in frames])
@@ -404,8 +405,18 @@ class IntraFrameEncoder(PFrameMixin):
                                             s // 2) for f in frames])
             crs = np.stack([pad_to_multiple(np.asarray(f[2], np.int32),
                                             s // 2) for f in frames])
-        (rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr), modes = \
-            self._device_encode_batch(ys, cbs, crs)
+        return len(frames), self._device_encode_batch(ys, cbs, crs)
+
+    def encode_frames(self, frames) -> list[FrameResult]:
+        """Encode a batch of frames through one vmapped device program;
+        host serialization fans out over a thread pool (the native CABAC
+        releases the GIL)."""
+        return self.finalize_frames(self.submit_frames(frames))
+
+    def finalize_frames(self, handle) -> list[FrameResult]:
+        import concurrent.futures as cf
+        nframes, ((rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr),
+                  modes) = handle
         modes = np.asarray(modes)
         rec_y = np.asarray(rec_y)
         lv_y = np.asarray(lv_y)
@@ -415,7 +426,7 @@ class IntraFrameEncoder(PFrameMixin):
         if self._host_pool is None:
             self._host_pool = cf.ThreadPoolExecutor(max_workers=4)
         futs = []
-        for i in range(len(frames)):
+        for i in range(nframes):
             futs.append(self._host_pool.submit(
                 self._host_finalize, modes[i], lv_y[i],
                 lv_cb[i] if self.chroma else None,

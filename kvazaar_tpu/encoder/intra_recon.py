@@ -68,55 +68,44 @@ def step_schedule(plan: IntraFramePlan):
             jnp.asarray(valid))
 
 
-def _edge_col(state, b, by, bx, s):
-    """Right column of block (by, bx): (B, S) top-to-bottom."""
-    blk = jax.lax.dynamic_slice(state, (0, by, bx, 0, s - 1),
-                                (b, 1, 1, s, 1))
-    return blk.reshape(b, s)
+def build_refs_edges(hbuf, vbuf, bx, by, avail, s, bitdepth):
+    """Reference vector (B, 4S+1) from the edge buffers.
 
-
-def _edge_row(state, b, by, bx, s):
-    """Bottom row of block (by, bx): (B, S) left-to-right."""
-    blk = jax.lax.dynamic_slice(state, (0, by, bx, s - 1, 0),
-                                (b, 1, 1, 1, s))
-    return blk.reshape(b, s)
-
-
-def _corner(state, b, by, bx, s):
-    blk = jax.lax.dynamic_slice(state, (0, by, bx, s - 1, s - 1),
-                                (b, 1, 1, 1, 1))
-    return blk.reshape(b, 1)
-
-
-def build_refs(state, bx, by, avail, s, bitdepth):
-    """Reference vector (B, 4S+1) for one block from the block-grid
-    state, applying regional substitution.  avail: (5,) bool traced
-    [L, A, AR, BL, AL] (geometry.py order)."""
-    b = state.shape[0]
+    hbuf: (B, By, W) bottom rows per block-row; vbuf: (B, Bx, H) right
+    cols per block-column (the TPU form of the reference's hor/ver
+    boundary buffers, src/encoderstate.h:170-186).  avail: (5,) traced
+    [L, A, AR, BL, AL]."""
+    b = hbuf.shape[0]
     a_l, a_a, a_ar, a_bl, a_al = (avail[0], avail[1], avail[2],
                                   avail[3], avail[4])
-    left = _edge_col(state, b, by, jnp.maximum(bx - 1, 0), s)
-    below_left = _edge_col(state, b, jnp.minimum(by + 1, state.shape[1]
-                                                 - 1),
-                           jnp.maximum(bx - 1, 0), s)
-    top = _edge_row(state, b, jnp.maximum(by - 1, 0), bx, s)
-    top_right = _edge_row(state, b, jnp.maximum(by - 1, 0),
-                          jnp.minimum(bx + 1, state.shape[2] - 1), s)
-    corner = _corner(state, b, jnp.maximum(by - 1, 0),
-                     jnp.maximum(bx - 1, 0), s)
+    x0 = bx * s
+    y0 = by * s
+    w = hbuf.shape[2]
+    h = vbuf.shape[2]
+    # Separate reads per region: clamped starts only ever shift MASKED
+    # (unavailable) regions, never available ones.
+    byc = jnp.maximum(by - 1, 0)
+    top = jax.lax.dynamic_slice(hbuf, (0, byc, x0),
+                                (b, 1, s)).reshape(b, s)
+    top_right = jax.lax.dynamic_slice(
+        hbuf, (0, byc, jnp.minimum(x0 + s, w - s)),
+        (b, 1, s)).reshape(b, s)
+    corner = jax.lax.dynamic_slice(
+        hbuf, (0, byc, jnp.maximum(x0 - 1, 0)), (b, 1, 1)).reshape(b, 1)
+    bxc = jnp.maximum(bx - 1, 0)
+    left = jax.lax.dynamic_slice(vbuf, (0, bxc, y0),
+                                 (b, 1, s)).reshape(b, s)
+    below_left = jax.lax.dynamic_slice(
+        vbuf, (0, bxc, jnp.minimum(y0 + s, h - s)),
+        (b, 1, s)).reshape(b, s)
 
     # Vector order: BL (bottom-up), L (bottom-up), corner, T, TR.
-    bl_v = below_left[:, ::-1]
-    l_v = left[:, ::-1]
-    regions = [(a_bl, bl_v), (a_l, l_v), (a_al, corner), (a_a, top),
-               (a_ar, top_right)]
-
-    # First available sample (for the leading gap).
-    default = jnp.full((b, 1), 1 << (bitdepth - 1), state.dtype)
+    regions = [(a_bl, below_left[:, ::-1]), (a_l, left[:, ::-1]),
+               (a_al, corner), (a_a, top), (a_ar, top_right)]
+    default = jnp.full((b, 1), 1 << (bitdepth - 1), hbuf.dtype)
     first = default
     for flag, reg in reversed(regions):
         first = jnp.where(flag, reg[:, :1], first)
-
     out = []
     carry = first
     for flag, reg in regions:
@@ -138,7 +127,7 @@ def _predict_select(refs, modes, s, luma, bitdepth):
 
 
 def _tu_roundtrip(orig, pred, s, qp, bitdepth, intra=True,
-                  lossless=False):
+                  lossless=False, scan_sel=None):
     resid = orig.astype(jnp.int32) - pred
     if lossless:
         # transquant bypass (cu_transquant_bypass_flag): the residual
@@ -146,60 +135,81 @@ def _tu_roundtrip(orig, pred, s, qp, bitdepth, intra=True,
         return resid.astype(jnp.int16), orig.astype(jnp.int32)
     coeff = forward_transform(resid, s, bitdepth)
     levels = quantize(coeff, qp, s, bitdepth, intra=intra)
+    if scan_sel is not None:
+        from kvazaar_tpu.ops.quant import sign_hide
+        levels = sign_hide(levels, scan_sel)
     dq = dequantize(levels, qp, s, bitdepth)
     rec = jnp.clip(pred + inverse_transform(dq, s, bitdepth), 0,
                    (1 << bitdepth) - 1)
     return levels.astype(jnp.int16), rec
 
 
-def _plane_pass(state, bxs, bys, avail, valid, origs, modes, s, qp,
+def _scan_sel(modes, s, luma, is_inter=None):
+    """scanIdx per block (7.4.9.11): mode-dependent only for 4x4 and
+    8x8-luma intra TBs; inter and large TBs use diagonal."""
+    if (luma and s > 8) or (not luma and s > 4):
+        return jnp.zeros_like(modes)
+    sel = jnp.where((modes >= 6) & (modes <= 14), 2,
+                    jnp.where((modes >= 22) & (modes <= 30), 1, 0))
+    if is_inter is not None:
+        sel = jnp.where(is_inter, 0, sel)
+    return sel.astype(jnp.int32)
+
+
+def _plane_pass(hbuf, vbuf, bxs, bys, avail, valid, origs, modes, s, qp,
                 bitdepth, luma, is_inter=None, mc_pred=None,
-                lossless=False):
+                lossless=False, signhide=False):
     """One wavefront step for one plane over all slots.
 
-    state: (B, By, Bx, S, S); bxs/bys: (slots,); avail: (slots, 5);
-    origs: (slots, B, S, S); modes: (slots, B).
+    hbuf: (B, By, W); vbuf: (B, Bx, H) — edge state only (the carry is
+    ~100x smaller than a full frame; per-step traffic is what the scan
+    pays for).  origs: (slots, B, S, S); modes: (slots, B).
     P frames: is_inter (slots, B) bool, mc_pred (slots, B, S, S) —
     inter blocks take the motion-compensated prediction (computed
     batched outside the scan; it has no wavefront dependency) and the
     inter quantizer rounding.
-    Returns (state, levels (slots, B, S, S))."""
-    b = state.shape[0]
+    Returns (hbuf, vbuf, levels, rec) with levels/rec (slots, B, S, S)."""
+    b = hbuf.shape[0]
     n_slots = origs.shape[0]
     refs = []
     for k in range(n_slots):
-        refs.append(build_refs(state, bxs[k], bys[k], avail[k], s,
-                               bitdepth))
+        refs.append(build_refs_edges(hbuf, vbuf, bxs[k], bys[k],
+                                     avail[k], s, bitdepth))
     refs = jnp.stack(refs)                       # (slots, B, R)
     flat_refs = refs.reshape(n_slots * b, -1)
     flat_modes = modes.reshape(n_slots * b)
     pred = _predict_select(flat_refs, flat_modes, s, luma, bitdepth)
     intra_flag = True
+    flat_inter = None
     if is_inter is not None:
         flat_inter = is_inter.reshape(n_slots * b)
         pred = jnp.where(flat_inter[:, None, None],
                          mc_pred.reshape(n_slots * b, s, s), pred)
         intra_flag = ~flat_inter
+    scan_sel = (_scan_sel(flat_modes, s, luma, flat_inter)
+                if signhide else None)
     levels, rec = _tu_roundtrip(origs.reshape(n_slots * b, s, s), pred,
-                                s, qp, bitdepth, intra_flag, lossless)
+                                s, qp, bitdepth, intra_flag, lossless,
+                                scan_sel)
     rec = rec.reshape(n_slots, b, s, s)
     for k in range(n_slots):
-        upd = rec[k].reshape(b, 1, 1, s, s).astype(state.dtype)
-        # Pad slots must not touch the state: select against the current
-        # block content (small read), NOT against the whole buffer — a
-        # full-buffer where() would copy it per slot.
-        cur = jax.lax.dynamic_slice(state, (0, bys[k], bxs[k], 0, 0),
-                                    (b, 1, 1, s, s))
-        upd = jnp.where(valid[k], upd, cur)
-        state = jax.lax.dynamic_update_slice(state, upd,
-                                             (0, bys[k], bxs[k], 0, 0))
-    return state, levels.reshape(n_slots, b, s, s)
+        x0 = bxs[k] * s
+        y0 = bys[k] * s
+        brow = rec[k, :, -1:, :].astype(hbuf.dtype)      # (B, 1, S)
+        cur_h = jax.lax.dynamic_slice(hbuf, (0, bys[k], x0), (b, 1, s))
+        hbuf = jax.lax.dynamic_update_slice(
+            hbuf, jnp.where(valid[k], brow, cur_h), (0, bys[k], x0))
+        rcol = jnp.swapaxes(rec[k, :, :, -1:], 1, 2).astype(vbuf.dtype)
+        cur_v = jax.lax.dynamic_slice(vbuf, (0, bxs[k], y0), (b, 1, s))
+        vbuf = jax.lax.dynamic_update_slice(
+            vbuf, jnp.where(valid[k], rcol, cur_v), (0, bxs[k], y0))
+    return hbuf, vbuf, levels.reshape(n_slots, b, s, s), rec
 
 
 def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
                        qp: int, qp_c: int, bitdepth: int = 8,
                        is_inter=None, mc_y=None, mc_cb=None, mc_cr=None,
-                       lossless=False):
+                       lossless=False, signhide=False):
     """Batched wavefront over all planes.
 
     ys: (B, H, W) int32; cbs/crs: (B, H/2, W/2) or None;
@@ -237,80 +247,100 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
             mcb = to_steps(mc_cb.astype(jnp.int32), s2)
             mcr = to_steps(mc_cr.astype(jnp.int32), s2)
 
-    st_y0 = jnp.zeros((b, plan.blocks_y, plan.blocks_x, s, s), jnp.int32)
+    # Edge-buffer carries: (B, By, W) bottom rows + (B, Bx, H) right
+    # columns per plane (see _plane_pass).
+    hb_y0 = jnp.zeros((b, plan.blocks_y, plan.width), jnp.int32)
+    vb_y0 = jnp.zeros((b, plan.blocks_x, plan.height), jnp.int32)
     if chroma:
-        st_c0 = jnp.zeros((b, plan.blocks_y, plan.blocks_x, s2, s2),
+        hb_c0 = jnp.zeros((b, plan.blocks_y, plan.width // 2), jnp.int32)
+        vb_c0 = jnp.zeros((b, plan.blocks_x, plan.height // 2),
                           jnp.int32)
 
     def step_fn(carry, xs):
         if chroma:
             if inter:
-                (sy, scb, scr) = carry
+                (hy, vy, hcb, vcb, hcr, vcr) = carry
                 (bx_t, by_t, av_t, va_t, o_y, o_cb, o_cr, m, ii_t,
                  my_t, mcb_t, mcr_t) = xs
             else:
-                (sy, scb, scr) = carry
+                (hy, vy, hcb, vcb, hcr, vcr) = carry
                 bx_t, by_t, av_t, va_t, o_y, o_cb, o_cr, m = xs
                 ii_t = my_t = mcb_t = mcr_t = None
-            sy, lv_y = _plane_pass(sy, bx_t, by_t, av_t, va_t, o_y, m,
-                                   s, qp, bitdepth, True, ii_t, my_t,
-                                   lossless)
-            scb, lv_cb = _plane_pass(scb, bx_t, by_t, av_t, va_t, o_cb,
-                                     m, s2, qp_c, bitdepth, False,
-                                     ii_t, mcb_t, lossless)
-            scr, lv_cr = _plane_pass(scr, bx_t, by_t, av_t, va_t, o_cr,
-                                     m, s2, qp_c, bitdepth, False,
-                                     ii_t, mcr_t, lossless)
-            return (sy, scb, scr), (lv_y, lv_cb, lv_cr)
+            hy, vy, lv_y, r_y = _plane_pass(
+                hy, vy, bx_t, by_t, av_t, va_t, o_y, m, s, qp,
+                bitdepth, True, ii_t, my_t, lossless, signhide)
+            hcb, vcb, lv_cb, r_cb = _plane_pass(
+                hcb, vcb, bx_t, by_t, av_t, va_t, o_cb, m, s2, qp_c,
+                bitdepth, False, ii_t, mcb_t, lossless, signhide)
+            hcr, vcr, lv_cr, r_cr = _plane_pass(
+                hcr, vcr, bx_t, by_t, av_t, va_t, o_cr, m, s2, qp_c,
+                bitdepth, False, ii_t, mcr_t, lossless, signhide)
+            return (hy, vy, hcb, vcb, hcr, vcr), \
+                (lv_y, lv_cb, lv_cr, r_y, r_cb, r_cr)
         if inter:
-            (sy,) = carry
+            (hy, vy) = carry
             bx_t, by_t, av_t, va_t, o_y, m, ii_t, my_t = xs
         else:
-            (sy,) = carry
+            (hy, vy) = carry
             bx_t, by_t, av_t, va_t, o_y, m = xs
             ii_t = my_t = None
-        sy, lv_y = _plane_pass(sy, bx_t, by_t, av_t, va_t, o_y, m, s,
-                               qp, bitdepth, True, ii_t, my_t, lossless)
-        return (sy,), (lv_y,)
+        hy, vy, lv_y, r_y = _plane_pass(
+            hy, vy, bx_t, by_t, av_t, va_t, o_y, m, s, qp, bitdepth,
+            True, ii_t, my_t, lossless, signhide)
+        return (hy, vy), (lv_y, r_y)
 
     if chroma:
         xs = (bxs, bys, avail, valid, oy, ocb, ocr, modes_steps)
         if inter:
             xs = xs + (ii, my, mcb, mcr)
-        carry0 = (st_y0, st_c0, st_c0)
+        carry0 = (hb_y0, vb_y0, hb_c0, vb_c0, hb_c0, vb_c0)
     else:
         xs = (bxs, bys, avail, valid, oy, modes_steps)
         if inter:
             xs = xs + (ii, my)
-        carry0 = (st_y0,)
-    carry, levels = jax.lax.scan(step_fn, carry0, xs)
+        carry0 = (hb_y0, vb_y0)
+    _, outs = jax.lax.scan(step_fn, carry0, xs)
 
     rdt = jnp.uint8 if bitdepth <= 8 else jnp.uint16
+    # Static order: flat (step*slots + slot) index of each block id.
+    order = np.zeros(plan.blocks_y * plan.blocks_x, np.int64)
+    bos = plan.block_of_slot
+    for st in range(plan.n_steps):
+        for sl in range(plan.n_slots):
+            if bos[st, sl] >= 0:
+                order[bos[st, sl]] = st * plan.n_slots + sl
+    order_j = jnp.asarray(order)
 
-    def grid_to_plane(state, size):
-        return state.transpose(0, 1, 3, 2, 4).reshape(
+    def steps_to_plane(rblocks, size):
+        flat = rblocks.reshape(plan.n_steps * plan.n_slots, b, size,
+                               size)[order_j]
+        grid = flat.reshape(plan.blocks_y, plan.blocks_x, b, size, size)
+        return grid.transpose(2, 0, 3, 1, 4).reshape(
             b, plan.blocks_y * size, plan.blocks_x * size).astype(rdt)
 
     def lv_out(lv):
         # (steps, slots, B, S, S) -> (B, steps, slots, S, S)
         return lv.transpose(2, 0, 1, 3, 4)
 
-    rec_y = grid_to_plane(carry[0], s)
     if chroma:
-        return (rec_y, lv_out(levels[0]),
-                grid_to_plane(carry[1], s2), lv_out(levels[1]),
-                grid_to_plane(carry[2], s2), lv_out(levels[2]))
-    return rec_y, lv_out(levels[0]), None, None, None, None
+        lv_y, lv_cb, lv_cr, r_y, r_cb, r_cr = outs
+        return (steps_to_plane(r_y, s), lv_out(lv_y),
+                steps_to_plane(r_cb, s2), lv_out(lv_cb),
+                steps_to_plane(r_cr, s2), lv_out(lv_cr))
+    lv_y, r_y = outs
+    return (steps_to_plane(r_y, s), lv_out(lv_y), None, None, None,
+            None)
 
 
 def reconstruct_frame(y, cb, cr, modes, plan: IntraFramePlan, qp: int,
-                      qp_c: int, bitdepth: int = 8, lossless=False):
+                      qp_c: int, bitdepth: int = 8, lossless=False,
+                      signhide=False):
     """Single-frame wrapper over reconstruct_frames."""
     chroma = cb is not None
     out = reconstruct_frames(
         y[None], None if not chroma else cb[None],
         None if not chroma else cr[None], modes[None], plan, qp, qp_c,
-        bitdepth, lossless=lossless)
+        bitdepth, lossless=lossless, signhide=signhide)
     rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr = out
     if chroma:
         return (rec_y[0], lv_y[0], rec_cb[0], lv_cb[0], rec_cr[0],

@@ -140,10 +140,15 @@ def _deblock_plane_vertical(plane, edge_step: int, filt_fn, taps: int,
     stripes = jnp.stack([plane[..., :, x - half:x + half]
                          for x in edges], axis=-2)  # (..., H, E, taps)
     filtered = filt_fn(stripes, bs_edges)
+    # Filtered stripes never overlap (edge_step >= 8 > taps), so the
+    # output is a single concat of untouched segments and stripes —
+    # one pass over the plane instead of a copy per edge.
+    segs = [plane[..., :, :edges[0] - half]]
     for i, x in enumerate(edges):
-        plane = plane.at[..., :, x - half:x + half].set(
-            filtered[..., :, i, :])
-    return plane
+        segs.append(filtered[..., :, i, :])
+        nxt = edges[i + 1] - half if i + 1 < len(edges) else w
+        segs.append(plane[..., :, x + half:nxt])
+    return jnp.concatenate(segs, axis=-1)
 
 
 def _tc_lookup(qp_plus: int, bs, scale: int):

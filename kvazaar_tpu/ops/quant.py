@@ -65,3 +65,63 @@ def dequantize(level, qp: int, size: int, bitdepth: int = 8):
     l = level.astype(jnp.int32)
     d = (l * (inv_scale << (qp // 6)) + (1 << (shift - 5))) >> (shift - 4)
     return jnp.clip(d, -32768, 32767).astype(jnp.int32)
+
+
+def _scan4_maps():
+    """(3, 16) flat 4x4 positions in scan order per scanIdx."""
+    from kvazaar_tpu.ops.scan import scan_order
+    maps = np.zeros((3, 16), np.int32)
+    for s in range(3):
+        so = scan_order(4, s)
+        maps[s] = so[:, 1] * 4 + so[:, 0]
+    return maps
+
+
+_SCAN4 = _scan4_maps()
+
+
+def sign_hide(levels, scan_sel):
+    """Sign-data-hiding parity adjustment (device-side, vectorized).
+
+    For each 4x4 coefficient group with lastSig-firstSig > 3 (scan
+    positions), the decoder infers the first coefficient's sign from the
+    parity of the group's absolute sum (H.265 7.3.8.11 semantics) —
+    so the encoder must make parity match.  We bump |firstSig| by one on
+    mismatch (the cheap non-RDO strategy; the reference's RDO variant is
+    kvz_rdoq_sign_hiding, src/rdo.c:405).
+
+    levels: (..., S, S) int32; scan_sel: (...,) int32 scanIdx per block.
+    """
+    s = levels.shape[-1]
+    nsb = s // 4
+    lead = levels.shape[:-2]
+    g = levels.reshape(*lead, nsb, 4, nsb, 4)
+    g = jnp.swapaxes(g, -3, -2).reshape(*lead, nsb * nsb, 16)
+    smap = jnp.asarray(_SCAN4)[scan_sel]        # (..., 16)
+    smap = smap[..., None, :]                   # broadcast over groups
+    smap_b = jnp.broadcast_to(smap, g.shape)
+    gs = jnp.take_along_axis(g, smap_b, axis=-1)   # scan-ordered groups
+
+    nz = gs != 0
+    any_nz = jnp.any(nz, axis=-1)
+    idx = jnp.arange(16)
+    first = jnp.min(jnp.where(nz, idx, 16), axis=-1)
+    last = jnp.max(jnp.where(nz, idx, -1), axis=-1)
+    hidden = any_nz & ((last - first) > 3)
+    sum_abs = jnp.sum(jnp.abs(gs), axis=-1)
+    firstv = jnp.take_along_axis(
+        gs, jnp.minimum(first, 15)[..., None], axis=-1)[..., 0]
+    neg = firstv < 0
+    mismatch = hidden & (((sum_abs & 1) == 1) != neg)
+    bump = jnp.where(neg, -1, 1)
+    newv = firstv + jnp.where(mismatch, bump, 0)
+    gs = jnp.where(
+        (idx == jnp.minimum(first, 15)[..., None]) & mismatch[..., None],
+        newv[..., None], gs)
+
+    # Undo the scan ordering (inverse permutation) and group reshape.
+    invp = jnp.argsort(smap_b, axis=-1)
+    out = jnp.take_along_axis(gs, invp, axis=-1)
+    g2 = out.reshape(*lead, nsb, nsb, 4, 4)
+    g2 = jnp.swapaxes(g2, -3, -2).reshape(*lead, s, s)
+    return g2

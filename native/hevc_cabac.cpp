@@ -303,6 +303,7 @@ struct FrameParams {
   const int32_t *coeff_cr;
   int slice_type = 2;      // 2 = I, 1 = P
   int transquant_bypass = 0;
+  int sign_hiding = 0;
   const uint8_t *inter8 = nullptr;   // (h/8, w/8)
   const uint8_t *skip8 = nullptr;
   const int8_t *merge8 = nullptr;    // merge_idx or -1
@@ -698,8 +699,12 @@ struct Serializer {
         int a = sb[first_gt1] < 0 ? -sb[first_gt1] : sb[first_gt1];
         c.bin(ctx.gt2[ctx_set + (chroma ? 4 : 0)], a > 2);
       }
-      for (int k = 0; k < n_sig; k++)
+      bool hide = p.sign_hiding && !p.transquant_bypass && n_sig >= 2
+                  && (sig_pos[0] - sig_pos[n_sig - 1] > 3);
+      for (int k = 0; k < n_sig; k++) {
+        if (hide && k == n_sig - 1) continue;
         c.bypass(sb[sig_pos[k]] < 0 ? 1 : 0);
+      }
       int rice = 0;
       for (int k = 0; k < n_sig; k++) {
         int n = sig_pos[k];
@@ -726,9 +731,10 @@ int64_t ktpu_encode_slice_data(
     const uint8_t *depth8, const uint8_t *mode4,
     const int32_t *coeff_y, const int32_t *coeff_cb,
     const int32_t *coeff_cr,
-    uint8_t *out, int64_t out_cap) {
+    uint8_t *out, int64_t out_cap, int flags) {
   FrameParams fp{width, height, chroma, qp, log2_ctu, log2_min_cu,
                  log2_max_tu, depth8, mode4, coeff_y, coeff_cb, coeff_cr};
+  fp.sign_hiding = flags & 1;
   Serializer s(fp);
   s.encode_slice();
   int64_t n = (int64_t)s.c.bytes.size();
@@ -749,10 +755,11 @@ int64_t ktpu_encode_slice_data_p(
     const uint8_t *inter8, const uint8_t *skip8, const int8_t *merge8,
     const uint8_t *mvp8, const int32_t *mvd8,
     uint8_t *out, int64_t out_cap,
-    int64_t *entry_sizes, int32_t *n_substreams) {
+    int64_t *entry_sizes, int32_t *n_substreams, int flags) {
   FrameParams fp{width, height, chroma, qp, log2_ctu, log2_min_cu,
                  log2_max_tu, depth8, mode4, coeff_y, coeff_cb,
-                 coeff_cr, 1, 0, inter8, skip8, merge8, mvp8, mvd8};
+                 coeff_cr, 1, 0, 0, inter8, skip8, merge8, mvp8, mvd8};
+  fp.sign_hiding = flags & 1;
   Serializer s(fp);
   if (wpp) {
     std::vector<uint8_t> bytes;
@@ -782,9 +789,10 @@ int64_t ktpu_encode_slice_data_wpp(
     const int32_t *coeff_y, const int32_t *coeff_cb,
     const int32_t *coeff_cr,
     uint8_t *out, int64_t out_cap,
-    int64_t *entry_sizes, int32_t *n_substreams) {
+    int64_t *entry_sizes, int32_t *n_substreams, int flags) {
   FrameParams fp{width, height, chroma, qp, log2_ctu, log2_min_cu,
                  log2_max_tu, depth8, mode4, coeff_y, coeff_cb, coeff_cr};
+  fp.sign_hiding = flags & 1;
   Serializer s(fp);
   std::vector<uint8_t> bytes;
   std::vector<int64_t> sizes;

@@ -49,3 +49,46 @@ def test_10bit_intra_e2e():
     np.testing.assert_array_equal(rcr, res.recon_cr)
     from kvazaar_tpu.encoder.frame_encoder import psnr
     assert psnr(res.recon_y, y.astype(np.int32), 10) > 34.0
+
+
+def test_signhide_intra_e2e():
+    """Sign data hiding: device parity-adjusts levels, serializer omits
+    hidden signs, decoder infers them — still bit-exact e2e, and the
+    stream must not grow."""
+    rng = np.random.default_rng(4)
+    yy, xx = np.mgrid[0:64, 0:64]
+    y = np.clip(128 + 60 * np.sin(xx / 5.0) * np.cos(yy / 7.0)
+                + rng.normal(0, 10, (64, 64)), 0, 255).astype(np.uint8)
+    cb = np.clip(110 + 30 * np.sin(xx[::2, ::2] / 9.0), 0,
+                 255).astype(np.uint8)
+    cr = np.clip(140 + 25 * np.cos(yy[::2, ::2] / 9.0), 0,
+                 255).astype(np.uint8)
+    res = {}
+    for sh in (False, True):
+        cfg = Config(width=64, height=64, qp=22, intra_max_cu=16,
+                     intra_min_cu=16, signhide=sh)
+        enc = IntraFrameEncoder(cfg)
+        r = enc.encode_frame(y, cb, cr)
+        frames = decode_stream(enc.headers() + r.nals, enc.params)
+        (ry, rcb, rcr), _ = frames[0]
+        np.testing.assert_array_equal(ry, r.recon_y)
+        np.testing.assert_array_equal(rcb, r.recon_cb)
+        np.testing.assert_array_equal(rcr, r.recon_cr)
+        res[sh] = len(r.nals)
+    assert res[True] <= res[False], res
+
+
+def test_signhide_cu8_mode_dependent_scans():
+    rng = np.random.default_rng(5)
+    y = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    cb = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    cr = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    cfg = Config(width=64, height=64, qp=27, intra_max_cu=8,
+                 intra_min_cu=8, signhide=True)
+    enc = IntraFrameEncoder(cfg)
+    r = enc.encode_frame(y, cb, cr)
+    frames = decode_stream(enc.headers() + r.nals, enc.params)
+    (ry, rcb, rcr), _ = frames[0]
+    np.testing.assert_array_equal(ry, r.recon_y)
+    np.testing.assert_array_equal(rcb, r.recon_cb)
+    np.testing.assert_array_equal(rcr, r.recon_cr)
