@@ -114,15 +114,9 @@ class PFrameMixin:
             rec_cb, lv_cb = rec_cb[0], lv_cb[0]
             rec_cr, lv_cr = rec_cr[0], lv_cr[0]
         # Deblock with real boundary strengths (device-side: cbf per
-        # block reduced from the levels tensor).
-        cbf_steps = jnp.any(lv_y != 0, axis=(-1, -2))  # (steps, slots)
-        n = self.plan.blocks_y * self.plan.blocks_x
-        ids = jnp.asarray(np.where(self.plan.block_of_slot >= 0,
-                                   self.plan.block_of_slot, n))
-        cbf_flat = jnp.zeros((n + 1,), bool).at[ids.reshape(-1)].set(
-            cbf_steps.reshape(-1))
-        cbf_blk = cbf_flat[:n].reshape(self.plan.blocks_y,
-                                       self.plan.blocks_x)
+        # block reduced from the block-ordered levels tensor).
+        cbf_blk = jnp.any(lv_y != 0, axis=(-1, -2)).reshape(
+            self.plan.blocks_y, self.plan.blocks_x)
         dbs = None
         if self.cfg.deblock:
             bs_v, bs_h = compute_bs_maps(is_inter, cbf_blk, mv)

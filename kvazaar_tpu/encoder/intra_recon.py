@@ -1,19 +1,21 @@
 """Exact wavefront reconstruction pass (device, lax.scan).
 
 Given the chosen intra modes, reconstruct the frame exactly as a decoder
-will.  State design is the key TPU decision: the reconstruction lives as
-a block-grid tensor (B, By, Bx, S, S) updated with dynamic_update_slice
-(in-place under XLA), NEVER a flat frame buffer with scatters — scatter
-into a large carry copies the buffer every scan step (measured ~15 ms /
-step on TPU, 3 orders over the arithmetic).  Reference samples are read
-as neighbor-block edge slices, and spec reference substitution
+will.  State design is the key TPU decision: the scan carry holds ONLY
+the boundary state — bottom-row and right-column edge buffers,
+(B, By, W) + (B, Bx, H) — read/written with dynamic slices.  Never a
+full frame buffer: a scatter into a large carry copies the buffer every
+scan step (measured ~15 ms/step on TPU, 3 orders over the arithmetic),
+and even a block-grid carry pays ~2x over edge buffers.  Reconstructed
+blocks stream out through scan ys in compact raster-block order (no pad
+slots → minimal device→host traffic).  Spec reference substitution
 (8.4.4.2.2) collapses to a 5-region fill chain because neighbor
 availability is whole-region for a uniform CU grid.
 
 This replaces the reference's per-LCU recursive reconstruction
-(kvz_intra_recon_cu, src/intra.c:652; quantize loop src/transform.c:424)
-and its hor/ver boundary buffers (src/encoderstate.h:170-186) — the
-block-grid edge reads ARE those boundary buffers, expressed as slices.
+(kvz_intra_recon_cu, src/intra.c:652; quantize loop src/transform.c:424);
+the edge buffers are the TPU form of its hor/ver boundary buffers
+(src/encoderstate.h:170-186).
 
 The conformance decoder (bitstream/decoder.py) deliberately does NOT use
 this code — it reconstructs via independent per-sample gather maps, so
@@ -45,12 +47,10 @@ def _blocks_by_step(plane: np.ndarray, maps: PlaneMaps, plan) -> np.ndarray:
 
 def blocks_to_plane(blocks: np.ndarray, plan: IntraFramePlan,
                     size: int, width: int, height: int) -> np.ndarray:
-    """Inverse of _blocks_by_step for device outputs (host-side): one
-    vectorized scatter (pad slots land in the trash element)."""
-    maps = plan.luma if size == plan.cu_size else plan.chroma
-    out = np.zeros(height * width + 1, blocks.dtype)
-    out[maps.scatter_idx.reshape(-1)] = blocks.reshape(-1)
-    return out[:-1].reshape(height, width)
+    """(N_blocks, S, S) raster block order -> (H, W) plane."""
+    g = blocks.reshape(plan.blocks_y, plan.blocks_x, size, size)
+    return np.ascontiguousarray(
+        g.transpose(0, 2, 1, 3).reshape(height, width))
 
 
 def step_schedule(plan: IntraFramePlan):
@@ -318,17 +318,21 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
         return grid.transpose(2, 0, 3, 1, 4).reshape(
             b, plan.blocks_y * size, plan.blocks_x * size).astype(rdt)
 
-    def lv_out(lv):
-        # (steps, slots, B, S, S) -> (B, steps, slots, S, S)
-        return lv.transpose(2, 0, 1, 3, 4)
+    def lv_out(lv, size):
+        # (steps, slots, B, S, S) -> (B, N_blocks, S, S) in raster block
+        # order: drops pad slots (1.9x less device->host traffic) and
+        # makes host reassembly a plain reshape.
+        flat = lv.reshape(plan.n_steps * plan.n_slots, b, size,
+                          size)[order_j]
+        return flat.transpose(1, 0, 2, 3)
 
     if chroma:
         lv_y, lv_cb, lv_cr, r_y, r_cb, r_cr = outs
-        return (steps_to_plane(r_y, s), lv_out(lv_y),
-                steps_to_plane(r_cb, s2), lv_out(lv_cb),
-                steps_to_plane(r_cr, s2), lv_out(lv_cr))
+        return (steps_to_plane(r_y, s), lv_out(lv_y, s),
+                steps_to_plane(r_cb, s2), lv_out(lv_cb, s2),
+                steps_to_plane(r_cr, s2), lv_out(lv_cr, s2))
     lv_y, r_y = outs
-    return (steps_to_plane(r_y, s), lv_out(lv_y), None, None, None,
+    return (steps_to_plane(r_y, s), lv_out(lv_y, s), None, None, None,
             None)
 
 
