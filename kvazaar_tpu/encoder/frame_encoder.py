@@ -68,11 +68,13 @@ def pad_to_multiple(plane: np.ndarray, mult: int) -> np.ndarray:
 @dataclasses.dataclass
 class FrameResult:
     nals: bytes              # slice NAL (headers are emitted separately)
-    recon_y: np.ndarray      # coded-size reconstruction
+    recon_y: np.ndarray      # coded-size reconstruction (None when the
+                             # caller skipped the pixel transfer)
     recon_cb: np.ndarray | None
     recon_cr: np.ndarray | None
     frame_data: FrameData
     bits: int
+    sse: tuple = None        # (sse_y, sse_cb, sse_cr) device-computed
 
 
 class PFrameMixin:
@@ -319,7 +321,17 @@ class IntraFrameEncoder(PFrameMixin):
             if rec_cb is not None:
                 rec_cb = dcb.astype(rdt)
                 rec_cr = dcr.astype(rdt)
-        return (rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr), modes
+
+        # Distortion on-device: transferring 4 scalars instead of the
+        # reconstruction planes when the caller doesn't need pixels.
+        def sse(a, b):
+            d = a.astype(jnp.float32) - b.astype(jnp.float32)
+            return jnp.sum(d * d)
+
+        sses = (sse(rec_y, y),
+                sse(rec_cb, cb) if cb is not None else jnp.float32(0),
+                sse(rec_cr, cr) if cr is not None else jnp.float32(0))
+        return (rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr), modes, sses
 
     def encode_frame(self, y: np.ndarray, cb=None, cr=None) -> FrameResult:
         """y: (H, W) source luma (uint8/uint16); cb/cr half size."""
@@ -329,7 +341,7 @@ class IntraFrameEncoder(PFrameMixin):
         if self.chroma:
             cbp = pad_to_multiple(np.asarray(cb, np.int32), s // 2)
             crp = pad_to_multiple(np.asarray(cr, np.int32), s // 2)
-        (rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr), modes = \
+        (rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr), modes, sses = \
             self._device_encode(yp, cbp, crp)
         self._dpb = (rec_y, rec_cb, rec_cr)
         return self._host_finalize(
@@ -407,16 +419,22 @@ class IntraFrameEncoder(PFrameMixin):
         releases the GIL)."""
         return self.finalize_frames(self.submit_frames(frames))
 
-    def finalize_frames(self, handle) -> list[FrameResult]:
+    def finalize_frames(self, handle,
+                        need_recon: bool = True) -> list[FrameResult]:
         import concurrent.futures as cf
         nframes, ((rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr),
-                  modes) = handle
+                  modes, sses) = handle
         modes = np.asarray(modes)
-        rec_y = np.asarray(rec_y)
         lv_y = np.asarray(lv_y)
         if self.chroma:
-            rec_cb, rec_cr = np.asarray(rec_cb), np.asarray(rec_cr)
             lv_cb, lv_cr = np.asarray(lv_cb), np.asarray(lv_cr)
+        sses = tuple(np.asarray(s) for s in sses)
+        if need_recon:
+            rec_y = np.asarray(rec_y)
+            if self.chroma:
+                rec_cb, rec_cr = np.asarray(rec_cb), np.asarray(rec_cr)
+        else:
+            rec_y = rec_cb = rec_cr = None
         if self._host_pool is None:
             self._host_pool = cf.ThreadPoolExecutor(max_workers=4)
         futs = []
@@ -425,10 +443,13 @@ class IntraFrameEncoder(PFrameMixin):
                 self._host_finalize, modes[i], lv_y[i],
                 lv_cb[i] if self.chroma else None,
                 lv_cr[i] if self.chroma else None,
-                rec_y[i],
-                rec_cb[i] if self.chroma else None,
-                rec_cr[i] if self.chroma else None))
-        return [f.result() for f in futs]
+                None if rec_y is None else rec_y[i],
+                rec_cb[i] if (self.chroma and need_recon) else None,
+                rec_cr[i] if (self.chroma and need_recon) else None))
+        out = [f.result() for f in futs]
+        for i, r in enumerate(out):
+            r.sse = tuple(float(s[i]) for s in sses)
+        return out
 
 
 def psnr(a: np.ndarray, b: np.ndarray, bitdepth: int = 8) -> float:
