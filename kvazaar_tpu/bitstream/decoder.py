@@ -113,6 +113,21 @@ def decode_stream(stream: bytes, params: StreamParams):
                 recon = reconstruct_parsed_p(fd, params, qp, ref)
             frames.append((recon, fd))
             ref = recon
+        elif nal_type == 40:                 # suffix SEI: verify hash
+            from kvazaar_tpu.bitstream.headers import \
+                parse_picture_hash_sei
+            import hashlib
+            digests = parse_picture_hash_sei(rbsp)
+            if digests and frames:
+                rec = frames[-1][0]
+                dt = np.uint8 if params.bitdepth <= 8 else np.uint16
+                planes = [p_ for p_ in rec if p_ is not None]
+                for d, pl in zip(digests, planes):
+                    got = hashlib.md5(np.ascontiguousarray(
+                        pl, dt).tobytes()).digest()
+                    if got != d:
+                        raise ValueError(
+                            "decoded-picture-hash SEI mismatch")
     return frames
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 
-from kvazaar_tpu.bitstream.bits import BitWriter, nal_unit
+from kvazaar_tpu.bitstream.bits import (BitReader, BitWriter, nal_unit)
 from kvazaar_tpu.constants import (NAL_IDR_W_RADL, NAL_PPS, NAL_SPS, NAL_VPS,
                                    SLICE_I)
 
@@ -231,3 +231,43 @@ def write_slice_header(w: BitWriter, p: StreamParams, slice_type: int,
     # byte_alignment()
     w.bit(1)
     w.align_zero()
+
+
+def write_picture_hash_sei(planes, bitdepth: int = 8) -> bytes:
+    """Decoded-picture-hash SEI (payload type 132, MD5 per plane) as a
+    suffix-SEI NAL.  Reference behavior: add_checksum
+    (src/encoder_state-bitstream.c:894) with --hash=md5 (kvz_image_md5,
+    extras/libmd5.c); the decoder verifies it against its own output."""
+    import hashlib
+
+    from kvazaar_tpu.constants import NAL_SUFFIX_SEI
+    payload = bytearray([0])       # hash_type = 0 (MD5)
+    for pl in planes:
+        if pl is None:
+            continue
+        import numpy as np
+        arr = np.ascontiguousarray(
+            pl, np.uint8 if bitdepth <= 8 else np.uint16)
+        payload += hashlib.md5(arr.tobytes()).digest()
+    w = BitWriter()
+    w.u(132, 8)                    # last_payload_type_byte
+    w.u(len(payload), 8)           # last_payload_size_byte
+    for b in payload:
+        w.u(b, 8)
+    w.rbsp_trailing_bits()
+    return nal_unit(w.get_bytes(), NAL_SUFFIX_SEI)
+
+
+def parse_picture_hash_sei(rbsp: bytes):
+    """Returns list of 16-byte MD5 digests from a suffix SEI, or None."""
+    r = BitReader(rbsp)
+    ptype = r.u(8)
+    psize = r.u(8)
+    if ptype != 132:
+        return None
+    if r.u(8) != 0:
+        return None
+    digests = []
+    for _ in range((psize - 1) // 16):
+        digests.append(bytes(r.u(8) for _ in range(16)))
+    return digests

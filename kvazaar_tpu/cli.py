@@ -32,6 +32,8 @@ def build_argparser() -> argparse.ArgumentParser:
                          "0=first frame only (low-delay IPPP)")
     ap.add_argument("--bitrate", type=int, default=0,
                     help="target bits/s (0 = fixed QP)")
+    ap.add_argument("--hash", default="none", choices=["none", "md5"],
+                    help="decoded-picture-hash SEI per frame")
     ap.add_argument("--debug", default=None,
                     help="write reconstruction YUV for comparison "
                          "(reference --debug)")
@@ -46,6 +48,7 @@ def main(argv=None) -> int:
                              input_bitdepth=args.input_bitdepth,
                              intra_period=args.period,
                              bitrate=args.bitrate,
+                             hash=args.hash,
                              chroma_format=420
                              if args.input_format == "P420" else 400)
     from kvazaar_tpu.api import Encoder   # deferred: jax import cost

@@ -53,6 +53,10 @@ class Config:
     # Rate control (0 = fixed QP).
     bitrate: int = 0
 
+    # Decoded-picture-hash SEI after each frame ("none" or "md5",
+    # reference --hash).
+    hash: str = "none"
+
     # Parallelism: device mesh shape for within-frame sharding.
     mesh_tiles: int = 1
     # Wavefront parallel processing (entropy_coding_sync): per-CTU-row

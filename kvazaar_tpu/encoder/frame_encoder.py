@@ -175,6 +175,12 @@ class PFrameMixin:
             None if lv_cr is None else np.asarray(lv_cr))
 
         nal = self._serialize_p(fd, poc, poc - ref_poc)
+        if self.cfg.hash == "md5":
+            from kvazaar_tpu.bitstream.headers import \
+                write_picture_hash_sei
+            nal += write_picture_hash_sei(
+                (np.asarray(rec_y), np.asarray(rec_cb),
+                 np.asarray(rec_cr)), self.bitdepth)
         self._dpb = (rec_y, rec_cb, rec_cr)
         return FrameResult(
             nals=nal, recon_y=np.asarray(rec_y),
@@ -394,6 +400,11 @@ class IntraFrameEncoder(PFrameMixin):
                            num_entry_points=max(len(sizes) - 1, 0),
                            entry_point_offsets=sizes[:-1])
         nal = nal_unit(w.get_bytes() + data, NAL_IDR_W_RADL)
+        if self.cfg.hash == "md5" and rec_y is not None:
+            from kvazaar_tpu.bitstream.headers import \
+                write_picture_hash_sei
+            nal += write_picture_hash_sei((rec_y, rec_cb, rec_cr),
+                                          self.bitdepth)
         return FrameResult(nals=nal, recon_y=rec_y, recon_cb=rec_cb,
                            recon_cr=rec_cr, frame_data=fd,
                            bits=len(nal) * 8)

@@ -92,3 +92,39 @@ def test_signhide_cu8_mode_dependent_scans():
     np.testing.assert_array_equal(ry, r.recon_y)
     np.testing.assert_array_equal(rcb, r.recon_cb)
     np.testing.assert_array_equal(rcr, r.recon_cr)
+
+
+def test_md5_picture_hash_sei():
+    """--hash md5: the decoder verifies the decoded-picture-hash SEI
+    against its own reconstruction (raises on mismatch)."""
+    rng = np.random.default_rng(6)
+    y = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    cb = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    cr = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    cfg = Config(width=64, height=64, qp=27, intra_max_cu=16,
+                 intra_min_cu=16, hash="md5")
+    enc = IntraFrameEncoder(cfg)
+    res = enc.encode_frame(y, cb, cr)
+    stream = enc.headers() + res.nals
+    frames = decode_stream(stream, enc.params)   # verifies SEI inline
+    assert len(frames) == 1
+    # Tampered stream must FAIL the hash check: flip a coeff-ish byte in
+    # the slice NAL (keep headers + SEI intact).
+    bad = bytearray(stream)
+    slice_start = stream.find(b"\x00\x00\x00\x01", 10)
+    # find the IDR slice NAL (type 19): scan start codes
+    import re
+    positions = [m.start() for m in re.finditer(b"\x00\x00\x01", stream)]
+    idr_pos = None
+    for sp in positions:
+        t = (stream[sp + 3] >> 1) & 0x3F
+        if t in (19, 20):
+            idr_pos = sp
+    assert idr_pos is not None
+    bad[idr_pos + 40] ^= 0x10
+    try:
+        decode_stream(bytes(bad), enc.params)
+        raised = False
+    except Exception:
+        raised = True
+    assert raised, "tampered stream must fail decode or hash check"
