@@ -34,7 +34,8 @@ from kvazaar_tpu.encoder.inter_cands import (amvp_candidates,
                                              merge_candidates)
 from kvazaar_tpu.encoder.inter_search import mc_planes, search_inter_frame
 from kvazaar_tpu.encoder.intra_recon import (blocks_to_plane,
-                                             reconstruct_frame)
+                                             reconstruct_frame,
+                                             reconstruct_frames)
 from kvazaar_tpu.encoder.intra_search import search_frame_modes
 
 # H.265 Table 8-10: chroma QP mapping (4:2:0).
@@ -293,13 +294,18 @@ class IntraFrameEncoder(PFrameMixin):
         self.qp_c = chroma_qp(cfg.qp)
         lam = qp_to_lambda(cfg.qp)
         self.lambda_satd = math.sqrt(lam)
-        self._device_encode = jax.jit(self._device_encode_impl)
         # Batched path: frames are independent in all-intra coding, so a
         # leading frame axis is the natural TPU throughput dimension (the
         # analogue of the reference's OWF frame pipelining,
-        # src/encoderstate.c:790-806, recast as data parallelism).
-        self._device_encode_batch = jax.jit(
-            jax.vmap(self._device_encode_impl))
+        # src/encoderstate.c:790-806, recast as data parallelism).  The
+        # batch axis is native through the wavefront scan (vmap-of-scan
+        # produces pathological layouts) and all outputs the host needs
+        # every frame come back as ONE packed uint8 buffer: the
+        # device->host tunnel costs ~30 ms per transfer call plus
+        # ~25 ns/byte, so both call count and volume are first-class
+        # design targets (int8 levels; dense int16 kept on device as a
+        # rare low-QP overflow fallback).
+        self._device_encode_batch = jax.jit(self._device_encode_impl)
         self._host_pool = None
         self._dpb = None
         self._setup_p()
@@ -308,11 +314,18 @@ class IntraFrameEncoder(PFrameMixin):
         return (write_vps(self.params) + write_sps(self.params)
                 + write_pps(self.params))
 
-    def _device_encode_impl(self, y, cb, cr):
-        modes, _ = search_frame_modes(y, self.plan, self.lambda_satd,
-                                      self.bitdepth)
-        rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr = reconstruct_frame(
-            y, cb, cr, modes, self.plan, self.cfg.qp, self.qp_c,
+    def _device_encode_impl(self, ys, cbs, crs):
+        """Batched device program: (B, H, W) sources in, packed uint8
+        transfer buffer + on-device recon/dense-levels out."""
+        ys = ys.astype(jnp.int32)
+        if cbs is not None:
+            cbs = cbs.astype(jnp.int32)
+            crs = crs.astype(jnp.int32)
+        modes = jax.vmap(
+            lambda y: search_frame_modes(y, self.plan, self.lambda_satd,
+                                         self.bitdepth)[0])(ys)
+        rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr = reconstruct_frames(
+            ys, cbs, crs, modes, self.plan, self.cfg.qp, self.qp_c,
             self.bitdepth, lossless=self.cfg.lossless,
             signhide=self.cfg.signhide)
         if self.cfg.deblock:
@@ -320,43 +333,88 @@ class IntraFrameEncoder(PFrameMixin):
             # reads unfiltered samples (spec 8.4.4.2.1), so deblocking
             # never feeds the wavefront.
             rdt = rec_y.dtype
-            dy, dcb, dcr = deblock_frame(rec_y, rec_cb, rec_cr,
-                                         self.cfg.qp, self.cu,
-                                         self.bitdepth)
+            dy, dcb, dcr = jax.vmap(
+                lambda a, b, c: deblock_frame(a, b, c, self.cfg.qp,
+                                              self.cu, self.bitdepth)
+            )(rec_y, rec_cb, rec_cr) if self.chroma else (
+                jax.vmap(lambda a: deblock_frame(a, None, None,
+                                                 self.cfg.qp, self.cu,
+                                                 self.bitdepth)[0])(rec_y),
+                None, None)
             rec_y = dy.astype(rdt)
             if rec_cb is not None:
                 rec_cb = dcb.astype(rdt)
                 rec_cr = dcr.astype(rdt)
 
-        # Distortion on-device: transferring 4 scalars instead of the
-        # reconstruction planes when the caller doesn't need pixels.
+        # Distortion on-device: 3 scalars/frame ride the packed buffer
+        # instead of full reconstruction planes.
         def sse(a, b):
             d = a.astype(jnp.float32) - b.astype(jnp.float32)
-            return jnp.sum(d * d)
+            return jnp.sum(d * d, axis=(1, 2))
 
-        sses = (sse(rec_y, y),
-                sse(rec_cb, cb) if cb is not None else jnp.float32(0),
-                sse(rec_cr, cr) if cr is not None else jnp.float32(0))
-        return (rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr), modes, sses
+        sses = jnp.stack(
+            [sse(rec_y, ys),
+             sse(rec_cb, cbs) if cbs is not None else
+             jnp.zeros(ys.shape[0], jnp.float32),
+             sse(rec_cr, crs) if crs is not None else
+             jnp.zeros(ys.shape[0], jnp.float32)], axis=1)  # (B, 3)
+        packed = self._pack_outputs(lv_y, lv_cb, lv_cr, modes, sses)
+        dense = (lv_y, lv_cb, lv_cr)
+        return packed, dense, (rec_y, rec_cb, rec_cr)
+
+    def _pack_outputs(self, lv_y, lv_cb, lv_cr, modes, sses):
+        """Concatenate everything the host needs per frame into one 1-D
+        uint8 buffer: [lv_y i8][lv_cb i8][lv_cr i8][modes u8][meta]
+        with meta = per-frame (overflow_count i32, sse_y/cb/cr f32)."""
+        b = lv_y.shape[0]
+        u8 = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint8)
+        parts = []
+        overflow = jnp.zeros(b, jnp.int32)
+        for lv in (lv_y, lv_cb, lv_cr):
+            if lv is None:
+                continue
+            l16 = lv.astype(jnp.int16).reshape(b, -1)
+            overflow = overflow + jnp.sum(
+                (jnp.abs(l16) > 127).astype(jnp.int32), axis=1)
+            parts.append(u8(jnp.clip(l16, -127, 127).astype(jnp.int8)))
+        parts.append(modes.astype(jnp.uint8).reshape(b, -1))
+        meta = jnp.concatenate(
+            [u8(overflow[:, None]).reshape(b, 4),
+             u8(sses).reshape(b, 12)], axis=1)
+        parts.append(meta)
+        return jnp.concatenate(parts, axis=1).reshape(-1)
+
+    def _unpack_outputs(self, buf: np.ndarray, nframes: int):
+        """Host-side inverse of _pack_outputs: per-frame int32 level
+        blocks (None where the plane is absent), modes, overflow, sse."""
+        s = self.cu
+        nb = self.plan.blocks_y * self.plan.blocks_x
+        sizes = [nb * s * s]
+        if self.chroma:
+            sizes += [nb * (s // 2) ** 2] * 2
+        sizes += [nb, 16]
+        buf = buf.reshape(nframes, sum(sizes))
+        offs = np.cumsum([0] + sizes)
+        out_lv = []
+        k = 0
+        for _ in range(3 if self.chroma else 1):
+            size = s if k == 0 else s // 2
+            out_lv.append(buf[:, offs[k]:offs[k + 1]].view(np.int8)
+                          .astype(np.int32).reshape(nframes, nb, size,
+                                                    size))
+            k += 1
+        while len(out_lv) < 3:
+            out_lv.append(None)
+        modes = buf[:, offs[k]:offs[k + 1]].reshape(
+            nframes, self.plan.blocks_y, self.plan.blocks_x)
+        meta = buf[:, offs[k + 1]:]
+        overflow = meta[:, :4].copy().view(np.int32)[:, 0]
+        sses = meta[:, 4:16].copy().view(np.float32)
+        return out_lv, modes, overflow, sses
 
     def encode_frame(self, y: np.ndarray, cb=None, cr=None) -> FrameResult:
         """y: (H, W) source luma (uint8/uint16); cb/cr half size."""
-        s = self.cu
-        yp = pad_to_multiple(np.asarray(y, np.int32), s)
-        cbp = crp = None
-        if self.chroma:
-            cbp = pad_to_multiple(np.asarray(cb, np.int32), s // 2)
-            crp = pad_to_multiple(np.asarray(cr, np.int32), s // 2)
-        (rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr), modes, sses = \
-            self._device_encode(yp, cbp, crp)
-        self._dpb = (rec_y, rec_cb, rec_cr)
-        return self._host_finalize(
-            np.asarray(modes), np.asarray(lv_y),
-            None if lv_cb is None else np.asarray(lv_cb),
-            None if lv_cr is None else np.asarray(lv_cr),
-            np.asarray(rec_y),
-            None if rec_cb is None else np.asarray(rec_cb),
-            None if rec_cr is None else np.asarray(rec_cr))
+        return self.finalize_frames(self.submit_frames([(y, cb, cr)]))[0]
 
 
     def _host_finalize(self, modes, lv_y, lv_cb, lv_cr, rec_y, rec_cb,
@@ -412,20 +470,22 @@ class IntraFrameEncoder(PFrameMixin):
     def submit_frames(self, frames):
         """Queue the device program for a batch (async dispatch); pair
         with finalize_frames.  Queuing batch N+1 before finalizing batch
-        N overlaps device compute with host CABAC."""
+        N overlaps device compute with the previous batch's transfer +
+        host CABAC."""
         s = self.cu
-        ys = np.stack([pad_to_multiple(np.asarray(f[0], np.int32), s)
+        sdt = np.uint8 if self.bitdepth <= 8 else np.uint16
+        ys = np.stack([pad_to_multiple(np.asarray(f[0], sdt), s)
                        for f in frames])
         cbs = crs = None
         if self.chroma:
-            cbs = np.stack([pad_to_multiple(np.asarray(f[1], np.int32),
+            cbs = np.stack([pad_to_multiple(np.asarray(f[1], sdt),
                                             s // 2) for f in frames])
-            crs = np.stack([pad_to_multiple(np.asarray(f[2], np.int32),
+            crs = np.stack([pad_to_multiple(np.asarray(f[2], sdt),
                                             s // 2) for f in frames])
         return len(frames), self._device_encode_batch(ys, cbs, crs)
 
     def encode_frames(self, frames) -> list[FrameResult]:
-        """Encode a batch of frames through one vmapped device program;
+        """Encode a batch of frames through one batched device program;
         host serialization fans out over a thread pool (the native CABAC
         releases the GIL)."""
         return self.finalize_frames(self.submit_frames(frames))
@@ -433,21 +493,26 @@ class IntraFrameEncoder(PFrameMixin):
     def finalize_frames(self, handle,
                         need_recon: bool = True) -> list[FrameResult]:
         import concurrent.futures as cf
-        nframes, ((rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr),
-                  modes, sses) = handle
-        modes = np.asarray(modes)
-        lv_y = np.asarray(lv_y)
-        if self.chroma:
-            lv_cb, lv_cr = np.asarray(lv_cb), np.asarray(lv_cr)
-        sses = tuple(np.asarray(s) for s in sses)
-        if need_recon:
-            rec_y = np.asarray(rec_y)
+        nframes, (packed, dense, recs) = handle
+        # ONE transfer for levels+modes+meta; recon planes only when the
+        # caller needs pixels (hash SEI / --debug / PSNR-from-recon).
+        (lv_y, lv_cb, lv_cr), modes, overflow, sses = \
+            self._unpack_outputs(np.asarray(packed), nframes)
+        if np.any(overflow > 0):
+            # Rare low-QP/high-energy fallback: some |level| > 127 —
+            # fetch the exact int16 tensors for the whole batch.
+            lv_y = np.asarray(dense[0]).astype(np.int32)
             if self.chroma:
-                rec_cb, rec_cr = np.asarray(rec_cb), np.asarray(rec_cr)
-        else:
-            rec_y = rec_cb = rec_cr = None
+                lv_cb = np.asarray(dense[1]).astype(np.int32)
+                lv_cr = np.asarray(dense[2]).astype(np.int32)
+        self._dpb = recs
+        rec_y = rec_cb = rec_cr = None
+        if need_recon or self.cfg.hash == "md5":
+            rec_y = np.asarray(recs[0])
+            if self.chroma:
+                rec_cb, rec_cr = np.asarray(recs[1]), np.asarray(recs[2])
         if self._host_pool is None:
-            self._host_pool = cf.ThreadPoolExecutor(max_workers=4)
+            self._host_pool = cf.ThreadPoolExecutor(max_workers=8)
         futs = []
         for i in range(nframes):
             futs.append(self._host_pool.submit(
@@ -455,11 +520,11 @@ class IntraFrameEncoder(PFrameMixin):
                 lv_cb[i] if self.chroma else None,
                 lv_cr[i] if self.chroma else None,
                 None if rec_y is None else rec_y[i],
-                rec_cb[i] if (self.chroma and need_recon) else None,
-                rec_cr[i] if (self.chroma and need_recon) else None))
+                rec_cb[i] if (self.chroma and rec_cb is not None) else None,
+                rec_cr[i] if (self.chroma and rec_cr is not None) else None))
         out = [f.result() for f in futs]
         for i, r in enumerate(out):
-            r.sse = tuple(float(s[i]) for s in sses)
+            r.sse = tuple(float(s) for s in sses[i])
         return out
 
 
