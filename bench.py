@@ -93,24 +93,44 @@ def main():
     ife = enc._intra
     # Warmup / compile (batched path).
     ife.encode_frames(frames)
-    t0 = time.time()
     total_bits = 0
     psnr_y = 0.0
-    reps = 4
-    # Two-stage pipeline: device batch N+1 queued (async dispatch)
-    # while host CABAC finalizes batch N.
-    pending = ife.submit_frames(frames)
+    reps = 6
     npix = W * H
-    for r in range(reps):
-        nxt = ife.submit_frames(frames) if r + 1 < reps else None
-        results = ife.finalize_frames(pending, need_recon=False)
+    # Three-stage pipeline: device compute (async dispatch), tunnel
+    # download (dedicated thread), host CABAC (thread pool inside
+    # finalize) all overlap.
+    import queue as _q
+    import threading
+    dlq: "_q.Queue" = _q.Queue(maxsize=2)
+    outq: "_q.Queue" = _q.Queue()
+
+    def downloader():
+        while True:
+            h = dlq.get()
+            if h is None:
+                break
+            outq.put(ife.download_frames(h))
+
+    t0 = time.time()
+    th = threading.Thread(target=downloader)
+    th.start()
+    done = 0
+    submitted = 0
+    while done < reps:
+        while submitted < reps and submitted - done < 2:
+            dlq.put(ife.submit_frames(frames))
+            submitted += 1
+        results = ife.finalize_downloaded(outq.get(), need_recon=False)
+        done += 1
         for res in results:
             total_bits += res.bits
             # PSNR from the device-computed SSE (no pixel transfer).
             import math
             psnr_y += 10.0 * math.log10(255.0 * 255.0 * npix
                                         / max(res.sse[0], 1e-9))
-        pending = nxt
+    dlq.put(None)
+    th.join()
     dt = time.time() - t0
     fps = FRAMES * reps / dt
     total_bits //= reps

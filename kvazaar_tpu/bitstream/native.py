@@ -25,7 +25,8 @@ _lib = None
 
 def _build() -> None:
     subprocess.run(
-        ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC],
+        ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _LIB,
+         _SRC],
         check=True, capture_output=True)
 
 

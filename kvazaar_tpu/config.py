@@ -41,7 +41,7 @@ class Config:
 
     # Partitioning (device-friendly knobs; see encoder/intra_frame.py).
     # pu_depth ranges as in the reference's --pu-depth-intra/inter.
-    intra_min_cu: int = 8
+    intra_min_cu: int = 32
     intra_max_cu: int = 32
     inter_min_cu: int = 16
     inter_max_cu: int = 32
@@ -64,6 +64,9 @@ class Config:
     wpp: bool = True
 
     def validate(self) -> "Config":
+        """Reject anything the encoder cannot honor (the analogue of
+        kvz_encoder_control_init's checks, src/encoder.c:206): accepted
+        means implemented — no silent no-op knobs."""
         if self.width <= 0 or self.height <= 0:
             raise ValueError("width/height must be set")
         if self.qp < 0 or self.qp > 51:
@@ -73,10 +76,26 @@ class Config:
         if self.chroma_format not in (400, 420):
             raise ValueError("chroma_format must be 400 or 420")
         for v in (self.intra_min_cu, self.intra_max_cu):
-            if v not in (8, 16, 32, 64):
-                raise ValueError("cu sizes must be in {8,16,32,64}")
-        if self.intra_min_cu > self.intra_max_cu:
-            raise ValueError("intra_min_cu > intra_max_cu")
+            if v not in (8, 16, 32):
+                raise ValueError("intra cu sizes must be in {8,16,32}")
+        if self.intra_min_cu != self.intra_max_cu:
+            raise ValueError("variable intra CU sizes are not "
+                             "implemented yet (min must equal max)")
+        if self.transform_skip:
+            raise ValueError("transform_skip is not implemented yet")
+        if self.ref_frames != 1:
+            raise ValueError("only 1 reference frame is supported yet")
+        if self.gop_len not in (0, 1):
+            raise ValueError("B-frame GOPs are not implemented yet "
+                             "(gop_len must be 0)")
+        if self.mesh_tiles != 1:
+            raise ValueError("tile sharding is not implemented yet")
+        if self.rd > 1:
+            raise ValueError("--rd levels above 1 are not implemented")
+        if self.rdoq:
+            raise ValueError("RDOQ is not implemented yet")
+        if self.sao:
+            raise ValueError("SAO is not implemented yet")
         return self
 
     def set(self, name: str, value: str) -> "Config":
@@ -95,14 +114,23 @@ class Config:
 
 
 PRESETS = {
-    # Reference preset ladder (README.md:290-315); we currently map them to
-    # the knobs that exist. The ladder widens as tools land.
-    "ultrafast": dict(rd=0, rdoq=False, signhide=False, me_range=16,
-                      intra_max_cu=32, intra_min_cu=8),
-    "fast": dict(rd=1, rdoq=False, signhide=False, me_range=16),
-    "medium": dict(rd=1, rdoq=True, signhide=True, me_range=16),
-    "slow": dict(rd=2, rdoq=True, signhide=True, me_range=32),
-    "veryslow": dict(rd=2, rdoq=True, signhide=True, me_range=32),
+    # Reference preset ladder (README.md:290-315) mapped onto the tools
+    # that are actually implemented — every knob a preset sets is real
+    # (validate() enforces it).  The ladder widens as tools land.
+    "ultrafast": dict(rd=0, signhide=False, me_range=16, me_subpel=True,
+                      intra_max_cu=16, intra_min_cu=16),
+    "superfast": dict(rd=0, signhide=False, me_range=16,
+                      intra_max_cu=16, intra_min_cu=16),
+    "veryfast": dict(rd=0, signhide=True, me_range=16,
+                     intra_max_cu=16, intra_min_cu=16),
+    "faster": dict(rd=1, signhide=True, me_range=16,
+                   intra_max_cu=16, intra_min_cu=16),
+    "fast": dict(rd=1, signhide=True, me_range=16),
+    "medium": dict(rd=1, signhide=True, me_range=16),
+    "slow": dict(rd=1, signhide=True, me_range=32),
+    "slower": dict(rd=1, signhide=True, me_range=32),
+    "veryslow": dict(rd=1, signhide=True, me_range=32),
+    "placebo": dict(rd=1, signhide=True, me_range=64),
 }
 
 

@@ -93,7 +93,8 @@ class PFrameMixin:
             y, self.plan, self.lambda_satd, self.bitdepth)
         mv, inter_cost = search_inter_frame(
             y, ref_y.astype(jnp.int32), self.plan, self.lambda_me,
-            self.cfg.me_range, self.bitdepth)
+            self.cfg.me_range, self.bitdepth,
+            subpel=self.cfg.me_subpel)
         return modes, intra_cost, mv, inter_cost
 
     def _recon_p_impl(self, y, cb, cr, ref_y, ref_cb, ref_cr, modes, mv,
@@ -490,14 +491,28 @@ class IntraFrameEncoder(PFrameMixin):
         releases the GIL)."""
         return self.finalize_frames(self.submit_frames(frames))
 
+    def download_frames(self, handle):
+        """Stage 2 of the pipeline: the ONE device->host transfer for a
+        submitted batch.  Safe to call from a worker thread (releases
+        the GIL while the tunnel moves bytes); pass the result to
+        finalize_downloaded."""
+        nframes, (packed, dense, recs) = handle
+        return nframes, np.asarray(packed), dense, recs
+
     def finalize_frames(self, handle,
                         need_recon: bool = True) -> list[FrameResult]:
+        return self.finalize_downloaded(self.download_frames(handle),
+                                        need_recon)
+
+    def finalize_downloaded(self, downloaded,
+                            need_recon: bool = True) -> list[FrameResult]:
         import concurrent.futures as cf
-        nframes, (packed, dense, recs) = handle
-        # ONE transfer for levels+modes+meta; recon planes only when the
-        # caller needs pixels (hash SEI / --debug / PSNR-from-recon).
+        nframes, packed_np, dense, recs = downloaded
+        # Levels+modes+meta came in one packed transfer; recon planes
+        # only when the caller needs pixels (hash SEI / --debug /
+        # PSNR-from-recon).
         (lv_y, lv_cb, lv_cr), modes, overflow, sses = \
-            self._unpack_outputs(np.asarray(packed), nframes)
+            self._unpack_outputs(packed_np, nframes)
         if np.any(overflow > 0):
             # Rare low-QP/high-energy fallback: some |level| > 127 —
             # fetch the exact int16 tensors for the whole batch.
@@ -505,7 +520,10 @@ class IntraFrameEncoder(PFrameMixin):
             if self.chroma:
                 lv_cb = np.asarray(dense[1]).astype(np.int32)
                 lv_cr = np.asarray(dense[2]).astype(np.int32)
-        self._dpb = recs
+        # DPB takes the last frame of the batch (streaming IPPP refs).
+        self._dpb = (recs[0][-1],
+                     recs[1][-1] if self.chroma else None,
+                     recs[2][-1] if self.chroma else None)
         rec_y = rec_cb = rec_cr = None
         if need_recon or self.cfg.hash == "md5":
             rec_y = np.asarray(recs[0])

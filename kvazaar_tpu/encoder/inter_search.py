@@ -47,7 +47,8 @@ def _mv_pred_grid(mv_grid):
 
 
 def search_inter_frame(cur, ref, plan: IntraFramePlan, lambda_satd: float,
-                       me_range: int, bitdepth: int = 8):
+                       me_range: int, bitdepth: int = 8,
+                       subpel: bool = True):
     """cur/ref: (H, W) int32 (ref is the deblocked prior recon).
 
     Returns (mv (By, Bx, 2) int32 qpel, cost (By, Bx) f32 —
@@ -104,6 +105,14 @@ def search_inter_frame(cur, ref, plan: IntraFramePlan, lambda_satd: float,
         bc = jnp.min(c, axis=-1)
         return best, bc
 
+    if not subpel:
+        # Integer-pel only (--subme 0): cost = SATD at the int winner.
+        preds = mc_luma(ref, x0s, y0s, mv_int, s, bitdepth)
+        satd = satd8_batch(preds.reshape(n, s, s) - cur_blocks)
+        rate = _mv_bits_est(mv_int[:, 0] - pred_n[:, 0]) + \
+            _mv_bits_est(mv_int[:, 1] - pred_n[:, 1])
+        cost_i = satd.astype(jnp.float32) + lambda_satd * rate
+        return mv_int.reshape(by, bx, 2), cost_i.reshape(by, bx)
     mv_h, _ = refine(mv_int, 2)
     mv_q, cost_q = refine(mv_h, 1)
     return mv_q.reshape(by, bx, 2), cost_q.reshape(by, bx)

@@ -240,6 +240,34 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
         s2 = plan.chroma.size
         ocb = to_steps(cbs.astype(jnp.int32), s2)
         ocr = to_steps(crs.astype(jnp.int32), s2)
+
+    from kvazaar_tpu.ops import wavefront_pallas as wfp
+    if (wfp.supported(plan, bitdepth, lossless, signhide, inter)
+            and jax.default_backend() == "tpu"):
+        # Fused-VMEM kernel path (bit-identical to the scan below).
+        k = plan.n_slots
+        lv_y, r_y = wfp.wavefront_plane_pallas(
+            wfp.to_feature_major(oy, s),
+            modes_steps.reshape(-1, 1, k * b), plan, s, b, True, qp,
+            bitdepth)
+        lv_y = wfp.from_feature_major(lv_y, k, b, s)
+        r_y = wfp.from_feature_major(r_y, k, b, s)
+        if chroma:
+            # cb and cr share geometry/modes/QP: one kernel, 2B batch.
+            oc = jnp.concatenate([ocb, ocr], axis=2)
+            mc2 = jnp.concatenate([modes_steps, modes_steps], axis=2)
+            lv_c, r_c = wfp.wavefront_plane_pallas(
+                wfp.to_feature_major(oc, s2),
+                mc2.reshape(-1, 1, k * 2 * b), plan, s2, 2 * b, False,
+                qp_c, bitdepth)
+            lv_c = wfp.from_feature_major(lv_c, k, 2 * b, s2)
+            r_c = wfp.from_feature_major(r_c, k, 2 * b, s2)
+            outs = (lv_y, (lv_c[:, :, :b], lv_c[:, :, b:]),
+                    r_y, (r_c[:, :, :b], r_c[:, :, b:]))
+            return _assemble_outputs(outs, plan, s, s2, b, bitdepth,
+                                     chroma=True)
+        return _assemble_outputs((lv_y, None, r_y, None), plan, s, None,
+                                 b, bitdepth, chroma=False)
     if inter:
         ii = is_inter.reshape(b, -1).T[slot_ids]     # (steps, slots, B)
         my = to_steps(mc_y.astype(jnp.int32), s)
@@ -301,6 +329,19 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
         carry0 = (hb_y0, vb_y0)
     _, outs = jax.lax.scan(step_fn, carry0, xs)
 
+    if chroma:
+        lv_y, lv_cb, lv_cr, r_y, r_cb, r_cr = outs
+        return _assemble_outputs(
+            (lv_y, (lv_cb, lv_cr), r_y, (r_cb, r_cr)), plan, s, s2, b,
+            bitdepth, chroma=True)
+    lv_y, r_y = outs
+    return _assemble_outputs((lv_y, None, r_y, None), plan, s, None, b,
+                             bitdepth, chroma=False)
+
+
+def _assemble_outputs(outs, plan, s, s2, b, bitdepth, chroma):
+    """(steps, slots, B, S, S) tensors -> frame planes + raster-block
+    level tensors (shared by the XLA-scan and Pallas paths)."""
     rdt = jnp.uint8 if bitdepth <= 8 else jnp.uint16
     # Static order: flat (step*slots + slot) index of each block id.
     order = np.zeros(plan.blocks_y * plan.blocks_x, np.int64)
@@ -323,15 +364,14 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
         # order: drops pad slots (1.9x less device->host traffic) and
         # makes host reassembly a plain reshape.
         flat = lv.reshape(plan.n_steps * plan.n_slots, b, size,
-                          size)[order_j]
+                          size)[order_j].astype(jnp.int16)
         return flat.transpose(1, 0, 2, 3)
 
+    lv_y, lvc, r_y, rc = outs
     if chroma:
-        lv_y, lv_cb, lv_cr, r_y, r_cb, r_cr = outs
         return (steps_to_plane(r_y, s), lv_out(lv_y, s),
-                steps_to_plane(r_cb, s2), lv_out(lv_cb, s2),
-                steps_to_plane(r_cr, s2), lv_out(lv_cr, s2))
-    lv_y, r_y = outs
+                steps_to_plane(rc[0], s2), lv_out(lvc[0], s2),
+                steps_to_plane(rc[1], s2), lv_out(lvc[1], s2))
     return (steps_to_plane(r_y, s), lv_out(lv_y, s), None, None, None,
             None)
 

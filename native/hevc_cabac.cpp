@@ -144,21 +144,44 @@ struct Contexts {
 
 // ---------------- bit + arithmetic writer ----------------
 
+// Spec-form M-coder (9.3.4.3 formulation: low/range with outstanding-
+// bit carry deferral), engineered for throughput on the hot path: bits
+// accumulate MSB-first in a 64-bit register flushed four bytes at a
+// time, and all hot calls are inlined.  Byte-identical to the Python
+// oracle (tests/test_native_cabac.py) and to the previous per-bit
+// writer.
 struct CabacEnc {
   std::vector<uint8_t> bytes;
-  uint32_t cur = 0; int nbits = 0;          // raw bit accumulator
+  uint64_t acc = 0; int acc_n = 0;          // bit accumulator, MSB first
   uint32_t low = 0, range = 510;
   int outstanding = 0; bool first = true;
 
-  void raw_bit(int b) {
-    cur = (cur << 1) | (b & 1);
-    if (++nbits == 8) { bytes.push_back((uint8_t)cur); cur = 0; nbits = 0; }
+  CabacEnc() { bytes.reserve(1 << 16); }
+
+  inline void append_bits(uint64_t v, int n) {  // n <= 32
+    acc = (acc << n) | v;
+    acc_n += n;
+    if (acc_n >= 32) {
+      acc_n -= 32;
+      uint32_t w = __builtin_bswap32((uint32_t)(acc >> acc_n));
+      size_t sz = bytes.size();
+      bytes.resize(sz + 4);
+      std::memcpy(&bytes[sz], &w, 4);
+    }
   }
-  void put_bit(int b) {
-    if (first) first = false; else raw_bit(b);
-    while (outstanding > 0) { raw_bit(1 - b); outstanding--; }
+  inline void raw_bit(int b) { append_bits((uint64_t)(b & 1), 1); }
+  inline void put_bit(int b) {
+    if (__builtin_expect(first, 0)) first = false;
+    else append_bits((uint64_t)b, 1);
+    if (__builtin_expect(outstanding > 0, 0)) {
+      while (outstanding > 0) {
+        int k = outstanding > 24 ? 24 : outstanding;
+        append_bits(b ? 0 : ((1ull << k) - 1), k);
+        outstanding -= k;
+      }
+    }
   }
-  void renorm() {
+  inline void renorm() {
     while (range < 256) {
       if (low >= 512) { put_bit(1); low -= 512; }
       else if (low < 256) put_bit(0);
@@ -166,7 +189,7 @@ struct CabacEnc {
       range <<= 1; low <<= 1;
     }
   }
-  void bin(Ctx &c, int v) {
+  inline void bin(Ctx &c, int v) {
     uint32_t lps = kRangeTabLps[c.state][(range >> 6) & 3];
     range -= lps;
     if (v != c.mps) {
@@ -175,18 +198,25 @@ struct CabacEnc {
       c.state = kTransIdxLps[c.state];
     } else {
       c.state = transIdxMps(c.state);
+      if (range >= 256) return;
     }
     renorm();
   }
-  void bypass(int v) {
+  inline void bypass(int v) {
     low <<= 1;
     if (v) low += range;
     if (low >= 1024) { put_bit(1); low -= 1024; }
     else if (low < 512) put_bit(0);
     else { low -= 512; outstanding++; }
   }
-  void bypass_bins(uint32_t v, int n) {
+  inline void bypass_bins(uint32_t v, int n) {
     for (int i = n - 1; i >= 0; i--) bypass((v >> i) & 1);
+  }
+  // Unary run of n one-bits followed by a zero (go-rice prefixes):
+  // identical output to n+1 bypass() calls.
+  inline void bypass_ones_then_zero(int n) {
+    for (int i = 0; i < n; i++) bypass(1);
+    bypass(0);
   }
   void terminate(int v) {
     range -= 2;
@@ -195,11 +225,16 @@ struct CabacEnc {
   }
   void flush() {
     put_bit((low >> 9) & 1);
-    // two raw bits: ((low >> 7) & 3) | 1
     raw_bit((low >> 8) & 1);
     raw_bit(1);
   }
-  void align_zero() { while (nbits) raw_bit(0); }
+  void align_zero() {
+    while (acc_n & 7) raw_bit(0);
+    while (acc_n >= 8) {
+      acc_n -= 8;
+      bytes.push_back((uint8_t)(acc >> acc_n));
+    }
+  }
 };
 
 // ---------------- scan tables ----------------
@@ -288,6 +323,34 @@ int last_prefix(int v) {
   int bl = 32 - __builtin_clz((unsigned)v);  // bit_length
   return ((v >> (bl - 2)) & 1) + ((bl - 2) << 1) + 2;
 }
+
+// Precomputed sig_coeff_flag contexts: the per-coefficient ctx depends
+// only on (TB size, scanIdx, chroma, CG==origin, neighbor-CSBF pattern,
+// position-in-CG) — bake sig_ctx() into a table once so the hottest
+// loop in the serializer is a single lookup per coefficient.
+// [log2-2][scanIdx][chroma][cg-class(0=origin CG)][pattern][pos]
+static uint8_t g_sigtbl[4][3][2][2][4][16];
+
+static void init_sigtbl() {
+  for (int l = 2; l <= 5; l++)
+    for (int sidx = 0; sidx < 3; sidx++)
+      for (int ch = 0; ch < 2; ch++)
+        for (int cls = 0; cls < 2; cls++)
+          for (int pat = 0; pat < 4; pat++)
+            for (int n = 0; n < 16; n++) {
+              uint16_t p4 = g_scans.coeff[0][sidx][n];
+              int xb = p4 & 255, yb = p4 >> 8;
+              // Any non-origin CG sees the same rules (the +3 luma
+              // offset and the DC special-case are CG-class-wide).
+              int xc = xb + (cls ? 4 : 0), yc = yb + (cls ? 4 : 0);
+              g_sigtbl[l - 2][sidx][ch][cls][pat][n] = (uint8_t)
+                  sig_ctx(xc, yc, l, sidx, ch != 0, pat & 1,
+                          (pat >> 1) & 1);
+            }
+}
+
+struct SigTblInit { SigTblInit() { init_sigtbl(); } };
+static SigTblInit g_sigtbl_init_once;
 
 // ---------------- frame serializer ----------------
 
@@ -664,14 +727,14 @@ struct Serializer {
       }
       if (!csbf[sy * n_sb + sx]) continue;
 
+      const uint8_t *stb =
+          g_sigtbl[log2_size - 2][scan_idx][chroma ? 1 : 0]
+                  [(sx | sy) ? 1 : 0][right + 2 * below];
       int start_n = (i == last_sb) ? last_pos - 1 : 15;
       for (int n = start_n; n >= 0; n--) {
         if (n > 0 || !infer_dc) {
-          int xc = scan[i * 16 + n] & 255, yc = scan[i * 16 + n] >> 8;
-          int s = sig_ctx(xc, yc, log2_size, scan_idx, chroma, right,
-                          below);
           int sigv = sb[n] != 0;
-          c.bin(ctx.sig[s], sigv);
+          c.bin(ctx.sig[stb[n]], sigv);
           if (sigv) infer_dc = false;
         }
       }
