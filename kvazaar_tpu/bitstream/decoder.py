@@ -226,11 +226,14 @@ def reconstruct_parsed_p(fd: FrameData, params: StreamParams, qp: int,
 
 
 def reconstruct_parsed(fd: FrameData, params: StreamParams, qp: int):
-    """Wavefront reconstruction purely from parsed syntax (v1 subset:
-    uniform CU size)."""
+    """Wavefront reconstruction purely from parsed syntax.  Uniform-CU
+    frames take the fast batched path; variable trees take the
+    sequential pure-numpy path (fully independent of the encoder's
+    ops)."""
     from kvazaar_tpu.encoder.frame_encoder import chroma_qp
     depth = int(fd.depth8[0, 0])
-    assert np.all(fd.depth8 == depth), "oracle supports uniform depth"
+    if not np.all(fd.depth8 == depth):
+        return reconstruct_parsed_var(fd, params, qp)
     s = params.ctu_size >> depth
     chroma = params.chroma_format_idc != 0
     plan = make_intra_plan(params.width, params.height, s, chroma)
@@ -258,6 +261,158 @@ def reconstruct_parsed(fd: FrameData, params: StreamParams, qp: int):
     rec_y = np.asarray(rec_y)
     rec_cb = None if rec_cb is None else np.asarray(rec_cb)
     rec_cr = None if rec_cr is None else np.asarray(rec_cr)
+    return rec_y, rec_cb, rec_cr
+
+
+def _np_intra_pred(refs: np.ndarray, mode: int, s: int, luma: bool,
+                   bitdepth: int) -> np.ndarray:
+    """Pure-numpy intra prediction of one block from a substituted
+    spec-order ref vector (int64 arithmetic; shares no code with the
+    encoder's einsum path — this is the independent oracle)."""
+    from kvazaar_tpu.ops.intra import mode_weights_np
+    w, shifts = mode_weights_np(s, luma)
+    if luma and s >= 8:
+        f = (refs[:-2] + 2 * refs[1:-1] + refs[2:] + 2) >> 2
+        filt = np.concatenate([refs[:1], f, refs[-1:]])
+    else:
+        filt = refs
+    refs2 = np.concatenate([refs, filt]).astype(np.int64)
+    sh = int(shifts[mode])
+    pred = ((w[mode].astype(np.int64) @ refs2 + (1 << (sh - 1)))
+            >> sh).reshape(s, s)
+    if not luma or s >= 32:
+        return pred
+    maxv = (1 << bitdepth) - 1
+    top = refs[2 * s + 1: 3 * s + 1].astype(np.int64)
+    left = refs[s: 2 * s][::-1].astype(np.int64)
+    corner = int(refs[2 * s])
+    if mode == 1:
+        dc = pred[s // 2, s // 2]
+        row0 = (top + 3 * dc + 2) >> 2
+        col0 = (left + 3 * dc + 2) >> 2
+        c00 = (left[0] + 2 * dc + top[0] + 2) >> 2
+        pred[0, :] = row0
+        pred[:, 0] = col0
+        pred[0, 0] = c00
+    elif mode == 10:
+        pred[0, :] = np.clip(left[0] + ((top - corner) >> 1), 0, maxv)
+    elif mode == 26:
+        pred[:, 0] = np.clip(top[0] + ((left - corner) >> 1), 0, maxv)
+    return pred
+
+
+def _np_inv_residual(levels: np.ndarray, s: int, qp: int,
+                     bitdepth: int) -> np.ndarray:
+    """Pure-numpy dequant + inverse transform (8.6.3/8.6.4, int64)."""
+    from kvazaar_tpu.ops.quant import quant_params
+    from kvazaar_tpu.ops.transform import dct_matrix_np
+    log2n = s.bit_length() - 1
+    _, _, inv_scale, shift = quant_params(qp, log2n, bitdepth)
+    lv = levels.astype(np.int64)
+    dq = (lv * (inv_scale << (qp // 6)) + (1 << (shift - 5))) \
+        >> (shift - 4)
+    dq = np.clip(dq, -32768, 32767)
+    t = dct_matrix_np(s).astype(np.int64)
+    e = (t.T @ dq + 64) >> 7
+    e = np.clip(e, -32768, 32767)
+    sh2 = 20 - bitdepth
+    r = (e @ t + (1 << (sh2 - 1))) >> sh2
+    return np.clip(r, -32768, 32767)
+
+
+def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
+                           qp: int):
+    """Sequential per-CU reconstruction for variable-CU intra frames —
+    a direct transcription of the decoding process (8.4.4), one CU at a
+    time in z-scan order, entirely in numpy."""
+    from kvazaar_tpu.encoder.frame_encoder import chroma_qp
+    from kvazaar_tpu.encoder.geometry import z_order_index
+    w, h = params.width, params.height
+    chroma = params.chroma_format_idc != 0
+    h8, w8 = h // 8, w // 8
+    sizes8 = (params.ctu_size >> fd.depth8.astype(np.int32)) // 8
+    cus = []
+    for y8 in range(h8):
+        for x8 in range(w8):
+            c = int(sizes8[y8, x8])
+            if y8 % c or x8 % c:
+                continue
+            cus.append(((y8 // 8, x8 // 8, z_order_index(x8 % 8,
+                                                         y8 % 8)),
+                        x8 * 8, y8 * 8, c * 8))
+    cus.sort()
+    order = np.zeros((h8, w8), np.int32)
+    for k, (_key, x0, y0, s) in enumerate(cus):
+        order[y0 // 8:(y0 + s) // 8, x0 // 8:(x0 + s) // 8] = k
+
+    planes = [np.zeros((h, w), np.int64)]
+    coeffs = [fd.coeff_y]
+    if chroma:
+        planes += [np.zeros((h // 2, w // 2), np.int64),
+                   np.zeros((h // 2, w // 2), np.int64)]
+        coeffs += [fd.coeff_cb, fd.coeff_cr]
+    qps = [qp, chroma_qp(qp), chroma_qp(qp)]
+    mid = 1 << (params.bitdepth - 1)
+    maxv = (1 << params.bitdepth) - 1
+
+    for k, (_key, lx0, ly0, ls) in enumerate(cus):
+        mode = int(fd.mode4[ly0 // 4, lx0 // 4])
+        for pi, plane in enumerate(planes):
+            scale = 1 if pi == 0 else 2
+            x0, y0, s = lx0 // scale, ly0 // scale, ls // scale
+            ph, pw = plane.shape
+            # Spec-ordered refs with availability by decode order and
+            # substitution (8.4.4.2.2).
+            i = np.arange(4 * s + 1)
+            xs = np.where(i <= 2 * s, x0 - 1, x0 + i - (2 * s + 1))
+            ys = np.where(i <= 2 * s, y0 + 2 * s - 1 - i, y0 - 1)
+            inside = (xs >= 0) & (ys >= 0) & (xs < pw) & (ys < ph)
+            cx = np.clip(xs * scale, 0, w - 1) // 8
+            cy = np.clip(ys * scale, 0, h - 1) // 8
+            avail = inside & (order[cy, cx] < k)
+            refs = np.full(4 * s + 1, mid, np.int64)
+            if avail.any():
+                vals = plane[np.clip(ys, 0, ph - 1),
+                             np.clip(xs, 0, pw - 1)]
+                sub = np.where(avail, np.arange(4 * s + 1), -1)
+                np.maximum.accumulate(sub, out=sub)
+                sub[sub < 0] = int(np.argmax(avail))
+                refs = np.where(avail[sub], vals[sub], mid)
+            pred = _np_intra_pred(refs, mode, s, pi == 0,
+                                  params.bitdepth)
+            lv = coeffs[pi][y0:y0 + s, x0:x0 + s]
+            if params.transquant_bypass:
+                res = lv.astype(np.int64)
+            else:
+                res = _np_inv_residual(lv, s, qps[pi], params.bitdepth)
+            plane[y0:y0 + s, x0:x0 + s] = np.clip(pred + res, 0, maxv)
+
+    rec_y = planes[0]
+    rec_cb = planes[1] if chroma else None
+    rec_cr = planes[2] if chroma else None
+    if params.deblock_enabled:
+        from kvazaar_tpu.ops.deblock import deblock_frame
+        c = sizes8.astype(np.int32)
+        x8 = np.arange(w8)[None, :]
+        y8m = np.arange(h8)[:, None]
+        bs_v = jnp.asarray(np.where(x8 % c == 0, 2, 0).astype(np.int32))
+        bs_h = jnp.asarray(np.where(y8m % c == 0, 2, 0).astype(np.int32))
+        dy, dcb, dcr = deblock_frame(
+            jnp.asarray(rec_y.astype(np.int32)),
+            None if rec_cb is None else jnp.asarray(
+                rec_cb.astype(np.int32)),
+            None if rec_cr is None else jnp.asarray(
+                rec_cr.astype(np.int32)),
+            qp, 8, params.bitdepth, params.deblock_beta_offset_div2,
+            params.deblock_tc_offset_div2, bs_v=bs_v, bs_h=bs_h)
+        rec_y, rec_cb, rec_cr = (np.asarray(dy),
+                                 None if dcb is None else np.asarray(dcb),
+                                 None if dcr is None else np.asarray(dcr))
+    dt = np.uint8 if params.bitdepth <= 8 else np.uint16
+    rec_y = np.asarray(rec_y, dt)
+    if chroma:
+        rec_cb = np.asarray(rec_cb, dt)
+        rec_cr = np.asarray(rec_cr, dt)
     return rec_y, rec_cb, rec_cr
 
 

@@ -78,9 +78,8 @@ class Config:
         for v in (self.intra_min_cu, self.intra_max_cu):
             if v not in (8, 16, 32):
                 raise ValueError("intra cu sizes must be in {8,16,32}")
-        if self.intra_min_cu != self.intra_max_cu:
-            raise ValueError("variable intra CU sizes are not "
-                             "implemented yet (min must equal max)")
+        if self.intra_min_cu > self.intra_max_cu:
+            raise ValueError("intra_min_cu > intra_max_cu")
         if self.transform_skip:
             raise ValueError("transform_skip is not implemented yet")
         if self.ref_frames != 1:

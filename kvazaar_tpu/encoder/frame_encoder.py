@@ -415,7 +415,215 @@ class IntraFrameEncoder(PFrameMixin):
 
     def encode_frame(self, y: np.ndarray, cb=None, cr=None) -> FrameResult:
         """y: (H, W) source luma (uint8/uint16); cb/cr half size."""
+        if self.cfg.intra_min_cu < self.cfg.intra_max_cu:
+            return self.encode_frame_var(y, cb, cr)
         return self.finalize_frames(self.submit_frames([(y, cb, cr)]))[0]
+
+    # ---- Variable-CU quadtree path (encoder/quadtree.py) ----
+
+    @functools.lru_cache(maxsize=8)
+    def _var_recon_fn(self, n_steps: int):
+        from kvazaar_tpu.encoder.quadtree import reconstruct_frame_var
+
+        def run(sched):
+            rec_y, rec_cb, rec_cr, levels = reconstruct_frame_var(
+                sched, self.cfg.qp, self.qp_c, self.coded_w,
+                self.coded_h, self.chroma, self.bitdepth,
+                self.cfg.lossless, self.cfg.signhide)
+            if self.cfg.deblock:
+                dy, dcb, dcr = deblock_frame(
+                    rec_y, rec_cb, rec_cr, self.cfg.qp, 8,
+                    self.bitdepth, bs_v=sched["bs_v"],
+                    bs_h=sched["bs_h"])
+            else:
+                dy, dcb, dcr = rec_y, rec_cb, rec_cr
+            rdt = jnp.uint8 if self.bitdepth <= 8 else jnp.uint16
+            dy = dy.astype(rdt)
+            if dcb is not None:
+                dcb, dcr = dcb.astype(rdt), dcr.astype(rdt)
+            # One packed int16 buffer for all level tensors (transfer
+            # call count matters on the tunnel).
+            lv_flat = jnp.concatenate(
+                [lv.reshape(-1) for lv in levels["y"]]
+                + ([lv.reshape(-1) for lv in levels["cb"]]
+                   + [lv.reshape(-1) for lv in levels["cr"]]
+                   if self.chroma else []))
+            return dy, dcb, dcr, lv_flat.astype(jnp.int16)
+
+        return jax.jit(run)
+
+    def _var_search_fn(self):
+        if not hasattr(self, "_qt_search"):
+            from kvazaar_tpu.encoder.quadtree import search_quadtree
+
+            def s(yp):
+                return search_quadtree(
+                    yp, self.coded_w, self.coded_h, self.lambda_satd,
+                    self.bitdepth, self.cfg.intra_min_cu,
+                    self.cfg.intra_max_cu)
+
+            self._qt_search = jax.jit(s)
+        return self._qt_search
+
+    def encode_frame_var(self, y, cb=None, cr=None) -> FrameResult:
+        """Quadtree all-intra encode (variable CU 8/16/32): device
+        search at every size + bottom-up argmin, host wavefront
+        planning, data-driven device reconstruction (see
+        encoder/quadtree.py; matches src/search.c:424-757 capability)."""
+        from kvazaar_tpu.encoder.var_schedule import build_var_plan
+        s = self.cu
+        yp = pad_to_multiple(np.asarray(y, np.int32), s)
+        cbp = crp = None
+        if self.chroma:
+            cbp = pad_to_multiple(np.asarray(cb, np.int32), s // 2)
+            crp = pad_to_multiple(np.asarray(cr, np.int32), s // 2)
+        from kvazaar_tpu.encoder.quadtree import choose_tree
+        costs_d, modes_d = self._var_search_fn()(jnp.asarray(yp))
+        size8 = choose_tree(costs_d, self.coded_w, self.coded_h,
+                            self.lambda_satd)
+        mode_maps = {k: np.asarray(v) for k, v in modes_d.items()}
+        vp = build_var_plan(size8, mode_maps, self.coded_w,
+                            self.coded_h, self.chroma)
+
+        sched, lv_shapes = self._var_sched_arrays(vp, yp, cbp, crp,
+                                                  size8)
+        dy, dcb, dcr, lv_flat = self._var_recon_fn(vp.n_steps)(sched)
+        self._dpb = (dy, dcb, dcr)
+        lv_np = np.asarray(lv_flat)
+        rec_y = np.asarray(dy)
+        rec_cb = np.asarray(dcb) if self.chroma else None
+        rec_cr = np.asarray(dcr) if self.chroma else None
+
+        fd = self._var_frame_data(vp, size8, mode_maps, lv_np,
+                                  lv_shapes)
+        return self._var_serialize(fd, rec_y, rec_cb, rec_cr)
+
+    def _var_sched_arrays(self, vp, yp, cbp, crp, size8):
+        """jnp-ify the VarPlan + gather per-class origs + deblock BS
+        maps.  Returns (sched dict, level shapes in pack order)."""
+        def cls_arrays(cs, plane, extra_origs=None):
+            d = dict(
+                modes=jnp.asarray(cs.modes),
+                noref=jnp.asarray(cs.noref),
+                idx_h=jnp.asarray(cs.idx_h),
+                idx_v=jnp.asarray(cs.idx_v),
+                sel_h=jnp.asarray(cs.sel_h),
+                wr_h=jnp.asarray(cs.wr_h),
+                wr_v=jnp.asarray(cs.wr_v),
+                pix=jnp.asarray(cs.pix),
+            )
+            st, k = cs.valid.shape
+            ssz = cs.size
+            if plane is not None:
+                flat = np.concatenate([plane.reshape(-1),
+                                       np.zeros(1, plane.dtype)])
+                d["origs"] = jnp.asarray(
+                    flat[cs.pix].reshape(st, k, ssz, ssz))
+            if extra_origs is not None:
+                for name, pl in extra_origs:
+                    flat = np.concatenate([pl.reshape(-1),
+                                           np.zeros(1, pl.dtype)])
+                    d[name] = jnp.asarray(
+                        flat[cs.pix].reshape(st, k, ssz, ssz))
+            return d
+
+        sched = {"luma": {}, "chroma": {}}
+        lv_shapes = []
+        for s in sorted(vp.luma.keys()):
+            cs = vp.luma[s]
+            sched["luma"][s] = cls_arrays(cs, yp)
+            lv_shapes.append(("y", s, cs.valid.shape[0],
+                             cs.valid.shape[1]))
+        if self.chroma:
+            for s in sorted(vp.chroma.keys()):
+                cs = vp.chroma[s]
+                sched["chroma"][s] = cls_arrays(
+                    cs, None, [("origs_cb", cbp), ("origs_cr", crp)])
+        if self.chroma:
+            for pl in ("cb", "cr"):
+                for s in sorted(vp.chroma.keys()):
+                    cs = vp.chroma[s]
+                    lv_shapes.append((pl, s, cs.valid.shape[0],
+                                      cs.valid.shape[1]))
+        # Deblock boundary strengths on the 8x8 cell grid: intra edges
+        # (bs 2) exactly at CU boundaries.
+        c = (size8 // 8).astype(np.int32)
+        x8 = np.arange(size8.shape[1])[None, :]
+        y8 = np.arange(size8.shape[0])[:, None]
+        sched["bs_v"] = jnp.asarray(
+            np.where(x8 % c == 0, 2, 0).astype(np.int32))
+        sched["bs_h"] = jnp.asarray(
+            np.where(y8 % c == 0, 2, 0).astype(np.int32))
+        return sched, lv_shapes
+
+    def _var_frame_data(self, vp, size8, mode_maps, lv_np, lv_shapes):
+        """Host assembly: depth/mode grids + coefficient planes from
+        the packed level buffer."""
+        fd = FrameData.empty(self.coded_w, self.coded_h, self.chroma)
+        # depth = 6 - log2(size): 32->1, 16->2, 8->3.
+        fd.depth8[:] = (6 - np.round(np.log2(size8)).astype(np.int32)
+                        ).astype(np.uint8)
+        size4 = np.kron(size8, np.ones((2, 2), np.uint8))
+        mode4 = np.zeros_like(size4, np.uint8)
+        for s, grid in mode_maps.items():
+            up = np.kron(grid.astype(np.uint8),
+                         np.ones((s // 4, s // 4), np.uint8))
+            mode4 = np.where(size4 == s, up[:size4.shape[0],
+                                            :size4.shape[1]], mode4)
+        fd.mode4[:] = mode4
+
+        planes = {"y": fd.coeff_y}
+        if self.chroma:
+            planes["cb"] = fd.coeff_cb
+            planes["cr"] = fd.coeff_cr
+        ext = {pl: np.zeros(planes[pl].size + 1, np.int32)
+               for pl in planes}
+        off = 0
+        for (pl, s, st, k) in lv_shapes:
+            n = st * k * s * s
+            lv = lv_np[off:off + n].astype(np.int32)
+            off += n
+            cs = vp.luma[s] if pl == "y" else vp.chroma[s]
+            # Pad slots' pix maps point at the trailing trash element.
+            np.put(ext[pl], cs.pix.reshape(-1), lv)
+        for pl in planes:
+            planes[pl][:] = ext[pl][:-1].reshape(planes[pl].shape)
+        return fd
+
+    def _var_serialize(self, fd, rec_y, rec_cb, rec_cr) -> FrameResult:
+        sizes = []
+        if _NATIVE_OK and not self.params.transquant_bypass:
+            if self.params.wpp:
+                data, sizes = native.encode_slice_data_native_wpp(
+                    self.params, fd, self.cfg.qp)
+            else:
+                data = native.encode_slice_data_native(self.params, fd,
+                                                       self.cfg.qp)
+        else:
+            dw = BitWriter()
+            enc = SliceDataEncoder(self.params, fd,
+                                   Contexts(SLICE_I, self.cfg.qp),
+                                   CabacEncoder(dw))
+            if self.params.wpp:
+                sizes = enc.encode_slice_data_wpp()
+            else:
+                enc.encode_slice_data()
+                dw.align_zero()
+            data = dw.get_bytes()
+        w = BitWriter()
+        write_slice_header(w, self.params, SLICE_I, NAL_IDR_W_RADL,
+                           self.cfg.qp,
+                           num_entry_points=max(len(sizes) - 1, 0),
+                           entry_point_offsets=sizes[:-1])
+        nal = nal_unit(w.get_bytes() + data, NAL_IDR_W_RADL)
+        if self.cfg.hash == "md5" and rec_y is not None:
+            from kvazaar_tpu.bitstream.headers import \
+                write_picture_hash_sei
+            nal += write_picture_hash_sei((rec_y, rec_cb, rec_cr),
+                                          self.bitdepth)
+        return FrameResult(nals=nal, recon_y=rec_y, recon_cb=rec_cb,
+                           recon_cr=rec_cr, frame_data=fd,
+                           bits=len(nal) * 8)
 
 
     def _host_finalize(self, modes, lv_y, lv_cb, lv_cr, rec_y, rec_cb,

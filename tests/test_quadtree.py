@@ -1,0 +1,56 @@
+"""Variable-CU quadtree: e2e bit-exactness through the oracle decoder
+and tree plausibility (the reference capability being matched is the
+recursive CU search of /root/reference/src/search.c:424-757)."""
+
+import numpy as np
+import pytest
+
+from kvazaar_tpu.config import Config
+from kvazaar_tpu.encoder.frame_encoder import IntraFrameEncoder, psnr
+from kvazaar_tpu.bitstream.decoder import decode_stream
+
+
+def _mixed_frame(w, h, seed=7):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (128 + 40 * np.sin(xx / 23.0)).astype(np.float64)
+    y[:, w // 2:] += rng.normal(0, 28, (h, w // 2))
+    y = np.clip(y, 0, 255).astype(np.uint8)
+    cb = np.clip(110 + 20 * np.cos(yy[::2, ::2] / 9.0)
+                 + rng.normal(0, 8, (h // 2, w // 2)), 0,
+                 255).astype(np.uint8)
+    cr = np.clip(140 + rng.normal(0, 12, (h // 2, w // 2)), 0,
+                 255).astype(np.uint8)
+    return y, cb, cr
+
+
+@pytest.mark.parametrize("deblock", [False, True])
+def test_quadtree_bit_exact(deblock):
+    w, h = 96, 64
+    y, cb, cr = _mixed_frame(w, h)
+    cfg = Config(width=w, height=h, qp=27, intra_min_cu=8,
+                 intra_max_cu=32, deblock=deblock)
+    enc = IntraFrameEncoder(cfg)
+    res = enc.encode_frame(y, cb, cr)
+    depths = res.frame_data.depth8
+    assert len(np.unique(depths)) >= 2, "tree should actually vary"
+    (dy, dcb, dcr), fd = decode_stream(enc.headers() + res.nals,
+                                       enc.params)[0]
+    np.testing.assert_array_equal(dy, res.recon_y)
+    np.testing.assert_array_equal(dcb, res.recon_cb)
+    np.testing.assert_array_equal(dcr, res.recon_cr)
+    assert psnr(res.recon_y[:h, :w], y.astype(np.int32)) > 30.0
+
+
+def test_quadtree_respects_bounds():
+    w, h = 64, 64
+    y, cb, cr = _mixed_frame(w, h, seed=3)
+    cfg = Config(width=w, height=h, qp=27, intra_min_cu=16,
+                 intra_max_cu=32)
+    enc = IntraFrameEncoder(cfg)
+    res = enc.encode_frame(y, cb, cr)
+    sizes = 64 >> res.frame_data.depth8.astype(np.int32)
+    assert sizes.min() >= 16 and sizes.max() <= 32
+    (dy, _, _), _ = decode_stream(enc.headers() + res.nals,
+                                  enc.params)[0]
+    np.testing.assert_array_equal(dy, res.recon_y)
