@@ -222,7 +222,7 @@ def reconstruct_parsed_p(fd: FrameData, params: StreamParams, qp: int,
     rec_y = np.asarray(rec_y)
     rec_cb = None if rec_cb is None else np.asarray(rec_cb)
     rec_cr = None if rec_cr is None else np.asarray(rec_cr)
-    return rec_y, rec_cb, rec_cr
+    return _apply_sao_parsed(fd, params, rec_y, rec_cb, rec_cr)
 
 
 def reconstruct_parsed(fd: FrameData, params: StreamParams, qp: int):
@@ -261,7 +261,34 @@ def reconstruct_parsed(fd: FrameData, params: StreamParams, qp: int):
     rec_y = np.asarray(rec_y)
     rec_cb = None if rec_cb is None else np.asarray(rec_cb)
     rec_cr = None if rec_cr is None else np.asarray(rec_cr)
-    return rec_y, rec_cb, rec_cr
+    return _apply_sao_parsed(fd, params, rec_y, rec_cb, rec_cr)
+
+
+def _apply_sao_parsed(fd: FrameData, params: StreamParams, rec_y,
+                      rec_cb, rec_cr):
+    """Apply parsed per-CTU SAO params after deblocking (8.7.3)."""
+    if not params.sao_enabled:
+        return rec_y, rec_cb, rec_cr
+    from kvazaar_tpu.ops.sao import apply_sao_plane
+    t = jnp.asarray(fd.sao_type.astype(np.int32))
+    eo = jnp.asarray(fd.sao_eo.astype(np.int32))
+    bp = jnp.asarray(fd.sao_bp.astype(np.int32))
+    off = jnp.asarray(fd.sao_off.astype(np.int32))
+    ry = apply_sao_plane(jnp.asarray(np.asarray(rec_y, np.int32)),
+                         t[:, :, 0], eo[:, :, 0], bp[:, :, 0],
+                         off[:, :, 0], 64, params.bitdepth)
+    rcb = rcr = None
+    if rec_cb is not None:
+        rcb = apply_sao_plane(jnp.asarray(np.asarray(rec_cb, np.int32)),
+                              t[:, :, 1], eo[:, :, 1], bp[:, :, 1],
+                              off[:, :, 1], 32, params.bitdepth)
+        rcr = apply_sao_plane(jnp.asarray(np.asarray(rec_cr, np.int32)),
+                              t[:, :, 1], eo[:, :, 1], bp[:, :, 2],
+                              off[:, :, 2], 32, params.bitdepth)
+    dt = np.uint8 if params.bitdepth <= 8 else np.uint16
+    return (np.asarray(ry, dt),
+            None if rcb is None else np.asarray(rcb, dt),
+            None if rcr is None else np.asarray(rcr, dt))
 
 
 def _np_intra_pred(refs: np.ndarray, mode: int, s: int, luma: bool,
@@ -413,7 +440,7 @@ def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
     if chroma:
         rec_cb = np.asarray(rec_cb, dt)
         rec_cr = np.asarray(rec_cr, dt)
-    return rec_y, rec_cb, rec_cr
+    return _apply_sao_parsed(fd, params, rec_y, rec_cb, rec_cr)
 
 
 def _plane_step_from_levels(recon_flat, gidx, noref, scatter, levels,

@@ -44,12 +44,13 @@ def get_lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
     ]
     lib.ktpu_encode_slice_data_wpp.restype = ctypes.c_int64
     lib.ktpu_encode_slice_data_wpp.argtypes = \
-        lib.ktpu_encode_slice_data.argtypes[:-1] + [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        lib.ktpu_encode_slice_data.argtypes[:-2] + [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -76,6 +77,21 @@ def _frame_args(params, fd):
     return depth8, mode4, cy, ccb, ccr, chroma
 
 
+def _sao_blob(params, fd):
+    """Pack FrameData SAO fields into the native per-CTU 20-byte
+    layout; None when SAO is disabled."""
+    if not params.sao_enabled:
+        return None
+    cy, cx = fd.sao_merge.shape
+    blob = np.zeros((cy * cx, 20), np.int8)
+    blob[:, 0] = fd.sao_merge.reshape(-1)
+    blob[:, 1:3] = fd.sao_type.reshape(-1, 2)
+    blob[:, 3:5] = fd.sao_eo.reshape(-1, 2)
+    blob[:, 5:8] = fd.sao_bp.reshape(-1, 3)
+    blob[:, 8:20] = fd.sao_off.reshape(-1, 12)
+    return np.ascontiguousarray(blob)
+
+
 def encode_slice_data_native(params, fd, qp: int) -> bytes:
     """Native equivalent of SliceDataEncoder.encode_slice_data + final
     alignment; returns the CABAC slice-data bytes."""
@@ -83,13 +99,15 @@ def encode_slice_data_native(params, fd, qp: int) -> bytes:
     depth8, mode4, cy, ccb, ccr, chroma = _frame_args(params, fd)
     cap = cy.nbytes * 2 + 65536
     out = np.empty(cap, np.uint8)
+    sao = _sao_blob(params, fd)
     n = lib.ktpu_encode_slice_data(
         params.width, params.height, chroma, qp,
         params.log2_ctu, params.log2_min_cu, params.log2_max_tu,
         depth8.ctypes.data, mode4.ctypes.data, cy.ctypes.data,
         None if ccb is None else ccb.ctypes.data,
         None if ccr is None else ccr.ctypes.data,
-        out.ctypes.data, cap, 1 if params.sign_hiding else 0)
+        out.ctypes.data, cap, 1 if params.sign_hiding else 0,
+        None if sao is None else sao.ctypes.data)
     if n < 0:
         raise RuntimeError("native slice buffer overflow")
     return out[:n].tobytes()
@@ -104,6 +122,7 @@ def encode_slice_data_native_wpp(params, fd, qp: int):
     rows = params.height_in_ctus
     sizes = np.zeros(rows + 1, np.int64)
     nss = np.zeros(1, np.int32)
+    sao = _sao_blob(params, fd)
     n = lib.ktpu_encode_slice_data_wpp(
         params.width, params.height, chroma, qp,
         params.log2_ctu, params.log2_min_cu, params.log2_max_tu,
@@ -111,7 +130,8 @@ def encode_slice_data_native_wpp(params, fd, qp: int):
         None if ccb is None else ccb.ctypes.data,
         None if ccr is None else ccr.ctypes.data,
         out.ctypes.data, cap, sizes.ctypes.data, nss.ctypes.data,
-        1 if params.sign_hiding else 0)
+        1 if params.sign_hiding else 0,
+        None if sao is None else sao.ctypes.data)
     if n < 0:
         raise RuntimeError("native slice buffer overflow")
     return out[:n].tobytes(), [int(v) for v in sizes[:int(nss[0])]]
@@ -133,6 +153,7 @@ def encode_slice_data_native_p(params, fd, qp: int, wpp: bool):
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p,
         ]
         lib._p_configured = True
     depth8, mode4, cy, ccb, ccr, chroma = _frame_args(params, fd)
@@ -155,7 +176,9 @@ def encode_slice_data_native_p(params, fd, qp: int, wpp: bool):
         inter8.ctypes.data, skip8.ctypes.data, merge8.ctypes.data,
         mvp8.ctypes.data, mvd8.ctypes.data,
         out.ctypes.data, cap, sizes.ctypes.data, nss.ctypes.data,
-        1 if params.sign_hiding else 0)
+        1 if params.sign_hiding else 0,
+        None if (sao := _sao_blob(params, fd)) is None
+        else sao.ctypes.data)
     if n < 0:
         raise RuntimeError("native slice buffer overflow")
     szs = [int(v) for v in sizes[:int(nss[0])]] if wpp else []

@@ -50,11 +50,21 @@ class FrameData:
     mvp8: np.ndarray = None     # (H/8, W/8) uint8 — mvp_l0_flag
     mvd8: np.ndarray = None     # (H/8, W/8, 2) int32
     mv8: np.ndarray = None      # (H/8, W/8, 2) int32 — final qpel MVs
+    # SAO per CTU (resolved post-merge values; sao_merge records what
+    # the serializer signals): type/eo index 0 = luma, 1 = chroma
+    # (cb+cr share type and eo_class per 7.3.8.3); offsets/band_pos per
+    # component 0=Y 1=Cb 2=Cr; offsets stored signed as applied.
+    sao_merge: np.ndarray = None   # (Cy, Cx) uint8: 0/1=left/2=up
+    sao_type: np.ndarray = None    # (Cy, Cx, 2) uint8: 0 off/1 band/2 edge
+    sao_eo: np.ndarray = None      # (Cy, Cx, 2) uint8
+    sao_bp: np.ndarray = None      # (Cy, Cx, 3) uint8
+    sao_off: np.ndarray = None     # (Cy, Cx, 3, 4) int8
 
     @staticmethod
     def empty(width: int, height: int, chroma: bool = True) -> "FrameData":
         cw, ch = (width // 2, height // 2) if chroma else (0, 0)
         g8 = (height // 8, width // 8)
+        cg = (-(-height // 64), -(-width // 64))
         return FrameData(
             depth8=np.zeros(g8, dtype=np.uint8),
             mode4=np.zeros((height // 4, width // 4), dtype=np.uint8),
@@ -67,6 +77,11 @@ class FrameData:
             mvp8=np.zeros(g8, dtype=np.uint8),
             mvd8=np.zeros(g8 + (2,), dtype=np.int32),
             mv8=np.zeros(g8 + (2,), dtype=np.int32),
+            sao_merge=np.zeros(cg, dtype=np.uint8),
+            sao_type=np.zeros(cg + (2,), dtype=np.uint8),
+            sao_eo=np.zeros(cg + (2,), dtype=np.uint8),
+            sao_bp=np.zeros(cg + (3,), dtype=np.uint8),
+            sao_off=np.zeros(cg + (3, 4), dtype=np.int8),
         )
 
 
@@ -204,8 +219,51 @@ class SliceDataEncoder(_SliceSyntaxBase):
         for i in range(n):
             x0 = (i % ctus_x) << self.p.log2_ctu
             y0 = (i // ctus_x) << self.p.log2_ctu
+            self.encode_sao(i % ctus_x, i // ctus_x)
             self.coding_quadtree(x0, y0, self.p.log2_ctu, 0)
             self.c.encode_terminate(1 if i == n - 1 else 0)
+
+    def encode_sao(self, cxi: int, cyi: int) -> None:
+        """sao() per CTU (7.3.8.3), interleaved before the coding
+        quadtree (reference: encode_sao, src/encoderstate.c:513)."""
+        if not self.p.sao_enabled:
+            return
+        d = self.d
+        merge = int(d.sao_merge[cyi, cxi])
+        if cxi > 0:
+            self.c.encode_bin(self.ctx("sao_merge", 0),
+                              1 if merge == 1 else 0)
+        if merge != 1 and cyi > 0:
+            self.c.encode_bin(self.ctx("sao_merge", 0),
+                              1 if merge == 2 else 0)
+        if merge:
+            return
+        ncomp = 3 if self.p.chroma_format_idc else 1
+        for ci in range(ncomp):
+            t = int(d.sao_type[cyi, cxi, 0 if ci == 0 else 1])
+            if ci in (0, 1):
+                self.c.encode_bin(self.ctx("sao_type", 0),
+                                  1 if t else 0)
+                if t:
+                    self.c.encode_bypass(1 if t == 2 else 0)
+            if not t:
+                continue
+            offs = d.sao_off[cyi, cxi, ci]
+            for i in range(4):
+                a = abs(int(offs[i]))
+                for _ in range(a):
+                    self.c.encode_bypass(1)
+                if a < 7:
+                    self.c.encode_bypass(0)
+            if t == 1:
+                for i in range(4):
+                    if offs[i]:
+                        self.c.encode_bypass(1 if offs[i] < 0 else 0)
+                self.c.encode_bypass_bins(int(d.sao_bp[cyi, cxi, ci]),
+                                          5)
+            elif ci != 2:
+                self.c.encode_bypass_bins(
+                    int(d.sao_eo[cyi, cxi, 0 if ci == 0 else 1]), 2)
 
     def encode_slice_data_wpp(self) -> list[int]:
         """WPP: one CABAC substream per CTU row, contexts inherited from
@@ -230,6 +288,7 @@ class SliceDataEncoder(_SliceSyntaxBase):
             for cx in range(ctus_x):
                 x0 = cx << self.p.log2_ctu
                 y0 = row << self.p.log2_ctu
+                self.encode_sao(cx, row)
                 self.coding_quadtree(x0, y0, self.p.log2_ctu, 0)
                 last_ctu = (row == ctus_y - 1) and (cx == ctus_x - 1)
                 self.c.encode_terminate(1 if last_ctu else 0)
@@ -625,10 +684,62 @@ class SliceDataDecoder(_SliceSyntaxBase):
         for i in range(n):
             x0 = (i % ctus_x) << self.p.log2_ctu
             y0 = (i // ctus_x) << self.p.log2_ctu
+            self.parse_sao(i % ctus_x, i // ctus_x)
             self.coding_quadtree(x0, y0, self.p.log2_ctu, 0)
             end = self.c.decode_terminate()
             if end != (1 if i == n - 1 else 0):
                 raise ValueError(f"end_of_slice at CTU {i}/{n} mismatched")
+
+    def parse_sao(self, cxi: int, cyi: int) -> None:
+        """Inverse of encode_sao; stores RESOLVED (post-merge) params
+        plus the signalled merge flag."""
+        if not self.p.sao_enabled:
+            return
+        d = self.d
+        merge = 0
+        if cxi > 0 and self.c.decode_bin(self.ctx("sao_merge", 0)):
+            merge = 1
+        if merge == 0 and cyi > 0 and \
+                self.c.decode_bin(self.ctx("sao_merge", 0)):
+            merge = 2
+        d.sao_merge[cyi, cxi] = merge
+        if merge:
+            sy, sx = (cyi, cxi - 1) if merge == 1 else (cyi - 1, cxi)
+            d.sao_type[cyi, cxi] = d.sao_type[sy, sx]
+            d.sao_eo[cyi, cxi] = d.sao_eo[sy, sx]
+            d.sao_bp[cyi, cxi] = d.sao_bp[sy, sx]
+            d.sao_off[cyi, cxi] = d.sao_off[sy, sx]
+            return
+        ncomp = 3 if self.p.chroma_format_idc else 1
+        for ci in range(ncomp):
+            if ci in (0, 1):
+                t = 0
+                if self.c.decode_bin(self.ctx("sao_type", 0)):
+                    t = 2 if self.c.decode_bypass() else 1
+                d.sao_type[cyi, cxi, 0 if ci == 0 else 1] = t
+            else:
+                t = int(d.sao_type[cyi, cxi, 1])
+            if not t:
+                continue
+            absv = []
+            for i in range(4):
+                a = 0
+                while a < 7 and self.c.decode_bypass():
+                    a += 1
+                absv.append(a)
+            if t == 1:
+                offs = []
+                for i in range(4):
+                    s = self.c.decode_bypass() if absv[i] else 0
+                    offs.append(-absv[i] if s else absv[i])
+                d.sao_off[cyi, cxi, ci] = offs
+                d.sao_bp[cyi, cxi, ci] = self.c.decode_bypass_bins(5)
+            else:
+                d.sao_off[cyi, cxi, ci] = (absv[0], absv[1], -absv[2],
+                                           -absv[3])
+                if ci != 2:
+                    d.sao_eo[cyi, cxi, 0 if ci == 0 else 1] = \
+                        self.c.decode_bypass_bins(2)
 
     def decode_slice_data_wpp(self, rbsp: bytes, data_offset: int,
                               sizes: list[int]) -> None:
@@ -651,6 +762,7 @@ class SliceDataDecoder(_SliceSyntaxBase):
             for cx in range(ctus_x):
                 x0 = cx << self.p.log2_ctu
                 y0 = row << self.p.log2_ctu
+                self.parse_sao(cx, row)
                 self.coding_quadtree(x0, y0, self.p.log2_ctu, 0)
                 last_ctu = (row == ctus_y - 1) and (cx == ctus_x - 1)
                 end = self.c.decode_terminate()

@@ -93,8 +93,8 @@ class Config:
             raise ValueError("--rd levels above 1 are not implemented")
         if self.rdoq:
             raise ValueError("RDOQ is not implemented yet")
-        if self.sao:
-            raise ValueError("SAO is not implemented yet")
+        if self.sao and self.lossless:
+            raise ValueError("SAO is meaningless with --lossless")
         return self
 
     def set(self, name: str, value: str) -> "Config":
@@ -116,20 +116,25 @@ PRESETS = {
     # Reference preset ladder (README.md:290-315) mapped onto the tools
     # that are actually implemented — every knob a preset sets is real
     # (validate() enforces it).  The ladder widens as tools land.
-    "ultrafast": dict(rd=0, signhide=False, me_range=16, me_subpel=True,
+    "ultrafast": dict(rd=0, signhide=False, sao=False, me_range=16,
+                      me_subpel=True, intra_max_cu=16, intra_min_cu=16),
+    "superfast": dict(rd=0, signhide=False, sao=True, me_range=16,
                       intra_max_cu=16, intra_min_cu=16),
-    "superfast": dict(rd=0, signhide=False, me_range=16,
-                      intra_max_cu=16, intra_min_cu=16),
-    "veryfast": dict(rd=0, signhide=True, me_range=16,
+    "veryfast": dict(rd=0, signhide=True, sao=True, me_range=16,
                      intra_max_cu=16, intra_min_cu=16),
-    "faster": dict(rd=1, signhide=True, me_range=16,
+    "faster": dict(rd=1, signhide=True, sao=True, me_range=16,
                    intra_max_cu=16, intra_min_cu=16),
-    "fast": dict(rd=1, signhide=True, me_range=16),
-    "medium": dict(rd=1, signhide=True, me_range=16),
-    "slow": dict(rd=1, signhide=True, me_range=32),
-    "slower": dict(rd=1, signhide=True, me_range=32),
-    "veryslow": dict(rd=1, signhide=True, me_range=32),
-    "placebo": dict(rd=1, signhide=True, me_range=64),
+    "fast": dict(rd=1, signhide=True, sao=True, me_range=16),
+    "medium": dict(rd=1, signhide=True, sao=True, me_range=16,
+                   intra_min_cu=8),
+    "slow": dict(rd=1, signhide=True, sao=True, me_range=32,
+                 intra_min_cu=8),
+    "slower": dict(rd=1, signhide=True, sao=True, me_range=32,
+                   intra_min_cu=8),
+    "veryslow": dict(rd=1, signhide=True, sao=True, me_range=32,
+                     intra_min_cu=8),
+    "placebo": dict(rd=1, signhide=True, sao=True, me_range=64,
+                    intra_min_cu=8),
 }
 
 

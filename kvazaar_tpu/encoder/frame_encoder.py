@@ -286,6 +286,7 @@ class IntraFrameEncoder(PFrameMixin):
             chroma_format_idc=1 if self.chroma else 0,
             qp=cfg.qp,
             deblock_enabled=cfg.deblock,
+            sao_enabled=cfg.sao,
             transquant_bypass=cfg.lossless,
             sign_hiding=cfg.signhide and not cfg.lossless,
             wpp=cfg.wpp,
@@ -419,6 +420,83 @@ class IntraFrameEncoder(PFrameMixin):
             return self.encode_frame_var(y, cb, cr)
         return self.finalize_frames(self.submit_frames([(y, cb, cr)]))[0]
 
+    # ---- SAO stage (ops/sao.py): runs after deblock on the device
+    # recon; params chosen on host from device statistics. ----
+
+    def _sao_fns(self):
+        if not hasattr(self, "_sao_jit"):
+            from kvazaar_tpu.ops.sao import apply_sao_plane, sao_stats
+
+            def stats(ys, recs_y, cbs, recs_cb, crs, recs_cr):
+                s_y = jax.vmap(lambda o, r: sao_stats(
+                    o.astype(jnp.int32), r.astype(jnp.int32), 64,
+                    self.bitdepth))(ys, recs_y)
+                if cbs is None:
+                    return s_y, None, None
+                s_cb = jax.vmap(lambda o, r: sao_stats(
+                    o.astype(jnp.int32), r.astype(jnp.int32), 32,
+                    self.bitdepth))(cbs, recs_cb)
+                s_cr = jax.vmap(lambda o, r: sao_stats(
+                    o.astype(jnp.int32), r.astype(jnp.int32), 32,
+                    self.bitdepth))(crs, recs_cr)
+                return s_y, s_cb, s_cr
+
+            def apply(recs_y, recs_cb, recs_cr, t, eo, bp, off):
+                ay = jax.vmap(lambda r, t_, e_, b_, o_: apply_sao_plane(
+                    r, t_[:, :, 0], e_[:, :, 0], b_[:, :, 0],
+                    o_[:, :, 0], 64, self.bitdepth))(recs_y, t, eo, bp,
+                                                     off)
+                if recs_cb is None:
+                    return ay, None, None
+                acb = jax.vmap(lambda r, t_, e_, b_, o_: apply_sao_plane(
+                    r, t_[:, :, 1], e_[:, :, 1], b_[:, :, 1],
+                    o_[:, :, 1], 32, self.bitdepth))(recs_cb, t, eo, bp,
+                                                     off)
+                acr = jax.vmap(lambda r, t_, e_, b_, o_: apply_sao_plane(
+                    r, t_[:, :, 1], e_[:, :, 1], b_[:, :, 2],
+                    o_[:, :, 2], 32, self.bitdepth))(recs_cr, t, eo, bp,
+                                                     off)
+                return ay, acb, acr
+
+            self._sao_jit = (jax.jit(stats), jax.jit(apply))
+        return self._sao_jit
+
+    def _sao_stage(self, srcs, recs):
+        """Search + apply SAO for a batch.  Returns (new recs,
+        per-frame param dicts for the serializer)."""
+        from kvazaar_tpu.ops.sao import sao_decide_frame
+        stats_fn, apply_fn = self._sao_fns()
+        ys, cbs, crs = srcs
+        lam = qp_to_lambda(self.cfg.qp)
+        s_y, s_cb, s_cr = stats_fn(
+            jnp.asarray(ys), recs[0],
+            None if cbs is None else jnp.asarray(cbs), recs[1],
+            None if crs is None else jnp.asarray(crs), recs[2])
+        s_y = [np.asarray(a) for a in s_y]
+        if s_cb is not None:
+            s_cb = [np.asarray(a) for a in s_cb]
+            s_cr = [np.asarray(a) for a in s_cr]
+        nframes = ys.shape[0]
+        sao_list = []
+        t_all, eo_all, bp_all, off_all = [], [], [], []
+        for i in range(nframes):
+            st_y = [a[i] for a in s_y]
+            st_c = None
+            if s_cb is not None:
+                st_c = ([a[i] for a in s_cb], [a[i] for a in s_cr])
+            p = sao_decide_frame(st_y, st_c, lam)
+            sao_list.append(p)
+            t_all.append(p["type"])
+            eo_all.append(p["eo"])
+            bp_all.append(p["bp"])
+            off_all.append(p["off"])
+        new_recs = apply_fn(recs[0], recs[1], recs[2],
+                            jnp.asarray(np.stack(t_all)),
+                            jnp.asarray(np.stack(eo_all)),
+                            jnp.asarray(np.stack(bp_all)),
+                            jnp.asarray(np.stack(off_all)))
+        return new_recs, sao_list
+
     # ---- Variable-CU quadtree path (encoder/quadtree.py) ----
 
     @functools.lru_cache(maxsize=8)
@@ -488,6 +566,19 @@ class IntraFrameEncoder(PFrameMixin):
         sched, lv_shapes = self._var_sched_arrays(vp, yp, cbp, crp,
                                                   size8)
         dy, dcb, dcr, lv_flat = self._var_recon_fn(vp.n_steps)(sched)
+        sao = None
+        if self.cfg.sao:
+            (ry, rcb, rcr), sao_list = self._sao_stage(
+                (yp[None],
+                 None if cbp is None else cbp[None],
+                 None if crp is None else crp[None]),
+                (dy[None],
+                 None if dcb is None else dcb[None],
+                 None if dcr is None else dcr[None]))
+            sao = sao_list[0]
+            dy = ry[0]
+            if self.chroma:
+                dcb, dcr = rcb[0], rcr[0]
         self._dpb = (dy, dcb, dcr)
         lv_np = np.asarray(lv_flat)
         rec_y = np.asarray(dy)
@@ -496,6 +587,12 @@ class IntraFrameEncoder(PFrameMixin):
 
         fd = self._var_frame_data(vp, size8, mode_maps, lv_np,
                                   lv_shapes)
+        if sao is not None:
+            fd.sao_merge[:] = sao["merge"]
+            fd.sao_type[:] = sao["type"]
+            fd.sao_eo[:] = sao["eo"]
+            fd.sao_bp[:] = sao["bp"]
+            fd.sao_off[:] = sao["off"]
         return self._var_serialize(fd, rec_y, rec_cb, rec_cr)
 
     def _var_sched_arrays(self, vp, yp, cbp, crp, size8):
@@ -627,7 +724,7 @@ class IntraFrameEncoder(PFrameMixin):
 
 
     def _host_finalize(self, modes, lv_y, lv_cb, lv_cr, rec_y, rec_cb,
-                       rec_cr) -> FrameResult:
+                       rec_cr, sao=None) -> FrameResult:
         s = self.cu
         fd = FrameData.empty(self.coded_w, self.coded_h, self.chroma)
         fd.depth8[:] = 6 - int(math.log2(s))
@@ -641,6 +738,12 @@ class IntraFrameEncoder(PFrameMixin):
             fd.coeff_cr[:] = blocks_to_plane(lv_cr, self.plan, s // 2,
                                              self.coded_w // 2,
                                              self.coded_h // 2)
+        if sao is not None:
+            fd.sao_merge[:] = sao["merge"]
+            fd.sao_type[:] = sao["type"]
+            fd.sao_eo[:] = sao["eo"]
+            fd.sao_bp[:] = sao["bp"]
+            fd.sao_off[:] = sao["off"]
         # Slice data first (entry-point offsets go into the header).
         sizes = []
         if _NATIVE_OK and not self.params.transquant_bypass:
@@ -691,12 +794,18 @@ class IntraFrameEncoder(PFrameMixin):
                                             s // 2) for f in frames])
             crs = np.stack([pad_to_multiple(np.asarray(f[2], sdt),
                                             s // 2) for f in frames])
-        return len(frames), self._device_encode_batch(ys, cbs, crs)
+        srcs = (ys, cbs, crs) if self.cfg.sao else None
+        return (len(frames), self._device_encode_batch(ys, cbs, crs),
+                srcs)
 
     def encode_frames(self, frames) -> list[FrameResult]:
         """Encode a batch of frames through one batched device program;
         host serialization fans out over a thread pool (the native CABAC
         releases the GIL)."""
+        if self.cfg.intra_min_cu < self.cfg.intra_max_cu:
+            # Variable-CU trees are per-frame (content-dependent
+            # schedules); no batched program yet.
+            return [self.encode_frame_var(*f) for f in frames]
         return self.finalize_frames(self.submit_frames(frames))
 
     def download_frames(self, handle):
@@ -704,8 +813,8 @@ class IntraFrameEncoder(PFrameMixin):
         submitted batch.  Safe to call from a worker thread (releases
         the GIL while the tunnel moves bytes); pass the result to
         finalize_downloaded."""
-        nframes, (packed, dense, recs) = handle
-        return nframes, np.asarray(packed), dense, recs
+        nframes, (packed, dense, recs), srcs = handle
+        return nframes, np.asarray(packed), dense, recs, srcs
 
     def finalize_frames(self, handle,
                         need_recon: bool = True) -> list[FrameResult]:
@@ -715,7 +824,7 @@ class IntraFrameEncoder(PFrameMixin):
     def finalize_downloaded(self, downloaded,
                             need_recon: bool = True) -> list[FrameResult]:
         import concurrent.futures as cf
-        nframes, packed_np, dense, recs = downloaded
+        nframes, packed_np, dense, recs, srcs = downloaded
         # Levels+modes+meta came in one packed transfer; recon planes
         # only when the caller needs pixels (hash SEI / --debug /
         # PSNR-from-recon).
@@ -728,12 +837,15 @@ class IntraFrameEncoder(PFrameMixin):
             if self.chroma:
                 lv_cb = np.asarray(dense[1]).astype(np.int32)
                 lv_cr = np.asarray(dense[2]).astype(np.int32)
+        sao_list = [None] * nframes
+        if self.cfg.sao:
+            recs, sao_list = self._sao_stage(srcs, recs)
         # DPB takes the last frame of the batch (streaming IPPP refs).
         self._dpb = (recs[0][-1],
                      recs[1][-1] if self.chroma else None,
                      recs[2][-1] if self.chroma else None)
         rec_y = rec_cb = rec_cr = None
-        if need_recon or self.cfg.hash == "md5":
+        if need_recon or self.cfg.hash == "md5" or self.cfg.sao:
             rec_y = np.asarray(recs[0])
             if self.chroma:
                 rec_cb, rec_cr = np.asarray(recs[1]), np.asarray(recs[2])
@@ -747,7 +859,8 @@ class IntraFrameEncoder(PFrameMixin):
                 lv_cr[i] if self.chroma else None,
                 None if rec_y is None else rec_y[i],
                 rec_cb[i] if (self.chroma and rec_cb is not None) else None,
-                rec_cr[i] if (self.chroma and rec_cr is not None) else None))
+                rec_cr[i] if (self.chroma and rec_cr is not None) else None,
+                sao_list[i]))
         out = [f.result() for f in futs]
         for i, r in enumerate(out):
             r.sse = tuple(float(s) for s in sses[i])

@@ -60,6 +60,8 @@ void ctx_init(Ctx &c, int init_value, int qp) {
 // Same layout as bitstream/contexts.py; I-slice init row (slice idx 2).
 
 struct Contexts {
+  Ctx sao_merge[1];
+  Ctx sao_type[1];
   Ctx split_flag[3];
   Ctx part_size[1];
   Ctx intra_mode[1];
@@ -119,6 +121,10 @@ struct Contexts {
     static const uint8_t MVD[2][2] = {{140,198},{154,154}};
     static const uint8_t MVP[2][1] = {{168},{154}};
     static const uint8_t ROOT[2][1] = {{79},{154}};
+    static const uint8_t SAOM[2][1] = {{153},{153}};
+    static const uint8_t SAOT[2][1] = {{185},{200}};
+    ctx_init(sao_merge[0], SAOM[s][0], qp);
+    ctx_init(sao_type[0], SAOT[s][0], qp);
     for (int i = 0; i < 3; i++) ctx_init(split_flag[i], SPLIT[s][i], qp);
     ctx_init(part_size[0], PART[s][0], qp);
     ctx_init(intra_mode[0], IMODE[s][0], qp);
@@ -372,6 +378,10 @@ struct FrameParams {
   const int8_t *merge8 = nullptr;    // merge_idx or -1
   const uint8_t *mvp8 = nullptr;
   const int32_t *mvd8 = nullptr;     // (h/8, w/8, 2)
+  // SAO per CTU, 20 int8 each: [merge, type_l, type_c, eo_l, eo_c,
+  // bp_y, bp_cb, bp_cr, off_y[4], off_cb[4], off_cr[4]] (offsets
+  // signed as applied); nullptr = SAO disabled.
+  const int8_t *sao = nullptr;
 };
 
 struct Serializer {
@@ -420,12 +430,46 @@ struct Serializer {
     }
   }
 
+  // sao() per CTU (7.3.8.3), interleaved before the coding quadtree.
+  void emit_sao(int cxi, int cyi, int ctus_x) {
+    if (!p.sao) return;
+    const int8_t *e = p.sao + (size_t)(cyi * ctus_x + cxi) * 20;
+    int merge = e[0];
+    if (cxi > 0) c.bin(ctx.sao_merge[0], merge == 1 ? 1 : 0);
+    if (merge != 1 && cyi > 0)
+      c.bin(ctx.sao_merge[0], merge == 2 ? 1 : 0);
+    if (merge) return;
+    int ncomp = p.chroma ? 3 : 1;
+    for (int ci = 0; ci < ncomp; ci++) {
+      int t = ci == 0 ? e[1] : e[2];
+      if (ci < 2) {
+        c.bin(ctx.sao_type[0], t ? 1 : 0);
+        if (t) c.bypass(t == 2 ? 1 : 0);
+      }
+      if (!t) continue;
+      const int8_t *off = e + 8 + ci * 4;
+      for (int i = 0; i < 4; i++) {
+        int a = off[i] < 0 ? -off[i] : off[i];
+        for (int j = 0; j < a; j++) c.bypass(1);
+        if (a < 7) c.bypass(0);
+      }
+      if (t == 1) {
+        for (int i = 0; i < 4; i++)
+          if (off[i]) c.bypass(off[i] < 0 ? 1 : 0);
+        c.bypass_bins((uint32_t)(uint8_t)e[5 + ci], 5);
+      } else if (ci != 2) {
+        c.bypass_bins((uint32_t)(uint8_t)e[ci == 0 ? 3 : 4], 2);
+      }
+    }
+  }
+
   void encode_slice() {
     int ctu = 1 << p.log2_ctu;
     int cx = (p.width + ctu - 1) >> p.log2_ctu;
     int cy = (p.height + ctu - 1) >> p.log2_ctu;
     int n = cx * cy;
     for (int i = 0; i < n; i++) {
+      emit_sao(i % cx, i / cx, cx);
       quadtree((i % cx) << p.log2_ctu, (i / cx) << p.log2_ctu,
                p.log2_ctu, 0);
       c.terminate(i == n - 1 ? 1 : 0);
@@ -450,6 +494,7 @@ struct Serializer {
         c = CabacEnc();
       }
       for (int cxi = 0; cxi < ctus_x; cxi++) {
+        emit_sao(cxi, row, ctus_x);
         quadtree(cxi << p.log2_ctu, row << p.log2_ctu, p.log2_ctu, 0);
         bool last = (row == ctus_y - 1) && (cxi == ctus_x - 1);
         c.terminate(last ? 1 : 0);
@@ -794,10 +839,11 @@ int64_t ktpu_encode_slice_data(
     const uint8_t *depth8, const uint8_t *mode4,
     const int32_t *coeff_y, const int32_t *coeff_cb,
     const int32_t *coeff_cr,
-    uint8_t *out, int64_t out_cap, int flags) {
+    uint8_t *out, int64_t out_cap, int flags, const int8_t *sao) {
   FrameParams fp{width, height, chroma, qp, log2_ctu, log2_min_cu,
                  log2_max_tu, depth8, mode4, coeff_y, coeff_cb, coeff_cr};
   fp.sign_hiding = flags & 1;
+  fp.sao = sao;
   Serializer s(fp);
   s.encode_slice();
   int64_t n = (int64_t)s.c.bytes.size();
@@ -818,11 +864,13 @@ int64_t ktpu_encode_slice_data_p(
     const uint8_t *inter8, const uint8_t *skip8, const int8_t *merge8,
     const uint8_t *mvp8, const int32_t *mvd8,
     uint8_t *out, int64_t out_cap,
-    int64_t *entry_sizes, int32_t *n_substreams, int flags) {
+    int64_t *entry_sizes, int32_t *n_substreams, int flags,
+    const int8_t *sao) {
   FrameParams fp{width, height, chroma, qp, log2_ctu, log2_min_cu,
                  log2_max_tu, depth8, mode4, coeff_y, coeff_cb,
                  coeff_cr, 1, 0, 0, inter8, skip8, merge8, mvp8, mvd8};
   fp.sign_hiding = flags & 1;
+  fp.sao = sao;
   Serializer s(fp);
   if (wpp) {
     std::vector<uint8_t> bytes;
@@ -852,10 +900,12 @@ int64_t ktpu_encode_slice_data_wpp(
     const int32_t *coeff_y, const int32_t *coeff_cb,
     const int32_t *coeff_cr,
     uint8_t *out, int64_t out_cap,
-    int64_t *entry_sizes, int32_t *n_substreams, int flags) {
+    int64_t *entry_sizes, int32_t *n_substreams, int flags,
+    const int8_t *sao) {
   FrameParams fp{width, height, chroma, qp, log2_ctu, log2_min_cu,
                  log2_max_tu, depth8, mode4, coeff_y, coeff_cb, coeff_cr};
   fp.sign_hiding = flags & 1;
+  fp.sao = sao;
   Serializer s(fp);
   std::vector<uint8_t> bytes;
   std::vector<int64_t> sizes;
