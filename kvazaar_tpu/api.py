@@ -32,8 +32,21 @@ class FrameInfo:
     psnr_v: float
 
 
+# Hierarchical GOP coding structures (the reference builds these in
+# kvz_config: --gop 8 B-pyramid, src/cfg.c:382 + layer lambdas
+# src/encoder.c:748).  Entries in CODING order:
+# (poc_offset from the previous anchor, L0 distance back, L1 distance
+# forward or None for the P anchor).
+GOP_TABLES = {
+    4: [(4, 4, None), (2, 2, 2), (1, 1, 1), (3, 1, 1)],
+    8: [(8, 8, None), (4, 4, 4), (2, 2, 2), (1, 1, 1), (3, 1, 1),
+        (6, 2, 2), (5, 1, 1), (7, 1, 1)],
+}
+
+
 class Encoder:
-    """Streaming encoder: data = encoder.encode(frame); flush at end."""
+    """Streaming encoder: results = encoder.encode(frame) (a list —
+    GOP reordering delays output); encoder.flush() at end."""
 
     def __init__(self, cfg: Config):
         self.cfg = cfg.validate()
@@ -44,6 +57,10 @@ class Encoder:
         self._rc_lambda = None
         self._prev_qp = cfg.qp
         self._encoders = {cfg.qp: self._intra}
+        self._gop = cfg.gop_len if cfg.gop_len > 1 else 0
+        self._pending = []           # display-order sources in this GOP
+        self._dpb_map = {}           # poc -> (y, cb, cr) device planes
+        self._base_poc = 0
         if cfg.bitrate > 0:
             from kvazaar_tpu.encoder.rate_control import RateController
             fps = cfg.framerate_num / max(cfg.framerate_denom, 1)
@@ -70,11 +87,103 @@ class Encoder:
         return self._intra.headers()
 
     def encode(self, y: np.ndarray, cb=None, cr=None):
-        """Encode one frame; returns (annexb_bytes, FrameInfo, recon).
+        """Encode one frame.  Returns a LIST of (annexb_bytes,
+        FrameInfo, recon) results in coding order — empty while a GOP
+        is buffering; call flush() after the last input frame.
 
-        GOP control (low-delay IPPP, reference's --period semantics):
-        intra_period == 1 → all-intra; N > 1 → IDR every N frames;
-        0 → only the first frame is intra."""
+        GOP control: gop_len in {4, 8} → hierarchical B pyramid with
+        reordering; otherwise --period semantics (1 → all-intra,
+        N > 1 → IDR every N, 0 → first frame only intra, IPPP)."""
+        if self._gop:
+            return self._encode_gop_input(y, cb, cr)
+        return [self._encode_ld(y, cb, cr)]
+
+    def flush(self):
+        """Emit any buffered GOP tail (shorter final GOP codes as a
+        low-delay P chain)."""
+        if not self._gop or not self._pending:
+            return []
+        return self._flush_gop(partial=True)
+
+    def _encode_gop_input(self, y, cb=None, cr=None):
+        if self._poc == 0:
+            # Open the stream with the IDR anchor at POC 0.
+            out = [self._emit(self._intra.encode_frame(y, cb, cr), 0,
+                              (y, cb, cr))]
+            self._dpb_map[0] = self._intra._dpb
+            self._poc = 1
+            return out
+        self._pending.append((y, cb, cr))
+        if len(self._pending) == self._gop:
+            return self._flush_gop(partial=False)
+        return []
+
+    def _flush_gop(self, partial: bool):
+        ife = self._intra
+        base = self._base_poc
+        out = []
+        if partial:
+            # Tail shorter than the GOP: low-delay P chain.
+            for i, (y, cb, cr) in enumerate(self._pending):
+                poc = base + 1 + i
+                ife._dpb = self._dpb_map[poc - 1]
+                res = ife.encode_p_frame(y, cb, cr, poc=poc,
+                                         ref_poc=poc - 1)
+                self._dpb_map[poc] = ife._dpb
+                out.append(self._emit(res, poc, self._pending[i]))
+        else:
+            for (off, l0, l1) in GOP_TABLES[self._gop]:
+                poc = base + off
+                src = self._pending[off - 1]
+                if l1 is None:
+                    ife._dpb = self._dpb_map[poc - l0]
+                    res = ife.encode_p_frame(*src, poc=poc,
+                                             ref_poc=poc - l0)
+                    self._dpb_map[poc] = ife._dpb
+                else:
+                    res, recs = ife.encode_b_frame(
+                        *src, poc=poc,
+                        ref0=(poc - l0, self._dpb_map[poc - l0]),
+                        ref1=(poc + l1, self._dpb_map[poc + l1]))
+                    self._dpb_map[poc] = recs
+                out.append(self._emit(res, poc, src))
+            self._base_poc = base + self._gop
+            # Keep only the refs the next GOP can use.
+            self._dpb_map = {p: v for p, v in self._dpb_map.items()
+                             if p >= self._base_poc}
+        self._pending = []
+        self._poc = self._base_poc + len(self._pending) + 1
+        return out
+
+    def _emit(self, res, poc, src):
+        chunks = b""
+        if not self._wrote_headers:
+            chunks += self.headers()
+            self._wrote_headers = True
+        y, cb, cr = src
+        h, w = y.shape
+        rec_y = res.recon_y[:h, :w]
+        rec_cb = rec_cr = None
+        p_u = p_v = 0.0
+        if res.recon_cb is not None:
+            rec_cb = res.recon_cb[:h // 2, :w // 2]
+            rec_cr = res.recon_cr[:h // 2, :w // 2]
+            p_u = psnr(rec_cb, np.asarray(cb, np.int32),
+                       self.cfg.input_bitdepth)
+            p_v = psnr(rec_cr, np.asarray(cr, np.int32),
+                       self.cfg.input_bitdepth)
+        is_idr = poc == 0
+        info = FrameInfo(
+            poc=poc, qp=self.cfg.qp,
+            nal_type=NAL_IDR_W_RADL if is_idr else 1,
+            slice_type=SLICE_I if is_idr else 1,
+            bits=len(res.nals) * 8,
+            psnr_y=psnr(rec_y, np.asarray(y, np.int32),
+                        self.cfg.input_bitdepth),
+            psnr_u=p_u, psnr_v=p_v)
+        return chunks + res.nals, info, (rec_y, rec_cb, rec_cr)
+
+    def _encode_ld(self, y: np.ndarray, cb=None, cr=None):
         chunks = b""
         if not self._wrote_headers:
             chunks += self.headers()

@@ -43,20 +43,26 @@ def parse_slice_header(r: BitReader, p: StreamParams, nal_type: int):
     slice_type = r.ue()
     poc = 0
     ref_poc_diff = 1
+    ref_poc_diff_l1 = 0
     if nal_type not in (19, 20):
         poc = r.u(p.log2_max_poc_lsb)
         assert r.u(1) == 0        # short_term_ref_pic_set_sps_flag
         neg = r.ue()              # num_negative_pics
-        assert r.ue() == 0        # num_positive_pics
-        assert neg == 1
+        pos = r.ue()              # num_positive_pics
+        assert neg == 1 and pos <= 1
         ref_poc_diff = r.ue() + 1
         r.u(1)                    # used_by_curr_pic_s0_flag
+        if pos:
+            ref_poc_diff_l1 = r.ue() + 1
+            r.u(1)                # used_by_curr_pic_s1_flag
     if p.sao_enabled:
         r.u(1)
         if p.chroma_format_idc:
             r.u(1)
     if slice_type != 2:
         assert r.u(1) == 0        # num_ref_idx_active_override_flag
+        if slice_type == 0:       # B
+            r.u(1)                # mvd_l1_zero_flag
         r.ue()                    # five_minus_max_num_merge_cand
     qp = p.qp + r.se()
     if p.sao_enabled or p.deblock_enabled:
@@ -69,12 +75,12 @@ def parse_slice_header(r: BitReader, p: StreamParams, nal_type: int):
             entries = [r.u(ln) + 1 for _ in range(n)]
     assert r.bit() == 1           # byte alignment bit
     r.byte_align()
-    return slice_type, qp, poc, ref_poc_diff, entries
+    return slice_type, qp, poc, ref_poc_diff, ref_poc_diff_l1, entries
 
 
 def parse_slice_header_i(r: BitReader, p: StreamParams):
     """Back-compat wrapper: (QP, entry offsets) of an IDR I slice."""
-    st, qp, _poc, _rpd, entries = parse_slice_header(r, p, 19)
+    st, qp, _poc, _rpd, _rpd1, entries = parse_slice_header(r, p, 19)
     assert st == 2
     return qp, entries
 
@@ -83,20 +89,22 @@ def decode_stream(stream: bytes, params: StreamParams):
     """Decode the (subset) stream → list of (recon_y, recon_cb, recon_cr)
     per frame, plus parsed FrameData per frame.  Maintains a 1-picture
     DPB for P slices."""
-    from kvazaar_tpu.constants import SLICE_P
+    from kvazaar_tpu.constants import SLICE_B, SLICE_P
     frames = []
-    ref = None
+    dpb = {}
     for nal_type, _tid, rbsp in split_annexb(stream):
         if nal_type in (0, 1, 19, 20):   # TRAIL or IDR slices
             r = BitReader(rbsp)
-            slice_type, qp, _poc, _rpd, entries = parse_slice_header(
-                r, params, nal_type)
+            (slice_type, qp, poc, rpd, rpd1,
+             entries) = parse_slice_header(r, params, nal_type)
+            if nal_type in (19, 20):
+                dpb.clear()
+                poc = 0
             chroma = params.chroma_format_idc != 0
             fd = FrameData.empty(params.width, params.height, chroma)
             cab = CabacDecoder(r)
-            ctx_slice = 2 if slice_type == 2 else SLICE_P
-            dec = SliceDataDecoder(params, fd, Contexts(ctx_slice, qp),
-                                   cab)
+            dec = SliceDataDecoder(params, fd,
+                                   Contexts(slice_type, qp), cab)
             if params.wpp:
                 # The header parse ended byte-aligned; the CabacDecoder
                 # init then read 9 bits, so slice data begins at
@@ -108,11 +116,17 @@ def decode_stream(stream: bytes, params: StreamParams):
                 dec.decode_slice_data()
             if slice_type == 2:
                 recon = reconstruct_parsed(fd, params, qp)
-            else:
+            elif slice_type == SLICE_P:
                 reconstruct_mvs(fd, params)
-                recon = reconstruct_parsed_p(fd, params, qp, ref)
+                recon = reconstruct_parsed_p(fd, params, qp,
+                                             dpb[poc - rpd])
+            else:
+                poc0, poc1 = poc - rpd, poc + rpd1
+                reconstruct_mvs_b(fd, params, poc, poc0, poc1)
+                recon = reconstruct_parsed_b(
+                    fd, params, qp, dpb[poc0], dpb[poc1])
             frames.append((recon, fd))
-            ref = recon
+            dpb[poc] = recon
         elif nal_type == 40:                 # suffix SEI: verify hash
             from kvazaar_tpu.bitstream.headers import \
                 parse_picture_hash_sei
@@ -166,6 +180,106 @@ def reconstruct_mvs(fd: FrameData, params: StreamParams) -> None:
                         mvp[1] + fd.mvd8[y * c8, x * c8][1])
     fd.mv8[:] = np.kron(mv, np.ones((c8, c8, 1), np.int32)).reshape(
         fd.mv8.shape)
+
+
+def reconstruct_mvs_b(fd: FrameData, params: StreamParams, poc: int,
+                      poc0: int, poc1: int) -> None:
+    """Sequential decode-order MV reconstruction for a B slice: AMVP
+    per list (this subset codes no B merge).  Fills fd.mv8/mv8_l1."""
+    from kvazaar_tpu.encoder.geometry import make_intra_plan
+    from kvazaar_tpu.encoder.inter_cands import amvp_pair_b_at
+    depth = int(fd.depth8[0, 0])
+    s = params.ctu_size >> depth
+    c8 = s // 8
+    chroma = params.chroma_format_idc != 0
+    plan = make_intra_plan(params.width, params.height, s, chroma)
+    by, bx = plan.blocks_y, plan.blocks_x
+    inter_map = fd.inter8[::c8, ::c8].astype(bool)
+    dirs = fd.dir8[::c8, ::c8].astype(np.int32)
+    mv0 = np.zeros((by, bx, 2), np.int32)
+    mv1 = np.zeros((by, bx, 2), np.int32)
+    order = np.argsort(
+        (plan.step_of_block.astype(np.int64) * (by * bx)
+         + np.arange(by * bx).reshape(by, bx)).ravel(), kind="stable")
+    for bid in order:
+        y, x = divmod(int(bid), bx)
+        if not inter_map[y, x]:
+            continue
+        d = int(dirs[y, x])
+        if d != 1:
+            pair = amvp_pair_b_at(inter_map, dirs, mv0, mv1,
+                                  plan.avail, y, x, 0, poc,
+                                  (poc0, poc1))
+            mvp = pair[int(fd.mvp8[y * c8, x * c8])]
+            mv0[y, x] = (mvp[0] + fd.mvd8[y * c8, x * c8][0],
+                         mvp[1] + fd.mvd8[y * c8, x * c8][1])
+        if d != 0:
+            pair = amvp_pair_b_at(inter_map, dirs, mv0, mv1,
+                                  plan.avail, y, x, 1, poc,
+                                  (poc0, poc1))
+            mvp = pair[int(fd.mvp8_l1[y * c8, x * c8])]
+            mv1[y, x] = (mvp[0] + fd.mvd8_l1[y * c8, x * c8][0],
+                         mvp[1] + fd.mvd8_l1[y * c8, x * c8][1])
+    fd.mv8[:] = np.kron(mv0, np.ones((c8, c8, 1), np.int32)).reshape(
+        fd.mv8.shape)
+    fd.mv8_l1[:] = np.kron(mv1, np.ones((c8, c8, 1), np.int32)) \
+        .reshape(fd.mv8_l1.shape)
+
+
+def reconstruct_parsed_b(fd: FrameData, params: StreamParams, qp: int,
+                         ref0, ref1):
+    """B-frame reconstruction: per-CU L0/L1/BI prediction with the
+    14-bit bipred averaging (8.5.4.2.3.2)."""
+    from kvazaar_tpu.encoder.frame_encoder import (chroma_qp,
+                                                   compute_bs_maps_b)
+    from kvazaar_tpu.encoder.inter_search import bi_mc_planes
+    from kvazaar_tpu.ops.deblock import deblock_frame
+    depth = int(fd.depth8[0, 0])
+    s = params.ctu_size >> depth
+    c8 = s // 8
+    chroma = params.chroma_format_idc != 0
+    plan = make_intra_plan(params.width, params.height, s, chroma)
+    modes = fd.mode4[::s // 4, ::s // 4].astype(np.int32)
+    inter_map = fd.inter8[::c8, ::c8].astype(bool)
+    dirs = jnp.asarray(fd.dir8[::c8, ::c8].astype(np.int32))
+    mv0 = jnp.asarray(fd.mv8[::c8, ::c8].astype(np.int32))
+    mv1 = jnp.asarray(fd.mv8_l1[::c8, ::c8].astype(np.int32))
+
+    def planes(ref):
+        return tuple(None if p is None else
+                     jnp.asarray(np.asarray(p, np.int32)) for p in ref)
+
+    mc_y, mc_cb, mc_cr = bi_mc_planes(planes(ref0), planes(ref1), mv0,
+                                      mv1, dirs, plan, params.bitdepth)
+    lv_y = _blocks_by_step(fd.coeff_y, plan.luma, plan)
+    lv_cb = lv_cr = None
+    if chroma:
+        lv_cb = _blocks_by_step(fd.coeff_cb, plan.chroma, plan)
+        lv_cr = _blocks_by_step(fd.coeff_cr, plan.chroma, plan)
+    out = _decode_recon_impl(
+        plan, s, chroma, qp, chroma_qp(qp), params.bitdepth,
+        jnp.asarray(lv_y),
+        None if lv_cb is None else jnp.asarray(lv_cb),
+        None if lv_cr is None else jnp.asarray(lv_cr),
+        jnp.asarray(modes), is_inter=jnp.asarray(inter_map),
+        mc_y=mc_y, mc_cb=mc_cb, mc_cr=mc_cr,
+        lossless=params.transquant_bypass)
+    rec_y, rec_cb, rec_cr = out
+    if params.deblock_enabled:
+        cbf_blk = np.any(
+            fd.coeff_y.reshape(plan.blocks_y, s, plan.blocks_x, s) != 0,
+            axis=(1, 3))
+        bs_v, bs_h = compute_bs_maps_b(jnp.asarray(inter_map),
+                                       jnp.asarray(cbf_blk), dirs,
+                                       mv0, mv1)
+        rec_y, rec_cb, rec_cr = deblock_frame(
+            rec_y, rec_cb, rec_cr, qp, s, params.bitdepth,
+            params.deblock_beta_offset_div2,
+            params.deblock_tc_offset_div2, bs_v=bs_v, bs_h=bs_h)
+    rec_y = np.asarray(rec_y)
+    rec_cb = None if rec_cb is None else np.asarray(rec_cb)
+    rec_cr = None if rec_cr is None else np.asarray(rec_cr)
+    return _apply_sao_parsed(fd, params, rec_y, rec_cb, rec_cr)
 
 
 def reconstruct_parsed_p(fd: FrameData, params: StreamParams, qp: int,

@@ -189,14 +189,17 @@ def write_pps(p: StreamParams) -> bytes:
 
 def write_slice_header(w: BitWriter, p: StreamParams, slice_type: int,
                        nal_type: int, slice_qp: int, poc: int = 0,
-                       ref_poc_diff: int = 1,
+                       ref_poc_diff: int = 1, ref_poc_diff_l1=None,
                        num_entry_points: int = 0,
                        entry_point_offsets=()) -> None:
     """Write the slice segment header into `w` (caller then byte-aligns
     into slice data).  H.265 7.3.6.1; one full-picture slice.
 
     P slices carry an inline short-term RPS with one negative reference
-    `ref_poc_diff` pictures back (low-delay, single L0 ref)."""
+    `ref_poc_diff` pictures back (low-delay, single L0 ref); B slices
+    additionally carry one positive reference `ref_poc_diff_l1`
+    pictures ahead (hierarchical GOP, single ref per list)."""
+    from kvazaar_tpu.constants import SLICE_B
     w.u(1, 1)               # first_slice_segment_in_pic_flag
     if 16 <= nal_type <= 23:
         w.u(0, 1)           # no_output_of_prior_pics_flag
@@ -207,15 +210,20 @@ def write_slice_header(w: BitWriter, p: StreamParams, slice_type: int,
         w.u(0, 1)           # short_term_ref_pic_set_sps_flag
         # st_ref_pic_set(0): idx 0 → no inter-RPS prediction flag.
         w.ue(1)             # num_negative_pics
-        w.ue(0)             # num_positive_pics
+        w.ue(1 if ref_poc_diff_l1 else 0)   # num_positive_pics
         w.ue(ref_poc_diff - 1)   # delta_poc_s0_minus1[0]
         w.u(1, 1)           # used_by_curr_pic_s0_flag[0]
+        if ref_poc_diff_l1:
+            w.ue(ref_poc_diff_l1 - 1)   # delta_poc_s1_minus1[0]
+            w.u(1, 1)       # used_by_curr_pic_s1_flag[0]
     if p.sao_enabled:
         w.u(1, 1)           # slice_sao_luma_flag
         w.u(1 if p.chroma_format_idc else 0, 1)
     if slice_type != SLICE_I:
         w.u(0, 1)           # num_ref_idx_active_override_flag
         # (lists_modification absent: PPS flag 0; no temporal MVP)
+        if slice_type == SLICE_B:
+            w.u(0, 1)       # mvd_l1_zero_flag
         w.ue(0)             # five_minus_max_num_merge_cand → 5
     w.se(slice_qp - p.qp)   # slice_qp_delta (relative to PPS init QP)
     if p.sao_enabled or p.deblock_enabled:

@@ -50,6 +50,12 @@ class FrameData:
     mvp8: np.ndarray = None     # (H/8, W/8) uint8 — mvp_l0_flag
     mvd8: np.ndarray = None     # (H/8, W/8, 2) int32
     mv8: np.ndarray = None      # (H/8, W/8, 2) int32 — final qpel MVs
+    # B slices: prediction direction + list-1 motion (list-0 reuses the
+    # fields above).  dir8: 0 = L0, 1 = L1, 2 = BI.
+    dir8: np.ndarray = None     # (H/8, W/8) uint8
+    mvp8_l1: np.ndarray = None  # (H/8, W/8) uint8
+    mvd8_l1: np.ndarray = None  # (H/8, W/8, 2) int32
+    mv8_l1: np.ndarray = None   # (H/8, W/8, 2) int32
     # SAO per CTU (resolved post-merge values; sao_merge records what
     # the serializer signals): type/eo index 0 = luma, 1 = chroma
     # (cb+cr share type and eo_class per 7.3.8.3); offsets/band_pos per
@@ -77,6 +83,10 @@ class FrameData:
             mvp8=np.zeros(g8, dtype=np.uint8),
             mvd8=np.zeros(g8 + (2,), dtype=np.int32),
             mv8=np.zeros(g8 + (2,), dtype=np.int32),
+            dir8=np.zeros(g8, dtype=np.uint8),
+            mvp8_l1=np.zeros(g8, dtype=np.uint8),
+            mvd8_l1=np.zeros(g8 + (2,), dtype=np.int32),
+            mv8_l1=np.zeros(g8 + (2,), dtype=np.int32),
             sao_merge=np.zeros(cg, dtype=np.uint8),
             sao_type=np.zeros(cg + (2,), dtype=np.uint8),
             sao_eo=np.zeros(cg + (2,), dtype=np.uint8),
@@ -389,11 +399,32 @@ class SliceDataEncoder(_SliceSyntaxBase):
             self.c.encode_bin(self.ctx("merge_flag", 0), 1)
             self._encode_merge_idx(merge_idx)
         else:
+            from kvazaar_tpu.constants import SLICE_B
             self.c.encode_bin(self.ctx("merge_flag", 0), 0)
-            # Single L0 reference: no inter_pred_idc (P), no ref_idx.
-            self._encode_mvd(self.d.mvd8[c8y, c8x])
-            self.c.encode_bin(self.ctx("mvp_idx", 0),
-                              int(self.d.mvp8[c8y, c8x]))
+            if self.ctx.slice_type == SLICE_B:
+                # inter_pred_idc (9.3.3.7, 2Nx2N): bin0 ctx[ctDepth]
+                # bi-vs-uni, bin1 ctx[4] L1-vs-L0.
+                d = int(self.d.dir8[c8y, c8x])
+                depth = int(self.d.depth8[c8y, c8x])
+                self.c.encode_bin(self.ctx("inter_dir", depth),
+                                  1 if d == 2 else 0)
+                if d != 2:
+                    self.c.encode_bin(self.ctx("inter_dir", 4),
+                                      1 if d == 1 else 0)
+                if d != 1:     # L0 motion (one active ref: no ref_idx)
+                    self._encode_mvd(self.d.mvd8[c8y, c8x])
+                    self.c.encode_bin(self.ctx("mvp_idx", 0),
+                                      int(self.d.mvp8[c8y, c8x]))
+                if d != 0:     # L1 motion
+                    self._encode_mvd(self.d.mvd8_l1[c8y, c8x])
+                    self.c.encode_bin(self.ctx("mvp_idx", 0),
+                                      int(self.d.mvp8_l1[c8y, c8x]))
+            else:
+                # P: single L0 reference — no inter_pred_idc, no
+                # ref_idx.
+                self._encode_mvd(self.d.mvd8[c8y, c8x])
+                self.c.encode_bin(self.ctx("mvp_idx", 0),
+                                  int(self.d.mvp8[c8y, c8x]))
         root = self._root_cbf(x0, y0, log2_size)
         if merge_idx < 0:
             self.c.encode_bin(self.ctx("qt_root_cbf", 0), root)
@@ -864,9 +895,27 @@ class SliceDataDecoder(_SliceSyntaxBase):
             self.d.merge8[c8y, c8x] = self._decode_merge_idx()
             root = 1                      # inferred for 2Nx2N merge
         else:
-            self.d.mvd8[c8y, c8x] = self._decode_mvd()
-            self.d.mvp8[c8y, c8x] = self.c.decode_bin(
-                self.ctx("mvp_idx", 0))
+            from kvazaar_tpu.constants import SLICE_B
+            if self.ctx.slice_type == SLICE_B:
+                depth = int(self.d.depth8[c8y, c8x])
+                if self.c.decode_bin(self.ctx("inter_dir", depth)):
+                    d = 2
+                else:
+                    d = 1 if self.c.decode_bin(
+                        self.ctx("inter_dir", 4)) else 0
+                self.d.dir8[c8y, c8x] = d
+                if d != 1:
+                    self.d.mvd8[c8y, c8x] = self._decode_mvd()
+                    self.d.mvp8[c8y, c8x] = self.c.decode_bin(
+                        self.ctx("mvp_idx", 0))
+                if d != 0:
+                    self.d.mvd8_l1[c8y, c8x] = self._decode_mvd()
+                    self.d.mvp8_l1[c8y, c8x] = self.c.decode_bin(
+                        self.ctx("mvp_idx", 0))
+            else:
+                self.d.mvd8[c8y, c8x] = self._decode_mvd()
+                self.d.mvp8[c8y, c8x] = self.c.decode_bin(
+                    self.ctx("mvp_idx", 0))
             root = self.c.decode_bin(self.ctx("qt_root_cbf", 0))
         if root:
             self.transform_tree(x0, y0, log2_size, 0)

@@ -30,6 +30,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--period", type=int, default=1,
                     help="intra period: 1=all-intra, N=IDR every N, "
                          "0=first frame only (low-delay IPPP)")
+    ap.add_argument("--gop", type=int, default=0, choices=[0, 4, 8],
+                    help="hierarchical B-pyramid GOP length "
+                         "(requires --period 0)")
     ap.add_argument("--bitrate", type=int, default=0,
                     help="target bits/s (0 = fixed QP)")
     ap.add_argument("--hash", default="none", choices=["none", "md5"],
@@ -47,6 +50,7 @@ def main(argv=None) -> int:
     cfg = config_from_preset(args.preset, width=w, height=h, qp=args.qp,
                              input_bitdepth=args.input_bitdepth,
                              intra_period=args.period,
+                             gop_len=args.gop,
                              bitrate=args.bitrate,
                              hash=args.hash,
                              chroma_format=420
@@ -61,24 +65,39 @@ def main(argv=None) -> int:
     psnr_acc = [0.0, 0.0, 0.0]
     dbg = open(args.debug, "wb") if args.debug else None
     with open(args.output, "wb") as out:
+        dbg_pend = {}
+        dbg_next = [0]
+
+        def handle(results):
+            nonlocal total_bits, n
+            for chunks, info, rec in results:
+                out.write(chunks)
+                total_bits += info.bits
+                psnr_acc[0] += info.psnr_y
+                psnr_acc[1] += info.psnr_u
+                psnr_acc[2] += info.psnr_v
+                if dbg:
+                    # --debug writes in DISPLAY order despite GOP
+                    # reordering.
+                    dbg_pend[info.poc] = rec
+                    while dbg_next[0] in dbg_pend:
+                        r = dbg_pend.pop(dbg_next[0])
+                        write_frame(dbg, r[0], r[1], r[2],
+                                    args.input_bitdepth)
+                        dbg_next[0] += 1
+                if not args.no_psnr:
+                    print(f"POC {info.poc} QP {info.qp} "
+                          f"({total_bits // 8} bytes total) "
+                          f"PSNR Y {info.psnr_y:.4f} "
+                          f"U {info.psnr_u:.4f} "
+                          f"V {info.psnr_v:.4f}", file=sys.stderr)
+                n += 1
+
         for y, cb, cr in read_frames(args.input, w, h,
                                      args.input_bitdepth, chroma,
                                      args.frames):
-            chunks, info, rec = enc.encode(y, cb, cr)
-            out.write(chunks)
-            total_bits += info.bits
-            psnr_acc[0] += info.psnr_y
-            psnr_acc[1] += info.psnr_u
-            psnr_acc[2] += info.psnr_v
-            if dbg:
-                write_frame(dbg, rec[0], rec[1], rec[2],
-                            args.input_bitdepth)
-            if not args.no_psnr:
-                print(f"POC {info.poc} QP {info.qp} "
-                      f"({total_bits // 8} bytes total) "
-                      f"PSNR Y {info.psnr_y:.4f} U {info.psnr_u:.4f} "
-                      f"V {info.psnr_v:.4f}", file=sys.stderr)
-            n += 1
+            handle(enc.encode(y, cb, cr))
+        handle(enc.flush())
     if dbg:
         dbg.close()
     dt = time.time() - t0

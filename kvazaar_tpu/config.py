@@ -32,7 +32,7 @@ class Config:
 
     # Coding tools (subset grows toward the reference's kvz_config).
     deblock: bool = True
-    sao: bool = False          # TODO(round>=2): SAO search+apply
+    sao: bool = False          # sample-adaptive offset (8.7.3)
     rdoq: bool = False
     signhide: bool = False
     transform_skip: bool = False
@@ -84,9 +84,15 @@ class Config:
             raise ValueError("transform_skip is not implemented yet")
         if self.ref_frames != 1:
             raise ValueError("only 1 reference frame is supported yet")
-        if self.gop_len not in (0, 1):
-            raise ValueError("B-frame GOPs are not implemented yet "
-                             "(gop_len must be 0)")
+        if self.gop_len not in (0, 1, 4, 8):
+            raise ValueError("gop_len must be 0/1 (low delay) or 4/8 "
+                             "(hierarchical B pyramid)")
+        if self.gop_len > 1 and self.intra_period not in (0,):
+            raise ValueError("hierarchical GOPs currently require "
+                             "--period 0 (single leading IDR)")
+        if self.gop_len > 1 and self.intra_min_cu != self.intra_max_cu:
+            raise ValueError("hierarchical GOPs require a fixed intra "
+                             "CU size for now")
         if self.mesh_tiles != 1:
             raise ValueError("tile sharding is not implemented yet")
         if self.rd > 1:

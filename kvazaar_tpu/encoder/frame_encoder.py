@@ -87,6 +87,8 @@ class PFrameMixin:
         self.lambda_me = self.lambda_satd
         self._device_search_p = jax.jit(self._search_p_impl)
         self._device_recon_p = jax.jit(self._recon_p_impl)
+        self._device_search_b = jax.jit(self._search_b_impl)
+        self._device_recon_b = jax.jit(self._recon_b_impl)
 
     def _search_p_impl(self, y, ref_y):
         modes, intra_cost = search_frame_modes(
@@ -234,6 +236,235 @@ class PFrameMixin:
         fd.mvp8[::c8, ::c8] = np.where(use_amvp, mvp_idx, 0)
         fd.mvd8[::c8, ::c8] = np.where(use_amvp[..., None], mvd, 0)
         return fd
+
+    # ---- B frames (hierarchical GOP; H.265 B slices with one
+    # reference per list, explicit L0/L1/BI signalling) ----
+
+    def _search_b_impl(self, y, r0, r1):
+        from kvazaar_tpu.encoder.inter_search import (_mv_bits_est,
+                                                      _mv_pred_grid)
+        from kvazaar_tpu.encoder.intra_search import satd8_batch
+        from kvazaar_tpu.ops.inter import bi_average, mc_luma_hp
+        modes, intra_cost = search_frame_modes(
+            y, self.plan, self.lambda_satd, self.bitdepth)
+        mv0, c0 = search_inter_frame(
+            y, r0.astype(jnp.int32), self.plan, self.lambda_me,
+            self.cfg.me_range, self.bitdepth,
+            subpel=self.cfg.me_subpel)
+        mv1, c1 = search_inter_frame(
+            y, r1.astype(jnp.int32), self.plan, self.lambda_me,
+            self.cfg.me_range, self.bitdepth,
+            subpel=self.cfg.me_subpel)
+        s = self.cu
+        by, bx = self.plan.blocks_y, self.plan.blocks_x
+        n = by * bx
+        ys_, xs_ = np.mgrid[0:by, 0:bx]
+        x0s = jnp.asarray((xs_ * s).reshape(-1))
+        y0s = jnp.asarray((ys_ * s).reshape(-1))
+        hp0 = mc_luma_hp(r0.astype(jnp.int32), x0s, y0s,
+                         mv0.reshape(n, 2), s, self.bitdepth)
+        hp1 = mc_luma_hp(r1.astype(jnp.int32), x0s, y0s,
+                         mv1.reshape(n, 2), s, self.bitdepth)
+        bi = bi_average(hp0, hp1, self.bitdepth)
+        cur = y.reshape(by, s, bx, s).transpose(0, 2, 1, 3)
+        cur = cur.reshape(n, s, s).astype(jnp.int32)
+        satd_bi = satd8_batch(bi - cur).reshape(by, bx)
+        p0 = _mv_pred_grid(mv0)
+        p1 = _mv_pred_grid(mv1)
+        rate_bi = (_mv_bits_est(mv0[..., 0] - p0[..., 0])
+                   + _mv_bits_est(mv0[..., 1] - p0[..., 1])
+                   + _mv_bits_est(mv1[..., 0] - p1[..., 0])
+                   + _mv_bits_est(mv1[..., 1] - p1[..., 1]))
+        cbi = satd_bi.astype(jnp.float32) + self.lambda_me * rate_bi
+        costs = jnp.stack([c0, c1, cbi])
+        dirs = jnp.argmin(costs, axis=0).astype(jnp.int32)
+        inter_cost = jnp.min(costs, axis=0)
+        return modes, intra_cost, mv0, mv1, dirs, inter_cost
+
+    def _recon_b_impl(self, y, cb, cr, ref0, ref1, modes, mv0, mv1,
+                      dirs, is_inter):
+        from kvazaar_tpu.encoder.inter_search import bi_mc_planes
+        r0 = tuple(None if p is None else p.astype(jnp.int32)
+                   for p in ref0)
+        r1 = tuple(None if p is None else p.astype(jnp.int32)
+                   for p in ref1)
+        mc_y, mc_cb, mc_cr = bi_mc_planes(r0, r1, mv0, mv1, dirs,
+                                          self.plan, self.bitdepth)
+        rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr = reconstruct_frames(
+            y[None], None if cb is None else cb[None],
+            None if cr is None else cr[None], modes[None], self.plan,
+            self.cfg.qp, self.qp_c, self.bitdepth,
+            is_inter=is_inter[None], mc_y=mc_y[None],
+            mc_cb=None if mc_cb is None else mc_cb[None],
+            mc_cr=None if mc_cr is None else mc_cr[None],
+            lossless=self.cfg.lossless, signhide=self.cfg.signhide)
+        rec_y, lv_y = rec_y[0], lv_y[0]
+        if cb is not None:
+            rec_cb, lv_cb = rec_cb[0], lv_cb[0]
+            rec_cr, lv_cr = rec_cr[0], lv_cr[0]
+        cbf_blk = jnp.any(lv_y != 0, axis=(-1, -2)).reshape(
+            self.plan.blocks_y, self.plan.blocks_x)
+        if self.cfg.deblock:
+            bs_v, bs_h = compute_bs_maps_b(is_inter, cbf_blk, dirs,
+                                           mv0, mv1)
+            dy, dcb, dcr = deblock_frame(
+                rec_y, rec_cb, rec_cr, self.cfg.qp, self.cu,
+                self.bitdepth, bs_v=bs_v, bs_h=bs_h)
+            rdt = rec_y.dtype
+            rec_y = dy.astype(rdt)
+            if rec_cb is not None:
+                rec_cb, rec_cr = dcb.astype(rdt), dcr.astype(rdt)
+        return rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr
+
+    def encode_b_frame(self, y, cb, cr, poc: int, ref0, ref1,
+                       slice_qp: int = None):
+        """ref0/ref1: (ref_poc, (y, cb, cr) device planes), past and
+        future references."""
+        from kvazaar_tpu.encoder.inter_cands import amvp_pair_b_at
+        s = self.cu
+        yp = jnp.asarray(pad_to_multiple(np.asarray(y, np.int32), s))
+        cbp = crp = None
+        if self.chroma:
+            cbp = jnp.asarray(
+                pad_to_multiple(np.asarray(cb, np.int32), s // 2))
+            crp = jnp.asarray(
+                pad_to_multiple(np.asarray(cr, np.int32), s // 2))
+        poc0, r0 = ref0
+        poc1, r1 = ref1
+        modes, intra_cost, mv0, mv1, dirs, inter_cost = \
+            self._device_search_b(yp, r0[0], r1[0])
+        modes = np.asarray(modes)
+        mv0 = np.asarray(mv0)
+        mv1 = np.asarray(mv1)
+        dirs = np.asarray(dirs)
+        inter_map = np.asarray(inter_cost) <= np.asarray(intra_cost) \
+            * 1.02
+        mv0 = np.where(inter_map[..., None], mv0, 0).astype(np.int32)
+        mv1 = np.where(inter_map[..., None], mv1, 0).astype(np.int32)
+        dirs = np.where(inter_map, dirs, 0).astype(np.int32)
+
+        rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr = \
+            self._device_recon_b(yp, cbp, crp, r0, r1,
+                                 jnp.asarray(modes), jnp.asarray(mv0),
+                                 jnp.asarray(mv1), jnp.asarray(dirs),
+                                 jnp.asarray(inter_map))
+
+        # mvd/mvp per list against spec AMVP in z-scan decode order.
+        by, bx = self.plan.blocks_y, self.plan.blocks_x
+        mvd0 = np.zeros((by, bx, 2), np.int32)
+        mvd1 = np.zeros((by, bx, 2), np.int32)
+        mvp0 = np.zeros((by, bx), np.uint8)
+        mvp1 = np.zeros((by, bx), np.uint8)
+        order = np.argsort(self.plan.step_of_block.ravel()
+                           * (by * bx)
+                           + np.arange(by * bx), kind="stable")
+        # Effective per-list MV fields as the decoder reconstructs them
+        # (zero for unused lists).
+        emv0 = np.where((dirs != 1)[..., None] & inter_map[..., None],
+                        mv0, 0)
+        emv1 = np.where((dirs != 0)[..., None] & inter_map[..., None],
+                        mv1, 0)
+        for bid in order:
+            yy, xx = divmod(int(bid), bx)
+            if not inter_map[yy, xx]:
+                continue
+            d = int(dirs[yy, xx])
+            if d != 1:
+                pair = amvp_pair_b_at(inter_map, dirs, emv0, emv1,
+                                      self.plan.avail, yy, xx, 0, poc,
+                                      (poc0, poc1))
+                d0 = sum(abs(int(mv0[yy, xx, k]) - pair[0][k])
+                         for k in range(2))
+                d1 = sum(abs(int(mv0[yy, xx, k]) - pair[1][k])
+                         for k in range(2))
+                idx = 1 if d1 < d0 else 0
+                mvp0[yy, xx] = idx
+                mvd0[yy, xx] = (mv0[yy, xx, 0] - pair[idx][0],
+                                mv0[yy, xx, 1] - pair[idx][1])
+            if d != 0:
+                pair = amvp_pair_b_at(inter_map, dirs, emv0, emv1,
+                                      self.plan.avail, yy, xx, 1, poc,
+                                      (poc0, poc1))
+                d0 = sum(abs(int(mv1[yy, xx, k]) - pair[0][k])
+                         for k in range(2))
+                d1 = sum(abs(int(mv1[yy, xx, k]) - pair[1][k])
+                         for k in range(2))
+                idx = 1 if d1 < d0 else 0
+                mvp1[yy, xx] = idx
+                mvd1[yy, xx] = (mv1[yy, xx, 0] - pair[idx][0],
+                                mv1[yy, xx, 1] - pair[idx][1])
+
+        fd = self._assemble_b_frame_data(
+            modes, inter_map, dirs, emv0, emv1, mvd0, mvd1, mvp0,
+            mvp1, np.asarray(lv_y),
+            None if lv_cb is None else np.asarray(lv_cb),
+            None if lv_cr is None else np.asarray(lv_cr))
+        nal = self._serialize_b(fd, poc, poc - poc0, poc1 - poc)
+        if self.cfg.hash == "md5":
+            from kvazaar_tpu.bitstream.headers import \
+                write_picture_hash_sei
+            nal += write_picture_hash_sei(
+                (np.asarray(rec_y), np.asarray(rec_cb),
+                 np.asarray(rec_cr)), self.bitdepth)
+        return FrameResult(
+            nals=nal, recon_y=np.asarray(rec_y),
+            recon_cb=None if rec_cb is None else np.asarray(rec_cb),
+            recon_cr=None if rec_cr is None else np.asarray(rec_cr),
+            frame_data=fd, bits=len(nal) * 8), (rec_y, rec_cb, rec_cr)
+
+    def _assemble_b_frame_data(self, modes, inter_map, dirs, mv0, mv1,
+                               mvd0, mvd1, mvp0, mvp1, lv_y, lv_cb,
+                               lv_cr):
+        s = self.cu
+        c8 = s // 8
+        fd = FrameData.empty(self.coded_w, self.coded_h, self.chroma)
+        fd.depth8[:] = 6 - int(math.log2(s))
+        fd.mode4[:] = np.kron(modes.astype(np.uint8),
+                              np.ones((s // 4, s // 4), np.uint8))
+        fd.coeff_y[:] = blocks_to_plane(lv_y, self.plan, s,
+                                        self.coded_w, self.coded_h)
+        if self.chroma:
+            fd.coeff_cb[:] = blocks_to_plane(lv_cb, self.plan, s // 2,
+                                             self.coded_w // 2,
+                                             self.coded_h // 2)
+            fd.coeff_cr[:] = blocks_to_plane(lv_cr, self.plan, s // 2,
+                                             self.coded_w // 2,
+                                             self.coded_h // 2)
+        ones = np.ones((c8, c8), np.uint8)
+        fd.inter8[:] = np.kron(inter_map.astype(np.uint8), ones)
+        fd.dir8[:] = np.kron(dirs.astype(np.uint8), ones)
+        fd.mv8[:] = np.kron(mv0, np.ones((c8, c8, 1), np.int32)) \
+            .reshape(fd.mv8.shape)
+        fd.mv8_l1[:] = np.kron(mv1, np.ones((c8, c8, 1), np.int32)) \
+            .reshape(fd.mv8_l1.shape)
+        fd.merge8[:] = -1          # no B merge in this subset
+        fd.mvp8[::c8, ::c8] = mvp0
+        fd.mvp8_l1[::c8, ::c8] = mvp1
+        fd.mvd8[::c8, ::c8] = mvd0
+        fd.mvd8_l1[::c8, ::c8] = mvd1
+        return fd
+
+    def _serialize_b(self, fd, poc, rpd0, rpd1):
+        from kvazaar_tpu.constants import SLICE_B
+        # Python serializer (native B support pending).
+        sizes = []
+        dw = BitWriter()
+        enc = SliceDataEncoder(self.params, fd,
+                               Contexts(SLICE_B, self.cfg.qp),
+                               CabacEncoder(dw))
+        if self.params.wpp:
+            sizes = enc.encode_slice_data_wpp()
+        else:
+            enc.encode_slice_data()
+            dw.align_zero()
+        data = dw.get_bytes()
+        w = BitWriter()
+        write_slice_header(w, self.params, SLICE_B, NAL_TRAIL_R,
+                           self.cfg.qp, poc=poc, ref_poc_diff=rpd0,
+                           ref_poc_diff_l1=rpd1,
+                           num_entry_points=max(len(sizes) - 1, 0),
+                           entry_point_offsets=sizes[:-1])
+        return nal_unit(w.get_bytes() + data, NAL_TRAIL_R)
 
     def _serialize_p(self, fd, poc, ref_poc_diff):
         if _NATIVE_OK and not self.params.transquant_bypass:
@@ -873,6 +1104,38 @@ def psnr(a: np.ndarray, b: np.ndarray, bitdepth: int = 8) -> float:
         return 999.99
     peak = (1 << bitdepth) - 1
     return 10.0 * math.log10(peak * peak / mse)
+
+
+def compute_bs_maps_b(is_inter, cbf_luma_blk, dirs, mv0, mv1):
+    """Boundary strengths for B frames (8.7.2.4): inter-inter edges get
+    bs 1 when the sides use different prediction directions (different
+    reference sets / MV counts) or any used list's MVs differ by >= 4
+    quarter-pels; shared by encoder and oracle decoder."""
+    intra_b = ~is_inter
+
+    def edge(sl_a, sl_b):
+        a_i, b_i = intra_b[sl_a], intra_b[sl_b]
+        cbf = cbf_luma_blk[sl_a] | cbf_luma_blk[sl_b]
+        dif_dir = dirs[sl_a] != dirs[sl_b]
+        d0 = jnp.any(jnp.abs(mv0[sl_a] - mv0[sl_b]) >= 4, axis=-1)
+        d1 = jnp.any(jnp.abs(mv1[sl_a] - mv1[sl_b]) >= 4, axis=-1)
+        use0 = dirs[sl_a] != 1
+        use1 = dirs[sl_a] != 0
+        mvd = (use0 & d0) | (use1 & d1)
+        return jnp.where(a_i | b_i, 2,
+                         jnp.where(cbf | dif_dir | mvd, 1,
+                                   0)).astype(jnp.int32)
+
+    by, bx = is_inter.shape
+    bs_v = jnp.zeros((by, bx), jnp.int32)
+    bs_h = jnp.zeros((by, bx), jnp.int32)
+    bs_v = bs_v.at[:, 1:].set(
+        edge((slice(None), slice(0, bx - 1)),
+             (slice(None), slice(1, bx))))
+    bs_h = bs_h.at[1:, :].set(
+        edge((slice(0, by - 1), slice(None)),
+             (slice(1, by), slice(None))))
+    return bs_v, bs_h
 
 
 def compute_bs_maps(is_inter, cbf_luma_blk, mv):

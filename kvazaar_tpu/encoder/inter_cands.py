@@ -160,6 +160,95 @@ def merge_list_at(inter_map, mv, avail, by, bx):
     return out
 
 
+def _mv_scale(mvc, tb: int, td: int):
+    """Temporal MV scaling (8.5.3.2.8): scale mvc coded against a ref
+    `td` pics away onto a ref `tb` pics away."""
+    td = max(-128, min(127, td))
+    tb = max(-128, min(127, tb))
+    q = 16384 + (abs(td) >> 1)
+    tx = (q // abs(td)) * (1 if td > 0 else -1)     # trunc toward zero
+    dsf = max(-4096, min(4095, (tb * tx + 32) >> 6))
+
+    def sc(v):
+        p = dsf * int(v)
+        s = 1 if p >= 0 else -1
+        return max(-32768, min(32767, s * ((abs(p) + 127) >> 8)))
+
+    return (sc(mvc[0]), sc(mvc[1]))
+
+
+def amvp_pair_b_at(inter_map, dirs, mv0, mv1, avail, by, bx, lst: int,
+                   poc: int, ref_poc: tuple):
+    """AMVP pair for one PU of a B slice, target list `lst`
+    (8.5.3.2.6/8.5.3.2.7, one reference per list, TMVP off).
+
+    dirs: (By, Bx) 0=L0/1=L1/2=BI; mv0/mv1 per-list MV fields;
+    ref_poc = (poc_l0, poc_l1).  Shared verbatim by the encoder's mvd
+    derivation and the oracle decoder's MV reconstruction."""
+    tgt_poc = ref_poc[lst]
+    mvs = (mv0, mv1)
+
+    def nbr(pos):
+        if not avail[by, bx, pos]:
+            return None
+        dy, dx = _DELTAS[pos]
+        ny, nx = by + dy, bx + dx
+        if not inter_map[ny, nx]:
+            return None
+        d = int(dirs[ny, nx])
+        uses = [l for l in (lst, 1 - lst)
+                if (d == 2 or d == l)]
+        return [(l, (int(mvs[l][ny, nx, 0]), int(mvs[l][ny, nx, 1])))
+                for l in uses]
+
+    def same_ref(positions):
+        for pos in positions:
+            n = nbr(pos)
+            if n is None:
+                continue
+            for (l, v) in n:
+                if ref_poc[l] == tgt_poc:
+                    return v
+        return None
+
+    def scaled(positions):
+        for pos in positions:
+            n = nbr(pos)
+            if n is None:
+                continue
+            for (l, v) in n:
+                td = poc - ref_poc[l]
+                tb = poc - tgt_poc
+                if td == 0:
+                    continue
+                return v if td == tb else _mv_scale(v, tb, td)
+        return None
+
+    a_positions = (_BL, _L)
+    b_positions = (_AR, _A, _AL)
+    a_pu_present = any(nbr(p) is not None for p in a_positions)
+    a = same_ref(a_positions)
+    if a is None and a_pu_present:
+        a = scaled(a_positions)
+    b = same_ref(b_positions)
+    if not a_pu_present:
+        # isScaledFlag == 0: B's same-ref result takes A's slot and B
+        # is re-derived allowing scaling (8.5.3.2.7).
+        if a is None:
+            a = b
+            b = scaled(b_positions)
+            if b == a:
+                b = None
+    out = []
+    if a is not None:
+        out.append(a)
+    if b is not None and (a is None or b != a):
+        out.append(b)
+    while len(out) < 2:
+        out.append((0, 0))
+    return out
+
+
 def amvp_pair_at(inter_map, mv, avail, by, bx):
     a = _nbr_mv(inter_map, mv, avail, by, bx, _BL)
     if a is None:

@@ -118,6 +118,62 @@ def search_inter_frame(cur, ref, plan: IntraFramePlan, lambda_satd: float,
     return mv_q.reshape(by, bx, 2), cost_q.reshape(by, bx)
 
 
+def mc_planes_hp(ref_y, ref_cb, ref_cr, mv, plan: IntraFramePlan,
+                 bitdepth: int = 8):
+    """Full-frame MC at the 14-bit intermediate precision (bipred
+    averaging inputs, 8.5.4.2.3.2).  Returns (hp_y (H, W), hp_cb,
+    hp_cr) int32 planes."""
+    from kvazaar_tpu.ops.inter import mc_chroma_hp, mc_luma_hp
+    s = plan.cu_size
+    by, bx = plan.blocks_y, plan.blocks_x
+    n = by * bx
+    ys, xs = np.mgrid[0:by, 0:bx]
+    x0s = jnp.asarray((xs * s).reshape(-1))
+    y0s = jnp.asarray((ys * s).reshape(-1))
+    mvs = mv.reshape(n, 2)
+
+    def to_plane(blocks, size, h, w):
+        g = blocks.reshape(by, bx, size, size).transpose(0, 2, 1, 3)
+        return g.reshape(h, w)
+
+    py = to_plane(mc_luma_hp(ref_y, x0s, y0s, mvs, s, bitdepth), s,
+                  plan.height, plan.width)
+    if ref_cb is None:
+        return py, None, None
+    s2 = s // 2
+    pcb = to_plane(mc_chroma_hp(ref_cb, x0s // 2, y0s // 2, mvs, s2,
+                                bitdepth), s2, plan.height // 2,
+                   plan.width // 2)
+    pcr = to_plane(mc_chroma_hp(ref_cr, x0s // 2, y0s // 2, mvs, s2,
+                                bitdepth), s2, plan.height // 2,
+                   plan.width // 2)
+    return py, pcb, pcr
+
+
+def bi_mc_planes(ref0, ref1, mv0, mv1, dirs, plan: IntraFramePlan,
+                 bitdepth: int = 8):
+    """Final prediction planes for a B frame: per-CU L0 / L1 / BI
+    select with the spec's rounding (uni: 8.5.4.2.3.1, bi: .2).
+
+    ref0/ref1: (y, cb, cr) int32 planes; mv0/mv1: (By, Bx, 2);
+    dirs: (By, Bx) 0/1/2."""
+    from kvazaar_tpu.ops.inter import bi_average, uni_round
+    s = plan.cu_size
+    hp0 = mc_planes_hp(*ref0, mv0, plan, bitdepth)
+    hp1 = mc_planes_hp(*ref1, mv1, plan, bitdepth)
+
+    def sel(h0, h1, size):
+        if h0 is None:
+            return None
+        d = jnp.kron(dirs, jnp.ones((size, size), dirs.dtype))
+        return jnp.where(d == 0, uni_round(h0, bitdepth),
+                         jnp.where(d == 1, uni_round(h1, bitdepth),
+                                   bi_average(h0, h1, bitdepth)))
+
+    return (sel(hp0[0], hp1[0], s), sel(hp0[1], hp1[1], s // 2),
+            sel(hp0[2], hp1[2], s // 2))
+
+
 def mc_planes(ref_y, ref_cb, ref_cr, mv, plan: IntraFramePlan,
               bitdepth: int = 8):
     """Full-frame MC prediction planes for final MVs.

@@ -55,7 +55,7 @@ def search_quadtree(y, width: int, height: int, lambda_satd: float,
 
 
 def choose_tree(costs: dict, width: int, height: int,
-                lambda_satd: float, percu_bits: float = 40.0,
+                lambda_satd: float, percu_bits: float = 300.0,
                 split_bits: float = 2.0) -> np.ndarray:
     """Bottom-up tree argmin (host numpy).  Each extra CU is charged
     flat structural bits beyond the mode (split flag, CBFs, last-sig

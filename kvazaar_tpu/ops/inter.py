@@ -71,12 +71,12 @@ def _tap_contract(win, coeffs, taps: int, out_len: int, axis_last: bool,
     return einsum_exact("bk,bkyx->byx", coeffs, sl, x_bound)
 
 
-def mc_luma(plane, x0s, y0s, mvs, size: int, bitdepth: int = 8):
-    """Motion-compensated luma prediction (uni-pred, 8.5.4.2.2.1).
+def mc_luma_hp(plane, x0s, y0s, mvs, size: int, bitdepth: int = 8):
+    """Luma MC at the 14-bit intermediate precision (8.5.4.2.2.1,
+    before the weighted-sample rounding) — the bipred averaging input.
 
     plane: (H, W) int32 reference; x0s/y0s: (N,) block origins;
-    mvs: (N, 2) quarter-pel (mvx, mvy).  Returns (N, S, S) int32 pixels.
-    """
+    mvs: (N, 2) quarter-pel.  Returns (N, S, S) int32 14-bit samples."""
     ix = x0s + (mvs[:, 0] >> 2)
     iy = y0s + (mvs[:, 1] >> 2)
     fx = mvs[:, 0] & 3
@@ -89,16 +89,39 @@ def mc_luma(plane, x0s, y0s, mvs, size: int, bitdepth: int = 8):
     # Horizontal pass over rows (need size+7 rows for the vertical tap).
     hor = _tap_contract(win, cfx, 8, size, True, 1 << bitdepth)
     hor = hor >> shift1 if shift1 else hor      # 14-bit intermediates
-    ver = _tap_contract(hor, cfy, 8, size, False, 1 << 15) >> 6
-    # Default weighted-sample process for uni-pred (8.5.4.2.3.1).
-    shift2 = 14 - bitdepth
-    off = 1 << (shift2 - 1)
-    return jnp.clip((ver + off) >> shift2, 0, (1 << bitdepth) - 1)
+    return _tap_contract(hor, cfy, 8, size, False, 1 << 15) >> 6
 
 
-def mc_chroma(plane, x0s, y0s, mvs, size: int, bitdepth: int = 8):
-    """Chroma MC (4-tap, eighth-pel).  mvs are the LUMA quarter-pel MVs;
-    chroma MV = luma MV (eighth-pel in chroma samples for 4:2:0)."""
+def uni_round(hp, bitdepth: int = 8):
+    """Default weighted-sample process, uni-pred (8.5.4.2.3.1)."""
+    shift = 14 - bitdepth
+    off = 1 << (shift - 1)
+    return jnp.clip((hp + off) >> shift, 0, (1 << bitdepth) - 1)
+
+
+def bi_average(hp0, hp1, bitdepth: int = 8):
+    """Default weighted-sample process, bi-pred (8.5.4.2.3.2): average
+    the two 14-bit predictions with a single final rounding."""
+    shift = 15 - bitdepth
+    off = 1 << (shift - 1)
+    return jnp.clip((hp0 + hp1 + off) >> shift, 0,
+                    (1 << bitdepth) - 1)
+
+
+def mc_luma(plane, x0s, y0s, mvs, size: int, bitdepth: int = 8):
+    """Motion-compensated luma prediction (uni-pred, 8.5.4.2.2.1).
+
+    plane: (H, W) int32 reference; x0s/y0s: (N,) block origins;
+    mvs: (N, 2) quarter-pel (mvx, mvy).  Returns (N, S, S) int32 pixels.
+    """
+    return uni_round(mc_luma_hp(plane, x0s, y0s, mvs, size, bitdepth),
+                     bitdepth)
+
+
+def mc_chroma_hp(plane, x0s, y0s, mvs, size: int, bitdepth: int = 8):
+    """Chroma MC at 14-bit precision (4-tap, eighth-pel).  mvs are the
+    LUMA quarter-pel MVs; chroma MV = luma MV (eighth-pel in chroma
+    samples for 4:2:0)."""
     cx = mvs[:, 0]
     cy = mvs[:, 1]
     ix = x0s + (cx >> 3)
@@ -110,10 +133,12 @@ def mc_chroma(plane, x0s, y0s, mvs, size: int, bitdepth: int = 8):
     shift1 = bitdepth - 8
     hor = _tap_contract(win, cf[fx], 4, size, True, 1 << bitdepth)
     hor = hor >> shift1 if shift1 else hor
-    ver = _tap_contract(hor, cf[fy], 4, size, False, 1 << 15) >> 6
-    shift2 = 14 - bitdepth
-    off = 1 << (shift2 - 1)
-    return jnp.clip((ver + off) >> shift2, 0, (1 << bitdepth) - 1)
+    return _tap_contract(hor, cf[fy], 4, size, False, 1 << 15) >> 6
+
+
+def mc_chroma(plane, x0s, y0s, mvs, size: int, bitdepth: int = 8):
+    return uni_round(mc_chroma_hp(plane, x0s, y0s, mvs, size, bitdepth),
+                     bitdepth)
 
 
 def sad_full_search(cur_blocks, ref_plane, x0s, y0s, radius: int,

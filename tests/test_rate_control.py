@@ -55,7 +55,7 @@ def test_encoder_rate_control_small():
                     + rng.normal(0, 5, (64, 64)), 0, 255).astype(np.uint8)
         cb = np.full((32, 32), 108, np.uint8)
         cr = np.full((32, 32), 145, np.uint8)
-        chunks, info, rec = enc.encode(y, cb, cr)
+        [(chunks, info, rec)] = enc.encode(y, cb, cr)
         stream += chunks
         bits.append(info.bits)
         recons.append(rec)
