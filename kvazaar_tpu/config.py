@@ -97,8 +97,8 @@ class Config:
             raise ValueError("tile sharding is not implemented yet")
         if self.rd > 1:
             raise ValueError("--rd levels above 1 are not implemented")
-        if self.rdoq:
-            raise ValueError("RDOQ is not implemented yet")
+        if self.rdoq and self.lossless:
+            raise ValueError("RDOQ is meaningless with --lossless")
         if self.sao and self.lossless:
             raise ValueError("SAO is meaningless with --lossless")
         return self
@@ -131,16 +131,16 @@ PRESETS = {
     "faster": dict(rd=1, signhide=True, sao=True, me_range=16,
                    intra_max_cu=16, intra_min_cu=16),
     "fast": dict(rd=1, signhide=True, sao=True, me_range=16),
-    "medium": dict(rd=1, signhide=True, sao=True, me_range=16,
-                   intra_min_cu=8),
-    "slow": dict(rd=1, signhide=True, sao=True, me_range=32,
-                 intra_min_cu=8),
-    "slower": dict(rd=1, signhide=True, sao=True, me_range=32,
-                   intra_min_cu=8),
-    "veryslow": dict(rd=1, signhide=True, sao=True, me_range=32,
-                     intra_min_cu=8),
-    "placebo": dict(rd=1, signhide=True, sao=True, me_range=64,
-                    intra_min_cu=8),
+    "medium": dict(rd=1, rdoq=True, signhide=True, sao=True,
+                   me_range=16, intra_min_cu=8),
+    "slow": dict(rd=1, rdoq=True, signhide=True, sao=True,
+                 me_range=32, intra_min_cu=8),
+    "slower": dict(rd=1, rdoq=True, signhide=True, sao=True,
+                   me_range=32, intra_min_cu=8),
+    "veryslow": dict(rd=1, rdoq=True, signhide=True, sao=True,
+                     me_range=32, intra_min_cu=8),
+    "placebo": dict(rd=1, rdoq=True, signhide=True, sao=True,
+                    me_range=64, intra_min_cu=8),
 }
 
 

@@ -114,7 +114,8 @@ class PFrameMixin:
             is_inter=is_inter[None], mc_y=mc_y[None],
             mc_cb=None if mc_cb is None else mc_cb[None],
             mc_cr=None if mc_cr is None else mc_cr[None],
-            lossless=self.cfg.lossless, signhide=self.cfg.signhide)
+            lossless=self.cfg.lossless, signhide=self.cfg.signhide,
+            rdoq=self.cfg.rdoq, lam=qp_to_lambda(self.cfg.qp))
         rec_y, lv_y = rec_y[0], lv_y[0]
         if cb is not None:
             rec_cb, lv_cb = rec_cb[0], lv_cb[0]
@@ -297,7 +298,8 @@ class PFrameMixin:
             is_inter=is_inter[None], mc_y=mc_y[None],
             mc_cb=None if mc_cb is None else mc_cb[None],
             mc_cr=None if mc_cr is None else mc_cr[None],
-            lossless=self.cfg.lossless, signhide=self.cfg.signhide)
+            lossless=self.cfg.lossless, signhide=self.cfg.signhide,
+            rdoq=self.cfg.rdoq, lam=qp_to_lambda(self.cfg.qp))
         rec_y, lv_y = rec_y[0], lv_y[0]
         if cb is not None:
             rec_cb, lv_cb = rec_cb[0], lv_cb[0]
@@ -560,7 +562,8 @@ class IntraFrameEncoder(PFrameMixin):
         rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr = reconstruct_frames(
             ys, cbs, crs, modes, self.plan, self.cfg.qp, self.qp_c,
             self.bitdepth, lossless=self.cfg.lossless,
-            signhide=self.cfg.signhide)
+            signhide=self.cfg.signhide, rdoq=self.cfg.rdoq,
+            lam=qp_to_lambda(self.cfg.qp))
         if self.cfg.deblock:
             # In-loop filter as a batched post-pass: intra prediction
             # reads unfiltered samples (spec 8.4.4.2.1), so deblocking
@@ -738,7 +741,8 @@ class IntraFrameEncoder(PFrameMixin):
             rec_y, rec_cb, rec_cr, levels = reconstruct_frame_var(
                 sched, self.cfg.qp, self.qp_c, self.coded_w,
                 self.coded_h, self.chroma, self.bitdepth,
-                self.cfg.lossless, self.cfg.signhide)
+                self.cfg.lossless, self.cfg.signhide,
+                rdoq=self.cfg.rdoq, lam=qp_to_lambda(self.cfg.qp))
             if self.cfg.deblock:
                 dy, dcb, dcr = deblock_frame(
                     rec_y, rec_cb, rec_cr, self.cfg.qp, 8,

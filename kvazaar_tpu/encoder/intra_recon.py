@@ -127,14 +127,20 @@ def _predict_select(refs, modes, s, luma, bitdepth):
 
 
 def _tu_roundtrip(orig, pred, s, qp, bitdepth, intra=True,
-                  lossless=False, scan_sel=None):
+                  lossless=False, scan_sel=None, rdoq=False,
+                  lam=0.0):
     resid = orig.astype(jnp.int32) - pred
     if lossless:
         # transquant bypass (cu_transquant_bypass_flag): the residual
         # itself is the coded level array; reconstruction is exact.
         return resid.astype(jnp.int16), orig.astype(jnp.int32)
     coeff = forward_transform(resid, s, bitdepth)
-    levels = quantize(coeff, qp, s, bitdepth, intra=intra)
+    if rdoq:
+        from kvazaar_tpu.ops.quant import quantize_rdoq
+        levels = quantize_rdoq(coeff, qp, s, bitdepth, intra=intra,
+                               lam=lam)
+    else:
+        levels = quantize(coeff, qp, s, bitdepth, intra=intra)
     if scan_sel is not None:
         from kvazaar_tpu.ops.quant import sign_hide
         levels = sign_hide(levels, scan_sel)
@@ -158,7 +164,7 @@ def _scan_sel(modes, s, luma, is_inter=None):
 
 def _plane_pass(hbuf, vbuf, bxs, bys, avail, valid, origs, modes, s, qp,
                 bitdepth, luma, is_inter=None, mc_pred=None,
-                lossless=False, signhide=False):
+                lossless=False, signhide=False, rdoq=False, lam=0.0):
     """One wavefront step for one plane over all slots.
 
     hbuf: (B, By, W); vbuf: (B, Bx, H) — edge state only (the carry is
@@ -190,7 +196,7 @@ def _plane_pass(hbuf, vbuf, bxs, bys, avail, valid, origs, modes, s, qp,
                 if signhide else None)
     levels, rec = _tu_roundtrip(origs.reshape(n_slots * b, s, s), pred,
                                 s, qp, bitdepth, intra_flag, lossless,
-                                scan_sel)
+                                scan_sel, rdoq, lam)
     rec = rec.reshape(n_slots, b, s, s)
     for k in range(n_slots):
         x0 = bxs[k] * s
@@ -209,7 +215,8 @@ def _plane_pass(hbuf, vbuf, bxs, bys, avail, valid, origs, modes, s, qp,
 def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
                        qp: int, qp_c: int, bitdepth: int = 8,
                        is_inter=None, mc_y=None, mc_cb=None, mc_cr=None,
-                       lossless=False, signhide=False):
+                       lossless=False, signhide=False, rdoq=False,
+                       lam=0.0):
     """Batched wavefront over all planes.
 
     ys: (B, H, W) int32; cbs/crs: (B, H/2, W/2) or None;
@@ -243,7 +250,7 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
 
     from kvazaar_tpu.ops import wavefront_pallas as wfp
     if (wfp.supported(plan, bitdepth, lossless, signhide, inter)
-            and jax.default_backend() == "tpu"):
+            and not rdoq and jax.default_backend() == "tpu"):
         # Fused-VMEM kernel path (bit-identical to the scan below).
         k = plan.n_slots
         lv_y, r_y = wfp.wavefront_plane_pallas(
@@ -296,13 +303,16 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
                 ii_t = my_t = mcb_t = mcr_t = None
             hy, vy, lv_y, r_y = _plane_pass(
                 hy, vy, bx_t, by_t, av_t, va_t, o_y, m, s, qp,
-                bitdepth, True, ii_t, my_t, lossless, signhide)
+                bitdepth, True, ii_t, my_t, lossless, signhide, rdoq,
+                lam)
             hcb, vcb, lv_cb, r_cb = _plane_pass(
                 hcb, vcb, bx_t, by_t, av_t, va_t, o_cb, m, s2, qp_c,
-                bitdepth, False, ii_t, mcb_t, lossless, signhide)
+                bitdepth, False, ii_t, mcb_t, lossless, signhide,
+                rdoq, lam)
             hcr, vcr, lv_cr, r_cr = _plane_pass(
                 hcr, vcr, bx_t, by_t, av_t, va_t, o_cr, m, s2, qp_c,
-                bitdepth, False, ii_t, mcr_t, lossless, signhide)
+                bitdepth, False, ii_t, mcr_t, lossless, signhide,
+                rdoq, lam)
             return (hy, vy, hcb, vcb, hcr, vcr), \
                 (lv_y, lv_cb, lv_cr, r_y, r_cb, r_cr)
         if inter:
@@ -314,7 +324,7 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
             ii_t = my_t = None
         hy, vy, lv_y, r_y = _plane_pass(
             hy, vy, bx_t, by_t, av_t, va_t, o_y, m, s, qp, bitdepth,
-            True, ii_t, my_t, lossless, signhide)
+            True, ii_t, my_t, lossless, signhide, rdoq, lam)
         return (hy, vy), (lv_y, r_y)
 
     if chroma:

@@ -102,7 +102,8 @@ def choose_tree(costs: dict, width: int, height: int,
 # ---------------------------------------------------------------------
 
 def _class_pass(hbuf, vbuf, xs_c, s: int, qp: int, bitdepth: int,
-                luma: bool, lossless: bool, signhide: bool):
+                luma: bool, lossless: bool, signhide: bool,
+                rdoq: bool = False, lam: float = 0.0):
     """One wavefront step for one CU-size class.  hbuf/vbuf: flat edge
     buffers (+1 trash); xs_c: per-step slices of (origs (K,S,S), modes
     (K,), noref (K,), idx_h (K,R), idx_v, sel_h, wr_h (K,S), wr_v)."""
@@ -118,7 +119,8 @@ def _class_pass(hbuf, vbuf, xs_c, s: int, qp: int, bitdepth: int,
     # arises; 4x4 chroma TBs use the DCT as the spec requires.
     scan_sel = _scan_sel(modes, s, luma) if signhide else None
     levels, rec = _tu_roundtrip(origs.astype(jnp.int32), pred, s, qp,
-                                bitdepth, True, lossless, scan_sel)
+                                bitdepth, True, lossless, scan_sel,
+                                rdoq, lam)
     hbuf = hbuf.at[wr_h.reshape(-1)].set(
         rec[:, -1, :].reshape(-1).astype(hbuf.dtype))
     vbuf = vbuf.at[wr_v.reshape(-1)].set(
@@ -129,7 +131,8 @@ def _class_pass(hbuf, vbuf, xs_c, s: int, qp: int, bitdepth: int,
 def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
                           height: int, chroma: bool, bitdepth: int = 8,
                           lossless: bool = False,
-                          signhide: bool = False):
+                          signhide: bool = False, rdoq: bool = False,
+                          lam: float = 0.0):
     """sched: jnp-ified VarPlan tensors — {'luma': {size: {arrays}},
     'chroma': {size: {arrays incl. origs_cb/origs_cr}}} (see
     var_schedule.ClassSched; 'origs' carry the source pixels, gathered
@@ -169,7 +172,7 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
         for i, s in enumerate(lsizes):
             hy, vy, lv, rec = _class_pass(
                 hy, vy, xs_t[i], s, qp, bitdepth, True, lossless,
-                signhide)
+                signhide, rdoq, lam)
             outs.append((lv, rec))
         new_carry = [hy, vy]
         if chroma:
@@ -180,7 +183,8 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
                     hb, vb, lv, rec = _class_pass(
                         hb, vb,
                         xs_t[len(lsizes) + p * len(csizes) + j], s,
-                        qp_c, bitdepth, False, lossless, signhide)
+                        qp_c, bitdepth, False, lossless, signhide,
+                        rdoq, lam)
                     outs.append((lv, rec))
                 bufs[2 * p], bufs[2 * p + 1] = hb, vb
             new_carry += bufs

@@ -67,6 +67,83 @@ def dequantize(level, qp: int, size: int, bitdepth: int = 8):
     return jnp.clip(d, -32768, 32767).astype(jnp.int32)
 
 
+def quantize_rdoq(coeff, qp: int, size: int, bitdepth: int = 8,
+                  intra=True, lam: float = 1.0):
+    """Rate-distortion optimized quantization, fully vectorized.
+
+    The reference's RDOQ (kvz_rdoq, src/rdo.c:548-884) walks
+    coefficients sequentially with live CABAC contexts; the TPU form
+    evaluates the candidate levels {0, l, l-1} for EVERY coefficient in
+    parallel against a static rate model, then applies a per-4x4-group
+    zeroing pass — the same D + lambda*R objective with the context
+    feedback approximated away (the reference itself draws that
+    approximation boundary for mode costs via kvz_entropy_bits,
+    src/rdo.h:69-77).
+
+    Distortion is measured in the pixel domain: the spec transform's
+    2-D gain is 2^(15 - bitdepth - log2(size)) (integer basis rows have
+    norm 64*sqrt(N), and the two rounding stages shift by
+    2*log2(N) + bitdepth - 3), so
+    d_pixel = (dequant(l) - c)^2 / 4^(15 - bitdepth - log2n).
+    """
+    log2n = size.bit_length() - 1
+    scale, qbits, inv_scale, inv_shift = quant_params(qp, log2n,
+                                                      bitdepth)
+    c = coeff.astype(jnp.int32)
+    ac = jnp.abs(c)
+    # Round-half level and its lower neighbor.
+    l1 = ((ac * scale + (1 << (qbits - 1))) >> qbits).astype(jnp.int32)
+    l1 = jnp.clip(l1, 0, 32767)
+    l0 = jnp.maximum(l1 - 1, 0)
+
+    inv_gain = 1.0 / float(4 ** (15 - bitdepth - log2n))
+
+    def dq(l):
+        d = (l * (inv_scale << (qp // 6))
+             + (1 << (inv_shift - 5))) >> (inv_shift - 4)
+        return jnp.clip(d, -32768, 32767)
+
+    def dist(l):
+        e = (dq(l) - ac).astype(jnp.float32)
+        return e * e * inv_gain
+
+    def rate(l):
+        lf = l.astype(jnp.float32)
+        gt0 = lf > 0
+        gt1 = lf > 1
+        gt2 = lf > 2
+        rem = jnp.maximum(lf - 3, 0.0)
+        rem_bits = jnp.where(lf > 2,
+                             2.0 * jnp.log2(rem + 2.0) + 1.0, 0.0)
+        return jnp.where(gt0,
+                         1.0 + 1.0                       # sig + sign
+                         + 1.0                           # gt1 flag
+                         + jnp.where(gt1, 1.0, 0.0)      # gt2 flag
+                         + jnp.where(gt2, rem_bits, 0.0),
+                         0.15)                           # sig = 0
+
+    cands = [jnp.zeros_like(l1), l0, l1]
+    costs = jnp.stack([dist(l) + lam * rate(l) for l in cands])
+    best = jnp.argmin(costs, axis=0)
+    lvl = jnp.where(best == 2, l1, jnp.where(best == 1, l0, 0))
+    best_cost = jnp.min(costs, axis=0)
+
+    # Group-zeroing pass: drop whole 4x4 coefficient groups whose total
+    # rate is not worth their distortion (the coded_sub_block_flag
+    # trade the reference evaluates per group).
+    lead = lvl.shape[:-2]
+    nsb = size // 4
+    g = lvl.reshape(*lead, nsb, 4, nsb, 4)
+    gc = best_cost.reshape(*lead, nsb, 4, nsb, 4)
+    gz = dist(jnp.zeros_like(lvl)).reshape(*lead, nsb, 4, nsb, 4)
+    cost_keep = gc.sum(axis=(-3, -1)) + lam * 1.0       # csbf bit
+    cost_zero = gz.sum(axis=(-3, -1))
+    kill = (cost_zero < cost_keep)[..., :, None, :, None]
+    g = jnp.where(kill, 0, g)
+    lvl = g.reshape(*lead, size, size)
+    return jnp.where(c < 0, -lvl, lvl).astype(jnp.int32)
+
+
 def _scan4_maps():
     """(3, 16) flat 4x4 positions in scan order per scanIdx."""
     from kvazaar_tpu.ops.scan import scan_order
