@@ -1,0 +1,119 @@
+"""Within-frame multi-chip sharding: spatial row-band partitioning with
+ICI halo exchange.
+
+The reference scales within a frame via WPP rows and tiles under a
+pthread job DAG (src/encoderstate.c:612-965); the boundary data a shard
+needs from its neighbors is exactly the reference's hor/ver exchange
+set (src/encoderstate.h:170-186).  The TPU form: `shard_map` over a
+device mesh axis, with `jax.lax.ppermute` moving the boundary rows over
+ICI — XLA collectives, not host staging (SURVEY.md §7 stage 8).
+
+First shipped unit: the deblocking filter, whose horizontal-edge pass
+reads 4 rows across every band boundary.  Each shard receives a one-
+block-row halo from both neighbors, filters its extended band with
+exact spec semantics, and keeps its interior — bit-identical to the
+single-device filter at every mesh size (tests/test_multichip.py sweeps
+1/2/4/8-way layouts like the reference's tests/test_owf_wpp_tiles.sh).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def _exchange_rows(band, axis: str, halo: int):
+    """Send this shard's boundary rows to both neighbors; returns
+    (from_above, from_below), zeros past the frame edges."""
+    n = jax.lax.axis_size(axis)
+    down = [(i, i + 1) for i in range(n - 1)]
+    up = [(i + 1, i) for i in range(n - 1)]
+    top = jax.lax.ppermute(band[-halo:], axis, down)
+    bot = jax.lax.ppermute(band[:halo], axis, up)
+    return top, bot
+
+
+def deblock_plane_rows(plane, bs_v, bs_h, qp: int, edge_step: int,
+                       bitdepth: int, chroma: bool, axis: str,
+                       blk: int):
+    """Deblock one plane whose ROWS are sharded over mesh axis `axis`
+    (call inside shard_map; `plane`/`bs_*` are the local band and its
+    slice of the frame-level block-grid BS maps)."""
+    from kvazaar_tpu.ops.deblock import deblock_plane
+    halo = blk                       # one block row: >= filter reach
+    hs, w = plane.shape
+    idx = jax.lax.axis_index(axis)
+    n = jax.lax.axis_size(axis)
+    top, bot = _exchange_rows(plane, axis, halo)
+    ext = jnp.concatenate([top, plane, bot], axis=0)
+
+    bs_v = bs_v.astype(jnp.int32)
+    bs_h = bs_h.astype(jnp.int32)
+    tv, bv = _exchange_rows(bs_v, axis, 1)
+    th, bh = _exchange_rows(bs_h, axis, 1)
+    ext_v = jnp.concatenate([tv, bs_v, bv], axis=0)
+    ext_h = jnp.concatenate([th, bs_h, bh], axis=0)
+
+    # Disable edges on rows that do not exist in the frame (the zero
+    # halos past the picture border); the frame's own row-0 horizontal
+    # edge is already 0 in the caller's map.
+    cells_local = hs // blk
+    rows = jnp.arange(cells_local + 2) + idx * cells_local - 1
+    frame_cells = n * cells_local
+    in_frame = (rows >= 0) & (rows < frame_cells)
+    ext_v = jnp.where(in_frame[:, None], ext_v, 0)
+    ext_h = jnp.where(in_frame[:, None], ext_h, 0)
+
+    out = deblock_plane(ext.astype(jnp.int32), qp, edge_step, bitdepth,
+                        chroma=chroma, bs_v=ext_v, bs_h=ext_h, blk=blk)
+    return out[halo:halo + hs]
+
+
+def deblock_frame_sharded(rec_y, rec_cb, rec_cr, qp: int, cu_size: int,
+                          mesh: Mesh, axis: str = "rows",
+                          bitdepth: int = 8, bs_v=None, bs_h=None):
+    """Frame deblocking sharded into CTU row bands over `mesh`.
+
+    Full-frame planes in, full-frame filtered planes out; bit-identical
+    to ops.deblock.deblock_frame at any mesh size."""
+    from jax.experimental.shard_map import shard_map
+    n = mesh.shape[axis]
+    h, w = rec_y.shape
+    assert h % (n * cu_size) == 0, \
+        "frame height must split into whole-block row bands"
+    blk = cu_size
+    if bs_v is None:
+        by, bx = h // blk, w // blk
+        bs_v = jnp.tile(jnp.arange(bx) > 0, (by, 1)) * 2
+        bs_h = (jnp.arange(by)[:, None] > 0) \
+            * jnp.ones((by, bx), jnp.int32) * 2
+    bs_v = jnp.asarray(bs_v, jnp.int32)
+    bs_h = jnp.asarray(bs_h, jnp.int32)
+    # Frame borders are never filtered (8.7.2): force row/col 0 off so
+    # shard-local processing needs no special cases.
+    bs_h = bs_h.at[0, :].set(0)
+    bs_v = bs_v.at[:, 0].set(0)
+
+    spec = P(axis, None)
+
+    def fy(y, v, hm):
+        return deblock_plane_rows(y, v, hm, qp, cu_size, bitdepth,
+                                  False, axis, blk)
+
+    def fc(c, v, hm):
+        return deblock_plane_rows(c, v, hm, qp, cu_size // 2, bitdepth,
+                                  True, axis, blk // 2)
+
+    y = shard_map(fy, mesh=mesh, in_specs=(spec, spec, spec),
+                  out_specs=spec)(rec_y.astype(jnp.int32), bs_v, bs_h)
+    cb = cr = None
+    if rec_cb is not None:
+        cb = shard_map(fc, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec)(rec_cb.astype(jnp.int32), bs_v,
+                                       bs_h)
+        cr = shard_map(fc, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec)(rec_cr.astype(jnp.int32), bs_v,
+                                       bs_h)
+    return y, cb, cr
