@@ -137,20 +137,23 @@ def encode_slice_data_native_wpp(params, fd, qp: int):
     return out[:n].tobytes(), [int(v) for v in sizes[:int(nss[0])]]
 
 
-def encode_slice_data_native_p(params, fd, qp: int, wpp: bool):
-    """P-slice native serializer.  Returns (bytes, sizes) — sizes empty
-    when wpp is off."""
+def encode_slice_data_native_p(params, fd, qp: int, wpp: bool,
+                               slice_type: int = 1):
+    """P/B-slice native serializer.  Returns (bytes, sizes) — sizes
+    empty when wpp is off."""
     import ctypes
     lib = get_lib()
     if not hasattr(lib, "_p_configured"):
         lib.ktpu_encode_slice_data_p.restype = ctypes.c_int64
         lib.ktpu_encode_slice_data_p.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
             ctypes.c_void_p,
@@ -167,14 +170,25 @@ def encode_slice_data_native_p(params, fd, qp: int, wpp: bool):
     rows = params.height_in_ctus
     sizes = np.zeros(rows + 1, np.int64)
     nss = np.zeros(1, np.int32)
+    dir8 = np.ascontiguousarray(
+        fd.dir8 if fd.dir8 is not None else np.zeros_like(fd.inter8),
+        np.uint8)
+    mvp8_l1 = np.ascontiguousarray(
+        fd.mvp8_l1 if fd.mvp8_l1 is not None
+        else np.zeros_like(fd.mvp8), np.uint8)
+    mvd8_l1 = np.ascontiguousarray(
+        fd.mvd8_l1 if fd.mvd8_l1 is not None
+        else np.zeros_like(fd.mvd8), np.int32)
     n = lib.ktpu_encode_slice_data_p(
         params.width, params.height, chroma, qp, 1 if wpp else 0,
+        slice_type,
         params.log2_ctu, params.log2_min_cu, params.log2_max_tu,
         depth8.ctypes.data, mode4.ctypes.data, cy.ctypes.data,
         None if ccb is None else ccb.ctypes.data,
         None if ccr is None else ccr.ctypes.data,
         inter8.ctypes.data, skip8.ctypes.data, merge8.ctypes.data,
         mvp8.ctypes.data, mvd8.ctypes.data,
+        dir8.ctypes.data, mvp8_l1.ctypes.data, mvd8_l1.ctypes.data,
         out.ctypes.data, cap, sizes.ctypes.data, nss.ctypes.data,
         1 if params.sign_hiding else 0,
         None if (sao := _sao_blob(params, fd)) is None

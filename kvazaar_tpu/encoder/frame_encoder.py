@@ -448,18 +448,22 @@ class PFrameMixin:
 
     def _serialize_b(self, fd, poc, rpd0, rpd1):
         from kvazaar_tpu.constants import SLICE_B
-        # Python serializer (native B support pending).
-        sizes = []
-        dw = BitWriter()
-        enc = SliceDataEncoder(self.params, fd,
-                               Contexts(SLICE_B, self.cfg.qp),
-                               CabacEncoder(dw))
-        if self.params.wpp:
-            sizes = enc.encode_slice_data_wpp()
+        if _NATIVE_OK and not self.params.transquant_bypass:
+            data, sizes = native.encode_slice_data_native_p(
+                self.params, fd, self.cfg.qp, self.params.wpp,
+                slice_type=SLICE_B)
         else:
-            enc.encode_slice_data()
-            dw.align_zero()
-        data = dw.get_bytes()
+            sizes = []
+            dw = BitWriter()
+            enc = SliceDataEncoder(self.params, fd,
+                                   Contexts(SLICE_B, self.cfg.qp),
+                                   CabacEncoder(dw))
+            if self.params.wpp:
+                sizes = enc.encode_slice_data_wpp()
+            else:
+                enc.encode_slice_data()
+                dw.align_zero()
+            data = dw.get_bytes()
         w = BitWriter()
         write_slice_header(w, self.params, SLICE_B, NAL_TRAIL_R,
                            self.cfg.qp, poc=poc, ref_poc_diff=rpd0,

@@ -80,49 +80,61 @@ struct Contexts {
   Ctx merge_idx[1];
   Ctx mvd[2];
   Ctx mvp_idx[1];
+  Ctx inter_dir[5];
   Ctx qt_root_cbf[1];
   Ctx tqb[1];
 
-  // slice: 1 = P, 2 = I (index into the [P, I] init rows).
+  // slice row: 0 = B, 1 = P, 2 = I (contexts.py INIT_VALUES order).
   void init(int qp, int slice) {
-    int s = (slice == 2) ? 1 : 0;
-    static const uint8_t SPLIT[2][3] = {{107,139,126},{139,141,157}};
-    static const uint8_t PART[2][1] = {{154},{184}};
-    static const uint8_t IMODE[2][1] = {{154},{184}};
-    static const uint8_t CMODE[2][1] = {{152},{63}};
-    static const uint8_t CBFL[2][2] = {{153,111},{111,141}};
-    static const uint8_t CBFC[2][4] = {{149,107,167,154},
+    int s = (slice == 2) ? 2 : (slice == 1 ? 1 : 0);
+    static const uint8_t SPLIT[3][3] = {{107,139,126},{107,139,126},{139,141,157}};
+    static const uint8_t PART[3][1] = {{154},{154},{184}};
+    static const uint8_t IMODE[3][1] = {{183},{154},{184}};
+    static const uint8_t CMODE[3][1] = {{152},{152},{63}};
+    static const uint8_t CBFL[3][2] = {{153,111},{153,111},{111,141}};
+    static const uint8_t CBFC[3][4] = {{149,92,167,154},{149,107,167,154},
                                        {94,138,182,154}};
-    static const uint8_t SIGCG[2][4] = {{121,140,61,154},
+    static const uint8_t SIGCG[3][4] = {{121,140,61,154},{121,140,61,154},
                                         {91,171,134,141}};
-    static const uint8_t SIG[2][42] = {
+    static const uint8_t SIG[3][42] = {
+      {170,154,139,153,139,123,123,63,124,166,183,140,136,153,154,166,
+       183,140,136,153,154,166,183,140,136,153,154,170,153,138,138,122,
+       121,122,121,167,151,183,140,151,183,140},
       {155,154,139,153,139,123,123,63,153,166,183,140,136,153,154,166,
        183,140,136,153,154,166,183,140,136,153,154,170,153,123,123,107,
        121,107,121,167,151,183,140,151,183,140},
       {111,111,125,110,110,94,124,108,124,107,125,141,179,153,125,107,
        125,141,179,153,125,107,125,141,179,153,125,140,139,182,182,152,
        136,152,136,153,136,139,111,136,139,111}};
-    static const uint8_t LAST[2][18] = {
+    static const uint8_t LAST[3][18] = {
+      {125,110,124,110,95,94,125,111,111,79,125,126,111,111,79,108,123,
+       93},
       {125,110,94,110,95,79,125,111,110,78,110,111,111,95,94,108,123,
        108},
       {110,110,124,125,140,153,125,127,140,109,111,143,127,111,79,108,
        123,63}};
-    static const uint8_t GT1[2][24] = {
+    static const uint8_t GT1[3][24] = {
+      {154,196,167,167,154,152,167,182,182,134,149,136,153,121,136,122,
+       169,208,166,167,154,152,167,182},
       {154,196,196,167,154,152,167,182,182,134,149,136,153,121,136,137,
        169,194,166,167,154,167,137,182},
       {140,92,137,138,140,152,138,139,153,74,149,92,139,107,122,152,
        140,179,166,182,140,227,122,197}};
-    static const uint8_t GT2[2][6] = {{107,167,91,122,107,167},
+    static const uint8_t GT2[3][6] = {{107,167,91,107,107,167},
+                                      {107,167,91,122,107,167},
                                       {138,153,136,167,152,152}};
-    static const uint8_t SKIP[2][3] = {{197,185,201},{154,154,154}};
-    static const uint8_t PRED[2][1] = {{149},{154}};
-    static const uint8_t MRGF[2][1] = {{110},{154}};
-    static const uint8_t MRGI[2][1] = {{122},{154}};
-    static const uint8_t MVD[2][2] = {{140,198},{154,154}};
-    static const uint8_t MVP[2][1] = {{168},{154}};
-    static const uint8_t ROOT[2][1] = {{79},{154}};
-    static const uint8_t SAOM[2][1] = {{153},{153}};
-    static const uint8_t SAOT[2][1] = {{185},{200}};
+    static const uint8_t SKIP[3][3] = {{197,185,201},{197,185,201},
+                                       {154,154,154}};
+    static const uint8_t PRED[3][1] = {{134},{149},{154}};
+    static const uint8_t MRGF[3][1] = {{154},{110},{154}};
+    static const uint8_t MRGI[3][1] = {{137},{122},{154}};
+    static const uint8_t MVD[3][2] = {{169,198},{140,198},{154,154}};
+    static const uint8_t MVP[3][1] = {{168},{168},{154}};
+    static const uint8_t ROOT[3][1] = {{79},{79},{154}};
+    static const uint8_t SAOM[3][1] = {{153},{153},{153}};
+    static const uint8_t SAOT[3][1] = {{160},{185},{200}};
+    static const uint8_t IDIR[3][5] = {{95,79,63,31,31},{95,79,63,31,31},
+                                       {154,154,154,154,154}};
     ctx_init(sao_merge[0], SAOM[s][0], qp);
     ctx_init(sao_type[0], SAOT[s][0], qp);
     for (int i = 0; i < 3; i++) ctx_init(split_flag[i], SPLIT[s][i], qp);
@@ -143,6 +155,7 @@ struct Contexts {
     ctx_init(merge_idx[0], MRGI[s][0], qp);
     for (int i = 0; i < 2; i++) ctx_init(mvd[i], MVD[s][i], qp);
     ctx_init(mvp_idx[0], MVP[s][0], qp);
+    for (int i = 0; i < 5; i++) ctx_init(inter_dir[i], IDIR[s][i], qp);
     ctx_init(qt_root_cbf[0], ROOT[s][0], qp);
     ctx_init(tqb[0], 154, qp);
   }
@@ -378,6 +391,11 @@ struct FrameParams {
   const int8_t *merge8 = nullptr;    // merge_idx or -1
   const uint8_t *mvp8 = nullptr;
   const int32_t *mvd8 = nullptr;     // (h/8, w/8, 2)
+  // B slices: prediction direction (0 L0 / 1 L1 / 2 BI) + list-1
+  // motion (list 0 reuses the fields above).
+  const uint8_t *dir8 = nullptr;
+  const uint8_t *mvp8_l1 = nullptr;
+  const int32_t *mvd8_l1 = nullptr;
   // SAO per CTU, 20 int8 each: [merge, type_l, type_c, eo_l, eo_c,
   // bp_y, bp_cb, bp_cr, off_y[4], off_cb[4], off_cr[4]] (offsets
   // signed as applied); nullptr = SAO disabled.
@@ -587,8 +605,23 @@ struct Serializer {
           write_merge_idx(midx);
         } else {
           c.bin(ctx.merge_flag[0], 0);
-          write_mvd(p.mvd8 + cell * 2);
-          c.bin(ctx.mvp_idx[0], p.mvp8[cell]);
+          if (p.slice_type == 0) {            // B: inter_pred_idc
+            int d = p.dir8[cell];
+            int depth = p.depth8[cell];
+            c.bin(ctx.inter_dir[depth], d == 2 ? 1 : 0);
+            if (d != 2) c.bin(ctx.inter_dir[4], d == 1 ? 1 : 0);
+            if (d != 1) {
+              write_mvd(p.mvd8 + cell * 2);
+              c.bin(ctx.mvp_idx[0], p.mvp8[cell]);
+            }
+            if (d != 0) {
+              write_mvd(p.mvd8_l1 + cell * 2);
+              c.bin(ctx.mvp_idx[0], p.mvp8_l1[cell]);
+            }
+          } else {
+            write_mvd(p.mvd8 + cell * 2);
+            c.bin(ctx.mvp_idx[0], p.mvp8[cell]);
+          }
         }
         int root = root_cbf(x0, y0, log2_size);
         if (midx < 0) c.bin(ctx.qt_root_cbf[0], root);
@@ -857,18 +890,22 @@ int64_t ktpu_encode_slice_data(
 // null when wpp == 0).
 int64_t ktpu_encode_slice_data_p(
     int width, int height, int chroma, int qp, int wpp,
+    int slice_type,
     int log2_ctu, int log2_min_cu, int log2_max_tu,
     const uint8_t *depth8, const uint8_t *mode4,
     const int32_t *coeff_y, const int32_t *coeff_cb,
     const int32_t *coeff_cr,
     const uint8_t *inter8, const uint8_t *skip8, const int8_t *merge8,
     const uint8_t *mvp8, const int32_t *mvd8,
+    const uint8_t *dir8, const uint8_t *mvp8_l1,
+    const int32_t *mvd8_l1,
     uint8_t *out, int64_t out_cap,
     int64_t *entry_sizes, int32_t *n_substreams, int flags,
     const int8_t *sao) {
   FrameParams fp{width, height, chroma, qp, log2_ctu, log2_min_cu,
                  log2_max_tu, depth8, mode4, coeff_y, coeff_cb,
-                 coeff_cr, 1, 0, 0, inter8, skip8, merge8, mvp8, mvd8};
+                 coeff_cr, slice_type, 0, 0, inter8, skip8, merge8,
+                 mvp8, mvd8, dir8, mvp8_l1, mvd8_l1};
   fp.sign_hiding = flags & 1;
   fp.sao = sao;
   Serializer s(fp);
