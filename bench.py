@@ -68,14 +68,18 @@ def measure_reference_fps() -> float:
                     f.write(y.tobytes())
                     f.write(cb.tobytes())
                     f.write(cr.tobytes())
-        out = subprocess.run(
-            [exe, "-i", yuv, "--input-res", f"{W}x{H}", "-o",
-             "/dev/null", "--preset", "ultrafast", "-p", "1",
-             "-q", str(QP)],
-            capture_output=True, text=True, timeout=300)
-        for line in out.stderr.splitlines():
-            if line.strip().startswith("FPS:"):
-                return float(line.split(":")[1])
+        fps = []
+        for _ in range(3):
+            out = subprocess.run(
+                [exe, "-i", yuv, "--input-res", f"{W}x{H}", "-o",
+                 "/dev/null", "--preset", "ultrafast", "-p", "1",
+                 "-q", str(QP)],
+                capture_output=True, text=True, timeout=300)
+            for line in out.stderr.splitlines():
+                if line.strip().startswith("FPS:"):
+                    fps.append(float(line.split(":")[1]))
+        if fps:
+            return sorted(fps)[len(fps) // 2]   # median of 3
     except Exception:
         pass
     return REF_FPS_RECORDED

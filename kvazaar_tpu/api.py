@@ -203,9 +203,13 @@ class Encoder:
             enc = self._intra
         if is_intra:
             res = enc.encode_frame(y, cb, cr)
+            # POC restarts at every IDR (8.3.1); slice headers signal
+            # POC relative to the last IDR.
+            self._last_idr = self._poc
         else:
-            res = enc.encode_p_frame(y, cb, cr, poc=self._poc,
-                                     ref_poc=self._poc - 1)
+            rel = self._poc - getattr(self, "_last_idr", 0)
+            res = enc.encode_p_frame(y, cb, cr, poc=rel,
+                                     ref_poc=rel - 1)
         if self._rc is not None:
             self._rc.update(len(res.nals) * 8, self._rc_lambda)
             self._intra = enc     # DPB owner for the next frame

@@ -61,6 +61,21 @@ def test_gop8_bit_exact():
     assert any((d == 2).any() for d in dirs)
 
 
+def test_ippp_midstream_idr_poc_reset():
+    """--period N: POC must restart at every IDR (8.3.1); the decoder
+    rebuilds its DPB keyed by the signalled POCs."""
+    w, h = 64, 64
+    frames = _clip(9, w, h, seed=9)
+    cfg = Config(width=w, height=h, qp=32, intra_max_cu=16,
+                 intra_min_cu=16, intra_period=4)
+    enc = Encoder(cfg)
+    stream, res = _encode_all(enc, frames)
+    dec = decode_stream(stream, enc._intra.params)
+    assert len(dec) == 9
+    for k, ((dy, _cb, _cr), _fd) in enumerate(dec):
+        np.testing.assert_array_equal(dy[:h, :w], res[k][1][0])
+
+
 def test_gop4_with_tail_flush():
     w, h = 64, 64
     frames = _clip(7, w, h, seed=5)   # IDR + one GOP4 + 2-frame tail
