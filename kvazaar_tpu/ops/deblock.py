@@ -131,24 +131,29 @@ def _deblock_plane_vertical(plane, edge_step: int, filt_fn, taps: int,
                             bs_edges):
     """Filter all vertical edges at x = edge_step, 2*edge_step, ...
     plane: (..., H, W).  bs_edges: (E, By) int32 boundary strength per
-    edge per block-row (or None for all-bs2 intra frames)."""
+    edge per block-row (or None for all-bs2 intra frames).
+
+    Stripes never overlap (edge_step >= taps), so extraction and
+    write-back are a fixed handful of reshapes/concats over a
+    (..., H, W/step, step) block view — not per-edge slicing."""
     w = plane.shape[-1]
-    edges = list(range(edge_step, w, edge_step))
-    if not edges:
+    n = w // edge_step
+    if n < 2:
         return plane
     half = taps // 2
-    stripes = jnp.stack([plane[..., :, x - half:x + half]
-                         for x in edges], axis=-2)  # (..., H, E, taps)
-    filtered = filt_fn(stripes, bs_edges)
-    # Filtered stripes never overlap (edge_step >= 8 > taps), so the
-    # output is a single concat of untouched segments and stripes —
-    # one pass over the plane instead of a copy per edge.
-    segs = [plane[..., :, :edges[0] - half]]
-    for i, x in enumerate(edges):
-        segs.append(filtered[..., :, i, :])
-        nxt = edges[i + 1] - half if i + 1 < len(edges) else w
-        segs.append(plane[..., :, x + half:nxt])
-    return jnp.concatenate(segs, axis=-1)
+    blocks = plane.reshape(*plane.shape[:-1], n, edge_step)
+    left = blocks[..., :-1, edge_step - half:]     # (..., H, E, half)
+    right = blocks[..., 1:, :half]
+    stripes = jnp.concatenate([left, right], axis=-1)
+    filtered = filt_fn(stripes, bs_edges)          # (..., H, E, taps)
+    first = jnp.concatenate([blocks[..., :1, :half],
+                             filtered[..., half:]], axis=-2)
+    last = jnp.concatenate([filtered[..., :half],
+                            blocks[..., -1:, edge_step - half:]],
+                           axis=-2)
+    mid = blocks[..., :, half:edge_step - half]
+    out = jnp.concatenate([first, mid, last], axis=-1)
+    return out.reshape(plane.shape)
 
 
 def _tc_lookup(qp_plus: int, bs, scale: int):
