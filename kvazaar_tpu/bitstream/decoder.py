@@ -131,14 +131,20 @@ def decode_stream(stream: bytes, params: StreamParams):
             from kvazaar_tpu.bitstream.headers import \
                 parse_picture_hash_sei
             import hashlib
-            digests = parse_picture_hash_sei(rbsp)
-            if digests and frames:
+            parsed = parse_picture_hash_sei(rbsp)
+            if parsed and frames:
+                htype, digests = parsed
+                from kvazaar_tpu.bitstream.headers import \
+                    picture_checksum
                 rec = frames[-1][0]
                 dt = np.uint8 if params.bitdepth <= 8 else np.uint16
                 planes = [p_ for p_ in rec if p_ is not None]
                 for d, pl in zip(digests, planes):
-                    got = hashlib.md5(np.ascontiguousarray(
-                        pl, dt).tobytes()).digest()
+                    arr = np.ascontiguousarray(pl, dt)
+                    if htype == 0:
+                        got = hashlib.md5(arr.tobytes()).digest()
+                    else:
+                        got = picture_checksum(arr, params.bitdepth)
                     if got != d:
                         raise ValueError(
                             "decoded-picture-hash SEI mismatch")

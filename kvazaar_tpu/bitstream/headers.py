@@ -241,22 +241,44 @@ def write_slice_header(w: BitWriter, p: StreamParams, slice_type: int,
     w.align_zero()
 
 
-def write_picture_hash_sei(planes, bitdepth: int = 8) -> bytes:
-    """Decoded-picture-hash SEI (payload type 132, MD5 per plane) as a
-    suffix-SEI NAL.  Reference behavior: add_checksum
-    (src/encoder_state-bitstream.c:894) with --hash=md5 (kvz_image_md5,
-    extras/libmd5.c); the decoder verifies it against its own output."""
+def picture_checksum(pl, bitdepth: int = 8) -> bytes:
+    """Decoded-picture checksum, hash_type 2 (D.3.20): per-sample
+    byte xor-mask accumulation — vectorized (the reference computes it
+    in kvz_image_checksum, src/strategies/generic/nal-generic.c)."""
+    import numpy as np
+    h, w = pl.shape
+    a = pl.astype(np.uint32)
+    xx, yy = np.meshgrid(np.arange(w, dtype=np.uint32),
+                         np.arange(h, dtype=np.uint32))
+    mask = (xx & 0xFF) ^ (yy & 0xFF) ^ (xx >> 8) ^ (yy >> 8)
+    total = int(((a & 0xFF) ^ mask).sum(dtype=np.uint64))
+    if bitdepth > 8:
+        total += int(((a >> 8) ^ mask).sum(dtype=np.uint64))
+    return int(total & 0xFFFFFFFF).to_bytes(4, "big")
+
+
+def write_picture_hash_sei(planes, bitdepth: int = 8,
+                           kind: str = "md5") -> bytes:
+    """Decoded-picture-hash SEI (payload type 132; hash_type 0 = MD5,
+    2 = checksum) as a suffix-SEI NAL.  Reference behavior:
+    add_checksum (src/encoder_state-bitstream.c:894) with --hash
+    md5/checksum (kvz_image_md5/kvz_image_checksum); the decoder
+    verifies it against its own output."""
     import hashlib
 
+    import numpy as np
+
     from kvazaar_tpu.constants import NAL_SUFFIX_SEI
-    payload = bytearray([0])       # hash_type = 0 (MD5)
+    payload = bytearray([0 if kind == "md5" else 2])
     for pl in planes:
         if pl is None:
             continue
-        import numpy as np
         arr = np.ascontiguousarray(
             pl, np.uint8 if bitdepth <= 8 else np.uint16)
-        payload += hashlib.md5(arr.tobytes()).digest()
+        if kind == "md5":
+            payload += hashlib.md5(arr.tobytes()).digest()
+        else:
+            payload += picture_checksum(arr, bitdepth)
     w = BitWriter()
     w.u(132, 8)                    # last_payload_type_byte
     w.u(len(payload), 8)           # last_payload_size_byte
@@ -267,15 +289,18 @@ def write_picture_hash_sei(planes, bitdepth: int = 8) -> bytes:
 
 
 def parse_picture_hash_sei(rbsp: bytes):
-    """Returns list of 16-byte MD5 digests from a suffix SEI, or None."""
+    """Returns (hash_type, [digests]) from a suffix SEI, or None
+    (16-byte MD5 for type 0, 4-byte checksums for type 2)."""
     r = BitReader(rbsp)
     ptype = r.u(8)
     psize = r.u(8)
     if ptype != 132:
         return None
-    if r.u(8) != 0:
+    htype = r.u(8)
+    if htype not in (0, 2):
         return None
+    dlen = 16 if htype == 0 else 4
     digests = []
-    for _ in range((psize - 1) // 16):
-        digests.append(bytes(r.u(8) for _ in range(16)))
-    return digests
+    for _ in range((psize - 1) // dlen):
+        digests.append(bytes(r.u(8) for _ in range(dlen)))
+    return htype, digests

@@ -35,7 +35,8 @@ def build_argparser() -> argparse.ArgumentParser:
                          "(requires --period 0)")
     ap.add_argument("--bitrate", type=int, default=0,
                     help="target bits/s (0 = fixed QP)")
-    ap.add_argument("--hash", default="none", choices=["none", "md5"],
+    ap.add_argument("--hash", default="none",
+                    choices=["none", "md5", "checksum"],
                     help="decoded-picture-hash SEI per frame")
     ap.add_argument("--debug", default=None,
                     help="write reconstruction YUV for comparison "

@@ -53,7 +53,7 @@ class Config:
     # Rate control (0 = fixed QP).
     bitrate: int = 0
 
-    # Decoded-picture-hash SEI after each frame ("none" or "md5",
+    # Decoded-picture-hash SEI per frame ("none", "md5", "checksum";
     # reference --hash).
     hash: str = "none"
 

@@ -180,12 +180,13 @@ class PFrameMixin:
             None if lv_cr is None else np.asarray(lv_cr))
 
         nal = self._serialize_p(fd, poc, poc - ref_poc)
-        if self.cfg.hash == "md5":
+        if self.cfg.hash in ("md5", "checksum"):
             from kvazaar_tpu.bitstream.headers import \
                 write_picture_hash_sei
             nal += write_picture_hash_sei(
                 (np.asarray(rec_y), np.asarray(rec_cb),
-                 np.asarray(rec_cr)), self.bitdepth)
+                 np.asarray(rec_cr)), self.bitdepth,
+                kind=self.cfg.hash)
         self._dpb = (rec_y, rec_cb, rec_cr)
         return FrameResult(
             nals=nal, recon_y=np.asarray(rec_y),
@@ -402,12 +403,13 @@ class PFrameMixin:
             None if lv_cb is None else np.asarray(lv_cb),
             None if lv_cr is None else np.asarray(lv_cr))
         nal = self._serialize_b(fd, poc, poc - poc0, poc1 - poc)
-        if self.cfg.hash == "md5":
+        if self.cfg.hash in ("md5", "checksum"):
             from kvazaar_tpu.bitstream.headers import \
                 write_picture_hash_sei
             nal += write_picture_hash_sei(
                 (np.asarray(rec_y), np.asarray(rec_cb),
-                 np.asarray(rec_cr)), self.bitdepth)
+                 np.asarray(rec_cr)), self.bitdepth,
+                kind=self.cfg.hash)
         return FrameResult(
             nals=nal, recon_y=np.asarray(rec_y),
             recon_cb=None if rec_cb is None else np.asarray(rec_cb),
@@ -952,11 +954,12 @@ class IntraFrameEncoder(PFrameMixin):
                            num_entry_points=max(len(sizes) - 1, 0),
                            entry_point_offsets=sizes[:-1])
         nal = nal_unit(w.get_bytes() + data, NAL_IDR_W_RADL)
-        if self.cfg.hash == "md5" and rec_y is not None:
+        if self.cfg.hash in ("md5", "checksum") and rec_y is not None:
             from kvazaar_tpu.bitstream.headers import \
                 write_picture_hash_sei
             nal += write_picture_hash_sei((rec_y, rec_cb, rec_cr),
-                                          self.bitdepth)
+                                          self.bitdepth,
+                                          kind=self.cfg.hash)
         return FrameResult(nals=nal, recon_y=rec_y, recon_cb=rec_cb,
                            recon_cr=rec_cr, frame_data=fd,
                            bits=len(nal) * 8)
@@ -1009,11 +1012,12 @@ class IntraFrameEncoder(PFrameMixin):
                            num_entry_points=max(len(sizes) - 1, 0),
                            entry_point_offsets=sizes[:-1])
         nal = nal_unit(w.get_bytes() + data, NAL_IDR_W_RADL)
-        if self.cfg.hash == "md5" and rec_y is not None:
+        if self.cfg.hash in ("md5", "checksum") and rec_y is not None:
             from kvazaar_tpu.bitstream.headers import \
                 write_picture_hash_sei
             nal += write_picture_hash_sei((rec_y, rec_cb, rec_cr),
-                                          self.bitdepth)
+                                          self.bitdepth,
+                                          kind=self.cfg.hash)
         return FrameResult(nals=nal, recon_y=rec_y, recon_cb=rec_cb,
                            recon_cr=rec_cr, frame_data=fd,
                            bits=len(nal) * 8)
@@ -1084,7 +1088,7 @@ class IntraFrameEncoder(PFrameMixin):
                      recs[1][-1] if self.chroma else None,
                      recs[2][-1] if self.chroma else None)
         rec_y = rec_cb = rec_cr = None
-        if need_recon or self.cfg.hash == "md5" or self.cfg.sao:
+        if need_recon or self.cfg.hash != "none" or self.cfg.sao:
             rec_y = np.asarray(recs[0])
             if self.chroma:
                 rec_cb, rec_cr = np.asarray(recs[1]), np.asarray(recs[2])
