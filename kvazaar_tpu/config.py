@@ -37,7 +37,8 @@ class Config:
     signhide: bool = False
     transform_skip: bool = False
     lossless: bool = False
-    rd: int = 0                # RDO level, like the reference's --rd
+    rd: int = 1                # RDO depth (0 = pure-SATD mode argmin,
+                               # 1 = +MPM-aware bit re-rank), like --rd
 
     # Partitioning (device-friendly knobs; see encoder/intra_frame.py).
     # pu_depth ranges as in the reference's --pu-depth-intra/inter.

@@ -92,7 +92,8 @@ class PFrameMixin:
 
     def _search_p_impl(self, y, ref_y):
         modes, intra_cost = search_frame_modes(
-            y, self.plan, self.lambda_satd, self.bitdepth)
+            y, self.plan, self.lambda_satd, self.bitdepth,
+            two_pass=self.cfg.rd >= 1)
         mv, inter_cost = search_inter_frame(
             y, ref_y.astype(jnp.int32), self.plan, self.lambda_me,
             self.cfg.me_range, self.bitdepth,
@@ -248,7 +249,8 @@ class PFrameMixin:
         from kvazaar_tpu.encoder.intra_search import satd8_batch
         from kvazaar_tpu.ops.inter import bi_average, mc_luma_hp
         modes, intra_cost = search_frame_modes(
-            y, self.plan, self.lambda_satd, self.bitdepth)
+            y, self.plan, self.lambda_satd, self.bitdepth,
+            two_pass=self.cfg.rd >= 1)
         mv0, c0 = search_inter_frame(
             y, r0.astype(jnp.int32), self.plan, self.lambda_me,
             self.cfg.me_range, self.bitdepth,
@@ -564,7 +566,8 @@ class IntraFrameEncoder(PFrameMixin):
             crs = crs.astype(jnp.int32)
         modes = jax.vmap(
             lambda y: search_frame_modes(y, self.plan, self.lambda_satd,
-                                         self.bitdepth)[0])(ys)
+                                         self.bitdepth,
+                                         self.cfg.rd >= 1)[0])(ys)
         rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr = reconstruct_frames(
             ys, cbs, crs, modes, self.plan, self.cfg.qp, self.qp_c,
             self.bitdepth, lossless=self.cfg.lossless,
@@ -779,7 +782,7 @@ class IntraFrameEncoder(PFrameMixin):
                 return search_quadtree(
                     yp, self.coded_w, self.coded_h, self.lambda_satd,
                     self.bitdepth, self.cfg.intra_min_cu,
-                    self.cfg.intra_max_cu)
+                    self.cfg.intra_max_cu, self.cfg.rd >= 1)
 
             self._qt_search = jax.jit(s)
         return self._qt_search

@@ -96,9 +96,14 @@ def mode_bits_table(modes_grid, cu_size: int, ctu_size: int = 64):
 
 
 def search_frame_modes(frame, plan: IntraFramePlan, lambda_satd: float,
-                       bitdepth: int = 8):
+                       bitdepth: int = 8, two_pass: bool = True):
     """frame: (H, W) int32 coded-size luma.  Returns (By, Bx) int32 modes
-    and the winning cost grid."""
+    and the winning cost grid.
+
+    two_pass: re-rank with MPM-aware signalling bits from pass-1
+    neighbor decisions (--rd >= 1; rd 0 is the pure-SATD argmin,
+    mirroring the reference's rough-search-only depth,
+    src/search_intra.c:404 vs :573)."""
     s = plan.cu_size
     by, bx = plan.blocks_y, plan.blocks_x
     n = by * bx
@@ -118,6 +123,9 @@ def search_frame_modes(frame, plan: IntraFramePlan, lambda_satd: float,
     satd = satd8_batch(preds - orig)                           # (N, 35)
 
     modes1 = jnp.argmin(satd, axis=-1).astype(jnp.int32).reshape(by, bx)
+    if not two_pass:
+        best1 = jnp.min(satd, axis=-1).astype(jnp.float32)
+        return modes1, best1.reshape(by, bx)
     bits = mode_bits_table(modes1, s).reshape(n, 35)
     cost = satd.astype(jnp.float32) + lambda_satd * bits
     modes = jnp.argmin(cost, axis=-1).astype(jnp.int32).reshape(by, bx)

@@ -36,7 +36,7 @@ SIZES = (8, 16, 32)
 
 def search_quadtree(y, width: int, height: int, lambda_satd: float,
                     bitdepth: int = 8, min_cu: int = 8,
-                    max_cu: int = 32):
+                    max_cu: int = 32, two_pass: bool = True):
     """Open-loop mode search at every candidate CU size (device part).
 
     y: (H, W) int32 coded-size luma.  Returns (costs, modes): dicts
@@ -48,7 +48,8 @@ def search_quadtree(y, width: int, height: int, lambda_satd: float,
         if s < min_cu or s > max_cu:
             continue
         plan = make_intra_plan(width, height, s, chroma=False)
-        m, c = search_frame_modes(y, plan, lambda_satd, bitdepth)
+        m, c = search_frame_modes(y, plan, lambda_satd, bitdepth,
+                                   two_pass)
         modes[s] = m
         costs[s] = c
     return costs, modes
