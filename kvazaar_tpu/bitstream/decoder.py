@@ -190,10 +190,13 @@ def reconstruct_mvs(fd: FrameData, params: StreamParams) -> None:
 
 def reconstruct_mvs_b(fd: FrameData, params: StreamParams, poc: int,
                       poc0: int, poc1: int) -> None:
-    """Sequential decode-order MV reconstruction for a B slice: AMVP
-    per list (this subset codes no B merge).  Fills fd.mv8/mv8_l1."""
+    """Sequential decode-order MV reconstruction for a B slice:
+    merge index → full-motion candidate (8.5.3.2.3) or AMVP + mvd per
+    list.  Fills fd.mv8/mv8_l1 and, for merge CUs, fd.dir8 (the
+    inter_pred_idc is not signalled for merge)."""
     from kvazaar_tpu.encoder.geometry import make_intra_plan
-    from kvazaar_tpu.encoder.inter_cands import amvp_pair_b_at
+    from kvazaar_tpu.encoder.inter_cands import (amvp_pair_b_at,
+                                                 merge_list_b_at)
     depth = int(fd.depth8[0, 0])
     s = params.ctu_size >> depth
     c8 = s // 8
@@ -210,6 +213,19 @@ def reconstruct_mvs_b(fd: FrameData, params: StreamParams, poc: int,
     for bid in order:
         y, x = divmod(int(bid), bx)
         if not inter_map[y, x]:
+            continue
+        midx = int(fd.merge8[y * c8, x * c8])
+        if midx >= 0:
+            mlist = merge_list_b_at(inter_map, dirs, mv0, mv1,
+                                    plan.avail, y, x, (poc0, poc1))
+            d, m0, m1 = mlist[midx]
+            dirs[y, x] = d
+            fd.dir8[y * c8:(y + 1) * c8,
+                    x * c8:(x + 1) * c8] = d
+            if d != 1:
+                mv0[y, x] = m0
+            if d != 0:
+                mv1[y, x] = m1
             continue
         d = int(dirs[y, x])
         if d != 1:

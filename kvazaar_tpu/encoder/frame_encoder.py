@@ -354,12 +354,15 @@ class PFrameMixin:
                                  jnp.asarray(mv1), jnp.asarray(dirs),
                                  jnp.asarray(inter_map))
 
-        # mvd/mvp per list against spec AMVP in z-scan decode order.
+        # merge/mvd/mvp per list against spec candidates in z-scan
+        # decode order.
+        from kvazaar_tpu.encoder.inter_cands import merge_list_b_at
         by, bx = self.plan.blocks_y, self.plan.blocks_x
         mvd0 = np.zeros((by, bx, 2), np.int32)
         mvd1 = np.zeros((by, bx, 2), np.int32)
         mvp0 = np.zeros((by, bx), np.uint8)
         mvp1 = np.zeros((by, bx), np.uint8)
+        merge_idx = np.full((by, bx), -1, np.int32)
         order = np.argsort(self.plan.step_of_block.ravel()
                            * (by * bx)
                            + np.arange(by * bx), kind="stable")
@@ -374,6 +377,14 @@ class PFrameMixin:
             if not inter_map[yy, xx]:
                 continue
             d = int(dirs[yy, xx])
+            mine = (d, (int(emv0[yy, xx, 0]), int(emv0[yy, xx, 1])),
+                    (int(emv1[yy, xx, 0]), int(emv1[yy, xx, 1])))
+            mlist = merge_list_b_at(inter_map, dirs, emv0, emv1,
+                                    self.plan.avail, yy, xx,
+                                    (poc0, poc1))
+            if mine in mlist:
+                merge_idx[yy, xx] = mlist.index(mine)
+                continue
             if d != 1:
                 pair = amvp_pair_b_at(inter_map, dirs, emv0, emv1,
                                       self.plan.avail, yy, xx, 0, poc,
@@ -401,7 +412,7 @@ class PFrameMixin:
 
         fd = self._assemble_b_frame_data(
             modes, inter_map, dirs, emv0, emv1, mvd0, mvd1, mvp0,
-            mvp1, np.asarray(lv_y),
+            mvp1, merge_idx, np.asarray(lv_y),
             None if lv_cb is None else np.asarray(lv_cb),
             None if lv_cr is None else np.asarray(lv_cr))
         nal = self._serialize_b(fd, poc, poc - poc0, poc1 - poc)
@@ -419,8 +430,8 @@ class PFrameMixin:
             frame_data=fd, bits=len(nal) * 8), (rec_y, rec_cb, rec_cr)
 
     def _assemble_b_frame_data(self, modes, inter_map, dirs, mv0, mv1,
-                               mvd0, mvd1, mvp0, mvp1, lv_y, lv_cb,
-                               lv_cr):
+                               mvd0, mvd1, mvp0, mvp1, merge_idx,
+                               lv_y, lv_cb, lv_cr):
         s = self.cu
         c8 = s // 8
         fd = FrameData.empty(self.coded_w, self.coded_h, self.chroma)
@@ -443,11 +454,28 @@ class PFrameMixin:
             .reshape(fd.mv8.shape)
         fd.mv8_l1[:] = np.kron(mv1, np.ones((c8, c8, 1), np.int32)) \
             .reshape(fd.mv8_l1.shape)
-        fd.merge8[:] = -1          # no B merge in this subset
-        fd.mvp8[::c8, ::c8] = mvp0
-        fd.mvp8_l1[::c8, ::c8] = mvp1
-        fd.mvd8[::c8, ::c8] = mvd0
-        fd.mvd8_l1[::c8, ::c8] = mvd1
+
+        # Per-CU zero-coefficient detection → skip (merge CUs only),
+        # same as the P path.
+        by, bx = inter_map.shape
+        czero = np.ones((by, bx), bool)
+        ys = fd.coeff_y.reshape(by, s, bx, s)
+        czero &= ~np.any(ys, axis=(1, 3))
+        if self.chroma:
+            s2 = s // 2
+            czero &= ~np.any(fd.coeff_cb.reshape(by, s2, bx, s2),
+                             axis=(1, 3))
+            czero &= ~np.any(fd.coeff_cr.reshape(by, s2, bx, s2),
+                             axis=(1, 3))
+        skip = inter_map & (merge_idx >= 0) & czero
+        fd.skip8[:] = np.kron(skip.astype(np.uint8), ones)
+        fd.merge8[::c8, ::c8] = np.where(inter_map, merge_idx,
+                                         -1).astype(np.int8)
+        use_amvp = inter_map & (merge_idx < 0)
+        fd.mvp8[::c8, ::c8] = np.where(use_amvp, mvp0, 0)
+        fd.mvp8_l1[::c8, ::c8] = np.where(use_amvp, mvp1, 0)
+        fd.mvd8[::c8, ::c8] = np.where(use_amvp[..., None], mvd0, 0)
+        fd.mvd8_l1[::c8, ::c8] = np.where(use_amvp[..., None], mvd1, 0)
         return fd
 
     def _serialize_b(self, fd, poc, rpd0, rpd1):

@@ -160,6 +160,75 @@ def merge_list_at(inter_map, mv, avail, by, bx):
     return out
 
 
+# Table 8-8: combined bi-predictive merge candidate (l0CandIdx,
+# l1CandIdx) order.
+_COMB_ORDER = ((0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1),
+               (0, 3), (3, 0), (1, 3), (3, 1), (2, 3), (3, 2))
+
+
+def merge_list_b_at(inter_map, dirs, mv0, mv1, avail, by, bx,
+                    ref_poc: tuple):
+    """Scalar B merge list for one block: 5 tuples (dir, (mx0, my0),
+    (mx1, my1)) with unused-list MVs normalized to (0, 0).
+
+    Spatial candidates carry the neighbor's full motion (8.5.3.2.3),
+    then combined bi-predictive candidates (8.5.3.2.4, Table 8-8) and
+    zero candidates (8.5.3.2.5).  One reference per list, TMVP off.
+    Matches the reference's get_spatial_merge_candidates +
+    kvz_inter_get_merge_cand (src/inter.c:799,1130) for this operating
+    point; shared verbatim by encoder decision and oracle decoder."""
+
+    def nbr(pos):
+        if not avail[by, bx, pos]:
+            return None
+        dy, dx = _DELTAS[pos]
+        ny, nx = by + dy, bx + dx
+        if not inter_map[ny, nx]:
+            return None
+        d = int(dirs[ny, nx])
+        m0 = ((int(mv0[ny, nx, 0]), int(mv0[ny, nx, 1]))
+              if d != 1 else (0, 0))
+        m1 = ((int(mv1[ny, nx, 0]), int(mv1[ny, nx, 1]))
+              if d != 0 else (0, 0))
+        return (d, m0, m1)
+
+    a1 = nbr(_L)
+    b1 = nbr(_A)
+    b0 = nbr(_AR)
+    a0 = nbr(_BL)
+    b2 = nbr(_AL)
+    out = []
+    if a1 is not None:
+        out.append(a1)
+    if b1 is not None and b1 != a1:
+        out.append(b1)
+    if b0 is not None and b0 != b1:
+        out.append(b0)
+    if a0 is not None and a0 != a1:
+        out.append(a0)
+    if len(out) < 4 and b2 is not None and b2 != a1 and b2 != b1:
+        out.append(b2)
+
+    # Combined bi-predictive candidates.
+    n_orig = len(out)
+    if n_orig >= 2:
+        for (i0, i1) in _COMB_ORDER[:n_orig * (n_orig - 1)]:
+            if len(out) >= MAX_MERGE_CANDS:
+                break
+            if i0 >= n_orig or i1 >= n_orig:
+                continue
+            d0, m00, _ = out[i0]
+            d1, _, m11 = out[i1]
+            if d0 == 1 or d1 == 0:     # need predFlagL0 / predFlagL1
+                continue
+            if ref_poc[0] != ref_poc[1] or m00 != m11:
+                out.append((2, m00, m11))
+
+    while len(out) < MAX_MERGE_CANDS:
+        out.append((2, (0, 0), (0, 0)))
+    return out
+
+
 def _mv_scale(mvc, tb: int, td: int):
     """Temporal MV scaling (8.5.3.2.8): scale mvc coded against a ref
     `td` pics away onto a ref `tb` pics away."""

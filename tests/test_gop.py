@@ -88,3 +88,33 @@ def test_gop4_with_tail_flush():
     assert len(dec) == 7
     for k, ((dy, _cb, _cr), _fd) in enumerate(dec):
         np.testing.assert_array_equal(dy[:h, :w], res[k][1][0])
+
+
+def test_b_merge_skip_used_and_bit_exact():
+    """B merge/skip (8.5.3.2.3-8.5.3.2.5): translating content must
+    produce merge-coded B CUs (incl. skips), and the stream stays
+    bit-exact through the oracle (reference: src/inter.c:1130 merge
+    candidate derivation, src/search_inter.c merge-mode decisions)."""
+    rng = np.random.default_rng(11)
+    w, h, n = 96, 64, 9
+    base = rng.normal(0, 40, (h + 32, w + 64)).astype(np.float32)
+    # Smooth so subpixel interp isn't forced; pure integer translation.
+    from scipy.ndimage import gaussian_filter
+    base = 128 + gaussian_filter(base, 5) * 6
+    frames = []
+    for t in range(n):
+        y = np.clip(base[8:8 + h, 4 * t:4 * t + w], 0,
+                    255).astype(np.uint8)
+        cb = np.full((h // 2, w // 2), 120, np.uint8)
+        frames.append((y, cb, cb.copy()))
+    cfg = Config(width=w, height=h, qp=32, intra_max_cu=16,
+                 intra_min_cu=16, gop_len=8, intra_period=0)
+    enc = Encoder(cfg)
+    stream, res = _encode_all(enc, frames)
+    dec = decode_stream(stream, enc._intra.params)
+    assert len(dec) == n
+    for k, ((dy, _cb, _cr), _fd) in enumerate(dec):
+        np.testing.assert_array_equal(dy[:h, :w], res[k][1][0])
+    n_merge = sum(int((fd.merge8 >= 0).sum()) for _r, fd in dec)
+    n_skip = sum(int(fd.skip8.sum()) for _r, fd in dec)
+    assert n_merge > 0 and n_skip > 0
