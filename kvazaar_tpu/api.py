@@ -61,6 +61,15 @@ class Encoder:
         self._pending = []           # display-order sources in this GOP
         self._dpb_map = {}           # poc -> (y, cb, cr) device planes
         self._base_poc = 0
+        # Low-delay multi-reference state (lp-g#d#t# GOPs and/or
+        # --ref N): POC-keyed DPB + the per-position structure table.
+        self._lp_table = None
+        self._multi = cfg.lp_gop is not None or cfg.ref_frames > 1
+        if cfg.lp_gop is not None:
+            from kvazaar_tpu.config import lp_gop_table
+            g, d, t = cfg.lp_gop
+            self._lp_table = lp_gop_table(g, d, t, cfg.ref_frames)
+        self._dpb_ld = {}            # rel poc -> (y, cb, cr) planes
         if cfg.bitrate > 0:
             from kvazaar_tpu.encoder.rate_control import RateController
             fps = cfg.framerate_num / max(cfg.framerate_denom, 1)
@@ -183,6 +192,15 @@ class Encoder:
             psnr_u=p_u, psnr_v=p_v)
         return chunks + res.nals, info, (rec_y, rec_cb, rec_cr)
 
+    def _lp_pattern(self, rel_poc: int):
+        """Structure entry for a low-delay frame at rel POC n (>= 1):
+        ref deltas + QP offset (reference: the gop[] table consumed by
+        encoder_state_init_new_frame, src/encoderstate.c:1050)."""
+        if self._lp_table is not None:
+            return self._lp_table[(rel_poc - 1) % len(self._lp_table)]
+        return dict(poc_offset=rel_poc, layer=1, qp_offset=0,
+                    ref_neg=list(range(1, self.cfg.ref_frames + 1)))
+
     def _encode_ld(self, y: np.ndarray, cb=None, cr=None):
         chunks = b""
         if not self._wrote_headers:
@@ -206,6 +224,37 @@ class Encoder:
             # POC restarts at every IDR (8.3.1); slice headers signal
             # POC relative to the last IDR.
             self._last_idr = self._poc
+            if self._multi:
+                self._dpb_ld = {0: enc._dpb}
+        elif self._multi:
+            rel = self._poc - getattr(self, "_last_idr", 0)
+            pat = self._lp_pattern(rel)
+            deltas = []
+            for d in pat["ref_neg"]:
+                if d <= rel and (rel - d) in self._dpb_ld \
+                        and d not in deltas:
+                    deltas.append(d)
+            deltas = deltas[:self.cfg.ref_frames] or [1]
+            used = [rel - d for d in deltas]
+            # Pics a future frame (within one structure period) still
+            # needs must survive this picture's RPS.
+            needed = set()
+            horizon = len(self._lp_table) if self._lp_table else \
+                self.cfg.ref_frames
+            for f in range(rel + 1, rel + horizon + 1):
+                for d in self._lp_pattern(f)["ref_neg"]:
+                    needed.add(f - d)
+            retained = sorted(rel - p for p in self._dpb_ld
+                              if p not in used and p in needed)
+            refs = [(rel - d, self._dpb_ld[rel - d]) for d in deltas]
+            if pat["qp_offset"] and self._rc is None:
+                enc = self._encoder_for_qp(self.cfg.qp
+                                           + pat["qp_offset"])
+            res, rec_planes = enc.encode_p_frame_multi(
+                y, cb, cr, poc=rel, refs=refs, retained=retained)
+            self._dpb_ld[rel] = rec_planes
+            self._dpb_ld = {p: v for p, v in self._dpb_ld.items()
+                            if p == rel or p in needed}
         else:
             rel = self._poc - getattr(self, "_last_idr", 0)
             res = enc.encode_p_frame(y, cb, cr, poc=rel,

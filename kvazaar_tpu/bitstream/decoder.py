@@ -35,23 +35,28 @@ from kvazaar_tpu.ops.transform import inverse_transform
 
 def parse_slice_header(r: BitReader, p: StreamParams, nal_type: int):
     """Parse the slice headers we emit; returns (slice_type, QP, POC,
-    ref_poc_diff, entry-point offsets)."""
+    ref_deltas_l0 — the used negative POC deltas in L0 order,
+    ref_poc_diff_l1, entry-point offsets)."""
     assert r.u(1) == 1            # first_slice_segment_in_pic_flag
     if 16 <= nal_type <= 23:
         r.u(1)                    # no_output_of_prior_pics_flag
     assert r.ue() == 0            # slice_pic_parameter_set_id
     slice_type = r.ue()
     poc = 0
-    ref_poc_diff = 1
+    ref_deltas = [1]
     ref_poc_diff_l1 = 0
     if nal_type not in (19, 20):
         poc = r.u(p.log2_max_poc_lsb)
         assert r.u(1) == 0        # short_term_ref_pic_set_sps_flag
         neg = r.ue()              # num_negative_pics
         pos = r.ue()              # num_positive_pics
-        assert neg == 1 and pos <= 1
-        ref_poc_diff = r.ue() + 1
-        r.u(1)                    # used_by_curr_pic_s0_flag
+        assert pos <= 1
+        ref_deltas = []
+        d = 0
+        for _ in range(neg):
+            d += r.ue() + 1       # delta_poc_s0_minus1[i]
+            if r.u(1):            # used_by_curr_pic_s0_flag
+                ref_deltas.append(d)
         if pos:
             ref_poc_diff_l1 = r.ue() + 1
             r.u(1)                # used_by_curr_pic_s1_flag
@@ -59,8 +64,13 @@ def parse_slice_header(r: BitReader, p: StreamParams, nal_type: int):
         r.u(1)
         if p.chroma_format_idc:
             r.u(1)
+    nref_l0 = min(len(ref_deltas), 1) or 1
     if slice_type != 2:
-        assert r.u(1) == 0        # num_ref_idx_active_override_flag
+        nref_l0 = 1
+        if r.u(1):                # num_ref_idx_active_override_flag
+            nref_l0 = r.ue() + 1  # num_ref_idx_l0_active_minus1
+            if slice_type == 0:   # B
+                assert r.ue() == 0
         if slice_type == 0:       # B
             r.u(1)                # mvd_l1_zero_flag
         r.ue()                    # five_minus_max_num_merge_cand
@@ -75,7 +85,8 @@ def parse_slice_header(r: BitReader, p: StreamParams, nal_type: int):
             entries = [r.u(ln) + 1 for _ in range(n)]
     assert r.bit() == 1           # byte alignment bit
     r.byte_align()
-    return slice_type, qp, poc, ref_poc_diff, ref_poc_diff_l1, entries
+    ref_deltas = ref_deltas[:nref_l0] if slice_type != 2 else ref_deltas
+    return slice_type, qp, poc, ref_deltas, ref_poc_diff_l1, entries
 
 
 def parse_slice_header_i(r: BitReader, p: StreamParams):
@@ -103,8 +114,10 @@ def decode_stream(stream: bytes, params: StreamParams):
             chroma = params.chroma_format_idc != 0
             fd = FrameData.empty(params.width, params.height, chroma)
             cab = CabacDecoder(r)
+            nref = len(rpd) if slice_type == SLICE_P else 1
             dec = SliceDataDecoder(params, fd,
-                                   Contexts(slice_type, qp), cab)
+                                   Contexts(slice_type, qp), cab,
+                                   nref_l0=nref)
             if params.wpp:
                 # The header parse ended byte-aligned; the CabacDecoder
                 # init then read 9 bits, so slice data begins at
@@ -117,11 +130,13 @@ def decode_stream(stream: bytes, params: StreamParams):
             if slice_type == 2:
                 recon = reconstruct_parsed(fd, params, qp)
             elif slice_type == SLICE_P:
-                reconstruct_mvs(fd, params)
-                recon = reconstruct_parsed_p(fd, params, qp,
-                                             dpb[poc - rpd])
+                reconstruct_mvs(fd, params, poc, rpd)
+                refs = [dpb[poc - d] for d in rpd]
+                recon = reconstruct_parsed_p(
+                    fd, params, qp,
+                    refs if len(refs) > 1 else refs[0])
             else:
-                poc0, poc1 = poc - rpd, poc + rpd1
+                poc0, poc1 = poc - rpd[0], poc + rpd1
                 reconstruct_mvs_b(fd, params, poc, poc0, poc1)
                 recon = reconstruct_parsed_b(
                     fd, params, qp, dpb[poc0], dpb[poc1])
@@ -151,13 +166,17 @@ def decode_stream(stream: bytes, params: StreamParams):
     return frames
 
 
-def reconstruct_mvs(fd: FrameData, params: StreamParams) -> None:
+def reconstruct_mvs(fd: FrameData, params: StreamParams,
+                    poc: int = None, ref_deltas=None) -> None:
     """Sequential decode-order MV reconstruction for a P frame
-    (8.5.3.2): merge index → candidate list, or AMVP + mvd.  Fills
-    fd.mv8 in place."""
+    (8.5.3.2): merge index → candidate list, or AMVP + mvd.  With
+    multiple L0 references (`ref_deltas` longer than 1) candidates
+    carry ref indices and AMVP applies POC scaling (8.5.3.2.7).
+    Fills fd.mv8 (and fd.ref8 for merge CUs) in place."""
     from kvazaar_tpu.encoder.geometry import make_intra_plan
-    from kvazaar_tpu.encoder.inter_cands import (amvp_pair_at,
-                                                 merge_list_at)
+    from kvazaar_tpu.encoder.inter_cands import (
+        amvp_pair_at, amvp_pair_p_multiref_at, merge_list_at,
+        merge_list_p_multiref_at)
     depth = int(fd.depth8[0, 0])
     s = params.ctu_size >> depth
     c8 = s // 8
@@ -166,6 +185,12 @@ def reconstruct_mvs(fd: FrameData, params: StreamParams) -> None:
     by, bx = plan.blocks_y, plan.blocks_x
     inter_map = fd.inter8[::c8, ::c8].astype(bool)
     mv = np.zeros((by, bx, 2), np.int32)
+    multi = ref_deltas is not None and len(ref_deltas) > 1
+    nref = len(ref_deltas) if ref_deltas else 1
+    refg = np.zeros((by, bx), np.int32)
+    if multi:
+        refg[:] = fd.ref8[::c8, ::c8]
+        ref_pocs = [poc - d for d in ref_deltas]
     order = np.argsort(
         (plan.step_of_block.astype(np.int64) * (by * bx)
          + np.arange(by * bx).reshape(by, bx)).ravel(), kind="stable")
@@ -176,16 +201,35 @@ def reconstruct_mvs(fd: FrameData, params: StreamParams) -> None:
         if not inter_map[y, x]:
             continue
         midx = int(fd.merge8[y * c8, x * c8])
+        if not multi:
+            if midx >= 0:
+                cands = merge_list_at(inter_map, mv, plan.avail, y, x)
+                mv[y, x] = cands[midx]
+            else:
+                pair = amvp_pair_at(inter_map, mv, plan.avail, y, x)
+                mvp = pair[int(fd.mvp8[y * c8, x * c8])]
+                mv[y, x] = (mvp[0] + fd.mvd8[y * c8, x * c8][0],
+                            mvp[1] + fd.mvd8[y * c8, x * c8][1])
+            continue
         if midx >= 0:
-            cands = merge_list_at(inter_map, mv, plan.avail, y, x)
-            mv[y, x] = cands[midx]
+            cands = merge_list_p_multiref_at(inter_map, refg, mv,
+                                             plan.avail, y, x, nref)
+            r, v = cands[midx]
+            refg[y, x] = r
+            mv[y, x] = v
         else:
-            pair = amvp_pair_at(inter_map, mv, plan.avail, y, x)
+            r = int(refg[y, x])
+            pair = amvp_pair_p_multiref_at(inter_map, refg, mv,
+                                           plan.avail, y, x, r, poc,
+                                           ref_pocs)
             mvp = pair[int(fd.mvp8[y * c8, x * c8])]
             mv[y, x] = (mvp[0] + fd.mvd8[y * c8, x * c8][0],
                         mvp[1] + fd.mvd8[y * c8, x * c8][1])
     fd.mv8[:] = np.kron(mv, np.ones((c8, c8, 1), np.int32)).reshape(
         fd.mv8.shape)
+    if multi:
+        fd.ref8[:] = np.kron(refg, np.ones((c8, c8), np.int32)) \
+            .astype(np.uint8)
 
 
 def reconstruct_mvs_b(fd: FrameData, params: StreamParams, poc: int,
@@ -306,7 +350,10 @@ def reconstruct_parsed_b(fd: FrameData, params: StreamParams, qp: int,
 
 def reconstruct_parsed_p(fd: FrameData, params: StreamParams, qp: int,
                          ref):
-    """P-frame reconstruction from parsed syntax + reference planes."""
+    """P-frame reconstruction from parsed syntax + reference planes.
+
+    ref: one (y, cb, cr) tuple, or a list of them (L0 order) for
+    multi-ref slices — fd.ref8 then selects per block."""
     from kvazaar_tpu.encoder.frame_encoder import (chroma_qp,
                                                    compute_bs_maps)
     from kvazaar_tpu.encoder.inter_search import mc_planes
@@ -320,14 +367,24 @@ def reconstruct_parsed_p(fd: FrameData, params: StreamParams, qp: int,
     inter_map = fd.inter8[::c8, ::c8].astype(bool)
     mv = fd.mv8[::c8, ::c8].astype(np.int32)
 
-    ref_y, ref_cb, ref_cr = ref
+    refs = ref if isinstance(ref, list) else [ref]
+    ref_grid = None
+    rg = None
+    if len(refs) > 1:
+        rg = fd.ref8[::c8, ::c8].astype(np.int32)
+        ref_grid = jnp.asarray(rg)
+
+    def stack(idx):
+        if refs[0][idx] is None:
+            return None
+        if len(refs) == 1:
+            return jnp.asarray(np.asarray(refs[0][idx], np.int32))
+        return jnp.asarray(np.stack(
+            [np.asarray(r[idx], np.int32) for r in refs]))
+
     mc_y, mc_cb, mc_cr = mc_planes(
-        jnp.asarray(np.asarray(ref_y, np.int32)),
-        None if ref_cb is None else jnp.asarray(
-            np.asarray(ref_cb, np.int32)),
-        None if ref_cr is None else jnp.asarray(
-            np.asarray(ref_cr, np.int32)),
-        jnp.asarray(mv), plan, params.bitdepth)
+        stack(0), stack(1), stack(2),
+        jnp.asarray(mv), plan, params.bitdepth, ref_grid=ref_grid)
 
     lv_y = _blocks_by_step(fd.coeff_y, plan.luma, plan)
     lv_cb = lv_cr = None
@@ -348,9 +405,10 @@ def reconstruct_parsed_p(fd: FrameData, params: StreamParams, qp: int,
         cbf_blk = np.any(
             fd.coeff_y.reshape(plan.blocks_y, s, plan.blocks_x, s) != 0,
             axis=(1, 3))
-        bs_v, bs_h = compute_bs_maps(jnp.asarray(inter_map),
-                                     jnp.asarray(cbf_blk),
-                                     jnp.asarray(mv))
+        bs_v, bs_h = compute_bs_maps(
+            jnp.asarray(inter_map), jnp.asarray(cbf_blk),
+            jnp.asarray(mv),
+            ref=None if rg is None else jnp.asarray(rg))
         rec_y, rec_cb, rec_cr = deblock_frame(
             rec_y, rec_cb, rec_cr, qp, s, params.bitdepth,
             params.deblock_beta_offset_div2,

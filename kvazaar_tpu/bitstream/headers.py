@@ -190,16 +190,25 @@ def write_pps(p: StreamParams) -> bytes:
 def write_slice_header(w: BitWriter, p: StreamParams, slice_type: int,
                        nal_type: int, slice_qp: int, poc: int = 0,
                        ref_poc_diff: int = 1, ref_poc_diff_l1=None,
+                       ref_list_l0=None, retained_l0=(),
                        num_entry_points: int = 0,
                        entry_point_offsets=()) -> None:
     """Write the slice segment header into `w` (caller then byte-aligns
     into slice data).  H.265 7.3.6.1; one full-picture slice.
 
-    P slices carry an inline short-term RPS with one negative reference
-    `ref_poc_diff` pictures back (low-delay, single L0 ref); B slices
-    additionally carry one positive reference `ref_poc_diff_l1`
-    pictures ahead (hierarchical GOP, single ref per list)."""
+    P slices carry an inline short-term RPS of negative references:
+    `ref_list_l0` (increasing POC deltas, all used by the current
+    picture — the L0 order) plus `retained_l0` (deltas kept in the DPB
+    for later pictures, used_by_curr = 0); a single `ref_poc_diff` is
+    the legacy one-ref form.  B slices additionally carry one positive
+    reference `ref_poc_diff_l1` pictures ahead (hierarchical GOP,
+    single ref per list).  Mirrors kvz_encoder_state_write_bitstream
+    slice-header RPS emission (src/encoder_state-bitstream.c:687)."""
     from kvazaar_tpu.constants import SLICE_B
+    if ref_list_l0 is None:
+        ref_list_l0 = [ref_poc_diff]
+    used = set(ref_list_l0)
+    all_neg = sorted(used | set(retained_l0))
     w.u(1, 1)               # first_slice_segment_in_pic_flag
     if 16 <= nal_type <= 23:
         w.u(0, 1)           # no_output_of_prior_pics_flag
@@ -209,10 +218,13 @@ def write_slice_header(w: BitWriter, p: StreamParams, slice_type: int,
         w.u(poc & ((1 << p.log2_max_poc_lsb) - 1), p.log2_max_poc_lsb)
         w.u(0, 1)           # short_term_ref_pic_set_sps_flag
         # st_ref_pic_set(0): idx 0 → no inter-RPS prediction flag.
-        w.ue(1)             # num_negative_pics
+        w.ue(len(all_neg))  # num_negative_pics
         w.ue(1 if ref_poc_diff_l1 else 0)   # num_positive_pics
-        w.ue(ref_poc_diff - 1)   # delta_poc_s0_minus1[0]
-        w.u(1, 1)           # used_by_curr_pic_s0_flag[0]
+        prev = 0
+        for d in all_neg:
+            w.ue(d - prev - 1)       # delta_poc_s0_minus1[i]
+            w.u(1 if d in used else 0, 1)   # used_by_curr_pic_s0_flag
+            prev = d
         if ref_poc_diff_l1:
             w.ue(ref_poc_diff_l1 - 1)   # delta_poc_s1_minus1[0]
             w.u(1, 1)       # used_by_curr_pic_s1_flag[0]
@@ -220,7 +232,14 @@ def write_slice_header(w: BitWriter, p: StreamParams, slice_type: int,
         w.u(1, 1)           # slice_sao_luma_flag
         w.u(1 if p.chroma_format_idc else 0, 1)
     if slice_type != SLICE_I:
-        w.u(0, 1)           # num_ref_idx_active_override_flag
+        nref = len(ref_list_l0)
+        if nref != 1:
+            w.u(1, 1)       # num_ref_idx_active_override_flag
+            w.ue(nref - 1)  # num_ref_idx_l0_active_minus1
+            if slice_type == SLICE_B:
+                w.ue(0)     # num_ref_idx_l1_active_minus1
+        else:
+            w.u(0, 1)       # num_ref_idx_active_override_flag
         # (lists_modification absent: PPS flag 0; no temporal MVP)
         if slice_type == SLICE_B:
             w.u(0, 1)       # mvd_l1_zero_flag

@@ -48,6 +48,8 @@ class FrameData:
     skip8: np.ndarray = None    # (H/8, W/8) uint8 — 1 = cu_skip_flag
     merge8: np.ndarray = None   # (H/8, W/8) int8 — merge_idx or -1
     mvp8: np.ndarray = None     # (H/8, W/8) uint8 — mvp_l0_flag
+    ref8: np.ndarray = None     # (H/8, W/8) uint8 — L0 ref_idx (filled
+                                # across the CU for neighbor derivation)
     mvd8: np.ndarray = None     # (H/8, W/8, 2) int32
     mv8: np.ndarray = None      # (H/8, W/8, 2) int32 — final qpel MVs
     # B slices: prediction direction + list-1 motion (list-0 reuses the
@@ -81,6 +83,7 @@ class FrameData:
             skip8=np.zeros(g8, dtype=np.uint8),
             merge8=np.full(g8, -1, dtype=np.int8),
             mvp8=np.zeros(g8, dtype=np.uint8),
+            ref8=np.zeros(g8, dtype=np.uint8),
             mvd8=np.zeros(g8 + (2,), dtype=np.int32),
             mv8=np.zeros(g8 + (2,), dtype=np.int32),
             dir8=np.zeros(g8, dtype=np.uint8),
@@ -218,9 +221,11 @@ class _SliceSyntaxBase:
 class SliceDataEncoder(_SliceSyntaxBase):
     """Serialize a fully populated FrameData into CABAC slice data."""
 
-    def __init__(self, params, data, contexts, cabac: CabacEncoder):
+    def __init__(self, params, data, contexts, cabac: CabacEncoder,
+                 nref_l0: int = 1):
         super().__init__(params, data, contexts)
         self.c = cabac
+        self.nref_l0 = nref_l0
 
     def encode_slice_data(self) -> None:
         ctus_x = self.p.width_in_ctus
@@ -365,6 +370,20 @@ class SliceDataEncoder(_SliceSyntaxBase):
             if idx < 4:
                 self.c.encode_bypass(0)
 
+    def _encode_ref_idx(self, idx: int, nref: int) -> None:
+        """ref_idx_lX: TR cMax=nref-1; bin0 ctx0, bin1 ctx1, rest
+        bypass (9.3.3, Table 9-42)."""
+        self.c.encode_bin(self.ctx("ref_pic", 0), 1 if idx else 0)
+        if idx:
+            for i in range(nref - 2):
+                sym = 0 if i == idx - 1 else 1
+                if i == 0:
+                    self.c.encode_bin(self.ctx("ref_pic", 1), sym)
+                else:
+                    self.c.encode_bypass(sym)
+                if sym == 0:
+                    break
+
     def _encode_mvd(self, mvd) -> None:
         """mvd_coding (7.3.8.9): greater0/greater1 flags then EG1
         remainders + signs, x before y."""
@@ -420,8 +439,12 @@ class SliceDataEncoder(_SliceSyntaxBase):
                     self.c.encode_bin(self.ctx("mvp_idx", 0),
                                       int(self.d.mvp8_l1[c8y, c8x]))
             else:
-                # P: single L0 reference — no inter_pred_idc, no
-                # ref_idx.
+                # P: L0 only — no inter_pred_idc; ref_idx_l0 when more
+                # than one active reference (TR, ctx bins 0/1 then
+                # bypass; reference: src/encode_coding_tree.c:590).
+                if self.nref_l0 > 1:
+                    self._encode_ref_idx(int(self.d.ref8[c8y, c8x]),
+                                         self.nref_l0)
                 self._encode_mvd(self.d.mvd8[c8y, c8x])
                 self.c.encode_bin(self.ctx("mvp_idx", 0),
                                   int(self.d.mvp8[c8y, c8x]))
@@ -704,9 +727,11 @@ class SliceDataDecoder(_SliceSyntaxBase):
     """Parse CABAC slice data back into a FrameData — the conformance
     oracle's front half (exact inverse of SliceDataEncoder)."""
 
-    def __init__(self, params, data, contexts, cabac: CabacDecoder):
+    def __init__(self, params, data, contexts, cabac: CabacDecoder,
+                 nref_l0: int = 1):
         super().__init__(params, data, contexts)
         self.c = cabac
+        self.nref_l0 = nref_l0
 
     def decode_slice_data(self) -> None:
         ctus_x = self.p.width_in_ctus
@@ -861,6 +886,18 @@ class SliceDataDecoder(_SliceSyntaxBase):
             idx += 1
         return idx
 
+    def _decode_ref_idx(self, nref: int) -> int:
+        if not self.c.decode_bin(self.ctx("ref_pic", 0)):
+            return 0
+        idx = 1
+        for i in range(nref - 2):
+            sym = (self.c.decode_bin(self.ctx("ref_pic", 1)) if i == 0
+                   else self.c.decode_bypass())
+            if sym == 0:
+                break
+            idx += 1
+        return idx
+
     def _decode_mvd(self):
         g0x = self.c.decode_bin(self.ctx("mvd", 0))
         g0y = self.c.decode_bin(self.ctx("mvd", 0))
@@ -913,6 +950,11 @@ class SliceDataDecoder(_SliceSyntaxBase):
                     self.d.mvp8_l1[c8y, c8x] = self.c.decode_bin(
                         self.ctx("mvp_idx", 0))
             else:
+                if self.nref_l0 > 1:
+                    cells_cu = 1 << (log2_size - 3)
+                    self.d.ref8[c8y:c8y + cells_cu,
+                                c8x:c8x + cells_cu] = \
+                        self._decode_ref_idx(self.nref_l0)
                 self.d.mvd8[c8y, c8x] = self._decode_mvd()
                 self.d.mvp8[c8y, c8x] = self.c.decode_bin(
                     self.ctx("mvp_idx", 0))

@@ -29,6 +29,10 @@ class Config:
     intra_period: int = 64     # 0 = only first frame intra; 1 = all intra
     gop_len: int = 0           # 0 = IPPP low-delay, 4/8 = B-pyramid (later)
     ref_frames: int = 1
+    # Low-delay GOP structure "lp-g#d#t#" (reference --gop lp-...,
+    # src/cfg.c:885): (g, d, t) or None.  Implies gop_len 0 semantics
+    # with per-position QP offsets and multi-ref lists.
+    lp_gop: Optional[tuple] = None
 
     # Coding tools (subset grows toward the reference's kvz_config).
     deblock: bool = True
@@ -83,8 +87,19 @@ class Config:
             raise ValueError("intra_min_cu > intra_max_cu")
         if self.transform_skip:
             raise ValueError("transform_skip is not implemented yet")
-        if self.ref_frames != 1:
-            raise ValueError("only 1 reference frame is supported yet")
+        if not 1 <= self.ref_frames <= 4:
+            raise ValueError("ref_frames must be in [1, 4]")
+        if self.ref_frames > 1 and self.gop_len > 1:
+            raise ValueError("multiple references are implemented for "
+                             "low-delay structures only (B pyramids "
+                             "use one ref per list)")
+        if self.lp_gop is not None:
+            g, d, t = self.lp_gop
+            if not (1 <= g <= 8 and 1 <= d <= 4 and 1 <= t <= 8):
+                raise ValueError("lp gop out of range (g 1-8, d 1-4, "
+                                 "t 1-8)")
+            if self.gop_len > 1:
+                raise ValueError("lp gop excludes B-pyramid gop_len")
         if self.gop_len not in (0, 1, 4, 8):
             raise ValueError("gop_len must be 0/1 (low delay) or 4/8 "
                              "(hierarchical B pyramid)")
@@ -107,6 +122,21 @@ class Config:
     def set(self, name: str, value: str) -> "Config":
         """String-keyed option setter (analogue of kvz_config_parse)."""
         name = name.replace("-", "_")
+        if name == "gop":
+            # --gop: 0 = low delay IPPP, 4/8 = B pyramid, lp-g#d#t# =
+            # low-delay structure (src/cfg.c:885).
+            if value.startswith("lp-"):
+                import re
+                m = re.fullmatch(r"lp-g(\d+)d(\d+)t(\d+)", value)
+                if not m:
+                    raise ValueError(
+                        "GOP syntax: lp-g#d#t#, e.g. lp-g4d2t1")
+                self.lp_gop = tuple(int(x) for x in m.groups())
+                self.gop_len = 0
+            else:
+                self.gop_len = int(value)
+                self.lp_gop = None
+            return self
         if not hasattr(self, name):
             raise KeyError(f"unknown option: {name}")
         cur = getattr(self, name)
@@ -152,3 +182,44 @@ def config_from_preset(name: str, **overrides) -> Config:
     for k, v in overrides.items():
         setattr(cfg, k, v)
     return cfg
+
+
+def lp_gop_table(g: int, d: int, t: int, ref_frames: int):
+    """Low-delay GOP table: per position 1..g a dict with poc_offset,
+    layer, qp_offset and the negative-reference POC deltas.
+
+    Re-derivation of the reference's kvz_config_process_lp_gop
+    (src/cfg.c:1237): layer from the depth modulos, first ref the
+    previous frame (or the nearest shallower frame when t > 1), the
+    remaining refs earlier keyframes g apart."""
+    depth_modulos = [0] * 8
+    for dd in range(d):
+        depth_modulos[d - 1 - dd] = 1 << dd
+    depth_modulos[0] = g
+    table = []
+    for pos in range(1, g + 1):
+        layer = 1
+        while layer < d and (pos % depth_modulos[layer - 1]):
+            layer += 1
+        if t > 1:
+            if pos % t == 0:
+                first = t
+            else:
+                r = pos - 1
+                while r > 0 and table[r - 1]["layer"] >= layer:
+                    r -= 1
+                if r > 0 and table[r - 1]["layer"] < layer:
+                    first = pos - table[r - 1]["poc_offset"]
+                else:
+                    first = pos % g if pos % g else g
+        else:
+            first = 1
+        refs = [first]
+        keyframe = pos
+        for _ in range(1, ref_frames):
+            while keyframe == refs[-1]:
+                keyframe += g
+            refs.append(keyframe)
+        table.append(dict(poc_offset=pos, layer=layer,
+                          qp_offset=layer, ref_neg=refs))
+    return table

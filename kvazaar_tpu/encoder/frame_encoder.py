@@ -89,6 +89,179 @@ class PFrameMixin:
         self._device_recon_p = jax.jit(self._recon_p_impl)
         self._device_search_b = jax.jit(self._search_b_impl)
         self._device_recon_b = jax.jit(self._recon_b_impl)
+        self._p_multi_cache = {}   # R -> (search_fn, recon_fn)
+
+    def _p_multi_fns(self, nref: int):
+        """Jitted multi-ref search/recon, shape-specialized per ref
+        count (the reference's per-ref search loop,
+        src/search_inter.c:1134, unrolled into one device program)."""
+        if nref not in self._p_multi_cache:
+            def search(y, refs_y):
+                modes, intra_cost = search_frame_modes(
+                    y, self.plan, self.lambda_satd, self.bitdepth,
+                    two_pass=self.cfg.rd >= 1)
+                mvs, costs = [], []
+                for ri in range(nref):
+                    mv_r, c_r = search_inter_frame(
+                        y, refs_y[ri].astype(jnp.int32), self.plan,
+                        self.lambda_me, self.cfg.me_range,
+                        self.bitdepth, subpel=self.cfg.me_subpel)
+                    # ref_idx_l0 TR bits (idx+1 bins, capped).
+                    rb = 0 if nref == 1 else \
+                        (ri + 1 if ri < nref - 1 else ri)
+                    mvs.append(mv_r)
+                    costs.append(c_r + self.lambda_me * rb)
+                costs = jnp.stack(costs)
+                mvs = jnp.stack(mvs)
+                sel = jnp.argmin(costs, axis=0).astype(jnp.int32)
+                idx = jnp.broadcast_to(sel[None, ..., None],
+                                       (1,) + sel.shape + (2,))
+                mv = jnp.take_along_axis(mvs, idx, axis=0)[0]
+                return modes, intra_cost, mv, sel, jnp.min(costs,
+                                                           axis=0)
+
+            def recon(y, cb, cr, refs_y, refs_cb, refs_cr, modes, mv,
+                      ref_sel, is_inter):
+                mc_y, mc_cb, mc_cr = mc_planes(
+                    refs_y.astype(jnp.int32),
+                    None if refs_cb is None else
+                    refs_cb.astype(jnp.int32),
+                    None if refs_cr is None else
+                    refs_cr.astype(jnp.int32),
+                    mv, self.plan, self.bitdepth, ref_grid=ref_sel)
+                rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr = \
+                    reconstruct_frames(
+                        y[None], None if cb is None else cb[None],
+                        None if cr is None else cr[None], modes[None],
+                        self.plan, self.cfg.qp, self.qp_c,
+                        self.bitdepth, is_inter=is_inter[None],
+                        mc_y=mc_y[None],
+                        mc_cb=None if mc_cb is None else mc_cb[None],
+                        mc_cr=None if mc_cr is None else mc_cr[None],
+                        lossless=self.cfg.lossless,
+                        signhide=self.cfg.signhide,
+                        rdoq=self.cfg.rdoq,
+                        lam=qp_to_lambda(self.cfg.qp))
+                rec_y, lv_y = rec_y[0], lv_y[0]
+                if cb is not None:
+                    rec_cb, lv_cb = rec_cb[0], lv_cb[0]
+                    rec_cr, lv_cr = rec_cr[0], lv_cr[0]
+                cbf_blk = jnp.any(lv_y != 0, axis=(-1, -2)).reshape(
+                    self.plan.blocks_y, self.plan.blocks_x)
+                if self.cfg.deblock:
+                    bs_v, bs_h = compute_bs_maps(is_inter, cbf_blk, mv,
+                                                 ref=ref_sel)
+                    dy, dcb, dcr = deblock_frame(
+                        rec_y, rec_cb, rec_cr, self.cfg.qp, self.cu,
+                        self.bitdepth, bs_v=bs_v, bs_h=bs_h)
+                    rdt = rec_y.dtype
+                    rec_y = dy.astype(rdt)
+                    if rec_cb is not None:
+                        rec_cb = dcb.astype(rdt)
+                        rec_cr = dcr.astype(rdt)
+                return rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr
+
+            self._p_multi_cache[nref] = (jax.jit(search),
+                                         jax.jit(recon))
+        return self._p_multi_cache[nref]
+
+    def encode_p_frame_multi(self, y, cb=None, cr=None, poc: int = 1,
+                             refs=None, retained=()):
+        """P frame against multiple L0 references.
+
+        refs: [(ref_poc, (y, cb, cr) device planes), ...] in L0 order
+        (increasing POC delta); retained: extra POC deltas kept in the
+        DPB for later pictures (signalled in the RPS, unused here).
+        Reference behavior: per-ref search loop
+        (src/search_inter.c:1134) + ref-list RPS emission
+        (src/encoderstate.c:990)."""
+        from kvazaar_tpu.encoder.inter_cands import (
+            amvp_pair_p_multiref_at, merge_list_p_multiref_at)
+        s = self.cu
+        yp = jnp.asarray(pad_to_multiple(np.asarray(y, np.int32), s))
+        cbp = crp = None
+        if self.chroma:
+            cbp = jnp.asarray(
+                pad_to_multiple(np.asarray(cb, np.int32), s // 2))
+            crp = jnp.asarray(
+                pad_to_multiple(np.asarray(cr, np.int32), s // 2))
+        nref = len(refs)
+        ref_pocs = [rp for rp, _pl in refs]
+        refs_y = jnp.stack([pl[0] for _rp, pl in refs])
+        refs_cb = refs_cr = None
+        if self.chroma:
+            refs_cb = jnp.stack([pl[1] for _rp, pl in refs])
+            refs_cr = jnp.stack([pl[2] for _rp, pl in refs])
+
+        search_fn, recon_fn = self._p_multi_fns(nref)
+        modes, intra_cost, mv, ref_sel, inter_cost = search_fn(
+            yp, refs_y)
+        modes = np.asarray(modes)
+        mv = np.asarray(mv)
+        ref_sel = np.asarray(ref_sel)
+        inter_map = np.asarray(inter_cost) <= \
+            np.asarray(intra_cost) * 1.02
+        mv = np.where(inter_map[..., None], mv, 0).astype(np.int32)
+        ref_sel = np.where(inter_map, ref_sel, 0).astype(np.int32)
+
+        # Merge / AMVP with ref-aware candidates, decode order.
+        by, bx = self.plan.blocks_y, self.plan.blocks_x
+        merge_idx = np.full((by, bx), -1, np.int32)
+        mvp_idx = np.zeros((by, bx), np.uint8)
+        mvd = np.zeros((by, bx, 2), np.int32)
+        order = np.argsort(self.plan.step_of_block.ravel() * (by * bx)
+                           + np.arange(by * bx), kind="stable")
+        for bid in order:
+            yy, xx = divmod(int(bid), bx)
+            if not inter_map[yy, xx]:
+                continue
+            mine = (int(ref_sel[yy, xx]),
+                    (int(mv[yy, xx, 0]), int(mv[yy, xx, 1])))
+            mlist = merge_list_p_multiref_at(
+                inter_map, ref_sel, mv, self.plan.avail, yy, xx, nref)
+            if mine in mlist:
+                merge_idx[yy, xx] = mlist.index(mine)
+                continue
+            pair = amvp_pair_p_multiref_at(
+                inter_map, ref_sel, mv, self.plan.avail, yy, xx,
+                int(ref_sel[yy, xx]), poc, ref_pocs)
+            d0 = sum(abs(int(mv[yy, xx, k]) - pair[0][k])
+                     for k in range(2))
+            d1 = sum(abs(int(mv[yy, xx, k]) - pair[1][k])
+                     for k in range(2))
+            idx = 1 if d1 < d0 else 0
+            mvp_idx[yy, xx] = idx
+            mvd[yy, xx] = (mv[yy, xx, 0] - pair[idx][0],
+                           mv[yy, xx, 1] - pair[idx][1])
+
+        rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr = recon_fn(
+            yp, cbp, crp, refs_y, refs_cb, refs_cr,
+            jnp.asarray(modes), jnp.asarray(mv), jnp.asarray(ref_sel),
+            jnp.asarray(inter_map))
+
+        fd = self._assemble_p_frame_data(
+            modes, inter_map, mv, merge_idx, mvp_idx, mvd,
+            np.asarray(lv_y),
+            None if lv_cb is None else np.asarray(lv_cb),
+            None if lv_cr is None else np.asarray(lv_cr),
+            ref_sel=ref_sel)
+
+        deltas = [poc - rp for rp in ref_pocs]
+        nal = self._serialize_p(fd, poc, deltas[0],
+                                ref_list_l0=deltas,
+                                retained_l0=retained)
+        if self.cfg.hash in ("md5", "checksum"):
+            from kvazaar_tpu.bitstream.headers import \
+                write_picture_hash_sei
+            nal += write_picture_hash_sei(
+                (np.asarray(rec_y), np.asarray(rec_cb),
+                 np.asarray(rec_cr)), self.bitdepth,
+                kind=self.cfg.hash)
+        return FrameResult(
+            nals=nal, recon_y=np.asarray(rec_y),
+            recon_cb=None if rec_cb is None else np.asarray(rec_cb),
+            recon_cr=None if rec_cr is None else np.asarray(rec_cr),
+            frame_data=fd, bits=len(nal) * 8), (rec_y, rec_cb, rec_cr)
 
     def _search_p_impl(self, y, ref_y):
         modes, intra_cost = search_frame_modes(
@@ -196,7 +369,8 @@ class PFrameMixin:
             frame_data=fd, bits=len(nal) * 8)
 
     def _assemble_p_frame_data(self, modes, inter_map, mv, merge_idx,
-                               mvp_idx, mvd, lv_y, lv_cb, lv_cr):
+                               mvp_idx, mvd, lv_y, lv_cb, lv_cr,
+                               ref_sel=None):
         s = self.cu
         c8 = s // 8
         fd = FrameData.empty(self.coded_w, self.coded_h, self.chroma)
@@ -238,6 +412,10 @@ class PFrameMixin:
         use_amvp = inter_map & (merge_idx < 0)
         fd.mvp8[::c8, ::c8] = np.where(use_amvp, mvp_idx, 0)
         fd.mvd8[::c8, ::c8] = np.where(use_amvp[..., None], mvd, 0)
+        if ref_sel is not None:
+            fd.ref8[:] = np.kron(
+                np.where(inter_map, ref_sel, 0),
+                np.ones((c8, c8), np.int32)).astype(np.uint8)
         return fd
 
     # ---- B frames (hierarchical GOP; H.265 B slices with one
@@ -504,8 +682,11 @@ class PFrameMixin:
                            entry_point_offsets=sizes[:-1])
         return nal_unit(w.get_bytes() + data, NAL_TRAIL_R)
 
-    def _serialize_p(self, fd, poc, ref_poc_diff):
-        if _NATIVE_OK and not self.params.transquant_bypass:
+    def _serialize_p(self, fd, poc, ref_poc_diff, ref_list_l0=None,
+                     retained_l0=()):
+        nref = 1 if ref_list_l0 is None else len(ref_list_l0)
+        if _NATIVE_OK and not self.params.transquant_bypass \
+                and nref == 1:
             data, sizes = native.encode_slice_data_native_p(
                 self.params, fd, self.cfg.qp, self.params.wpp)
         else:
@@ -513,7 +694,7 @@ class PFrameMixin:
             dw = BitWriter()
             enc = SliceDataEncoder(self.params, fd,
                                    Contexts(SLICE_P, self.cfg.qp),
-                                   CabacEncoder(dw))
+                                   CabacEncoder(dw), nref_l0=nref)
             if self.params.wpp:
                 sizes = enc.encode_slice_data_wpp()
             else:
@@ -524,6 +705,8 @@ class PFrameMixin:
         write_slice_header(w, self.params, SLICE_P, NAL_TRAIL_R,
                            self.cfg.qp, poc=poc,
                            ref_poc_diff=ref_poc_diff,
+                           ref_list_l0=ref_list_l0,
+                           retained_l0=retained_l0,
                            num_entry_points=max(len(sizes) - 1, 0),
                            entry_point_offsets=sizes[:-1])
         return nal_unit(w.get_bytes() + data, NAL_TRAIL_R)
@@ -1181,18 +1364,22 @@ def compute_bs_maps_b(is_inter, cbf_luma_blk, dirs, mv0, mv1):
     return bs_v, bs_h
 
 
-def compute_bs_maps(is_inter, cbf_luma_blk, mv):
-    """Per-CU-edge boundary strengths (H.265 8.7.2.4, single-ref P).
+def compute_bs_maps(is_inter, cbf_luma_blk, mv, ref=None):
+    """Per-CU-edge boundary strengths (H.265 8.7.2.4, P slices).
 
-    is_inter/cbf: (By, Bx) bool; mv: (By, Bx, 2) qpel.
-    Returns (bs_v, bs_h) int32 (By, Bx): bs of each block's left / top
-    edge (column/row 0 entries are picture borders, never filtered)."""
+    is_inter/cbf: (By, Bx) bool; mv: (By, Bx, 2) qpel; ref: optional
+    (By, Bx) L0 ref indices — different reference pictures force
+    BS >= 1.  Returns (bs_v, bs_h) int32 (By, Bx): bs of each block's
+    left / top edge (column/row 0 entries are picture borders, never
+    filtered)."""
     intra_b = ~is_inter
 
     def edge(sl_a, sl_b):
         a_i, b_i = intra_b[sl_a], intra_b[sl_b]
         cbf = cbf_luma_blk[sl_a] | cbf_luma_blk[sl_b]
         mvd = jnp.any(jnp.abs(mv[sl_a] - mv[sl_b]) >= 4, axis=-1)
+        if ref is not None:
+            mvd = mvd | (ref[sl_a] != ref[sl_b])
         return jnp.where(a_i | b_i, 2,
                          jnp.where(cbf | mvd, 1, 0)).astype(jnp.int32)
 

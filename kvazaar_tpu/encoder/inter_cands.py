@@ -336,3 +336,108 @@ def amvp_pair_at(inter_map, mv, avail, by, bx):
         out.append((0, 0))
     # Match amvp_candidates: when A is missing, B fills slot 0.
     return out
+
+
+def merge_list_p_multiref_at(inter_map, refs, mv, avail, by, bx,
+                             nref: int):
+    """Scalar P merge list with multiple L0 references: 5 tuples
+    (ref_idx, (mx, my)).  Spatial candidates carry the neighbor's
+    (ref_idx, mv); zero candidates cycle ref_idx 0..nref-1
+    (8.5.3.2.5).  Shared by encoder decision and oracle decoder."""
+
+    def nbr(pos):
+        if not avail[by, bx, pos]:
+            return None
+        dy, dx = _DELTAS[pos]
+        ny, nx = by + dy, bx + dx
+        if not inter_map[ny, nx]:
+            return None
+        return (int(refs[ny, nx]),
+                (int(mv[ny, nx, 0]), int(mv[ny, nx, 1])))
+
+    a1 = nbr(_L)
+    b1 = nbr(_A)
+    b0 = nbr(_AR)
+    a0 = nbr(_BL)
+    b2 = nbr(_AL)
+    out = []
+    if a1 is not None:
+        out.append(a1)
+    if b1 is not None and b1 != a1:
+        out.append(b1)
+    if b0 is not None and b0 != b1:
+        out.append(b0)
+    if a0 is not None and a0 != a1:
+        out.append(a0)
+    if len(out) < 4 and b2 is not None and b2 != a1 and b2 != b1:
+        out.append(b2)
+    zero_idx = 0
+    while len(out) < MAX_MERGE_CANDS:
+        r = zero_idx if zero_idx < nref else 0
+        out.append((r, (0, 0)))
+        zero_idx += 1
+    return out
+
+
+def amvp_pair_p_multiref_at(inter_map, refs, mv, avail, by, bx,
+                            tgt_ref: int, poc: int, ref_pocs):
+    """AMVP pair for one PU of a P slice with multiple L0 references
+    (8.5.3.2.6/8.5.3.2.7 restricted to one list, TMVP off): same-ref
+    neighbors first, then POC-scaled; isScaledFlag re-derivation when
+    no left neighbor PU exists."""
+    tgt_poc = ref_pocs[tgt_ref]
+
+    def nbr(pos):
+        if not avail[by, bx, pos]:
+            return None
+        dy, dx = _DELTAS[pos]
+        ny, nx = by + dy, bx + dx
+        if not inter_map[ny, nx]:
+            return None
+        return (int(refs[ny, nx]),
+                (int(mv[ny, nx, 0]), int(mv[ny, nx, 1])))
+
+    def same_ref(positions):
+        for pos in positions:
+            n = nbr(pos)
+            if n is None:
+                continue
+            r, v = n
+            if ref_pocs[r] == tgt_poc:
+                return v
+        return None
+
+    def scaled(positions):
+        for pos in positions:
+            n = nbr(pos)
+            if n is None:
+                continue
+            r, v = n
+            td = poc - ref_pocs[r]
+            tb = poc - tgt_poc
+            if td == 0:
+                continue
+            return v if td == tb else _mv_scale(v, tb, td)
+        return None
+
+    a_positions = (_BL, _L)
+    b_positions = (_AR, _A, _AL)
+    a_pu_present = any(nbr(p) is not None for p in a_positions)
+    a = same_ref(a_positions)
+    if a is None and a_pu_present:
+        a = scaled(a_positions)
+    b = same_ref(b_positions)
+    if not a_pu_present:
+        if a is None:
+            a = b
+            b = scaled(b_positions)
+            if b == a:
+                b = None
+    out = []
+    if a is not None:
+        out.append(a)
+    if b is not None and (a is None or b != a):
+        out.append(b)
+    while len(out) < 2:
+        out.append((0, 0))
+    return out

@@ -175,10 +175,13 @@ def bi_mc_planes(ref0, ref1, mv0, mv1, dirs, plan: IntraFramePlan,
 
 
 def mc_planes(ref_y, ref_cb, ref_cr, mv, plan: IntraFramePlan,
-              bitdepth: int = 8):
+              bitdepth: int = 8, ref_grid=None):
     """Full-frame MC prediction planes for final MVs.
 
-    mv: (By, Bx, 2) qpel.  Returns (pred_y (H, W), pred_cb, pred_cr)."""
+    mv: (By, Bx, 2) qpel.  With stacked references ((R, H, W) planes)
+    pass ref_grid (By, Bx) int32 L0 ref indices — each block gathers
+    from its selected reference.  Returns (pred_y (H, W), pred_cb,
+    pred_cr)."""
     s = plan.cu_size
     by, bx = plan.blocks_y, plan.blocks_x
     n = by * bx
@@ -186,7 +189,8 @@ def mc_planes(ref_y, ref_cb, ref_cr, mv, plan: IntraFramePlan,
     x0s = jnp.asarray((xs * s).reshape(-1))
     y0s = jnp.asarray((ys * s).reshape(-1))
     mvs = mv.reshape(n, 2)
-    py = mc_luma(ref_y, x0s, y0s, mvs, s, bitdepth)
+    ridx = None if ref_grid is None else ref_grid.reshape(n)
+    py = mc_luma(ref_y, x0s, y0s, mvs, s, bitdepth, ridx)
 
     def blocks_to_plane_j(blocks, size, h, w):
         g = blocks.reshape(by, bx, size, size).transpose(0, 2, 1, 3)
@@ -197,8 +201,8 @@ def mc_planes(ref_y, ref_cb, ref_cr, mv, plan: IntraFramePlan,
         return out_y, None, None
     from kvazaar_tpu.ops.inter import mc_chroma
     s2 = s // 2
-    pcb = mc_chroma(ref_cb, x0s // 2, y0s // 2, mvs, s2, bitdepth)
-    pcr = mc_chroma(ref_cr, x0s // 2, y0s // 2, mvs, s2, bitdepth)
+    pcb = mc_chroma(ref_cb, x0s // 2, y0s // 2, mvs, s2, bitdepth, ridx)
+    pcr = mc_chroma(ref_cr, x0s // 2, y0s // 2, mvs, s2, bitdepth, ridx)
     out_cb = blocks_to_plane_j(pcb, s2, plan.height // 2, plan.width // 2)
     out_cr = blocks_to_plane_j(pcr, s2, plan.height // 2, plan.width // 2)
     return out_y, out_cb, out_cr

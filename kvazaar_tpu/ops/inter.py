@@ -46,13 +46,19 @@ CHROMA_FILTERS = np.array([
 ], dtype=np.int32)
 
 
-def gather_windows(plane, x0s, y0s, win: int):
+def gather_windows(plane, x0s, y0s, win: int, ridx=None):
     """Clamped window gather: (N, win, win) from (H, W) at per-block
     integer origins (may be out of bounds — clamping implements the
-    spec's boundary padding)."""
+    spec's boundary padding).  With a stacked (R, H, W) plane and
+    per-block reference indices `ridx` (N,), each block gathers from
+    its own reference picture (multi-ref L0, src/search_inter.c:1134
+    per-ref loop collapsed into one batched gather)."""
     h, w = plane.shape[-2], plane.shape[-1]
     ys = jnp.clip(y0s[:, None] + jnp.arange(win)[None, :], 0, h - 1)
     xs = jnp.clip(x0s[:, None] + jnp.arange(win)[None, :], 0, w - 1)
+    if plane.ndim == 3:
+        return plane[ridx[:, None, None], ys[:, :, None],
+                     xs[:, None, :]]
     return plane[ys[:, :, None], xs[:, None, :]]
 
 
@@ -71,17 +77,19 @@ def _tap_contract(win, coeffs, taps: int, out_len: int, axis_last: bool,
     return einsum_exact("bk,bkyx->byx", coeffs, sl, x_bound)
 
 
-def mc_luma_hp(plane, x0s, y0s, mvs, size: int, bitdepth: int = 8):
+def mc_luma_hp(plane, x0s, y0s, mvs, size: int, bitdepth: int = 8,
+               ridx=None):
     """Luma MC at the 14-bit intermediate precision (8.5.4.2.2.1,
     before the weighted-sample rounding) — the bipred averaging input.
 
-    plane: (H, W) int32 reference; x0s/y0s: (N,) block origins;
-    mvs: (N, 2) quarter-pel.  Returns (N, S, S) int32 14-bit samples."""
+    plane: (H, W) int32 reference (or (R, H, W) with ridx per block);
+    x0s/y0s: (N,) block origins; mvs: (N, 2) quarter-pel.
+    Returns (N, S, S) int32 14-bit samples."""
     ix = x0s + (mvs[:, 0] >> 2)
     iy = y0s + (mvs[:, 1] >> 2)
     fx = mvs[:, 0] & 3
     fy = mvs[:, 1] & 3
-    win = gather_windows(plane, ix - 3, iy - 3, size + 7)
+    win = gather_windows(plane, ix - 3, iy - 3, size + 7, ridx)
     lf = jnp.asarray(LUMA_FILTERS)
     cfx = lf[fx]                                # (N, 8)
     cfy = lf[fy]
@@ -108,17 +116,19 @@ def bi_average(hp0, hp1, bitdepth: int = 8):
                     (1 << bitdepth) - 1)
 
 
-def mc_luma(plane, x0s, y0s, mvs, size: int, bitdepth: int = 8):
+def mc_luma(plane, x0s, y0s, mvs, size: int, bitdepth: int = 8,
+            ridx=None):
     """Motion-compensated luma prediction (uni-pred, 8.5.4.2.2.1).
 
     plane: (H, W) int32 reference; x0s/y0s: (N,) block origins;
     mvs: (N, 2) quarter-pel (mvx, mvy).  Returns (N, S, S) int32 pixels.
     """
-    return uni_round(mc_luma_hp(plane, x0s, y0s, mvs, size, bitdepth),
-                     bitdepth)
+    return uni_round(mc_luma_hp(plane, x0s, y0s, mvs, size, bitdepth,
+                                ridx), bitdepth)
 
 
-def mc_chroma_hp(plane, x0s, y0s, mvs, size: int, bitdepth: int = 8):
+def mc_chroma_hp(plane, x0s, y0s, mvs, size: int, bitdepth: int = 8,
+                 ridx=None):
     """Chroma MC at 14-bit precision (4-tap, eighth-pel).  mvs are the
     LUMA quarter-pel MVs; chroma MV = luma MV (eighth-pel in chroma
     samples for 4:2:0)."""
@@ -128,7 +138,7 @@ def mc_chroma_hp(plane, x0s, y0s, mvs, size: int, bitdepth: int = 8):
     iy = y0s + (cy >> 3)
     fx = cx & 7
     fy = cy & 7
-    win = gather_windows(plane, ix - 1, iy - 1, size + 3)
+    win = gather_windows(plane, ix - 1, iy - 1, size + 3, ridx)
     cf = jnp.asarray(CHROMA_FILTERS)
     shift1 = bitdepth - 8
     hor = _tap_contract(win, cf[fx], 4, size, True, 1 << bitdepth)
@@ -136,9 +146,10 @@ def mc_chroma_hp(plane, x0s, y0s, mvs, size: int, bitdepth: int = 8):
     return _tap_contract(hor, cf[fy], 4, size, False, 1 << 15) >> 6
 
 
-def mc_chroma(plane, x0s, y0s, mvs, size: int, bitdepth: int = 8):
-    return uni_round(mc_chroma_hp(plane, x0s, y0s, mvs, size, bitdepth),
-                     bitdepth)
+def mc_chroma(plane, x0s, y0s, mvs, size: int, bitdepth: int = 8,
+              ridx=None):
+    return uni_round(mc_chroma_hp(plane, x0s, y0s, mvs, size, bitdepth,
+                                  ridx), bitdepth)
 
 
 def sad_full_search(cur_blocks, ref_plane, x0s, y0s, radius: int,
