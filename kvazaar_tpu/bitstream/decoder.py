@@ -33,6 +33,17 @@ from kvazaar_tpu.ops.quant import dequantize
 from kvazaar_tpu.ops.transform import inverse_transform
 
 
+def _scaling_from_params(p: StreamParams):
+    """ScalingLists instance for decode-side dequant, or None."""
+    if getattr(p, "scaling_list_mode", 0) == 0:
+        return None
+    from kvazaar_tpu.ops.scaling import ScalingLists
+    if p.scaling_list_mode == 1 and p.scaling_custom is not None:
+        return ScalingLists("custom", p.scaling_custom[0],
+                            p.scaling_custom[1])
+    return ScalingLists("default")
+
+
 def parse_slice_header(r: BitReader, p: StreamParams, nal_type: int):
     """Parse the slice headers we emit; returns (slice_type, QP, POC,
     ref_deltas_l0 — the used negative POC deltas in L0 order,
@@ -329,7 +340,8 @@ def reconstruct_parsed_b(fd: FrameData, params: StreamParams, qp: int,
         None if lv_cr is None else jnp.asarray(lv_cr),
         jnp.asarray(modes), is_inter=jnp.asarray(inter_map),
         mc_y=mc_y, mc_cb=mc_cb, mc_cr=mc_cr,
-        lossless=params.transquant_bypass)
+        lossless=params.transquant_bypass,
+        scaling=_scaling_from_params(params))
     rec_y, rec_cb, rec_cr = out
     if params.deblock_enabled:
         cbf_blk = np.any(
@@ -399,7 +411,8 @@ def reconstruct_parsed_p(fd: FrameData, params: StreamParams, qp: int,
         None if lv_cr is None else jnp.asarray(lv_cr),
         jnp.asarray(modes), is_inter=jnp.asarray(inter_map),
         mc_y=mc_y, mc_cb=mc_cb, mc_cr=mc_cr,
-        lossless=params.transquant_bypass)
+        lossless=params.transquant_bypass,
+        scaling=_scaling_from_params(params))
     rec_y, rec_cb, rec_cr = out
     if params.deblock_enabled:
         cbf_blk = np.any(
@@ -444,7 +457,8 @@ def reconstruct_parsed(fd: FrameData, params: StreamParams, qp: int):
                             None if lv_cb is None else jnp.asarray(lv_cb),
                             None if lv_cr is None else jnp.asarray(lv_cr),
                             jnp.asarray(modes),
-                            lossless=params.transquant_bypass)
+                            lossless=params.transquant_bypass,
+                            scaling=_scaling_from_params(params))
     rec_y, rec_cb, rec_cr = out[0], out[1], out[2]
     if params.deblock_enabled:
         from kvazaar_tpu.ops.deblock import deblock_frame
@@ -523,15 +537,24 @@ def _np_intra_pred(refs: np.ndarray, mode: int, s: int, luma: bool,
 
 
 def _np_inv_residual(levels: np.ndarray, s: int, qp: int,
-                     bitdepth: int) -> np.ndarray:
-    """Pure-numpy dequant + inverse transform (8.6.3/8.6.4, int64)."""
+                     bitdepth: int, m=None) -> np.ndarray:
+    """Pure-numpy dequant + inverse transform (8.6.3/8.6.4, int64).
+    m: optional (N, N) scaling-list matrix."""
     from kvazaar_tpu.ops.quant import quant_params
     from kvazaar_tpu.ops.transform import dct_matrix_np
     log2n = s.bit_length() - 1
     _, _, inv_scale, shift = quant_params(qp, log2n, bitdepth)
     lv = levels.astype(np.int64)
-    dq = (lv * (inv_scale << (qp // 6)) + (1 << (shift - 5))) \
-        >> (shift - 4)
+    if m is not None:
+        sh = shift - qp // 6
+        prod = lv * (inv_scale * m.astype(np.int64))
+        if sh > 0:
+            dq = (prod + (1 << (sh - 1))) >> sh
+        else:
+            dq = np.clip(prod, -32768, 32767) << (-sh)
+    else:
+        dq = (lv * (inv_scale << (qp // 6))
+              + (1 << (shift - 5))) >> (shift - 4)
     dq = np.clip(dq, -32768, 32767)
     t = dct_matrix_np(s).astype(np.int64)
     e = (t.T @ dq + 64) >> 7
@@ -546,6 +569,7 @@ def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
     """Sequential per-CU reconstruction for variable-CU intra frames —
     a direct transcription of the decoding process (8.4.4), one CU at a
     time in z-scan order, entirely in numpy."""
+    _sl_var = _scaling_from_params(params)
     from kvazaar_tpu.encoder.frame_encoder import chroma_qp
     from kvazaar_tpu.encoder.geometry import z_order_index
     w, h = params.width, params.height
@@ -605,7 +629,9 @@ def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
             if params.transquant_bypass:
                 res = lv.astype(np.int64)
             else:
-                res = _np_inv_residual(lv, s, qps[pi], params.bitdepth)
+                res = _np_inv_residual(
+                    lv, s, qps[pi], params.bitdepth,
+                    None if _sl_var is None else _sl_var.m(s, True, pi))
             plane[y0:y0 + s, x0:x0 + s] = np.clip(pred + res, 0, maxv)
 
     rec_y = planes[0]
@@ -639,7 +665,8 @@ def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
 
 def _plane_step_from_levels(recon_flat, gidx, noref, scatter, levels,
                             modes, size, qp, bitdepth, luma,
-                            inter=None, mc=None, lossless=False):
+                            inter=None, mc=None, lossless=False,
+                            scaling_tab=None):
     refs = recon_flat[gidx]
     refs = jnp.where(noref[:, None], 1 << (bitdepth - 1), refs)
     pred = predict_modes(refs.astype(jnp.int32), modes, size, luma=luma,
@@ -649,7 +676,14 @@ def _plane_step_from_levels(recon_flat, gidx, noref, scatter, levels,
     if lossless:
         res = levels.astype(jnp.int32)
     else:
-        dq = dequantize(levels, qp, size, bitdepth)
+        dqc = None
+        intra_m = None
+        if scaling_tab is not None:
+            dqc = (jnp.asarray(scaling_tab[2]),
+                   jnp.asarray(scaling_tab[3]))
+            intra_m = True if inter is None else ~inter
+        dq = dequantize(levels, qp, size, bitdepth, dqc=dqc,
+                        intra=intra_m)
         res = inverse_transform(dq, size, bitdepth)
     rec = jnp.clip(pred + res, 0, (1 << bitdepth) - 1)
     return recon_flat.at[scatter.reshape(-1)].set(rec.reshape(-1))
@@ -657,7 +691,19 @@ def _plane_step_from_levels(recon_flat, gidx, noref, scatter, levels,
 
 def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
                        lv_cr, modes, is_inter=None, mc_y=None,
-                       mc_cb=None, mc_cr=None, lossless=False):
+                       mc_cb=None, mc_cr=None, lossless=False,
+                       scaling=None):
+    tab_y = tab_cb = tab_cr = None
+    if scaling is not None:
+        def _tabs(size, comp, qq):
+            return (scaling.qc(size, True, comp)[qq % 6],
+                    scaling.qc(size, False, comp)[qq % 6],
+                    scaling.dqc(size, True, comp)[qq % 6],
+                    scaling.dqc(size, False, comp)[qq % 6])
+        tab_y = _tabs(s, 0, qp)
+        if chroma:
+            tab_cb = _tabs(plan.chroma.size, 1, qp_c)
+            tab_cr = _tabs(plan.chroma.size, 2, qp_c)
     h, w = plan.height, plan.width
     slot_ids = jnp.asarray(np.maximum(plan.block_of_slot, 0))
     modes_steps = modes.reshape(-1)[slot_ids]
@@ -699,13 +745,13 @@ def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
                 it = my = mcb = mcr = None
             ry = _plane_step_from_levels(ry, gy, ny, scy, ly, m, s, qp,
                                          bitdepth, True, it, my,
-                                         lossless)
+                                         lossless, tab_y)
             rcb = _plane_step_from_levels(rcb, gc, nc, scc, lcb, m, sc2,
                                           qp_c, bitdepth, False, it,
-                                          mcb, lossless)
+                                          mcb, lossless, tab_cb)
             rcr = _plane_step_from_levels(rcr, gc, nc, scc, lcr, m, sc2,
                                           qp_c, bitdepth, False, it,
-                                          mcr, lossless)
+                                          mcr, lossless, tab_cr)
             return (ry, rcb, rcr), None
         (ry,) = carry
         if inter:
@@ -714,7 +760,8 @@ def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
             gy, ny, scy, ly, m = xs
             it = my = None
         ry = _plane_step_from_levels(ry, gy, ny, scy, ly, m, s, qp,
-                                     bitdepth, True, it, my, lossless)
+                                     bitdepth, True, it, my, lossless,
+                                     tab_y)
         return (ry,), None
 
     if chroma:
@@ -737,8 +784,8 @@ def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
 
 
 def _decode_recon_jit(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
-                      lv_cr, modes, lossless=False):
+                      lv_cr, modes, lossless=False, scaling=None):
     # jit keyed on the static arguments via closure; plans are cached.
     return _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth,
                               lv_y, lv_cb, lv_cr, modes,
-                              lossless=lossless)
+                              lossless=lossless, scaling=scaling)

@@ -45,6 +45,10 @@ class StreamParams:
     conf_win: tuple = (0, 0, 0, 0)   # left, right, top, bottom (luma px)
     level_idc: int = 120             # level 4.0 * 30
     log2_max_poc_lsb: int = 8
+    # Scaling lists: 0 = off (flat), 1 = custom (cqmfile, signalled in
+    # scaling_list_data()), 2 = default lists (data_present = 0).
+    scaling_list_mode: int = 0
+    scaling_custom: tuple = None     # (base matrices dict, dc dict)
 
     @property
     def ctu_size(self) -> int:
@@ -134,7 +138,19 @@ def write_sps(p: StreamParams) -> bytes:
     w.ue(p.log2_max_tu - p.log2_min_tu)
     w.ue(p.max_tr_depth_inter)
     w.ue(p.max_tr_depth_intra)
-    w.u(0, 1)               # scaling_list_enabled_flag
+    if p.scaling_list_mode:
+        w.u(1, 1)           # scaling_list_enabled_flag
+        if p.scaling_list_mode == 1:
+            w.u(1, 1)       # sps_scaling_list_data_present_flag
+            from kvazaar_tpu.ops.scaling import (ScalingLists,
+                                                 write_scaling_list_data)
+            sl = ScalingLists("custom", p.scaling_custom[0],
+                              p.scaling_custom[1])
+            write_scaling_list_data(w, sl)
+        else:
+            w.u(0, 1)       # default lists
+    else:
+        w.u(0, 1)           # scaling_list_enabled_flag
     w.u(1 if p.amp else 0, 1)
     w.u(1 if p.sao_enabled else 0, 1)
     w.u(0, 1)               # pcm_enabled_flag

@@ -62,6 +62,12 @@ class Config:
     # reference --hash).
     hash: str = "none"
 
+    # Scaling lists (quantization matrices): "off" (flat), "default"
+    # (spec default lists), "custom" (HM-format cqmfile, reference
+    # --cqmfile, src/scalinglist.c:130).
+    scaling_list: str = "off"
+    cqmfile: Optional[str] = None
+
     # Parallelism: device mesh shape for within-frame sharding.
     mesh_tiles: int = 1
     # Wavefront parallel processing (entropy_coding_sync): per-CTU-row
@@ -115,6 +121,18 @@ class Config:
             raise ValueError("--rd levels above 1 are not implemented")
         if self.rdoq and self.lossless:
             raise ValueError("RDOQ is meaningless with --lossless")
+        if self.scaling_list not in ("off", "default", "custom"):
+            raise ValueError("scaling_list must be off/default/custom")
+        if self.scaling_list == "custom" and not self.cqmfile:
+            raise ValueError("custom scaling lists need --cqmfile")
+        if self.cqmfile and self.scaling_list != "custom":
+            self.scaling_list = "custom"
+        if self.scaling_list != "off" and self.rdoq:
+            raise ValueError("RDOQ with scaling lists (per-position "
+                             "err scale) is not implemented yet")
+        if self.scaling_list != "off" and self.lossless:
+            raise ValueError("scaling lists are meaningless with "
+                             "--lossless")
         if self.sao and self.lossless:
             raise ValueError("SAO is meaningless with --lossless")
         return self

@@ -141,7 +141,8 @@ class PFrameMixin:
                         lossless=self.cfg.lossless,
                         signhide=self.cfg.signhide,
                         rdoq=self.cfg.rdoq,
-                        lam=qp_to_lambda(self.cfg.qp))
+                        lam=qp_to_lambda(self.cfg.qp),
+                        scaling=self.scaling)
                 rec_y, lv_y = rec_y[0], lv_y[0]
                 if cb is not None:
                     rec_cb, lv_cb = rec_cb[0], lv_cb[0]
@@ -289,7 +290,8 @@ class PFrameMixin:
             mc_cb=None if mc_cb is None else mc_cb[None],
             mc_cr=None if mc_cr is None else mc_cr[None],
             lossless=self.cfg.lossless, signhide=self.cfg.signhide,
-            rdoq=self.cfg.rdoq, lam=qp_to_lambda(self.cfg.qp))
+            rdoq=self.cfg.rdoq, lam=qp_to_lambda(self.cfg.qp),
+            scaling=self.scaling)
         rec_y, lv_y = rec_y[0], lv_y[0]
         if cb is not None:
             rec_cb, lv_cb = rec_cb[0], lv_cb[0]
@@ -480,7 +482,8 @@ class PFrameMixin:
             mc_cb=None if mc_cb is None else mc_cb[None],
             mc_cr=None if mc_cr is None else mc_cr[None],
             lossless=self.cfg.lossless, signhide=self.cfg.signhide,
-            rdoq=self.cfg.rdoq, lam=qp_to_lambda(self.cfg.qp))
+            rdoq=self.cfg.rdoq, lam=qp_to_lambda(self.cfg.qp),
+            scaling=self.scaling)
         rec_y, lv_y = rec_y[0], lv_y[0]
         if cb is not None:
             rec_cb, lv_cb = rec_cb[0], lv_cb[0]
@@ -732,6 +735,19 @@ class IntraFrameEncoder(PFrameMixin):
             # Deblocking would break bit-exactness of bypass blocks;
             # the reference's --lossless implies the same choice.
             cfg.deblock = False
+        self.scaling = None
+        _sl_mode = 0
+        _sl_custom = None
+        if cfg.scaling_list != "off":
+            from kvazaar_tpu.ops.scaling import (ScalingLists,
+                                                 parse_cqmfile)
+            if cfg.scaling_list == "custom":
+                self.scaling = parse_cqmfile(cfg.cqmfile)
+                _sl_mode = 1
+                _sl_custom = (self.scaling.custom, self.scaling.dc)
+            else:
+                self.scaling = ScalingLists("default")
+                _sl_mode = 2
         self.params = StreamParams(
             width=self.coded_w, height=self.coded_h,
             bitdepth=self.bitdepth,
@@ -744,7 +760,8 @@ class IntraFrameEncoder(PFrameMixin):
             wpp=cfg.wpp,
             conf_win=(0, self.coded_w - cfg.width, 0,
                       self.coded_h - cfg.height),
-        )
+            scaling_list_mode=_sl_mode,
+            scaling_custom=_sl_custom)
         self.qp_c = chroma_qp(cfg.qp)
         lam = qp_to_lambda(cfg.qp)
         self.lambda_satd = math.sqrt(lam)
@@ -783,7 +800,7 @@ class IntraFrameEncoder(PFrameMixin):
             ys, cbs, crs, modes, self.plan, self.cfg.qp, self.qp_c,
             self.bitdepth, lossless=self.cfg.lossless,
             signhide=self.cfg.signhide, rdoq=self.cfg.rdoq,
-            lam=qp_to_lambda(self.cfg.qp))
+            lam=qp_to_lambda(self.cfg.qp), scaling=self.scaling)
         if self.cfg.deblock:
             # In-loop filter as a batched post-pass: intra prediction
             # reads unfiltered samples (spec 8.4.4.2.1), so deblocking
@@ -962,7 +979,8 @@ class IntraFrameEncoder(PFrameMixin):
                 sched, self.cfg.qp, self.qp_c, self.coded_w,
                 self.coded_h, self.chroma, self.bitdepth,
                 self.cfg.lossless, self.cfg.signhide,
-                rdoq=self.cfg.rdoq, lam=qp_to_lambda(self.cfg.qp))
+                rdoq=self.cfg.rdoq, lam=qp_to_lambda(self.cfg.qp),
+                scaling=self.scaling)
             if self.cfg.deblock:
                 dy, dcb, dcr = deblock_frame(
                     rec_y, rec_cb, rec_cr, self.cfg.qp, 8,

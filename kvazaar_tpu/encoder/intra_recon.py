@@ -128,7 +128,10 @@ def _predict_select(refs, modes, s, luma, bitdepth):
 
 def _tu_roundtrip(orig, pred, s, qp, bitdepth, intra=True,
                   lossless=False, scan_sel=None, rdoq=False,
-                  lam=0.0):
+                  lam=0.0, scaling_tab=None):
+    """scaling_tab: (qc_intra, qc_inter, dqc_intra, dqc_inter) (N, N)
+    per-position multiplier tables for this size/component/qp%6 when a
+    scaling list is active (ops/scaling.py)."""
     resid = orig.astype(jnp.int32) - pred
     if lossless:
         # transquant bypass (cu_transquant_bypass_flag): the residual
@@ -140,11 +143,13 @@ def _tu_roundtrip(orig, pred, s, qp, bitdepth, intra=True,
         levels = quantize_rdoq(coeff, qp, s, bitdepth, intra=intra,
                                lam=lam)
     else:
-        levels = quantize(coeff, qp, s, bitdepth, intra=intra)
+        qc = None if scaling_tab is None else             (jnp.asarray(scaling_tab[0]), jnp.asarray(scaling_tab[1]))
+        levels = quantize(coeff, qp, s, bitdepth, intra=intra, qc=qc)
     if scan_sel is not None:
         from kvazaar_tpu.ops.quant import sign_hide
         levels = sign_hide(levels, scan_sel)
-    dq = dequantize(levels, qp, s, bitdepth)
+    dqc = None if scaling_tab is None else         (jnp.asarray(scaling_tab[2]), jnp.asarray(scaling_tab[3]))
+    dq = dequantize(levels, qp, s, bitdepth, dqc=dqc, intra=intra)
     rec = jnp.clip(pred + inverse_transform(dq, s, bitdepth), 0,
                    (1 << bitdepth) - 1)
     return levels.astype(jnp.int16), rec
@@ -164,7 +169,8 @@ def _scan_sel(modes, s, luma, is_inter=None):
 
 def _plane_pass(hbuf, vbuf, bxs, bys, avail, valid, origs, modes, s, qp,
                 bitdepth, luma, is_inter=None, mc_pred=None,
-                lossless=False, signhide=False, rdoq=False, lam=0.0):
+                lossless=False, signhide=False, rdoq=False, lam=0.0,
+                scaling_tab=None):
     """One wavefront step for one plane over all slots.
 
     hbuf: (B, By, W); vbuf: (B, Bx, H) — edge state only (the carry is
@@ -196,7 +202,7 @@ def _plane_pass(hbuf, vbuf, bxs, bys, avail, valid, origs, modes, s, qp,
                 if signhide else None)
     levels, rec = _tu_roundtrip(origs.reshape(n_slots * b, s, s), pred,
                                 s, qp, bitdepth, intra_flag, lossless,
-                                scan_sel, rdoq, lam)
+                                scan_sel, rdoq, lam, scaling_tab)
     rec = rec.reshape(n_slots, b, s, s)
     for k in range(n_slots):
         x0 = bxs[k] * s
@@ -216,7 +222,7 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
                        qp: int, qp_c: int, bitdepth: int = 8,
                        is_inter=None, mc_y=None, mc_cb=None, mc_cr=None,
                        lossless=False, signhide=False, rdoq=False,
-                       lam=0.0):
+                       lam=0.0, scaling=None):
     """Batched wavefront over all planes.
 
     ys: (B, H, W) int32; cbs/crs: (B, H/2, W/2) or None;
@@ -248,9 +254,26 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
         ocb = to_steps(cbs.astype(jnp.int32), s2)
         ocr = to_steps(crs.astype(jnp.int32), s2)
 
+    tab_y = tab_cb = tab_cr = None
+    if scaling is not None:
+        from kvazaar_tpu.ops.scaling import ScalingLists  # noqa: F401
+        r_, rc_ = qp % 6, qp_c % 6
+
+        def tabs(size, comp, rem):
+            return (scaling.qc(size, True, comp)[rem],
+                    scaling.qc(size, False, comp)[rem],
+                    scaling.dqc(size, True, comp)[rem],
+                    scaling.dqc(size, False, comp)[rem])
+
+        tab_y = tabs(s, 0, r_)
+        if chroma:
+            tab_cb = tabs(plan.chroma.size, 1, rc_)
+            tab_cr = tabs(plan.chroma.size, 2, rc_)
+
     from kvazaar_tpu.ops import wavefront_pallas as wfp
     if (wfp.supported(plan, bitdepth, lossless, signhide, inter)
-            and not rdoq and jax.default_backend() == "tpu"):
+            and not rdoq and scaling is None
+            and jax.default_backend() == "tpu"):
         # Fused-VMEM kernel path (bit-identical to the scan below).
         k = plan.n_slots
         lv_y, r_y = wfp.wavefront_plane_pallas(
@@ -304,15 +327,15 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
             hy, vy, lv_y, r_y = _plane_pass(
                 hy, vy, bx_t, by_t, av_t, va_t, o_y, m, s, qp,
                 bitdepth, True, ii_t, my_t, lossless, signhide, rdoq,
-                lam)
+                lam, tab_y)
             hcb, vcb, lv_cb, r_cb = _plane_pass(
                 hcb, vcb, bx_t, by_t, av_t, va_t, o_cb, m, s2, qp_c,
                 bitdepth, False, ii_t, mcb_t, lossless, signhide,
-                rdoq, lam)
+                rdoq, lam, tab_cb)
             hcr, vcr, lv_cr, r_cr = _plane_pass(
                 hcr, vcr, bx_t, by_t, av_t, va_t, o_cr, m, s2, qp_c,
                 bitdepth, False, ii_t, mcr_t, lossless, signhide,
-                rdoq, lam)
+                rdoq, lam, tab_cr)
             return (hy, vy, hcb, vcb, hcr, vcr), \
                 (lv_y, lv_cb, lv_cr, r_y, r_cb, r_cr)
         if inter:
@@ -324,7 +347,7 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
             ii_t = my_t = None
         hy, vy, lv_y, r_y = _plane_pass(
             hy, vy, bx_t, by_t, av_t, va_t, o_y, m, s, qp, bitdepth,
-            True, ii_t, my_t, lossless, signhide, rdoq, lam)
+            True, ii_t, my_t, lossless, signhide, rdoq, lam, tab_y)
         return (hy, vy), (lv_y, r_y)
 
     if chroma:

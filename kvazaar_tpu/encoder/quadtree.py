@@ -104,7 +104,8 @@ def choose_tree(costs: dict, width: int, height: int,
 
 def _class_pass(hbuf, vbuf, xs_c, s: int, qp: int, bitdepth: int,
                 luma: bool, lossless: bool, signhide: bool,
-                rdoq: bool = False, lam: float = 0.0):
+                rdoq: bool = False, lam: float = 0.0,
+                scaling_tab=None):
     """One wavefront step for one CU-size class.  hbuf/vbuf: flat edge
     buffers (+1 trash); xs_c: per-step slices of (origs (K,S,S), modes
     (K,), noref (K,), idx_h (K,R), idx_v, sel_h, wr_h (K,S), wr_v)."""
@@ -121,7 +122,7 @@ def _class_pass(hbuf, vbuf, xs_c, s: int, qp: int, bitdepth: int,
     scan_sel = _scan_sel(modes, s, luma) if signhide else None
     levels, rec = _tu_roundtrip(origs.astype(jnp.int32), pred, s, qp,
                                 bitdepth, True, lossless, scan_sel,
-                                rdoq, lam)
+                                rdoq, lam, scaling_tab)
     hbuf = hbuf.at[wr_h.reshape(-1)].set(
         rec[:, -1, :].reshape(-1).astype(hbuf.dtype))
     vbuf = vbuf.at[wr_v.reshape(-1)].set(
@@ -133,7 +134,7 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
                           height: int, chroma: bool, bitdepth: int = 8,
                           lossless: bool = False,
                           signhide: bool = False, rdoq: bool = False,
-                          lam: float = 0.0):
+                          lam: float = 0.0, scaling=None):
     """sched: jnp-ified VarPlan tensors — {'luma': {size: {arrays}},
     'chroma': {size: {arrays incl. origs_cb/origs_cr}}} (see
     var_schedule.ClassSched; 'origs' carry the source pixels, gathered
@@ -167,13 +168,21 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
         xs += tuple(xs_of(sched["chroma"][s], "origs_cr")
                     for s in csizes)
 
+    def tab(size, comp, qq):
+        if scaling is None:
+            return None
+        return (scaling.qc(size, True, comp)[qq % 6],
+                scaling.qc(size, False, comp)[qq % 6],
+                scaling.dqc(size, True, comp)[qq % 6],
+                scaling.dqc(size, False, comp)[qq % 6])
+
     def step_fn(carry, xs_t):
         hy, vy = carry[0], carry[1]
         outs = []
         for i, s in enumerate(lsizes):
             hy, vy, lv, rec = _class_pass(
                 hy, vy, xs_t[i], s, qp, bitdepth, True, lossless,
-                signhide, rdoq, lam)
+                signhide, rdoq, lam, tab(s, 0, qp))
             outs.append((lv, rec))
         new_carry = [hy, vy]
         if chroma:
@@ -185,7 +194,7 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
                         hb, vb,
                         xs_t[len(lsizes) + p * len(csizes) + j], s,
                         qp_c, bitdepth, False, lossless, signhide,
-                        rdoq, lam)
+                        rdoq, lam, tab(s, 1 + p, qp_c))
                     outs.append((lv, rec))
                 bufs[2 * p], bufs[2 * p + 1] = hb, vb
             new_carry += bufs

@@ -31,7 +31,7 @@ def quant_params(qp: int, log2_size: int, bitdepth: int):
 
 
 def quantize(coeff, qp: int, size: int, bitdepth: int = 8,
-             intra=True):
+             intra=True, qc=None):
     """Scalar (non-RDOQ) quantization, the reference's kvz_quant path.
 
     Rounding offset 171/512 for intra, 85/512 for inter, as in HM and
@@ -47,22 +47,55 @@ def quantize(coeff, qp: int, size: int, bitdepth: int = 8,
         offset = jnp.where(intra, 171, 85).astype(jnp.int32) << (qbits - 9)
         offset = offset[..., None, None]
     # int32-safe: |coeff| <= 32767 (transform output fits int16), so
-    # |coeff|*scale + offset < 2^31.
+    # |coeff|*scale + offset < 2^31.  With a scaling list, qc is the
+    # per-position (N, N) table (scale<<4)//m (m >= 8 keeps the
+    # product in range; see ops/scaling.py) — either a single table or
+    # (qc_intra, qc_inter) selected by the `intra` mask.
     c = coeff.astype(jnp.int32)
+    if qc is not None:
+        if isinstance(qc, tuple):
+            if isinstance(intra, bool):
+                scale = qc[0] if intra else qc[1]
+            else:
+                scale = jnp.where(intra[..., None, None], qc[0], qc[1])
+        else:
+            scale = qc
     level = (jnp.abs(c) * scale + offset) >> qbits
     level = jnp.clip(level, 0, 32767)
     return jnp.where(c < 0, -level, level).astype(jnp.int32)
 
 
-def dequantize(level, qp: int, size: int, bitdepth: int = 8):
-    """Spec 8.6.3 scaling with flat scaling list m=16."""
+def dequantize(level, qp: int, size: int, bitdepth: int = 8,
+               dqc=None, intra=None):
+    """Spec 8.6.3 scaling.  Flat list by default; with a scaling list
+    pass dqc = per-position inv_scale*m table ((N, N) or an
+    (dqc_intra, dqc_inter) pair selected by the `intra` mask), using
+    the reference's integer schedule (kvz_dequant scaling branch,
+    src/strategies/generic/quant-generic.c:290)."""
     log2n = size.bit_length() - 1
     _, _, inv_scale, shift = quant_params(qp, log2n, bitdepth)
+    l = level.astype(jnp.int32)
+    if dqc is not None:
+        if isinstance(dqc, tuple):
+            if intra is None or isinstance(intra, bool):
+                m = dqc[0] if (intra is None or intra) else dqc[1]
+            else:
+                m = jnp.where(intra[..., None, None], dqc[0], dqc[1])
+        else:
+            m = dqc
+        # Reference base shift = bd + log2n - 9; its scaling-list
+        # branch adds 4, which equals our quant_params `shift`
+        # (bd + log2n - 5).  dqc <= 72*255 so l*dqc < 2^31.
+        sh = shift - qp // 6
+        if sh > 0:
+            d = (l * m + (1 << (sh - 1))) >> sh
+        else:
+            d = jnp.clip(l * m, -32768, 32767) << (-sh)
+        return jnp.clip(d, -32768, 32767).astype(jnp.int32)
     # Spec computes ((level*16*levScale << qp/6) + 1<<(shift-1)) >> shift;
     # folding the *16 into the shift keeps everything int32-safe:
     # |level|*levScale<<8 <= 32767*72*256 < 2^31.  shift >= 5 always
     # (bitdepth >= 8, log2n >= 2), so shift-4 >= 1.
-    l = level.astype(jnp.int32)
     d = (l * (inv_scale << (qp // 6)) + (1 << (shift - 5))) >> (shift - 4)
     return jnp.clip(d, -32768, 32767).astype(jnp.int32)
 
