@@ -64,7 +64,8 @@ class Encoder:
         # Low-delay multi-reference state (lp-g#d#t# GOPs and/or
         # --ref N): POC-keyed DPB + the per-position structure table.
         self._lp_table = None
-        self._multi = cfg.lp_gop is not None or cfg.ref_frames > 1
+        self._multi = (cfg.lp_gop is not None or cfg.ref_frames > 1
+                       or cfg.tmvp)
         if cfg.lp_gop is not None:
             from kvazaar_tpu.config import lp_gop_table
             g, d, t = cfg.lp_gop
@@ -226,6 +227,7 @@ class Encoder:
             self._last_idr = self._poc
             if self._multi:
                 self._dpb_ld = {0: enc._dpb}
+                self._motion_ld = {0: None}
         elif self._multi:
             rel = self._poc - getattr(self, "_last_idr", 0)
             pat = self._lp_pattern(rel)
@@ -250,9 +252,23 @@ class Encoder:
             if pat["qp_offset"] and self._rc is None:
                 enc = self._encoder_for_qp(self.cfg.qp
                                            + pat["qp_offset"])
+            tctx = None
+            if self.cfg.tmvp:
+                tctx = getattr(self, "_motion_ld", {}).get(
+                    rel - deltas[0])
             res, rec_planes = enc.encode_p_frame_multi(
-                y, cb, cr, poc=rel, refs=refs, retained=retained)
+                y, cb, cr, poc=rel, refs=refs, retained=retained,
+                tctx=tctx)
             self._dpb_ld[rel] = rec_planes
+            if self.cfg.tmvp:
+                from kvazaar_tpu.bitstream.decoder import _motion_of
+                if not hasattr(self, "_motion_ld"):
+                    self._motion_ld = {}
+                self._motion_ld[rel] = _motion_of(
+                    res.frame_data, enc.params, rel, deltas)
+                self._motion_ld = {
+                    p: v for p, v in self._motion_ld.items()
+                    if p == rel or p in needed}
             self._dpb_ld = {p: v for p, v in self._dpb_ld.items()
                             if p == rel or p in needed}
         else:

@@ -56,6 +56,7 @@ def parse_slice_header(r: BitReader, p: StreamParams, nal_type: int):
     poc = 0
     ref_deltas = [1]
     ref_poc_diff_l1 = 0
+    tmvp = False
     if nal_type not in (19, 20):
         poc = r.u(p.log2_max_poc_lsb)
         assert r.u(1) == 0        # short_term_ref_pic_set_sps_flag
@@ -71,6 +72,8 @@ def parse_slice_header(r: BitReader, p: StreamParams, nal_type: int):
         if pos:
             ref_poc_diff_l1 = r.ue() + 1
             r.u(1)                # used_by_curr_pic_s1_flag
+        if p.tmvp_enabled:
+            tmvp = r.u(1) == 1    # slice_temporal_mvp_enabled_flag
     if p.sao_enabled:
         r.u(1)
         if p.chroma_format_idc:
@@ -84,6 +87,11 @@ def parse_slice_header(r: BitReader, p: StreamParams, nal_type: int):
                 assert r.ue() == 0
         if slice_type == 0:       # B
             r.u(1)                # mvd_l1_zero_flag
+        if tmvp:
+            if slice_type == 0:
+                r.u(1)            # collocated_from_l0_flag
+            if nref_l0 > 1:
+                assert r.ue() == 0   # collocated_ref_idx
         r.ue()                    # five_minus_max_num_merge_cand
     qp = p.qp + r.se()
     if p.sao_enabled or p.deblock_enabled:
@@ -97,12 +105,14 @@ def parse_slice_header(r: BitReader, p: StreamParams, nal_type: int):
     assert r.bit() == 1           # byte alignment bit
     r.byte_align()
     ref_deltas = ref_deltas[:nref_l0] if slice_type != 2 else ref_deltas
-    return slice_type, qp, poc, ref_deltas, ref_poc_diff_l1, entries
+    return (slice_type, qp, poc, ref_deltas, ref_poc_diff_l1, entries,
+            tmvp)
 
 
 def parse_slice_header_i(r: BitReader, p: StreamParams):
     """Back-compat wrapper: (QP, entry offsets) of an IDR I slice."""
-    st, qp, _poc, _rpd, _rpd1, entries = parse_slice_header(r, p, 19)
+    st, qp, _poc, _rpd, _rpd1, entries, _t = parse_slice_header(r, p,
+                                                                19)
     assert st == 2
     return qp, entries
 
@@ -114,13 +124,15 @@ def decode_stream(stream: bytes, params: StreamParams):
     from kvazaar_tpu.constants import SLICE_B, SLICE_P
     frames = []
     dpb = {}
+    col_motion = {}    # poc -> collocated motion grids (TMVP source)
     for nal_type, _tid, rbsp in split_annexb(stream):
         if nal_type in (0, 1, 19, 20):   # TRAIL or IDR slices
             r = BitReader(rbsp)
-            (slice_type, qp, poc, rpd, rpd1,
-             entries) = parse_slice_header(r, params, nal_type)
+            (slice_type, qp, poc, rpd, rpd1, entries,
+             tmvp) = parse_slice_header(r, params, nal_type)
             if nal_type in (19, 20):
                 dpb.clear()
+                col_motion.clear()
                 poc = 0
             chroma = params.chroma_format_idc != 0
             fd = FrameData.empty(params.width, params.height, chroma)
@@ -139,9 +151,16 @@ def decode_stream(stream: bytes, params: StreamParams):
             else:
                 dec.decode_slice_data()
             if slice_type == 2:
+                col_motion[poc] = None
                 recon = reconstruct_parsed(fd, params, qp)
             elif slice_type == SLICE_P:
-                reconstruct_mvs(fd, params, poc, rpd)
+                tctx = None
+                if tmvp and col_motion.get(poc - rpd[0]) is not None:
+                    tctx = dict(col_motion[poc - rpd[0]],
+                                cur_poc=poc, w=params.width,
+                                h=params.height)
+                reconstruct_mvs(fd, params, poc, rpd, tctx=tctx)
+                col_motion[poc] = _motion_of(fd, params, poc, rpd)
                 refs = [dpb[poc - d] for d in rpd]
                 recon = reconstruct_parsed_p(
                     fd, params, qp,
@@ -177,8 +196,25 @@ def decode_stream(stream: bytes, params: StreamParams):
     return frames
 
 
+def _motion_of(fd: FrameData, params: StreamParams, poc: int,
+               ref_deltas):
+    """Collocated-motion grids of a decoded P frame, for TMVP in later
+    pictures (the decoder-side analogue of the cu_array the reference
+    keeps per reference picture, src/inter.c:746)."""
+    depth = int(fd.depth8[0, 0])
+    s = params.ctu_size >> depth
+    c8 = s // 8
+    inter_map = fd.inter8[::c8, ::c8].astype(bool)
+    mv = fd.mv8[::c8, ::c8].astype(np.int32)
+    refg = fd.ref8[::c8, ::c8].astype(np.int32)
+    ref_pocs = np.array([poc - d for d in ref_deltas], np.int32)
+    refpoc = ref_pocs[np.clip(refg, 0, len(ref_deltas) - 1)]
+    return dict(poc=poc, cu=s, inter=inter_map, mv=mv, refpoc=refpoc)
+
+
 def reconstruct_mvs(fd: FrameData, params: StreamParams,
-                    poc: int = None, ref_deltas=None) -> None:
+                    poc: int = None, ref_deltas=None,
+                    tctx=None) -> None:
     """Sequential decode-order MV reconstruction for a P frame
     (8.5.3.2): merge index → candidate list, or AMVP + mvd.  With
     multiple L0 references (`ref_deltas` longer than 1) candidates
@@ -196,12 +232,15 @@ def reconstruct_mvs(fd: FrameData, params: StreamParams,
     by, bx = plan.blocks_y, plan.blocks_x
     inter_map = fd.inter8[::c8, ::c8].astype(bool)
     mv = np.zeros((by, bx, 2), np.int32)
-    multi = ref_deltas is not None and len(ref_deltas) > 1
+    multi = (ref_deltas is not None and len(ref_deltas) > 1) \
+        or tctx is not None
     nref = len(ref_deltas) if ref_deltas else 1
     refg = np.zeros((by, bx), np.int32)
     if multi:
         refg[:] = fd.ref8[::c8, ::c8]
         ref_pocs = [poc - d for d in ref_deltas]
+        if tctx is not None:
+            tctx = dict(tctx, cur_poc=poc)
     order = np.argsort(
         (plan.step_of_block.astype(np.int64) * (by * bx)
          + np.arange(by * bx).reshape(by, bx)).ravel(), kind="stable")
@@ -224,7 +263,9 @@ def reconstruct_mvs(fd: FrameData, params: StreamParams,
             continue
         if midx >= 0:
             cands = merge_list_p_multiref_at(inter_map, refg, mv,
-                                             plan.avail, y, x, nref)
+                                             plan.avail, y, x, nref,
+                                             tctx=tctx,
+                                             ref_pocs=ref_pocs, cu=s)
             r, v = cands[midx]
             refg[y, x] = r
             mv[y, x] = v
@@ -232,7 +273,7 @@ def reconstruct_mvs(fd: FrameData, params: StreamParams,
             r = int(refg[y, x])
             pair = amvp_pair_p_multiref_at(inter_map, refg, mv,
                                            plan.avail, y, x, r, poc,
-                                           ref_pocs)
+                                           ref_pocs, tctx=tctx, cu=s)
             mvp = pair[int(fd.mvp8[y * c8, x * c8])]
             mv[y, x] = (mvp[0] + fd.mvd8[y * c8, x * c8][0],
                         mvp[1] + fd.mvd8[y * c8, x * c8][1])

@@ -49,6 +49,7 @@ class StreamParams:
     # scaling_list_data()), 2 = default lists (data_present = 0).
     scaling_list_mode: int = 0
     scaling_custom: tuple = None     # (base matrices dict, dc dict)
+    tmvp_enabled: bool = False       # sps_temporal_mvp_enabled_flag
 
     @property
     def ctu_size(self) -> int:
@@ -156,7 +157,7 @@ def write_sps(p: StreamParams) -> bytes:
     w.u(0, 1)               # pcm_enabled_flag
     w.ue(0)                 # num_short_term_ref_pic_sets
     w.u(0, 1)               # long_term_ref_pics_present_flag
-    w.u(0, 1)               # sps_temporal_mvp_enabled_flag
+    w.u(1 if p.tmvp_enabled else 0, 1)  # sps_temporal_mvp_enabled
     w.u(1 if p.strong_intra_smoothing else 0, 1)
     w.u(0, 1)               # vui_parameters_present_flag
     w.u(0, 1)               # sps_extension_present_flag
@@ -207,6 +208,7 @@ def write_slice_header(w: BitWriter, p: StreamParams, slice_type: int,
                        nal_type: int, slice_qp: int, poc: int = 0,
                        ref_poc_diff: int = 1, ref_poc_diff_l1=None,
                        ref_list_l0=None, retained_l0=(),
+                       tmvp: bool = False,
                        num_entry_points: int = 0,
                        entry_point_offsets=()) -> None:
     """Write the slice segment header into `w` (caller then byte-aligns
@@ -244,6 +246,8 @@ def write_slice_header(w: BitWriter, p: StreamParams, slice_type: int,
         if ref_poc_diff_l1:
             w.ue(ref_poc_diff_l1 - 1)   # delta_poc_s1_minus1[0]
             w.u(1, 1)       # used_by_curr_pic_s1_flag[0]
+        if p.tmvp_enabled:
+            w.u(1 if tmvp else 0, 1)  # slice_temporal_mvp_enabled
     if p.sao_enabled:
         w.u(1, 1)           # slice_sao_luma_flag
         w.u(1 if p.chroma_format_idc else 0, 1)
@@ -256,9 +260,16 @@ def write_slice_header(w: BitWriter, p: StreamParams, slice_type: int,
                 w.ue(0)     # num_ref_idx_l1_active_minus1
         else:
             w.u(0, 1)       # num_ref_idx_active_override_flag
-        # (lists_modification absent: PPS flag 0; no temporal MVP)
+        # (lists_modification absent: PPS flag 0)
         if slice_type == SLICE_B:
             w.u(0, 1)       # mvd_l1_zero_flag
+        if tmvp:
+            # P: collocated_from_l0 inferred 1; idx present when more
+            # than one active L0 ref (7.3.6.1).
+            if slice_type == SLICE_B:
+                w.u(1, 1)   # collocated_from_l0_flag
+            if len(ref_list_l0) > 1:
+                w.ue(0)     # collocated_ref_idx
         w.ue(0)             # five_minus_max_num_merge_cand → 5
     w.se(slice_qp - p.qp)   # slice_qp_delta (relative to PPS init QP)
     if p.sao_enabled or p.deblock_enabled:

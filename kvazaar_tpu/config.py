@@ -54,6 +54,9 @@ class Config:
     # Motion estimation.
     me_range: int = 16         # full-search window radius (TPU: exhaustive)
     me_subpel: bool = True
+    # Temporal MVP (sps_temporal_mvp_enabled_flag; reference --mv-constraint
+    # era default on).  Implemented for low-delay P slices.
+    tmvp: bool = False
 
     # Rate control (0 = fixed QP).
     bitrate: int = 0
@@ -99,6 +102,10 @@ class Config:
             raise ValueError("multiple references are implemented for "
                              "low-delay structures only (B pyramids "
                              "use one ref per list)")
+        if self.tmvp and self.gop_len > 1:
+            raise ValueError("TMVP is implemented for low-delay "
+                             "structures only (B slices signal it "
+                             "off)")
         if self.lp_gop is not None:
             g, d, t = self.lp_gop
             if not (1 <= g <= 8 and 1 <= d <= 4 and 1 <= t <= 8):

@@ -167,7 +167,7 @@ class PFrameMixin:
         return self._p_multi_cache[nref]
 
     def encode_p_frame_multi(self, y, cb=None, cr=None, poc: int = 1,
-                             refs=None, retained=()):
+                             refs=None, retained=(), tctx=None):
         """P frame against multiple L0 references.
 
         refs: [(ref_poc, (y, cb, cr) device planes), ...] in L0 order
@@ -178,6 +178,9 @@ class PFrameMixin:
         (src/encoderstate.c:990)."""
         from kvazaar_tpu.encoder.inter_cands import (
             amvp_pair_p_multiref_at, merge_list_p_multiref_at)
+        if tctx is not None:
+            tctx = dict(tctx, cur_poc=poc, w=self.coded_w,
+                        h=self.coded_h)
         s = self.cu
         yp = jnp.asarray(pad_to_multiple(np.asarray(y, np.int32), s))
         cbp = crp = None
@@ -219,13 +222,14 @@ class PFrameMixin:
             mine = (int(ref_sel[yy, xx]),
                     (int(mv[yy, xx, 0]), int(mv[yy, xx, 1])))
             mlist = merge_list_p_multiref_at(
-                inter_map, ref_sel, mv, self.plan.avail, yy, xx, nref)
+                inter_map, ref_sel, mv, self.plan.avail, yy, xx, nref,
+                tctx=tctx, ref_pocs=ref_pocs, cu=s)
             if mine in mlist:
                 merge_idx[yy, xx] = mlist.index(mine)
                 continue
             pair = amvp_pair_p_multiref_at(
                 inter_map, ref_sel, mv, self.plan.avail, yy, xx,
-                int(ref_sel[yy, xx]), poc, ref_pocs)
+                int(ref_sel[yy, xx]), poc, ref_pocs, tctx=tctx, cu=s)
             d0 = sum(abs(int(mv[yy, xx, k]) - pair[0][k])
                      for k in range(2))
             d1 = sum(abs(int(mv[yy, xx, k]) - pair[1][k])
@@ -250,7 +254,8 @@ class PFrameMixin:
         deltas = [poc - rp for rp in ref_pocs]
         nal = self._serialize_p(fd, poc, deltas[0],
                                 ref_list_l0=deltas,
-                                retained_l0=retained)
+                                retained_l0=retained,
+                                tmvp=self.cfg.tmvp)
         if self.cfg.hash in ("md5", "checksum"):
             from kvazaar_tpu.bitstream.headers import \
                 write_picture_hash_sei
@@ -686,7 +691,7 @@ class PFrameMixin:
         return nal_unit(w.get_bytes() + data, NAL_TRAIL_R)
 
     def _serialize_p(self, fd, poc, ref_poc_diff, ref_list_l0=None,
-                     retained_l0=()):
+                     retained_l0=(), tmvp: bool = False):
         nref = 1 if ref_list_l0 is None else len(ref_list_l0)
         if _NATIVE_OK and not self.params.transquant_bypass \
                 and nref == 1:
@@ -709,7 +714,7 @@ class PFrameMixin:
                            self.cfg.qp, poc=poc,
                            ref_poc_diff=ref_poc_diff,
                            ref_list_l0=ref_list_l0,
-                           retained_l0=retained_l0,
+                           retained_l0=retained_l0, tmvp=tmvp,
                            num_entry_points=max(len(sizes) - 1, 0),
                            entry_point_offsets=sizes[:-1])
         return nal_unit(w.get_bytes() + data, NAL_TRAIL_R)
@@ -761,7 +766,8 @@ class IntraFrameEncoder(PFrameMixin):
             conf_win=(0, self.coded_w - cfg.width, 0,
                       self.coded_h - cfg.height),
             scaling_list_mode=_sl_mode,
-            scaling_custom=_sl_custom)
+            scaling_custom=_sl_custom,
+            tmvp_enabled=cfg.tmvp)
         self.qp_c = chroma_qp(cfg.qp)
         lam = qp_to_lambda(cfg.qp)
         self.lambda_satd = math.sqrt(lam)

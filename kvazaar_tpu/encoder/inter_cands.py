@@ -338,12 +338,54 @@ def amvp_pair_at(inter_map, mv, avail, by, bx):
     return out
 
 
+def temporal_candidate_at(tctx, x0: int, y0: int, s: int,
+                          tgt_poc: int):
+    """Scaled temporal MV candidate (8.5.3.2.8) or None.
+
+    tctx: dict with the collocated picture's motion — poc, cu (its CU
+    grid size), inter (By, Bx), mv (By, Bx, 2), refpoc (By, Bx), plus
+    the current picture's poc and coded w/h.  Sampling at 16-aligned
+    positions, H (bottom-right, unavailable on a CTU-row boundary)
+    with C3 (center) fallback — the reference's
+    get_temporal_merge_candidates (src/inter.c:713-780) +
+    add_temporal_candidate scaling (src/inter.c:1001-1062)."""
+    if tctx is None or tctx.get("inter") is None:
+        return None
+    cs = tctx["cu"]
+    poc = tctx["cur_poc"]
+
+    def sample(x, y):
+        if x >= tctx["w"] or y >= tctx["h"]:
+            return None
+        cyy = ((y >> 4) << 4) // cs
+        cxx = ((x >> 4) << 4) // cs
+        if not tctx["inter"][cyy, cxx]:
+            return None
+        v = (int(tctx["mv"][cyy, cxx, 0]),
+             int(tctx["mv"][cyy, cxx, 1]))
+        td = tctx["poc"] - int(tctx["refpoc"][cyy, cxx])
+        tb = poc - tgt_poc
+        if td == 0:
+            return None
+        return v if td == tb else _mv_scale(v, tb, td)
+
+    xbr, ybr = x0 + s, y0 + s
+    if xbr < tctx["w"] and ybr < tctx["h"] and ybr % 64 != 0:
+        r = sample(xbr, ybr)
+        if r is not None:
+            return r
+    return sample(x0 + s // 2, y0 + s // 2)
+
+
 def merge_list_p_multiref_at(inter_map, refs, mv, avail, by, bx,
-                             nref: int):
+                             nref: int, tctx=None, ref_pocs=None,
+                             cu: int = 0):
     """Scalar P merge list with multiple L0 references: 5 tuples
     (ref_idx, (mx, my)).  Spatial candidates carry the neighbor's
-    (ref_idx, mv); zero candidates cycle ref_idx 0..nref-1
-    (8.5.3.2.5).  Shared by encoder decision and oracle decoder."""
+    (ref_idx, mv); then the temporal candidate (target refIdx 0,
+    8.5.3.2.3 step 10) when TMVP is on; zero candidates cycle
+    ref_idx 0..nref-1 (8.5.3.2.5).  Shared by encoder decision and
+    oracle decoder."""
 
     def nbr(pos):
         if not avail[by, bx, pos]:
@@ -371,6 +413,11 @@ def merge_list_p_multiref_at(inter_map, refs, mv, avail, by, bx,
         out.append(a0)
     if len(out) < 4 and b2 is not None and b2 != a1 and b2 != b1:
         out.append(b2)
+    if tctx is not None and len(out) < MAX_MERGE_CANDS:
+        t = temporal_candidate_at(tctx, bx * cu, by * cu, cu,
+                                  ref_pocs[0])
+        if t is not None:
+            out.append((0, t))
     zero_idx = 0
     while len(out) < MAX_MERGE_CANDS:
         r = zero_idx if zero_idx < nref else 0
@@ -380,7 +427,8 @@ def merge_list_p_multiref_at(inter_map, refs, mv, avail, by, bx,
 
 
 def amvp_pair_p_multiref_at(inter_map, refs, mv, avail, by, bx,
-                            tgt_ref: int, poc: int, ref_pocs):
+                            tgt_ref: int, poc: int, ref_pocs,
+                            tctx=None, cu: int = 0):
     """AMVP pair for one PU of a P slice with multiple L0 references
     (8.5.3.2.6/8.5.3.2.7 restricted to one list, TMVP off): same-ref
     neighbors first, then POC-scaled; isScaledFlag re-derivation when
@@ -438,6 +486,12 @@ def amvp_pair_p_multiref_at(inter_map, refs, mv, avail, by, bx,
         out.append(a)
     if b is not None and (a is None or b != a):
         out.append(b)
+    # Temporal candidate when fewer than 2 spatial ones (8.5.3.2.6
+    # step 8 — appended without dedup against the spatial entries).
+    if tctx is not None and len(out) < 2:
+        t = temporal_candidate_at(tctx, bx * cu, by * cu, cu, tgt_poc)
+        if t is not None:
+            out.append(t)
     while len(out) < 2:
         out.append((0, 0))
     return out
