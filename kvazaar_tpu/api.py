@@ -301,6 +301,173 @@ class Encoder:
         self._poc += 1
         return chunks, info, (rec_y, rec_cb, rec_cr)
 
+    def _stream_info(self, res, poc, qp, is_intra, shape):
+        """FrameInfo from device-computed SSEs (no pixel transfer);
+        reference reports the same per-frame PSNR triple
+        (src/encmain.c:570-640)."""
+        import math
+        h, w = shape
+        peak = (1 << self.cfg.input_bitdepth) - 1
+
+        def p(sse, npix):
+            if sse is None:
+                return 0.0
+            return (10.0 * math.log10(peak * peak * npix
+                                      / sse) if sse > 0 else 999.99)
+        sse = res.sse or (None, None, None)
+        return FrameInfo(
+            poc=poc, qp=qp,
+            nal_type=NAL_IDR_W_RADL if is_intra else 1,
+            slice_type=SLICE_I if is_intra else 1,
+            bits=len(res.nals) * 8,
+            psnr_y=p(sse[0], h * w),
+            psnr_u=p(sse[1], h * w // 4), psnr_v=p(sse[2], h * w // 4))
+
+    def can_pipeline(self) -> bool:
+        """True when the config takes the overlapped submit/download/
+        finalize path in encode_stream (no cross-frame host
+        dependencies)."""
+        if self.cfg.intra_period == 1:
+            # Batched all-intra pipeline: SAO is applied inside
+            # finalize; only variable-CU trees (per-frame schedules)
+            # and RC (per-frame QP) force the scalar path.
+            return (self._rc is None
+                    and self.cfg.intra_min_cu == self.cfg.intra_max_cu)
+        return (not self._gop and self._rc is None and not self._multi
+                and not self.cfg.sao)
+
+    def encode_stream(self, frames, need_recon: bool = False):
+        """Pipelined streaming encode over an iterable of (y, cb, cr)
+        frames.  Yields (annexb_bytes, FrameInfo, recon) in order;
+        recon is (None, None, None) unless need_recon or the config
+        requires pixels (picture-hash SEI).
+
+        For plain low-delay IPPP configs the three stages — device
+        compute (async dispatch), tunnel download (worker thread), and
+        host CABAC — overlap across consecutive frames, the TPU
+        recasting of the reference's OWF frame pipelining
+        (src/encoderstate.c:1259).  GOP / rate-control / multi-ref /
+        SAO configs fall back to the per-frame path."""
+        if not self.can_pipeline():
+            for f in frames:
+                for chunks, info, rec in self.encode(*f):
+                    yield chunks, info, rec
+            for chunks, info, rec in self.flush():
+                yield chunks, info, rec
+            return
+        import queue as _q
+        import threading
+        ife = self._intra
+        want_pixels = need_recon or self.cfg.hash != "none"
+        dlq: "_q.Queue" = _q.Queue(maxsize=2)
+        outq: "_q.Queue" = _q.Queue()
+
+        def downloader():
+            while True:
+                item = dlq.get()
+                if item is None:
+                    return
+                kind, handle, meta = item
+                if kind == "i":
+                    dl = ife.download_frames(handle)
+                    if want_pixels:
+                        dl = dl[:3] + (tuple(
+                            None if r is None else np.asarray(r)
+                            for r in dl[3]),) + dl[4:]
+                else:
+                    dl = ife.download_p(handle)
+                    if want_pixels:
+                        dl = dl[:2] + (tuple(
+                            None if r is None else np.asarray(r)
+                            for r in dl[2]),)
+                outq.put((kind, dl, meta))
+
+        th = threading.Thread(target=downloader)
+        th.start()
+        period = self.cfg.intra_period
+        inflight = 0
+        dpb = None
+
+        def emit(res, poc, rel, shape):
+            chunks = b""
+            if not self._wrote_headers:
+                chunks += self.headers()
+                self._wrote_headers = True
+            h, w = shape
+            rec = (None, None, None)
+            if want_pixels and res.recon_y is not None:
+                rec = (res.recon_y[:h, :w],
+                       None if res.recon_cb is None
+                       else res.recon_cb[:h // 2, :w // 2],
+                       None if res.recon_cr is None
+                       else res.recon_cr[:h // 2, :w // 2])
+            info = self._stream_info(res, poc, self.cfg.qp,
+                                     rel == 0, shape)
+            return chunks + res.nals, info, rec
+
+        def finalize_batch():
+            kind, dl, meta = outq.get()
+            if kind == "i":
+                results = ife.finalize_downloaded(
+                    dl, need_recon=want_pixels)
+                return [emit(res, poc, rel, shape)
+                        for res, (poc, rel, shape)
+                        in zip(results, meta)]
+            (poc, rel, shape), = meta
+            res, recs = ife.finalize_p_downloaded(
+                dl, poc=rel, ref_pocs=[rel - 1], multi=False,
+                need_recon=want_pixels)
+            ife._dpb = recs
+            return [emit(res, poc, rel, shape)]
+
+        batch_n = 8 if period == 1 else 1
+        batch = []
+
+        def submit_batch():
+            nonlocal dpb, inflight
+            metas = []
+            for (y, cb, cr) in batch:
+                rel = self._poc - getattr(self, "_last_idr", 0)
+                metas.append((self._poc, rel, y.shape))
+                self._poc += 1
+            if len(batch) == 1 and metas[0][1] > 0:
+                handle = ife.submit_p(*batch[0],
+                                      [(metas[0][1] - 1, dpb)])
+                dpb = handle[2]
+                kind = "p"
+            else:
+                handle = ife.submit_frames(batch)
+                recs = handle[1][2]
+                dpb = (recs[0][-1],
+                       recs[1][-1] if ife.chroma else None,
+                       recs[2][-1] if ife.chroma else None)
+                kind = "i"
+            dlq.put((kind, handle, metas))
+            batch.clear()
+            inflight += 1
+
+        try:
+            for f in frames:
+                if (self._poc == 0
+                        or (period > 1 and self._poc % period == 0)):
+                    self._last_idr = self._poc
+                batch.append(f)
+                if len(batch) == batch_n:
+                    submit_batch()
+                    if inflight >= 2:
+                        for r in finalize_batch():
+                            yield r
+                        inflight -= 1
+            if batch:
+                submit_batch()
+            while inflight:
+                for r in finalize_batch():
+                    yield r
+                inflight -= 1
+        finally:
+            dlq.put(None)
+            th.join()
+
     def encode_many(self, frames):
         """Encode a batch of frames through one vmapped device program
         (all-intra frames are independent).  Returns a list of

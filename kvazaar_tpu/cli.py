@@ -94,11 +94,11 @@ def main(argv=None) -> int:
                           f"V {info.psnr_v:.4f}", file=sys.stderr)
                 n += 1
 
-        for y, cb, cr in read_frames(args.input, w, h,
-                                     args.input_bitdepth, chroma,
-                                     args.frames):
-            handle(enc.encode(y, cb, cr))
-        handle(enc.flush())
+        src = read_frames(args.input, w, h, args.input_bitdepth,
+                          chroma, args.frames)
+        for result in enc.encode_stream(src,
+                                        need_recon=dbg is not None):
+            handle([result])
     if dbg:
         dbg.close()
     dt = time.time() - t0

@@ -98,6 +98,10 @@ class Config:
             raise ValueError("transform_skip is not implemented yet")
         if not 1 <= self.ref_frames <= 4:
             raise ValueError("ref_frames must be in [1, 4]")
+        if not 1 <= self.me_range <= 64:
+            raise ValueError("me_range must be in [1, 64] (the MC "
+                             "phase-plane extension covers 64+tap "
+                             "overreach)")
         if self.ref_frames > 1 and self.gop_len > 1:
             raise ValueError("multiple references are implemented for "
                              "low-delay structures only (B pyramids "

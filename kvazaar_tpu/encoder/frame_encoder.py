@@ -85,28 +85,34 @@ class PFrameMixin:
 
     def _setup_p(self):
         self.lambda_me = self.lambda_satd
-        self._device_search_p = jax.jit(self._search_p_impl)
-        self._device_recon_p = jax.jit(self._recon_p_impl)
         self._device_search_b = jax.jit(self._search_b_impl)
         self._device_recon_b = jax.jit(self._recon_b_impl)
-        self._p_multi_cache = {}   # R -> (search_fn, recon_fn)
+        self._p_fused_cache = {}   # R -> fused jit
 
-    def _p_multi_fns(self, nref: int):
-        """Jitted multi-ref search/recon, shape-specialized per ref
-        count (the reference's per-ref search loop,
-        src/search_inter.c:1134, unrolled into one device program)."""
-        if nref not in self._p_multi_cache:
-            def search(y, refs_y):
+    # ---- Fused single-dispatch P path.  The device->host tunnel costs
+    # ~30 ms per transfer CALL, so the whole P frame (intra+inter
+    # search, decision, MC, reconstruction, deblock) runs as ONE device
+    # program whose host-relevant outputs come back in ONE packed uint8
+    # buffer; reconstruction planes stay on device as the next frame's
+    # reference (the OWF dependency chain, src/encoderstate.c:790,
+    # becomes XLA async dispatch order). ----
+
+    def _p_fused_fns(self, nref: int):
+        if nref not in self._p_fused_cache:
+            def fused(yp, cbp, crp, refs_y, refs_cb, refs_cr):
+                yp = yp.astype(jnp.int32)
+                if cbp is not None:
+                    cbp = cbp.astype(jnp.int32)
+                    crp = crp.astype(jnp.int32)
                 modes, intra_cost = search_frame_modes(
-                    y, self.plan, self.lambda_satd, self.bitdepth,
+                    yp, self.plan, self.lambda_satd, self.bitdepth,
                     two_pass=self.cfg.rd >= 1)
                 mvs, costs = [], []
                 for ri in range(nref):
                     mv_r, c_r = search_inter_frame(
-                        y, refs_y[ri].astype(jnp.int32), self.plan,
+                        yp, refs_y[ri].astype(jnp.int32), self.plan,
                         self.lambda_me, self.cfg.me_range,
                         self.bitdepth, subpel=self.cfg.me_subpel)
-                    # ref_idx_l0 TR bits (idx+1 bins, capped).
                     rb = 0 if nref == 1 else \
                         (ri + 1 if ri < nref - 1 else ri)
                     mvs.append(mv_r)
@@ -117,11 +123,13 @@ class PFrameMixin:
                 idx = jnp.broadcast_to(sel[None, ..., None],
                                        (1,) + sel.shape + (2,))
                 mv = jnp.take_along_axis(mvs, idx, axis=0)[0]
-                return modes, intra_cost, mv, sel, jnp.min(costs,
-                                                           axis=0)
-
-            def recon(y, cb, cr, refs_y, refs_cb, refs_cr, modes, mv,
-                      ref_sel, is_inter):
+                inter_cost = jnp.min(costs, axis=0)
+                # Mode decision on device (slight inter bias covers
+                # un-modeled merge savings, frame_encoder legacy 1.02).
+                inter_map = inter_cost <= intra_cost * 1.02
+                mv = jnp.where(inter_map[..., None], mv,
+                               0).astype(jnp.int32)
+                ref_sel = jnp.where(inter_map, sel, 0)
                 mc_y, mc_cb, mc_cr = mc_planes(
                     refs_y.astype(jnp.int32),
                     None if refs_cb is None else
@@ -131,10 +139,10 @@ class PFrameMixin:
                     mv, self.plan, self.bitdepth, ref_grid=ref_sel)
                 rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr = \
                     reconstruct_frames(
-                        y[None], None if cb is None else cb[None],
-                        None if cr is None else cr[None], modes[None],
-                        self.plan, self.cfg.qp, self.qp_c,
-                        self.bitdepth, is_inter=is_inter[None],
+                        yp[None], None if cbp is None else cbp[None],
+                        None if crp is None else crp[None],
+                        modes[None], self.plan, self.cfg.qp, self.qp_c,
+                        self.bitdepth, is_inter=inter_map[None],
                         mc_y=mc_y[None],
                         mc_cb=None if mc_cb is None else mc_cb[None],
                         mc_cr=None if mc_cr is None else mc_cr[None],
@@ -144,71 +152,196 @@ class PFrameMixin:
                         lam=qp_to_lambda(self.cfg.qp),
                         scaling=self.scaling)
                 rec_y, lv_y = rec_y[0], lv_y[0]
-                if cb is not None:
+                if cbp is not None:
                     rec_cb, lv_cb = rec_cb[0], lv_cb[0]
                     rec_cr, lv_cr = rec_cr[0], lv_cr[0]
                 cbf_blk = jnp.any(lv_y != 0, axis=(-1, -2)).reshape(
                     self.plan.blocks_y, self.plan.blocks_x)
                 if self.cfg.deblock:
-                    bs_v, bs_h = compute_bs_maps(is_inter, cbf_blk, mv,
-                                                 ref=ref_sel)
+                    bs_v, bs_h = compute_bs_maps(inter_map, cbf_blk,
+                                                 mv, ref=ref_sel)
                     dy, dcb, dcr = deblock_frame(
                         rec_y, rec_cb, rec_cr, self.cfg.qp, self.cu,
                         self.bitdepth, bs_v=bs_v, bs_h=bs_h)
-                    rdt = rec_y.dtype
+                    rdt = jnp.uint8 if self.bitdepth <= 8 else \
+                        jnp.uint16
                     rec_y = dy.astype(rdt)
                     if rec_cb is not None:
                         rec_cb = dcb.astype(rdt)
                         rec_cr = dcr.astype(rdt)
-                return rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr
 
-            self._p_multi_cache[nref] = (jax.jit(search),
-                                         jax.jit(recon))
-        return self._p_multi_cache[nref]
+                def sse(a, b):
+                    d = a.astype(jnp.float32) - b.astype(jnp.float32)
+                    return jnp.sum(d * d)
 
-    def encode_p_frame_multi(self, y, cb=None, cr=None, poc: int = 1,
-                             refs=None, retained=(), tctx=None):
-        """P frame against multiple L0 references.
+                sses = jnp.stack(
+                    [sse(rec_y, yp),
+                     sse(rec_cb, cbp) if cbp is not None else
+                     jnp.float32(0),
+                     sse(rec_cr, crp) if crp is not None else
+                     jnp.float32(0)])
+                packed = self._p_pack(lv_y, lv_cb, lv_cr, modes,
+                                      inter_map, ref_sel, mv, sses)
+                return (packed, (lv_y, lv_cb, lv_cr),
+                        (rec_y, rec_cb, rec_cr))
 
-        refs: [(ref_poc, (y, cb, cr) device planes), ...] in L0 order
-        (increasing POC delta); retained: extra POC deltas kept in the
-        DPB for later pictures (signalled in the RPS, unused here).
-        Reference behavior: per-ref search loop
-        (src/search_inter.c:1134) + ref-list RPS emission
-        (src/encoderstate.c:990)."""
-        from kvazaar_tpu.encoder.inter_cands import (
-            amvp_pair_p_multiref_at, merge_list_p_multiref_at)
-        if tctx is not None:
-            tctx = dict(tctx, cur_poc=poc, w=self.coded_w,
-                        h=self.coded_h)
+            self._p_fused_cache[nref] = jax.jit(fused)
+        return self._p_fused_cache[nref]
+
+    def _p_pack(self, lv_y, lv_cb, lv_cr, modes, inter_map, ref_sel,
+                mv, sses):
+        """One transfer buffer: [lv i8 ...][modes u8][inter u8]
+        [ref u8][mv i16][meta: overflow i32, sse f32 x3]."""
+        u8 = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint8)
+        parts = []
+        overflow = jnp.int32(0)
+        for lv in (lv_y, lv_cb, lv_cr):
+            if lv is None:
+                continue
+            l16 = lv.astype(jnp.int16).reshape(-1)
+            overflow = overflow + jnp.sum(
+                (jnp.abs(l16) > 127).astype(jnp.int32))
+            parts.append(u8(jnp.clip(l16, -127, 127).astype(jnp.int8)))
+        parts.append(modes.astype(jnp.uint8).reshape(-1))
+        parts.append(inter_map.astype(jnp.uint8).reshape(-1))
+        parts.append(ref_sel.astype(jnp.uint8).reshape(-1))
+        parts.append(u8(mv.astype(jnp.int16)).reshape(-1))
+        parts.append(u8(overflow[None]).reshape(-1))
+        parts.append(u8(sses).reshape(-1))
+        return jnp.concatenate(parts)
+
+    def _p_unpack(self, buf: np.ndarray):
         s = self.cu
-        yp = jnp.asarray(pad_to_multiple(np.asarray(y, np.int32), s))
+        nb = self.plan.blocks_y * self.plan.blocks_x
+        by, bx = self.plan.blocks_y, self.plan.blocks_x
+        sizes = [nb * s * s]
+        if self.chroma:
+            sizes += [nb * (s // 2) ** 2] * 2
+        sizes += [nb, nb, nb, nb * 4, 4, 12]
+        offs = np.cumsum([0] + sizes)
+        out_lv = []
+        k = 0
+        for _ in range(3 if self.chroma else 1):
+            size = s if k == 0 else s // 2
+            out_lv.append(buf[offs[k]:offs[k + 1]].view(np.int8)
+                          .astype(np.int32).reshape(nb, size, size))
+            k += 1
+        while len(out_lv) < 3:
+            out_lv.append(None)
+        modes = buf[offs[k]:offs[k + 1]].reshape(by, bx)
+        inter_map = buf[offs[k + 1]:offs[k + 2]].reshape(by,
+                                                        bx).astype(bool)
+        ref_sel = buf[offs[k + 2]:offs[k + 3]].reshape(
+            by, bx).astype(np.int32)
+        mv = buf[offs[k + 3]:offs[k + 4]].copy().view(np.int16) \
+            .astype(np.int32).reshape(by, bx, 2)
+        overflow = int(buf[offs[k + 4]:offs[k + 5]].copy()
+                       .view(np.int32)[0])
+        sses = buf[offs[k + 5]:].copy().view(np.float32)
+        return out_lv, modes, inter_map, ref_sel, mv, overflow, sses
+
+    def submit_p(self, y, cb, cr, refs):
+        """Dispatch the fused P program (async).  refs: [(ref_poc,
+        (y, cb, cr) device planes), ...] in L0 order."""
+        s = self.cu
+        sdt = np.uint8 if self.bitdepth <= 8 else np.uint16
+        yp = jnp.asarray(pad_to_multiple(np.asarray(y, sdt), s))
         cbp = crp = None
         if self.chroma:
             cbp = jnp.asarray(
-                pad_to_multiple(np.asarray(cb, np.int32), s // 2))
+                pad_to_multiple(np.asarray(cb, sdt), s // 2))
             crp = jnp.asarray(
-                pad_to_multiple(np.asarray(cr, np.int32), s // 2))
-        nref = len(refs)
-        ref_pocs = [rp for rp, _pl in refs]
+                pad_to_multiple(np.asarray(cr, sdt), s // 2))
         refs_y = jnp.stack([pl[0] for _rp, pl in refs])
         refs_cb = refs_cr = None
         if self.chroma:
             refs_cb = jnp.stack([pl[1] for _rp, pl in refs])
             refs_cr = jnp.stack([pl[2] for _rp, pl in refs])
+        packed, dense, recs = self._p_fused_fns(len(refs))(
+            yp, cbp, crp, refs_y, refs_cb, refs_cr)
+        return packed, dense, recs
 
-        search_fn, recon_fn = self._p_multi_fns(nref)
-        modes, intra_cost, mv, ref_sel, inter_cost = search_fn(
-            yp, refs_y)
-        modes = np.asarray(modes)
-        mv = np.asarray(mv)
-        ref_sel = np.asarray(ref_sel)
-        inter_map = np.asarray(inter_cost) <= \
-            np.asarray(intra_cost) * 1.02
-        mv = np.where(inter_map[..., None], mv, 0).astype(np.int32)
-        ref_sel = np.where(inter_map, ref_sel, 0).astype(np.int32)
+    def download_p(self, handle):
+        """The one device->host transfer (GIL released; call from a
+        worker thread to overlap the next frame's device compute)."""
+        packed, dense, recs = handle
+        return np.asarray(packed), dense, recs
 
-        # Merge / AMVP with ref-aware candidates, decode order.
+    def finalize_p_downloaded(self, downloaded, poc: int, ref_pocs,
+                              retained=(), tctx=None,
+                              need_recon: bool = True,
+                              multi: bool = True):
+        """Host stage: merge/AMVP signalling decisions + CABAC.
+
+        multi: emit the explicit multi-ref RPS / ref-aware candidate
+        derivation (the encode_p_frame_multi contract) even with one
+        active reference; False = the plain IPPP single-ref stream
+        shape."""
+        packed_np, dense, recs = downloaded
+        (lv_y, lv_cb, lv_cr), modes, inter_map, ref_sel, mv, \
+            overflow, sses = self._p_unpack(packed_np)
+        if overflow > 0:
+            lv_y = np.asarray(dense[0]).astype(np.int32)
+            if self.chroma:
+                lv_cb = np.asarray(dense[1]).astype(np.int32)
+                lv_cr = np.asarray(dense[2]).astype(np.int32)
+        nref = len(ref_pocs)
+        if not multi:
+            merge_idx, mvp_idx, mvd = self._merge_amvp_fast(inter_map,
+                                                            mv)
+        else:
+            merge_idx, mvp_idx, mvd = self._merge_amvp_multi(
+                inter_map, ref_sel, mv, nref, poc, ref_pocs, tctx)
+        fd = self._assemble_p_frame_data(
+            modes, inter_map, mv, merge_idx, mvp_idx, mvd, lv_y,
+            lv_cb, lv_cr, ref_sel=ref_sel if multi else None)
+        deltas = [poc - rp for rp in ref_pocs]
+        nal = self._serialize_p(
+            fd, poc, deltas[0],
+            ref_list_l0=deltas if multi else None,
+            retained_l0=retained, tmvp=self.cfg.tmvp)
+        rec_np = (None, None, None)
+        if need_recon or self.cfg.hash in ("md5", "checksum"):
+            rec_np = (np.asarray(recs[0]),
+                      None if recs[1] is None else np.asarray(recs[1]),
+                      None if recs[2] is None else np.asarray(recs[2]))
+        if self.cfg.hash in ("md5", "checksum"):
+            from kvazaar_tpu.bitstream.headers import \
+                write_picture_hash_sei
+            nal += write_picture_hash_sei(rec_np, self.bitdepth,
+                                          kind=self.cfg.hash)
+        res = FrameResult(
+            nals=nal, recon_y=rec_np[0], recon_cb=rec_np[1],
+            recon_cr=rec_np[2], frame_data=fd, bits=len(nal) * 8,
+            sse=tuple(float(v) for v in sses))
+        return res, recs
+
+    def _merge_amvp_fast(self, inter_map, mv):
+        """Vectorized single-ref merge/AMVP signalling decisions (all
+        MVs are final before this runs — no decode-order recurrence)."""
+        mcands = merge_candidates(inter_map, mv, self.plan.avail)
+        eq = np.all(mcands == mv[:, :, None, :], axis=-1)
+        has_merge = eq.any(axis=-1)
+        merge_idx = np.where(has_merge, eq.argmax(axis=-1), -1)
+        acands = amvp_candidates(inter_map, mv, self.plan.avail)
+        d0 = np.abs(mv - acands[:, :, 0]).sum(axis=-1)
+        d1 = np.abs(mv - acands[:, :, 1]).sum(axis=-1)
+        mvp_idx = (d1 < d0).astype(np.uint8)
+        mvd = mv - np.take_along_axis(
+            acands, mvp_idx[..., None, None].astype(np.int64),
+            axis=2)[:, :, 0]
+        return merge_idx, mvp_idx, mvd
+
+    def _merge_amvp_multi(self, inter_map, ref_sel, mv, nref, poc,
+                          ref_pocs, tctx):
+        """Scalar decode-order loop for multi-ref / TMVP candidate
+        lists (shared with the oracle decoder's derivation)."""
+        from kvazaar_tpu.encoder.inter_cands import (
+            amvp_pair_p_multiref_at, merge_list_p_multiref_at)
+        s = self.cu
+        if tctx is not None:
+            tctx = dict(tctx, cur_poc=poc, w=self.coded_w,
+                        h=self.coded_h)
         by, bx = self.plan.blocks_y, self.plan.blocks_x
         merge_idx = np.full((by, bx), -1, np.int32)
         mvp_idx = np.zeros((by, bx), np.uint8)
@@ -238,142 +371,33 @@ class PFrameMixin:
             mvp_idx[yy, xx] = idx
             mvd[yy, xx] = (mv[yy, xx, 0] - pair[idx][0],
                            mv[yy, xx, 1] - pair[idx][1])
+        return merge_idx, mvp_idx, mvd
 
-        rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr = recon_fn(
-            yp, cbp, crp, refs_y, refs_cb, refs_cr,
-            jnp.asarray(modes), jnp.asarray(mv), jnp.asarray(ref_sel),
-            jnp.asarray(inter_map))
+    def encode_p_frame_multi(self, y, cb=None, cr=None, poc: int = 1,
+                             refs=None, retained=(), tctx=None):
+        """P frame against multiple L0 references via the fused
+        single-dispatch path.
 
-        fd = self._assemble_p_frame_data(
-            modes, inter_map, mv, merge_idx, mvp_idx, mvd,
-            np.asarray(lv_y),
-            None if lv_cb is None else np.asarray(lv_cb),
-            None if lv_cr is None else np.asarray(lv_cr),
-            ref_sel=ref_sel)
-
-        deltas = [poc - rp for rp in ref_pocs]
-        nal = self._serialize_p(fd, poc, deltas[0],
-                                ref_list_l0=deltas,
-                                retained_l0=retained,
-                                tmvp=self.cfg.tmvp)
-        if self.cfg.hash in ("md5", "checksum"):
-            from kvazaar_tpu.bitstream.headers import \
-                write_picture_hash_sei
-            nal += write_picture_hash_sei(
-                (np.asarray(rec_y), np.asarray(rec_cb),
-                 np.asarray(rec_cr)), self.bitdepth,
-                kind=self.cfg.hash)
-        return FrameResult(
-            nals=nal, recon_y=np.asarray(rec_y),
-            recon_cb=None if rec_cb is None else np.asarray(rec_cb),
-            recon_cr=None if rec_cr is None else np.asarray(rec_cr),
-            frame_data=fd, bits=len(nal) * 8), (rec_y, rec_cb, rec_cr)
-
-    def _search_p_impl(self, y, ref_y):
-        modes, intra_cost = search_frame_modes(
-            y, self.plan, self.lambda_satd, self.bitdepth,
-            two_pass=self.cfg.rd >= 1)
-        mv, inter_cost = search_inter_frame(
-            y, ref_y.astype(jnp.int32), self.plan, self.lambda_me,
-            self.cfg.me_range, self.bitdepth,
-            subpel=self.cfg.me_subpel)
-        return modes, intra_cost, mv, inter_cost
-
-    def _recon_p_impl(self, y, cb, cr, ref_y, ref_cb, ref_cr, modes, mv,
-                      is_inter):
-        mc_y, mc_cb, mc_cr = mc_planes(
-            ref_y.astype(jnp.int32),
-            None if ref_cb is None else ref_cb.astype(jnp.int32),
-            None if ref_cr is None else ref_cr.astype(jnp.int32),
-            mv, self.plan, self.bitdepth)
-        from kvazaar_tpu.encoder.intra_recon import reconstruct_frames
-        rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr = reconstruct_frames(
-            y[None], None if cb is None else cb[None],
-            None if cr is None else cr[None], modes[None], self.plan,
-            self.cfg.qp, self.qp_c, self.bitdepth,
-            is_inter=is_inter[None], mc_y=mc_y[None],
-            mc_cb=None if mc_cb is None else mc_cb[None],
-            mc_cr=None if mc_cr is None else mc_cr[None],
-            lossless=self.cfg.lossless, signhide=self.cfg.signhide,
-            rdoq=self.cfg.rdoq, lam=qp_to_lambda(self.cfg.qp),
-            scaling=self.scaling)
-        rec_y, lv_y = rec_y[0], lv_y[0]
-        if cb is not None:
-            rec_cb, lv_cb = rec_cb[0], lv_cb[0]
-            rec_cr, lv_cr = rec_cr[0], lv_cr[0]
-        # Deblock with real boundary strengths (device-side: cbf per
-        # block reduced from the block-ordered levels tensor).
-        cbf_blk = jnp.any(lv_y != 0, axis=(-1, -2)).reshape(
-            self.plan.blocks_y, self.plan.blocks_x)
-        dbs = None
-        if self.cfg.deblock:
-            bs_v, bs_h = compute_bs_maps(is_inter, cbf_blk, mv)
-            dy, dcb, dcr = deblock_frame(
-                rec_y, rec_cb, rec_cr, self.cfg.qp, self.cu,
-                self.bitdepth, bs_v=bs_v, bs_h=bs_h)
-            rdt = rec_y.dtype
-            rec_y = dy.astype(rdt)
-            if rec_cb is not None:
-                rec_cb, rec_cr = dcb.astype(rdt), dcr.astype(rdt)
-        return rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr
+        refs: [(ref_poc, (y, cb, cr) device planes), ...] in L0 order
+        (increasing POC delta); retained: extra POC deltas kept in the
+        DPB for later pictures (signalled in the RPS, unused here).
+        Reference behavior: per-ref search loop
+        (src/search_inter.c:1134) + ref-list RPS emission
+        (src/encoderstate.c:990)."""
+        handle = self.submit_p(y, cb, cr, refs)
+        res, recs = self.finalize_p_downloaded(
+            self.download_p(handle), poc, [rp for rp, _pl in refs],
+            retained=retained, tctx=tctx)
+        return res, recs
 
     def encode_p_frame(self, y, cb=None, cr=None, poc: int = 1,
                        ref_poc: int = 0):
-        s = self.cu
-        yp = jnp.asarray(pad_to_multiple(np.asarray(y, np.int32), s))
-        cbp = crp = None
-        if self.chroma:
-            cbp = jnp.asarray(
-                pad_to_multiple(np.asarray(cb, np.int32), s // 2))
-            crp = jnp.asarray(
-                pad_to_multiple(np.asarray(cr, np.int32), s // 2))
-        ref_y, ref_cb, ref_cr = self._dpb
-
-        modes, intra_cost, mv, inter_cost = self._device_search_p(
-            yp, ref_y)
-        modes = np.asarray(modes)
-        mv = np.asarray(mv)
-        # Slight bias toward inter (covers un-modeled merge savings).
-        inter_map = np.asarray(inter_cost) <= np.asarray(intra_cost) * 1.02
-        mv = np.where(inter_map[..., None], mv, 0).astype(np.int32)
-
-        # Merge / AMVP decisions against decode-order candidates.
-        mcands = merge_candidates(inter_map, mv, self.plan.avail)
-        eq = np.all(mcands == mv[:, :, None, :], axis=-1)  # (By,Bx,5)
-        has_merge = eq.any(axis=-1)
-        merge_idx = np.where(has_merge, eq.argmax(axis=-1), -1)
-        acands = amvp_candidates(inter_map, mv, self.plan.avail)
-        d0 = np.abs(mv - acands[:, :, 0]).sum(axis=-1)
-        d1 = np.abs(mv - acands[:, :, 1]).sum(axis=-1)
-        mvp_idx = (d1 < d0).astype(np.uint8)
-        mvd = mv - np.take_along_axis(
-            acands, mvp_idx[..., None, None].astype(np.int64),
-            axis=2)[:, :, 0]
-
-        rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr = self._device_recon_p(
-            yp, cbp, crp, ref_y, ref_cb, ref_cr, jnp.asarray(modes),
-            jnp.asarray(mv), jnp.asarray(inter_map))
-
-        fd = self._assemble_p_frame_data(
-            modes, inter_map, mv, merge_idx, mvp_idx, mvd,
-            np.asarray(lv_y),
-            None if lv_cb is None else np.asarray(lv_cb),
-            None if lv_cr is None else np.asarray(lv_cr))
-
-        nal = self._serialize_p(fd, poc, poc - ref_poc)
-        if self.cfg.hash in ("md5", "checksum"):
-            from kvazaar_tpu.bitstream.headers import \
-                write_picture_hash_sei
-            nal += write_picture_hash_sei(
-                (np.asarray(rec_y), np.asarray(rec_cb),
-                 np.asarray(rec_cr)), self.bitdepth,
-                kind=self.cfg.hash)
-        self._dpb = (rec_y, rec_cb, rec_cr)
-        return FrameResult(
-            nals=nal, recon_y=np.asarray(rec_y),
-            recon_cb=None if rec_cb is None else np.asarray(rec_cb),
-            recon_cr=None if rec_cr is None else np.asarray(rec_cr),
-            frame_data=fd, bits=len(nal) * 8)
+        """Plain IPPP P frame against the DPB via the fused path."""
+        handle = self.submit_p(y, cb, cr, [(ref_poc, self._dpb)])
+        res, recs = self.finalize_p_downloaded(
+            self.download_p(handle), poc, [ref_poc], multi=False)
+        self._dpb = recs
+        return res
 
     def _assemble_p_frame_data(self, modes, inter_map, mv, merge_idx,
                                mvp_idx, mvd, lv_y, lv_cb, lv_cr,

@@ -52,7 +52,16 @@ def search_inter_frame(cur, ref, plan: IntraFramePlan, lambda_satd: float,
     """cur/ref: (H, W) int32 (ref is the deblocked prior recon).
 
     Returns (mv (By, Bx, 2) int32 qpel, cost (By, Bx) f32 —
-    SATD + lambda*mvbits of the winner)."""
+    SATD + lambda*mvbits of the winner).
+
+    TPU shape: whole-plane shifted-diff SAD surfaces reduced with
+    banded matmuls (ops/inter.py sad_surfaces), then a DENSE 7x7
+    quarter-pel SATD grid from one window gather per block
+    (refine_qpel_dense) — a superset of the reference's
+    hexbs + half/quarter refinement candidates evaluated in two fused
+    device passes instead of per-candidate gathers."""
+    from kvazaar_tpu.ops.inter import (QPEL_OFFSETS, refine_qpel_dense,
+                                       sad_surfaces)
     s = plan.cu_size
     by, bx = plan.blocks_y, plan.blocks_x
     n = by * bx
@@ -63,7 +72,8 @@ def search_inter_frame(cur, ref, plan: IntraFramePlan, lambda_satd: float,
     cur_blocks = cur.reshape(by, s, bx, s).transpose(0, 2, 1, 3)
     cur_blocks = cur_blocks.reshape(n, s, s).astype(jnp.int32)
 
-    sads = sad_full_search(cur_blocks, ref, x0s, y0s, r, s)  # (N,2R+1,2R+1)
+    sads = sad_surfaces(cur, ref, r, s, bitdepth)   # (By,Bx,2R+1,2R+1)
+    sads = sads.reshape(n, 2 * r + 1, 2 * r + 1)
 
     # Pass 1: pure-SAD integer winner.
     flat = sads.reshape(n, -1)
@@ -82,28 +92,8 @@ def search_inter_frame(cur, ref, plan: IntraFramePlan, lambda_satd: float,
     idx2 = jnp.argmin(cost.reshape(n, -1), axis=-1)
     dy2 = idx2 // (2 * r + 1) - r
     dx2 = idx2 % (2 * r + 1) - r
-    mv_int = jnp.stack([dx2, dy2], axis=-1) * 4          # (N, 2) qpel
-
-    # Subpel refinement: half then quarter, SATD + rate.
+    mv_int = jnp.stack([dx2, dy2], axis=-1).astype(jnp.int32) * 4
     pred_n = pred.reshape(n, 2)
-
-    def refine(mv_base, step):
-        offs = np.array([(dx, dy) for dy in (-1, 0, 1)
-                         for dx in (-1, 0, 1)], np.int32) * step
-        cands = mv_base[:, None, :] + jnp.asarray(offs)[None]  # (N,9,2)
-        flatc = cands.reshape(n * 9, 2)
-        px = jnp.repeat(x0s, 9)
-        py = jnp.repeat(y0s, 9)
-        preds = mc_luma(ref, px, py, flatc, s, bitdepth)
-        satd = satd8_batch(
-            preds.reshape(n, 9, s, s) - cur_blocks[:, None])
-        rate = _mv_bits_est(cands[..., 0] - pred_n[:, None, 0]) + \
-            _mv_bits_est(cands[..., 1] - pred_n[:, None, 1])
-        c = satd.astype(jnp.float32) + lambda_satd * rate
-        k = jnp.argmin(c, axis=-1)
-        best = jnp.take_along_axis(cands, k[:, None, None], axis=1)[:, 0]
-        bc = jnp.min(c, axis=-1)
-        return best, bc
 
     if not subpel:
         # Integer-pel only (--subme 0): cost = SATD at the int winner.
@@ -113,9 +103,39 @@ def search_inter_frame(cur, ref, plan: IntraFramePlan, lambda_satd: float,
             _mv_bits_est(mv_int[:, 1] - pred_n[:, 1])
         cost_i = satd.astype(jnp.float32) + lambda_satd * rate
         return mv_int.reshape(by, bx, 2), cost_i.reshape(by, bx)
-    mv_h, _ = refine(mv_int, 2)
-    mv_q, cost_q = refine(mv_h, 1)
+
+    satd49 = refine_qpel_dense(cur_blocks, ref, x0s, y0s, mv_int, s,
+                               bitdepth)             # (N, 49)
+    cands = mv_int[:, None, :] + jnp.asarray(QPEL_OFFSETS)[None]
+    rate = _mv_bits_est(cands[..., 0] - pred_n[:, None, 0]) + \
+        _mv_bits_est(cands[..., 1] - pred_n[:, None, 1])
+    c = satd49.astype(jnp.float32) + lambda_satd * rate
+    k = jnp.argmin(c, axis=-1)
+    mv_q = jnp.take_along_axis(cands, k[:, None, None], axis=1)[:, 0]
+    cost_q = jnp.min(c, axis=-1)
     return mv_q.reshape(by, bx, 2), cost_q.reshape(by, bx)
+
+
+_MC_EXTEND = 72            # covers MV overreach for me_range <= 64
+
+
+def _luma_hp_blocks(ref_y, x0s, y0s, mvs, size: int, bitdepth: int = 8,
+                    ridx=None):
+    """14-bit luma MC via precomputed quarter-pel phase planes: 16
+    whole-plane separable interpolations + ONE stacked gather — the
+    fast path for full-frame MC (per-block tap contractions batch
+    poorly on TPU).  Bit-exact vs mc_luma_hp while the MV overreach
+    beyond the frame stays within _MC_EXTEND pixels (config.validate
+    caps me_range at 64)."""
+    from kvazaar_tpu.ops.inter import (luma_phase_planes,
+                                       mc_luma_phases_hp)
+    e = _MC_EXTEND
+    if ref_y.ndim == 3:
+        planes = jax.vmap(
+            lambda p: luma_phase_planes(p, bitdepth, e))(ref_y)
+    else:
+        planes = luma_phase_planes(ref_y, bitdepth, e)
+    return mc_luma_phases_hp(planes, x0s, y0s, mvs, size, e, ridx)
 
 
 def mc_planes_hp(ref_y, ref_cb, ref_cr, mv, plan: IntraFramePlan,
@@ -136,8 +156,8 @@ def mc_planes_hp(ref_y, ref_cb, ref_cr, mv, plan: IntraFramePlan,
         g = blocks.reshape(by, bx, size, size).transpose(0, 2, 1, 3)
         return g.reshape(h, w)
 
-    py = to_plane(mc_luma_hp(ref_y, x0s, y0s, mvs, s, bitdepth), s,
-                  plan.height, plan.width)
+    py = to_plane(_luma_hp_blocks(ref_y, x0s, y0s, mvs, s, bitdepth),
+                  s, plan.height, plan.width)
     if ref_cb is None:
         return py, None, None
     s2 = s // 2
@@ -190,7 +210,9 @@ def mc_planes(ref_y, ref_cb, ref_cr, mv, plan: IntraFramePlan,
     y0s = jnp.asarray((ys * s).reshape(-1))
     mvs = mv.reshape(n, 2)
     ridx = None if ref_grid is None else ref_grid.reshape(n)
-    py = mc_luma(ref_y, x0s, y0s, mvs, s, bitdepth, ridx)
+    from kvazaar_tpu.ops.inter import uni_round
+    py = uni_round(_luma_hp_blocks(ref_y, x0s, y0s, mvs, s, bitdepth,
+                                   ridx), bitdepth)
 
     def blocks_to_plane_j(blocks, size, h, w):
         g = blocks.reshape(by, bx, size, size).transpose(0, 2, 1, 3)

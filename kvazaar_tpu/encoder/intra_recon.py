@@ -270,26 +270,43 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
             tab_cb = tabs(plan.chroma.size, 1, rc_)
             tab_cr = tabs(plan.chroma.size, 2, rc_)
 
+    if inter:
+        ii = is_inter.reshape(b, -1).T[slot_ids]     # (steps, slots, B)
+        my = to_steps(mc_y.astype(jnp.int32), s)
+        if chroma:
+            mcb = to_steps(mc_cb.astype(jnp.int32), s2)
+            mcr = to_steps(mc_cr.astype(jnp.int32), s2)
+
     from kvazaar_tpu.ops import wavefront_pallas as wfp
     if (wfp.supported(plan, bitdepth, lossless, signhide, inter)
             and not rdoq and scaling is None
             and jax.default_backend() == "tpu"):
         # Fused-VMEM kernel path (bit-identical to the scan below).
         k = plan.n_slots
+        ii_fm = mc_fm = None
+        if inter:
+            ii_fm = ii.astype(jnp.int32).reshape(-1, 1, k * b)
+            mc_fm = wfp.to_feature_major(my, s)
         lv_y, r_y = wfp.wavefront_plane_pallas(
             wfp.to_feature_major(oy, s),
             modes_steps.reshape(-1, 1, k * b), plan, s, b, True, qp,
-            bitdepth)
+            bitdepth, ii_fm=ii_fm, mc_fm=mc_fm)
         lv_y = wfp.from_feature_major(lv_y, k, b, s)
         r_y = wfp.from_feature_major(r_y, k, b, s)
         if chroma:
             # cb and cr share geometry/modes/QP: one kernel, 2B batch.
             oc = jnp.concatenate([ocb, ocr], axis=2)
             mc2 = jnp.concatenate([modes_steps, modes_steps], axis=2)
+            ii_fm2 = mc_fm2 = None
+            if inter:
+                ii2 = jnp.concatenate([ii, ii], axis=2)
+                ii_fm2 = ii2.astype(jnp.int32).reshape(-1, 1, k * 2 * b)
+                mc_fm2 = wfp.to_feature_major(
+                    jnp.concatenate([mcb, mcr], axis=2), s2)
             lv_c, r_c = wfp.wavefront_plane_pallas(
                 wfp.to_feature_major(oc, s2),
                 mc2.reshape(-1, 1, k * 2 * b), plan, s2, 2 * b, False,
-                qp_c, bitdepth)
+                qp_c, bitdepth, ii_fm=ii_fm2, mc_fm=mc_fm2)
             lv_c = wfp.from_feature_major(lv_c, k, 2 * b, s2)
             r_c = wfp.from_feature_major(r_c, k, 2 * b, s2)
             outs = (lv_y, (lv_c[:, :, :b], lv_c[:, :, b:]),
@@ -298,12 +315,6 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
                                      chroma=True)
         return _assemble_outputs((lv_y, None, r_y, None), plan, s, None,
                                  b, bitdepth, chroma=False)
-    if inter:
-        ii = is_inter.reshape(b, -1).T[slot_ids]     # (steps, slots, B)
-        my = to_steps(mc_y.astype(jnp.int32), s)
-        if chroma:
-            mcb = to_steps(mc_cb.astype(jnp.int32), s2)
-            mcr = to_steps(mc_cr.astype(jnp.int32), s2)
 
     # Edge-buffer carries: (B, By, W) bottom rows + (B, Bx, H) right
     # columns per plane (see _plane_pass).

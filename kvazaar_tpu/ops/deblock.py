@@ -42,35 +42,39 @@ def _clip(v, lo, hi):
     return jnp.clip(v, lo, hi)
 
 
-def _filter_luma_stripes(stripe, beta: int, tc, bitdepth: int):
-    """Filter across an edge.  stripe: (..., G, 4, 8) int32 where the
-    last axis is [p3 p2 p1 p0 q0 q1 q2 q3] across the edge and axis -2
-    is the 4 lines of one decision group.  tc: scalar or array
-    broadcastable to the group shape (..., G) — bs-dependent per group.
-    Returns filtered stripes."""
-    tc = jnp.asarray(tc)
-    tc_l = tc[..., None] if tc.ndim else tc   # per-line broadcast
-    p3, p2, p1, p0 = (stripe[..., 0], stripe[..., 1], stripe[..., 2],
-                      stripe[..., 3])
-    q0, q1, q2, q3 = (stripe[..., 4], stripe[..., 5], stripe[..., 6],
-                      stripe[..., 7])
+def _filter_luma_stripes(st, beta: int, tc_g, bitdepth: int):
+    """Filter across an edge.  st: (..., E, 8, H) int32 — taps
+    [p3 p2 p1 p0 q0 q1 q2 q3] on axis -2, edge LINES on the LAST axis
+    (lane-rich layout: all the heavy arithmetic runs on (..., E, H)
+    tensors; a taps-last layout wastes 94% of the VPU lanes).
+    tc_g: (..., E, H//4) per-4-line-group tc.  Returns same shape."""
+    p3, p2, p1, p0 = (st[..., 0, :], st[..., 1, :], st[..., 2, :],
+                      st[..., 3, :])
+    q0, q1, q2, q3 = (st[..., 4, :], st[..., 5, :], st[..., 6, :],
+                      st[..., 7, :])
     maxv = (1 << bitdepth) - 1
 
-    dp = jnp.abs(p2 - 2 * p1 + p0)         # (..., G, 4)
+    def rep(a):                       # group -> per-line broadcast
+        return jnp.repeat(a, 4, axis=-1)
+
+    tc_l = rep(tc_g)
+    dp = jnp.abs(p2 - 2 * p1 + p0)         # (..., E, H)
     dq = jnp.abs(q2 - 2 * q1 + q0)
-    dp03 = dp[..., 0] + dp[..., 3]         # (..., G)
-    dq03 = dq[..., 0] + dq[..., 3]
+    dp03 = dp[..., 0::4] + dp[..., 3::4]   # (..., E, G)
+    dq03 = dq[..., 0::4] + dq[..., 3::4]
     d = dp03 + dq03
     filter_on = d < beta
 
-    def strong_cond(i):
-        return ((2 * (dp[..., i] + dq[..., i]) < (beta >> 2))
-                & (jnp.abs(p3[..., i] - p0[..., i])
-                   + jnp.abs(q0[..., i] - q3[..., i]) < (beta >> 3))
-                & (jnp.abs(p0[..., i] - q0[..., i])
-                   < ((5 * tc + 1) >> 1)))
+    ap = jnp.abs(p3 - p0) + jnp.abs(q0 - q3)
+    apq = jnp.abs(p0 - q0)
+    thr_tc = (5 * tc_g + 1) >> 1
 
-    strong = strong_cond(0) & strong_cond(3)     # (..., G)
+    def strong_cond(i):
+        return ((2 * (dp[..., i::4] + dq[..., i::4]) < (beta >> 2))
+                & (ap[..., i::4] < (beta >> 3))
+                & (apq[..., i::4] < thr_tc))
+
+    strong = strong_cond(0) & strong_cond(3)     # (..., E, G)
 
     # Strong filter (clipped to +-2tc around the originals).
     def sclip(v, orig):
@@ -90,41 +94,40 @@ def _filter_luma_stripes(stripe, beta: int, tc, bitdepth: int):
     wp0 = _clip(p0 + dlt, 0, maxv)
     wq0 = _clip(q0 - dlt, 0, maxv)
     side_thr = (beta + (beta >> 1)) >> 3
-    filt_p = (dp03 < side_thr)[..., None]
-    filt_q = (dq03 < side_thr)[..., None]
+    filt_p = rep(dp03 < side_thr)
+    filt_q = rep(dq03 < side_thr)
     tc2 = tc_l >> 1
     dp1 = _clip((((p2 + p0 + 1) >> 1) - p1 + dlt) >> 1, -tc2, tc2)
     dq1 = _clip((((q2 + q0 + 1) >> 1) - q1 - dlt) >> 1, -tc2, tc2)
     wp1 = _clip(p1 + dp1, 0, maxv)
     wq1 = _clip(q1 + dq1, 0, maxv)
 
-    on = (filter_on & (tc > 0) if tc.ndim else filter_on)[..., None]
-    st = strong[..., None] & on
-    wk = (~strong)[..., None] & on & weak_on
+    on = rep(filter_on & (tc_g > 0))
+    s_l = rep(strong) & on
+    wk = ~rep(strong) & on & weak_on
 
-    out = stripe
-    out = out.at[..., 1].set(jnp.where(st, sp2, p2))
-    out = out.at[..., 2].set(
-        jnp.where(st, sp1, jnp.where(wk & filt_p, wp1, p1)))
-    out = out.at[..., 3].set(jnp.where(st, sp0, jnp.where(wk, wp0, p0)))
-    out = out.at[..., 4].set(jnp.where(st, sq0, jnp.where(wk, wq0, q0)))
-    out = out.at[..., 5].set(
-        jnp.where(st, sq1, jnp.where(wk & filt_q, wq1, q1)))
-    out = out.at[..., 6].set(jnp.where(st, sq2, q2))
-    return out
+    return jnp.stack(
+        [p3,
+         jnp.where(s_l, sp2, p2),
+         jnp.where(s_l, sp1, jnp.where(wk & filt_p, wp1, p1)),
+         jnp.where(s_l, sp0, jnp.where(wk, wp0, p0)),
+         jnp.where(s_l, sq0, jnp.where(wk, wq0, q0)),
+         jnp.where(s_l, sq1, jnp.where(wk & filt_q, wq1, q1)),
+         jnp.where(s_l, sq2, q2),
+         q3], axis=-2)
 
 
-def _filter_chroma_stripes_tc(stripe, tc, bitdepth: int):
-    """stripe: (..., 4) = [p1 p0 q0 q1]; tc broadcastable to the line
-    shape (tc 0 disables — the clip pins delta to 0)."""
-    p1, p0, q0, q1 = (stripe[..., 0], stripe[..., 1], stripe[..., 2],
-                      stripe[..., 3])
+def _filter_chroma_stripes_tc(st, tc, bitdepth: int):
+    """st: (..., E, 4, H) = taps [p1 p0 q0 q1] on axis -2, lines last;
+    tc: (..., E, H) per line (tc 0 disables — the clip pins delta to
+    0)."""
+    p1, p0, q0, q1 = (st[..., 0, :], st[..., 1, :], st[..., 2, :],
+                      st[..., 3, :])
     maxv = (1 << bitdepth) - 1
     delta = _clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
-    out = stripe
-    out = out.at[..., 1].set(_clip(p0 + delta, 0, maxv))
-    out = out.at[..., 2].set(_clip(q0 - delta, 0, maxv))
-    return out
+    return jnp.stack(
+        [p1, _clip(p0 + delta, 0, maxv), _clip(q0 - delta, 0, maxv),
+         q1], axis=-2)
 
 
 def _deblock_plane_vertical(plane, edge_step: int, filt_fn, taps: int,
@@ -145,7 +148,9 @@ def _deblock_plane_vertical(plane, edge_step: int, filt_fn, taps: int,
     left = blocks[..., :-1, edge_step - half:]     # (..., H, E, half)
     right = blocks[..., 1:, :half]
     stripes = jnp.concatenate([left, right], axis=-1)
-    filtered = filt_fn(stripes, bs_edges)          # (..., H, E, taps)
+    # Lines-last layout for the filter math: (..., E, taps, H).
+    st = jnp.moveaxis(stripes, -3, -1)
+    filtered = jnp.moveaxis(filt_fn(st, bs_edges), -1, -3)
     first = jnp.concatenate([blocks[..., :1, :half],
                              filtered[..., half:]], axis=-2)
     last = jnp.concatenate([filtered[..., :half],
@@ -212,36 +217,28 @@ def deblock_plane(plane, qp: int, edge_step: int, bitdepth: int = 8,
 
     def filt_factory(bs_map, transposed, height):
         if chroma:
-            def filt(stripes, _bs):
-                # stripes: (..., H, E, 4); per-line tc from per-block bs
+            def filt(st, _bs):
+                # st: (..., E, 4, H); per-line tc from per-block bs
                 # (chroma filters only bs==2).
-                n_e = stripes.shape[-2]
+                n_e = st.shape[-3]
                 bs_e = edge_bs(bs_map, n_e, transposed)
                 if bs_e is None:
                     bs_lines = jnp.full((n_e, height), 2, jnp.int32)
                 else:
                     rows = np.minimum(np.arange(height) // blk,
                                       bs_e.shape[1] - 1)
-                    bs_lines = bs_e[:, rows]
+                    bs_lines = bs_e[:, rows]          # (E, H)
                 tc = _tc_lookup(qp_plus, jnp.where(bs_lines == 2, 2, 0),
                                 scale)
-                tc = jnp.swapaxes(tc, 0, 1)      # (H, E)
-                return _filter_chroma_stripes_tc(stripes, tc, bitdepth)
+                return _filter_chroma_stripes_tc(st, tc, bitdepth)
             return filt
 
-        def filt(stripes, _bs):
-            sh = stripes.shape
-            g = sh[-3] // 4
-            n_e = sh[-2]
+        def filt(st, _bs):
+            n_e = st.shape[-3]
+            g = st.shape[-1] // 4
             bs_e = edge_bs(bs_map, n_e, transposed)
             tc = tc_groups(bs_e, n_e, g, blk)    # (E, g)
-            s4 = stripes.reshape(*sh[:-3], g, 4, sh[-2], sh[-1])
-            s4 = jnp.swapaxes(s4, -2, -3)   # (..., g, E, 4, taps)
-            s4 = jnp.swapaxes(s4, -4, -3)   # (..., E, g, 4, taps)
-            out = _filter_luma_stripes(s4, beta, tc, bitdepth)
-            out = jnp.swapaxes(out, -4, -3)
-            out = jnp.swapaxes(out, -2, -3)
-            return out.reshape(sh)
+            return _filter_luma_stripes(st, beta, tc, bitdepth)
         return filt
 
     h, w = plane.shape[-2], plane.shape[-1]

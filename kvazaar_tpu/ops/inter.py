@@ -158,6 +158,10 @@ def sad_full_search(cur_blocks, ref_plane, x0s, y0s, radius: int,
 
     cur_blocks: (N, S, S); ref_plane: (H, W); x0s/y0s: (N,).
     Returns sads: (N, 2R+1, 2R+1) int32 indexed [dy+R, dx+R].
+
+    Generic (arbitrary block origins) gather-based form — kept for unit
+    tests and odd geometries; the frame search uses sad_surfaces (the
+    whole-plane shift + matmul-reduction form, ~1000x faster on TPU).
     """
     r = radius
     n = cur_blocks.shape[0]
@@ -175,3 +179,157 @@ def sad_full_search(cur_blocks, ref_plane, x0s, y0s, radius: int,
     dys = jnp.arange(-r, r + 1)
     sads = jax.lax.map(row_sads, dys)           # (2R+1, N, 2R+1)
     return jnp.transpose(sads, (1, 0, 2)).astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _block_reduce_mats(h: int, w: int, size: int):
+    """0/1 matrices that sum a plane over size-aligned block rows/cols
+    via MXU matmuls (reshape-sums over the lane-minor axis lower
+    poorly on TPU; a banded matmul is the fast reduction)."""
+    colm = np.zeros((w, w // size), np.int32)
+    for b in range(w // size):
+        colm[b * size:(b + 1) * size, b] = 1
+    rowm = np.zeros((h // size, h), np.int32)
+    for b in range(h // size):
+        rowm[b, b * size:(b + 1) * size] = 1
+    return rowm, colm
+
+
+def sad_surfaces(cur_plane, ref_plane, radius: int, size: int,
+                 bitdepth: int = 8):
+    """Exhaustive integer-pel SAD surfaces for every size-aligned block
+    of the frame at once: (By, Bx, 2R+1, 2R+1) int32 indexed
+    [by, bx, dy+R, dx+R].
+
+    TPU design (the search_mv_full capability, src/search_inter.c:886,
+    restructured): instead of per-block window gathers, shift the WHOLE
+    reference plane (edge padding = the spec's boundary clamp), take
+    absolute differences against the current plane, and reduce to
+    per-block sums with banded 0/1 matmuls on the MXU.  One lax.map
+    step per dy keeps peak memory at (2R+1, H, W)."""
+    h, w = cur_plane.shape
+    r = radius
+    cur = cur_plane.astype(jnp.int32)
+    pad = jnp.pad(ref_plane.astype(jnp.int32), r, mode="edge")
+    rowm, colm = _block_reduce_mats(h, w, size)
+    rowmj = jnp.asarray(rowm)
+    colmj = jnp.asarray(colm)
+    d_bound = (1 << bitdepth) - 1
+
+    def row_sads(dy):
+        rows = jax.lax.dynamic_slice(pad, (dy, 0), (h, w + 2 * r))
+        sl = jnp.stack([rows[:, k:k + w] for k in range(2 * r + 1)],
+                       axis=0)                   # (2R+1, H, W)
+        d = jnp.abs(sl - cur[None])
+        colred = einsum_exact("wb,dhw->dhb", colmj, d, d_bound)
+        return einsum_exact("yh,dhb->dyb", rowmj, colred,
+                            size * d_bound)      # (2R+1, By, Bx)
+
+    sads = jax.lax.map(row_sads, jnp.arange(2 * r + 1))
+    return jnp.transpose(sads, (2, 3, 0, 1))     # (By, Bx, Ddy, Ddx)
+
+
+def refine_qpel_dense(cur_blocks, ref_plane, x0s, y0s, mv_int,
+                      size: int, bitdepth: int = 8, ridx=None):
+    """Dense quarter-pel refinement: SATD of ALL 49 subpel positions in
+    the 7x7 quarter-pel grid around each block's integer-pel winner.
+
+    The reference refines half-then-quarter with 8 positions each
+    (search_frac, src/search_inter.c:965); on TPU evaluating the full
+    grid at once is cheaper than two dependent stages: every candidate
+    lies within +-0.75 px of mv_int, so ONE (24, 24) window gather per
+    block covers all 49 predictions, which are then computed by static
+    slices + 8-tap contractions (no further gathers).
+
+    cur_blocks: (N, S, S) int32; mv_int: (N, 2) qpel, multiples of 4.
+    Returns satd: (N, 49) int32 in (qy, qx) row-major order over
+    qy, qx in -3..3 (use QPEL_OFFSETS for the mv deltas)."""
+    from kvazaar_tpu.encoder.intra_search import satd8_batch
+    n = cur_blocks.shape[0]
+    ox = x0s + (mv_int[:, 0] >> 2) - 4
+    oy = y0s + (mv_int[:, 1] >> 2) - 4
+    win = gather_windows(ref_plane, ox, oy, size + 8, ridx)
+    lf = jnp.asarray(LUMA_FILTERS)
+    shift1 = bitdepth - 8
+    hor = {}
+    for qx in range(-3, 4):
+        ix, fx = qx >> 2, qx & 3
+        c0 = 1 + ix
+        sl = jnp.stack([win[:, :, c0 + k:c0 + k + size]
+                        for k in range(8)], axis=1)   # (N,8,24,S)
+        hv = einsum_exact("k,bkyx->byx", lf[fx], sl, 1 << bitdepth)
+        hor[qx] = hv >> shift1 if shift1 else hv
+    preds = []
+    for qy in range(-3, 4):
+        iy, fy = qy >> 2, qy & 3
+        r0 = 1 + iy
+        for qx in range(-3, 4):
+            sl = jnp.stack([hor[qx][:, r0 + k:r0 + k + size]
+                            for k in range(8)], axis=1)  # (N,8,S,S)
+            v = einsum_exact("k,bkyx->byx", lf[fy], sl, 1 << 15) >> 6
+            preds.append(uni_round(v, bitdepth))
+    preds = jnp.stack(preds, axis=1)                  # (N, 49, S, S)
+    return satd8_batch(preds - cur_blocks[:, None])
+
+
+QPEL_OFFSETS = np.array([(qx, qy) for qy in range(-3, 4)
+                         for qx in range(-3, 4)], np.int32)
+
+
+def luma_phase_planes(ref_plane, bitdepth: int = 8, extend: int = 0):
+    """All 16 quarter-pel interpolated planes of a reference at the
+    14-bit intermediate precision: (4, 4, He, We) int32 indexed
+    [fy, fx], where plane[fy, fx][y, x] is the 8.5.4.2.2.1 sample at
+    (y + fy/4, x + fx/4) on an edge-extended grid.
+
+    `extend` replicates the frame border by E pixels BEFORE
+    interpolation so that reads at out-of-frame base positions (MC with
+    MVs pointing outside, |overreach| <= E) reproduce the per-sample
+    clamp of gather-based MC exactly.  TPU rationale: 16 whole-plane
+    separable filters are a few fused shift+contract passes; per-block
+    MC then needs only ONE stacked gather (mc_luma_phases) instead of
+    per-block tap contractions."""
+    e = extend
+    if e:
+        ref_plane = jnp.pad(ref_plane, e, mode="edge")
+    h, w = ref_plane.shape
+    pad = jnp.pad(ref_plane.astype(jnp.int32), 4, mode="edge")
+    lf = jnp.asarray(LUMA_FILTERS)
+    shift1 = bitdepth - 8
+    hors = []
+    for fx in range(4):
+        sl = jnp.stack([pad[:, 1 + k:1 + k + w] for k in range(8)],
+                       axis=0)                    # (8, H+8, W)
+        hv = einsum_exact("k,kyx->yx", lf[fx], sl, 1 << bitdepth)
+        hors.append(hv >> shift1 if shift1 else hv)
+    planes = []
+    for fy in range(4):
+        row = []
+        for fx in range(4):
+            sl = jnp.stack([hors[fx][1 + k:1 + k + h] for k in range(8)],
+                           axis=0)                # (8, H, W)
+            row.append(einsum_exact("k,kyx->yx", lf[fy], sl,
+                                    1 << 15) >> 6)
+        planes.append(jnp.stack(row))
+    return jnp.stack(planes)                      # (4, 4, H, W) 14-bit
+
+
+def mc_luma_phases_hp(planes, x0s, y0s, mvs, size: int,
+                      extend: int = 0, ridx=None):
+    """14-bit luma MC from precomputed phase planes: one gather.
+
+    planes: (4, 4, He, We) from luma_phase_planes (or (R, 4, 4, He, We)
+    stacked references with per-block `ridx`); mvs: (N, 2) qpel.
+    Returns (N, S, S) int32 14-bit samples."""
+    fx = mvs[:, 0] & 3
+    fy = mvs[:, 1] & 3
+    ix = x0s + (mvs[:, 0] >> 2) + extend
+    iy = y0s + (mvs[:, 1] >> 2) + extend
+    if planes.ndim == 5:
+        nref = planes.shape[0]
+        flat = planes.reshape((nref * 16,) + planes.shape[-2:])
+        pidx = ridx * 16 + fy * 4 + fx
+    else:
+        flat = planes.reshape((16,) + planes.shape[-2:])
+        pidx = fy * 4 + fx
+    return gather_windows(flat, ix, iy, size, pidx)

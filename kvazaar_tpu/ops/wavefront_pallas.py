@@ -139,7 +139,7 @@ def _round_shift(x, shift):
 
 
 def _make_kernel(plan: IntraFramePlan, s: int, nb: int, luma: bool,
-                 qp: int, bitdepth: int):
+                 qp: int, bitdepth: int, inter: bool = False):
     k_slots = plan.n_slots
     bx_blocks = plan.blocks_x
     rlen = 4 * s + 1
@@ -151,14 +151,20 @@ def _make_kernel(plan: IntraFramePlan, s: int, nb: int, luma: bool,
     maxpix = (1 << bitdepth) - 1
     scale, qbits, inv_scale, inv_shift = quant_params(qp, log2n, bitdepth)
     offset_q = 171 << (qbits - 9)                # intra rounding
+    offset_q_inter = 85 << (qbits - 9)
     shift1 = log2n + bitdepth - 9
     shift2 = log2n + 6
     ishift1, ishift2 = 7, 20 - bitdepth
 
-    def kernel(sched_ref, oy_ref, modes_ref, w_ref, shiftr_ref,
-               m1_ref, m2_ref, m3_ref, m4_ref, j2_ref, js_ref, d1_ref,
-               msel_ref, scol_ref, rspr_ref, lv_ref, rec_ref,
-               hrow, vcol):
+    def kernel(sched_ref, oy_ref, modes_ref, *rest):
+        # P-frame variant streams two extra per-step refs right after
+        # modes: ii_ref (1, KB) inter mask + mc_ref (SS, KB) MC pred.
+        if inter:
+            ii_ref, mc_ref = rest[0], rest[1]
+            rest = rest[2:]
+        (w_ref, shiftr_ref, m1_ref, m2_ref, m3_ref, m4_ref, j2_ref,
+         js_ref, d1_ref, msel_ref, scol_ref, rspr_ref, lv_ref,
+         rec_ref, hrow, vcol) = rest
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -266,6 +272,15 @@ def _make_kernel(plan: IntraFramePlan, s: int, nb: int, luma: bool,
             pred = jnp.where((mv == 10) & (yi == 0), p10s, pred)
             pred = jnp.where((mv == 26) & (xi == 0), p26s, pred)
 
+        # Inter blocks take the motion-compensated prediction (it has
+        # no wavefront dependency; computed batched outside) and the
+        # inter quantizer deadzone.
+        offq = offset_q
+        if inter:
+            ii = ii_ref[0]                              # (1, KB)
+            pred = jnp.where(ii != 0, mc_ref[0], pred)
+            offq = jnp.where(ii != 0, offset_q_inter, offset_q)
+
         # ---- TU roundtrip, feature-major with kron-structured DCTs.
         orig = oy_ref[0]                                # (SS, KB)
         resid = orig - pred
@@ -273,7 +288,7 @@ def _make_kernel(plan: IntraFramePlan, s: int, nb: int, luma: bool,
         coeff = _round_shift(_mm_split(m2_ref[:].astype(jnp.bfloat16),
                                        e), shift2)
 
-        lv = (jnp.abs(coeff) * scale + offset_q) >> qbits
+        lv = (jnp.abs(coeff) * scale + offq) >> qbits
         lv = jnp.clip(lv, 0, 32767)
         lv = jnp.where(coeff < 0, -lv, lv)
 
@@ -314,44 +329,56 @@ def _make_kernel(plan: IntraFramePlan, s: int, nb: int, luma: bool,
 
 def wavefront_plane_pallas(origs_fm, modes_fm, plan: IntraFramePlan,
                            s: int, nb: int, luma: bool, qp: int,
-                           bitdepth: int):
+                           bitdepth: int, ii_fm=None, mc_fm=None):
     """origs_fm: (steps, S*S, K*NB) int32 feature-major originals;
-    modes_fm: (steps, 1, K*NB) int32.  Returns (levels int16, rec uint8)
-    in the same (steps, S*S, K*NB) layout — values identical to the XLA
-    scan path."""
+    modes_fm: (steps, 1, K*NB) int32.  P frames: ii_fm (steps, 1, K*NB)
+    inter mask + mc_fm (steps, S*S, K*NB) MC prediction.  Returns
+    (levels int16, rec uint8) in the same (steps, S*S, K*NB) layout —
+    values identical to the XLA scan path."""
     n_steps = origs_fm.shape[0]
     k_slots = plan.n_slots
     ss = s * s
     kb = k_slots * nb
     lanes = s * nb
     nbp = plan.blocks_y * plan.blocks_x + 1
+    inter = ii_fm is not None
     sched = jnp.asarray(_schedule_np(plan))
     wm, shiftr = _weights_np(s, luma)
     consts = _consts_np(s, nb)
     (m1, m2, m3, m4, j2, js, d1, msel, scol, rspr) = consts
-    args = [jnp.asarray(origs_fm), jnp.asarray(modes_fm),
-            jnp.asarray(wm.astype(jnp.bfloat16)), jnp.asarray(shiftr),
-            jnp.asarray(m1.astype(jnp.bfloat16)), jnp.asarray(m2),
-            jnp.asarray(m3), jnp.asarray(m4),
-            jnp.asarray(j2.astype(jnp.bfloat16)),
-            jnp.asarray(js.astype(jnp.bfloat16)),
-            jnp.asarray(d1.astype(jnp.bfloat16)),
-            jnp.asarray(msel),
-            jnp.asarray(scol.astype(jnp.bfloat16)),
-            jnp.asarray(rspr.astype(jnp.bfloat16))]
+    args = [jnp.asarray(origs_fm), jnp.asarray(modes_fm)]
+    stream_specs = [
+        pl.BlockSpec((1, ss, kb), lambda t, sched: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, kb), lambda t, sched: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if inter:
+        args += [jnp.asarray(ii_fm), jnp.asarray(mc_fm)]
+        stream_specs += [
+            pl.BlockSpec((1, 1, kb), lambda t, sched: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ss, kb), lambda t, sched: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    n_stream = len(args)
+    args += [jnp.asarray(wm.astype(jnp.bfloat16)), jnp.asarray(shiftr),
+             jnp.asarray(m1.astype(jnp.bfloat16)), jnp.asarray(m2),
+             jnp.asarray(m3), jnp.asarray(m4),
+             jnp.asarray(j2.astype(jnp.bfloat16)),
+             jnp.asarray(js.astype(jnp.bfloat16)),
+             jnp.asarray(d1.astype(jnp.bfloat16)),
+             jnp.asarray(msel),
+             jnp.asarray(scol.astype(jnp.bfloat16)),
+             jnp.asarray(rspr.astype(jnp.bfloat16))]
 
     whole = lambda a: pl.BlockSpec(a.shape, lambda t, *_: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
-    kernel = _make_kernel(plan, s, nb, luma, qp, bitdepth)
+    kernel = _make_kernel(plan, s, nb, luma, qp, bitdepth, inter)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec((1, ss, kb), lambda t, sched: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kb), lambda t, sched: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [whole(a) for a in args[2:]],
+        in_specs=stream_specs + [whole(a) for a in args[n_stream:]],
         out_specs=[
             pl.BlockSpec((1, ss, kb), lambda t, sched: (t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -388,7 +415,7 @@ def from_feature_major(x, k: int, nb: int, s: int):
 
 def supported(plan: IntraFramePlan, bitdepth: int, lossless: bool,
               signhide: bool, inter: bool) -> bool:
-    """Configs the fused kernel covers; everything else takes the XLA
-    scan (same results)."""
+    """Configs the fused kernel covers (intra AND inter blocks);
+    everything else takes the XLA scan (same results)."""
     return (bitdepth == 8 and not lossless and not signhide
-            and not inter and plan.cu_size <= 16)
+            and plan.cu_size <= 16)
