@@ -359,34 +359,48 @@ class Encoder:
         import threading
         ife = self._intra
         want_pixels = need_recon or self.cfg.hash != "none"
-        dlq: "_q.Queue" = _q.Queue(maxsize=2)
+        # Per-frame download + host finalize both cost tens of ms
+        # (tunnel ~30 ms/call latency + data; CABAC ~30 ms): three
+        # combined workers keep the device chain the only serial
+        # resource.  Finalize is per-frame independent here (each
+        # slice restarts CABAC contexts; the DPB is device-side state
+        # threaded through submissions on the main thread).
+        n_workers = 3
+        dlq: "_q.Queue" = _q.Queue(maxsize=n_workers + 1)
         outq: "_q.Queue" = _q.Queue()
 
-        def downloader():
+        def worker():
             while True:
                 item = dlq.get()
                 if item is None:
                     return
-                kind, handle, meta = item
-                if kind == "i":
-                    dl = ife.download_frames(handle)
-                    if want_pixels:
-                        dl = dl[:3] + (tuple(
-                            None if r is None else np.asarray(r)
-                            for r in dl[3]),) + dl[4:]
-                else:
-                    dl = ife.download_p(handle)
-                    if want_pixels:
-                        dl = dl[:2] + (tuple(
-                            None if r is None else np.asarray(r)
-                            for r in dl[2]),)
-                outq.put((kind, dl, meta))
+                seq, kind, handle, metas = item
+                try:
+                    if kind == "i":
+                        dl = ife.download_frames(handle)
+                        res = ife.finalize_downloaded(
+                            dl, need_recon=want_pixels)
+                    else:
+                        (poc, rel, shape), = metas
+                        dl = ife.download_p(handle)
+                        r0, _recs = ife.finalize_p_downloaded(
+                            dl, poc=rel, ref_pocs=[rel - 1],
+                            multi=False, need_recon=want_pixels)
+                        res = [r0]
+                    outq.put((seq, res, metas, None))
+                except BaseException as e:   # surface on main thread
+                    outq.put((seq, None, metas, e))
 
-        th = threading.Thread(target=downloader)
-        th.start()
+        workers = [threading.Thread(target=worker)
+                   for _ in range(n_workers)]
+        for th in workers:
+            th.start()
         period = self.cfg.intra_period
         inflight = 0
         dpb = None
+        seq_submit = 0
+        seq_next = [0]
+        reorder = {}
 
         def emit(res, poc, rel, shape):
             chunks = b""
@@ -406,19 +420,16 @@ class Encoder:
             return chunks + res.nals, info, rec
 
         def finalize_batch():
-            kind, dl, meta = outq.get()
-            if kind == "i":
-                results = ife.finalize_downloaded(
-                    dl, need_recon=want_pixels)
-                return [emit(res, poc, rel, shape)
-                        for res, (poc, rel, shape)
-                        in zip(results, meta)]
-            (poc, rel, shape), = meta
-            res, recs = ife.finalize_p_downloaded(
-                dl, poc=rel, ref_pocs=[rel - 1], multi=False,
-                need_recon=want_pixels)
-            ife._dpb = recs
-            return [emit(res, poc, rel, shape)]
+            # Workers complete out of order; emit in submission order.
+            while seq_next[0] not in reorder:
+                seq, res, metas, err = outq.get()
+                reorder[seq] = (res, metas, err)
+            res, metas, err = reorder.pop(seq_next[0])
+            seq_next[0] += 1
+            if err is not None:
+                raise err
+            return [emit(r, poc, rel, shape)
+                    for r, (poc, rel, shape) in zip(res, metas)]
 
         batch_n = 8 if period == 1 else 1
         batch = []
@@ -427,8 +438,12 @@ class Encoder:
             nonlocal dpb, inflight
             metas = []
             for (y, cb, cr) in batch:
-                rel = self._poc - getattr(self, "_last_idr", 0)
-                metas.append((self._poc, rel, y.shape))
+                p = self._poc
+                if (p == 0 or period == 1
+                        or (period > 1 and p % period == 0)):
+                    self._last_idr = p
+                rel = p - getattr(self, "_last_idr", 0)
+                metas.append((p, rel, y.shape))
                 self._poc += 1
             if len(batch) == 1 and metas[0][1] > 0:
                 handle = ife.submit_p(*batch[0],
@@ -442,19 +457,18 @@ class Encoder:
                        recs[1][-1] if ife.chroma else None,
                        recs[2][-1] if ife.chroma else None)
                 kind = "i"
-            dlq.put((kind, handle, metas))
+            nonlocal seq_submit
+            dlq.put((seq_submit, kind, handle, metas))
+            seq_submit += 1
             batch.clear()
             inflight += 1
 
         try:
             for f in frames:
-                if (self._poc == 0
-                        or (period > 1 and self._poc % period == 0)):
-                    self._last_idr = self._poc
                 batch.append(f)
                 if len(batch) == batch_n:
                     submit_batch()
-                    if inflight >= 2:
+                    if inflight > n_workers:
                         for r in finalize_batch():
                             yield r
                         inflight -= 1
@@ -464,9 +478,15 @@ class Encoder:
                 for r in finalize_batch():
                     yield r
                 inflight -= 1
+            if dpb is not None:
+                # Leave the device-side DPB where a later per-frame
+                # encode() call expects it.
+                ife._dpb = dpb
         finally:
-            dlq.put(None)
-            th.join()
+            for _ in workers:
+                dlq.put(None)
+            for th in workers:
+                th.join()
 
     def encode_many(self, frames):
         """Encode a batch of frames through one vmapped device program

@@ -97,7 +97,7 @@ def parse_slice_header(r: BitReader, p: StreamParams, nal_type: int):
     if p.sao_enabled or p.deblock_enabled:
         r.u(1)
     entries = []
-    if p.wpp:
+    if p.wpp or p.tiles_enabled:
         n = r.ue()
         if n:
             ln = r.ue() + 1
@@ -141,13 +141,16 @@ def decode_stream(stream: bytes, params: StreamParams):
             dec = SliceDataDecoder(params, fd,
                                    Contexts(slice_type, qp), cab,
                                    nref_l0=nref)
-            if params.wpp:
+            if params.wpp or params.tiles_enabled:
                 # The header parse ended byte-aligned; the CabacDecoder
                 # init then read 9 bits, so slice data begins at
                 # bit_position - 9.
                 start = (r.bit_position - 9) // 8
                 sizes = entries + [len(rbsp) - start - sum(entries)]
-                dec.decode_slice_data_wpp(rbsp, start, sizes)
+                if params.tiles_enabled:
+                    dec.decode_slice_data_tiles(rbsp, start, sizes)
+                else:
+                    dec.decode_slice_data_wpp(rbsp, start, sizes)
             else:
                 dec.decode_slice_data()
             if slice_type == 2:
@@ -228,7 +231,8 @@ def reconstruct_mvs(fd: FrameData, params: StreamParams,
     s = params.ctu_size >> depth
     c8 = s // 8
     chroma = params.chroma_format_idc != 0
-    plan = make_intra_plan(params.width, params.height, s, chroma)
+    plan = make_intra_plan(params.width, params.height, s, chroma,
+                           tiles=params.tiles)
     by, bx = plan.blocks_y, plan.blocks_x
     inter_map = fd.inter8[::c8, ::c8].astype(bool)
     mv = np.zeros((by, bx, 2), np.int32)
@@ -297,7 +301,8 @@ def reconstruct_mvs_b(fd: FrameData, params: StreamParams, poc: int,
     s = params.ctu_size >> depth
     c8 = s // 8
     chroma = params.chroma_format_idc != 0
-    plan = make_intra_plan(params.width, params.height, s, chroma)
+    plan = make_intra_plan(params.width, params.height, s, chroma,
+                           tiles=params.tiles)
     by, bx = plan.blocks_y, plan.blocks_x
     inter_map = fd.inter8[::c8, ::c8].astype(bool)
     dirs = fd.dir8[::c8, ::c8].astype(np.int32)
@@ -356,7 +361,8 @@ def reconstruct_parsed_b(fd: FrameData, params: StreamParams, qp: int,
     s = params.ctu_size >> depth
     c8 = s // 8
     chroma = params.chroma_format_idc != 0
-    plan = make_intra_plan(params.width, params.height, s, chroma)
+    plan = make_intra_plan(params.width, params.height, s, chroma,
+                           tiles=params.tiles)
     modes = fd.mode4[::s // 4, ::s // 4].astype(np.int32)
     inter_map = fd.inter8[::c8, ::c8].astype(bool)
     dirs = jnp.asarray(fd.dir8[::c8, ::c8].astype(np.int32))
@@ -415,7 +421,8 @@ def reconstruct_parsed_p(fd: FrameData, params: StreamParams, qp: int,
     s = params.ctu_size >> depth
     c8 = s // 8
     chroma = params.chroma_format_idc != 0
-    plan = make_intra_plan(params.width, params.height, s, chroma)
+    plan = make_intra_plan(params.width, params.height, s, chroma,
+                           tiles=params.tiles)
     modes = fd.mode4[::s // 4, ::s // 4].astype(np.int32)
     inter_map = fd.inter8[::c8, ::c8].astype(bool)
     mv = fd.mv8[::c8, ::c8].astype(np.int32)
@@ -484,7 +491,8 @@ def reconstruct_parsed(fd: FrameData, params: StreamParams, qp: int):
         return reconstruct_parsed_var(fd, params, qp)
     s = params.ctu_size >> depth
     chroma = params.chroma_format_idc != 0
-    plan = make_intra_plan(params.width, params.height, s, chroma)
+    plan = make_intra_plan(params.width, params.height, s, chroma,
+                           tiles=params.tiles)
     modes = fd.mode4[::s // 4, ::s // 4].astype(np.int32)
 
     lv_y = _blocks_by_step(fd.coeff_y, plan.luma, plan)

@@ -50,6 +50,13 @@ class StreamParams:
     scaling_list_mode: int = 0
     scaling_custom: tuple = None     # (base matrices dict, dc dict)
     tmvp_enabled: bool = False       # sps_temporal_mvp_enabled_flag
+    # Uniform-spacing tile grid (1, 1) = no tiles (7.4.3.3.1;
+    # reference tile geometry src/encoder.c:387-520).
+    tiles: tuple = (1, 1)
+
+    @property
+    def tiles_enabled(self) -> bool:
+        return self.tiles != (1, 1)
 
     @property
     def ctu_size(self) -> int:
@@ -186,8 +193,13 @@ def write_pps(p: StreamParams) -> bytes:
     w.u(0, 1)               # weighted_pred_flag
     w.u(0, 1)               # weighted_bipred_flag
     w.u(1 if p.transquant_bypass else 0, 1)
-    w.u(0, 1)               # tiles_enabled_flag
+    w.u(1 if p.tiles_enabled else 0, 1)   # tiles_enabled_flag
     w.u(1 if p.wpp else 0, 1)   # entropy_coding_sync_enabled_flag
+    if p.tiles_enabled:
+        w.ue(p.tiles[0] - 1)    # num_tile_columns_minus1
+        w.ue(p.tiles[1] - 1)    # num_tile_rows_minus1
+        w.u(1, 1)               # uniform_spacing_flag
+        w.u(1, 1)     # loop_filter_across_tiles_enabled_flag
     w.u(1, 1)               # pps_loop_filter_across_slices_enabled_flag
     w.u(1, 1)               # deblocking_filter_control_present_flag
     w.u(0, 1)               # deblocking_filter_override_enabled_flag
@@ -274,7 +286,7 @@ def write_slice_header(w: BitWriter, p: StreamParams, slice_type: int,
     w.se(slice_qp - p.qp)   # slice_qp_delta (relative to PPS init QP)
     if p.sao_enabled or p.deblock_enabled:
         w.u(1, 1)           # slice_loop_filter_across_slices_enabled_flag
-    if p.wpp:
+    if p.wpp or p.tiles_enabled:
         w.ue(num_entry_points)
         if num_entry_points:
             offset_len = max(o.bit_length() for o in entry_point_offsets)

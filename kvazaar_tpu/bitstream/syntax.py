@@ -173,6 +173,30 @@ class _SliceSyntaxBase:
         self.d = data
         self.ctx = contexts
         self.chroma = params.chroma_format_idc != 0
+        self._tcol = self._trow = None
+        if params.tiles_enabled:
+            from kvazaar_tpu.encoder.geometry import \
+                uniform_tile_bounds
+            tx, ty = params.tiles
+            cbx = uniform_tile_bounds(params.width_in_ctus, tx)
+            cby = uniform_tile_bounds(params.height_in_ctus, ty)
+            self._tcol = np.searchsorted(
+                cbx[1:], np.arange(params.width_in_ctus), "right")
+            self._trow = np.searchsorted(
+                cby[1:], np.arange(params.height_in_ctus), "right")
+            self._tile_ctus = [
+                [(cx, cy) for cy in range(cby[tr], cby[tr + 1])
+                 for cx in range(cbx[tc], cbx[tc + 1])]
+                for tr in range(ty) for tc in range(tx)]
+
+    def _same_tile(self, xa: int, ya: int, xb: int, yb: int) -> bool:
+        """Prediction/context availability never crosses a tile
+        boundary (6.4.1)."""
+        if self._tcol is None:
+            return True
+        s = self.p.log2_ctu
+        return (self._tcol[xa >> s] == self._tcol[xb >> s]
+                and self._trow[ya >> s] == self._trow[yb >> s])
 
     # -- neighbor queries against the (partially filled) frame data --
 
@@ -183,9 +207,11 @@ class _SliceSyntaxBase:
 
     def split_ctx(self, x0: int, y0: int, depth: int) -> int:
         inc = 0
-        if x0 > 0 and self._neighbor_depth(x0 - 1, y0) > depth:
+        if x0 > 0 and self._same_tile(x0 - 1, y0, x0, y0) \
+                and self._neighbor_depth(x0 - 1, y0) > depth:
             inc += 1
-        if y0 > 0 and self._neighbor_depth(x0, y0 - 1) > depth:
+        if y0 > 0 and self._same_tile(x0, y0 - 1, x0, y0) \
+                and self._neighbor_depth(x0, y0 - 1) > depth:
             inc += 1
         return inc
 
@@ -195,9 +221,11 @@ class _SliceSyntaxBase:
 
     def skip_ctx(self, x0: int, y0: int) -> int:
         inc = 0
-        if x0 > 0 and self.d.skip8[y0 >> 3, (x0 - 1) >> 3]:
+        if x0 > 0 and self._same_tile(x0 - 1, y0, x0, y0) \
+                and self.d.skip8[y0 >> 3, (x0 - 1) >> 3]:
             inc += 1
-        if y0 > 0 and self.d.skip8[(y0 - 1) >> 3, x0 >> 3]:
+        if y0 > 0 and self._same_tile(x0, y0 - 1, x0, y0) \
+                and self.d.skip8[(y0 - 1) >> 3, x0 >> 3]:
             inc += 1
         return inc
 
@@ -207,7 +235,8 @@ class _SliceSyntaxBase:
         # neighbors default to DC (8.4.2).
         cand_l = INTRA_DC
         cand_a = INTRA_DC
-        if x0 > 0 and not self._is_inter_cu(x0 - 1, y0):
+        if x0 > 0 and self._same_tile(x0 - 1, y0, x0, y0) \
+                and not self._is_inter_cu(x0 - 1, y0):
             cand_l = int(self.d.mode4[y0 >> 2, (x0 - 1) >> 2])
         if y0 > 0 and (y0 % self.p.ctu_size) != 0 \
                 and not self._is_inter_cu(x0, y0 - 1):
@@ -244,11 +273,15 @@ class SliceDataEncoder(_SliceSyntaxBase):
         if not self.p.sao_enabled:
             return
         d = self.d
+        s = self.p.log2_ctu
         merge = int(d.sao_merge[cyi, cxi])
-        if cxi > 0:
+        if cxi > 0 and self._same_tile((cxi - 1) << s, cyi << s,
+                                       cxi << s, cyi << s):
             self.c.encode_bin(self.ctx("sao_merge", 0),
                               1 if merge == 1 else 0)
-        if merge != 1 and cyi > 0:
+        if merge != 1 and cyi > 0 \
+                and self._same_tile(cxi << s, (cyi - 1) << s,
+                                    cxi << s, cyi << s):
             self.c.encode_bin(self.ctx("sao_merge", 0),
                               1 if merge == 2 else 0)
         if merge:
@@ -312,6 +345,35 @@ class SliceDataEncoder(_SliceSyntaxBase):
                     # 1-CTU-wide picture re-inits every row.
                     saved = self.ctx.clone()
                 if cx == ctus_x - 1 and not last_ctu:
+                    self.c.encode_terminate(1)  # end_of_subset_one_bit
+            w.align_zero()
+            sizes.append(len(w.get_bytes()) - start)
+        return sizes
+
+    def encode_slice_data_tiles(self) -> list[int]:
+        """Tiles: one CABAC substream per tile, contexts re-initialized
+        at each tile start (9.3.1), CTU raster order within the tile.
+        Returns per-tile byte sizes (slice-header entry points).
+        Reference: the per-tile encoder states of
+        src/encoderstate.c:860-965."""
+        from kvazaar_tpu.bitstream.cabac import CabacEncoder
+        w = self.c.writer
+        assert w.byte_aligned
+        n_tiles = len(self._tile_ctus)
+        sizes = []
+        for ti, ctus in enumerate(self._tile_ctus):
+            start = len(w.get_bytes())
+            if ti > 0:
+                self.ctx = Contexts(self.ctx.slice_type, self.ctx.qp)
+                self.c = CabacEncoder(w)
+            for k, (cx, cy) in enumerate(ctus):
+                self.encode_sao(cx, cy)
+                self.coding_quadtree(cx << self.p.log2_ctu,
+                                     cy << self.p.log2_ctu,
+                                     self.p.log2_ctu, 0)
+                last = ti == n_tiles - 1 and k == len(ctus) - 1
+                self.c.encode_terminate(1 if last else 0)
+                if k == len(ctus) - 1 and not last:
                     self.c.encode_terminate(1)  # end_of_subset_one_bit
             w.align_zero()
             sizes.append(len(w.get_bytes()) - start)
@@ -752,11 +814,16 @@ class SliceDataDecoder(_SliceSyntaxBase):
         if not self.p.sao_enabled:
             return
         d = self.d
+        s = self.p.log2_ctu
         merge = 0
-        if cxi > 0 and self.c.decode_bin(self.ctx("sao_merge", 0)):
+        if cxi > 0 and self._same_tile((cxi - 1) << s, cyi << s,
+                                       cxi << s, cyi << s) \
+                and self.c.decode_bin(self.ctx("sao_merge", 0)):
             merge = 1
-        if merge == 0 and cyi > 0 and \
-                self.c.decode_bin(self.ctx("sao_merge", 0)):
+        if merge == 0 and cyi > 0 \
+                and self._same_tile(cxi << s, (cyi - 1) << s,
+                                    cxi << s, cyi << s) \
+                and self.c.decode_bin(self.ctx("sao_merge", 0)):
             merge = 2
         d.sao_merge[cyi, cxi] = merge
         if merge:
@@ -830,6 +897,32 @@ class SliceDataDecoder(_SliceSyntaxBase):
                     if self.c.decode_terminate() != 1:
                         raise ValueError("missing end_of_subset bit")
             off += sizes[row]
+
+    def decode_slice_data_tiles(self, rbsp: bytes, data_offset: int,
+                                sizes: list[int]) -> None:
+        """Parse tile substreams at the given byte offsets; contexts
+        re-initialize at each tile start."""
+        from kvazaar_tpu.bitstream.bits import BitReader
+        from kvazaar_tpu.bitstream.cabac import CabacDecoder
+        n_tiles = len(self._tile_ctus)
+        assert len(sizes) == n_tiles
+        off = data_offset
+        for ti, ctus in enumerate(self._tile_ctus):
+            if ti > 0:
+                self.ctx = Contexts(self.ctx.slice_type, self.ctx.qp)
+                self.c = CabacDecoder(BitReader(rbsp[off:]))
+            for k, (cx, cy) in enumerate(ctus):
+                self.parse_sao(cx, cy)
+                self.coding_quadtree(cx << self.p.log2_ctu,
+                                     cy << self.p.log2_ctu,
+                                     self.p.log2_ctu, 0)
+                last = ti == n_tiles - 1 and k == len(ctus) - 1
+                if self.c.decode_terminate() != (1 if last else 0):
+                    raise ValueError("end_of_slice mismatch (tiles)")
+                if k == len(ctus) - 1 and not last:
+                    if self.c.decode_terminate() != 1:
+                        raise ValueError("missing end_of_subset bit")
+            off += sizes[ti]
 
     def coding_quadtree(self, x0, y0, log2_size, depth) -> None:
         size = 1 << log2_size

@@ -35,6 +35,10 @@ def build_argparser() -> argparse.ArgumentParser:
                          "(requires --period 0)")
     ap.add_argument("--bitrate", type=int, default=0,
                     help="target bits/s (0 = fixed QP)")
+    ap.add_argument("--tiles", default=None, metavar="WxH",
+                    help="uniform tile grid, e.g. 3x3 (implies "
+                         "--no-wpp; independent CABAC substreams "
+                         "with entry points)")
     ap.add_argument("--hash", default="none",
                     choices=["none", "md5", "checksum"],
                     help="decoded-picture-hash SEI per frame")
@@ -56,6 +60,9 @@ def main(argv=None) -> int:
                              hash=args.hash,
                              chroma_format=420
                              if args.input_format == "P420" else 400)
+    if args.tiles:
+        cfg.set("tiles", args.tiles)
+        cfg.wpp = False
     from kvazaar_tpu.api import Encoder   # deferred: jax import cost
     enc = Encoder(cfg)
 

@@ -71,6 +71,14 @@ class Config:
     scaling_list: str = "off"
     cqmfile: Optional[str] = None
 
+    # Tiles (reference --tiles WxH, uniform spacing; src/cfg.c tiles
+    # parsing + src/encoder.c:387-520 geometry).  Breaks prediction
+    # and entropy dependencies at tile boundaries: independent CABAC
+    # substreams with entry points, shorter wavefront schedules, and
+    # the unit of within-frame multi-chip sharding.
+    tiles_x: int = 1
+    tiles_y: int = 1
+
     # Parallelism: device mesh shape for within-frame sharding.
     mesh_tiles: int = 1
     # Wavefront parallel processing (entropy_coding_sync): per-CTU-row
@@ -128,6 +136,20 @@ class Config:
                              "CU size for now")
         if self.mesh_tiles != 1:
             raise ValueError("tile sharding is not implemented yet")
+        if not (1 <= self.tiles_x <= 16 and 1 <= self.tiles_y <= 16):
+            raise ValueError("tiles must be 1..16 per axis")
+        if (self.tiles_x, self.tiles_y) != (1, 1):
+            if self.wpp:
+                raise ValueError("tiles currently exclude WPP (one "
+                                 "entry-point scheme per picture); "
+                                 "set wpp=0 with --tiles")
+            if self.intra_min_cu != self.intra_max_cu:
+                raise ValueError("tiles require a fixed CU size for "
+                                 "now")
+            ctus_x = -(-self.width // 64)
+            ctus_y = -(-self.height // 64)
+            if self.tiles_x > ctus_x or self.tiles_y > ctus_y:
+                raise ValueError("more tiles than CTUs")
         if self.rd > 1:
             raise ValueError("--rd levels above 1 are not implemented")
         if self.rdoq and self.lossless:
@@ -165,6 +187,10 @@ class Config:
             else:
                 self.gop_len = int(value)
                 self.lp_gop = None
+            return self
+        if name == "tiles":
+            tx, ty = value.lower().split("x")
+            self.tiles_x, self.tiles_y = int(tx), int(ty)
             return self
         if not hasattr(self, name):
             raise KeyError(f"unknown option: {name}")

@@ -690,7 +690,8 @@ class PFrameMixin:
 
     def _serialize_b(self, fd, poc, rpd0, rpd1):
         from kvazaar_tpu.constants import SLICE_B
-        if _NATIVE_OK and not self.params.transquant_bypass:
+        if _NATIVE_OK and not self.params.transquant_bypass \
+                and not self.params.tiles_enabled:
             data, sizes = native.encode_slice_data_native_p(
                 self.params, fd, self.cfg.qp, self.params.wpp,
                 slice_type=SLICE_B)
@@ -700,7 +701,9 @@ class PFrameMixin:
             enc = SliceDataEncoder(self.params, fd,
                                    Contexts(SLICE_B, self.cfg.qp),
                                    CabacEncoder(dw))
-            if self.params.wpp:
+            if self.params.tiles_enabled:
+                sizes = enc.encode_slice_data_tiles()
+            elif self.params.wpp:
                 sizes = enc.encode_slice_data_wpp()
             else:
                 enc.encode_slice_data()
@@ -718,7 +721,7 @@ class PFrameMixin:
                      retained_l0=(), tmvp: bool = False):
         nref = 1 if ref_list_l0 is None else len(ref_list_l0)
         if _NATIVE_OK and not self.params.transquant_bypass \
-                and nref == 1:
+                and not self.params.tiles_enabled and nref == 1:
             data, sizes = native.encode_slice_data_native_p(
                 self.params, fd, self.cfg.qp, self.params.wpp)
         else:
@@ -727,7 +730,9 @@ class PFrameMixin:
             enc = SliceDataEncoder(self.params, fd,
                                    Contexts(SLICE_P, self.cfg.qp),
                                    CabacEncoder(dw), nref_l0=nref)
-            if self.params.wpp:
+            if self.params.tiles_enabled:
+                sizes = enc.encode_slice_data_tiles()
+            elif self.params.wpp:
                 sizes = enc.encode_slice_data_wpp()
             else:
                 enc.encode_slice_data()
@@ -758,8 +763,9 @@ class IntraFrameEncoder(PFrameMixin):
         self.bitdepth = cfg.input_bitdepth
         self.coded_w = -(-cfg.width // self.cu) * self.cu
         self.coded_h = -(-cfg.height // self.cu) * self.cu
+        self.tiles = (cfg.tiles_x, cfg.tiles_y)
         self.plan = make_intra_plan(self.coded_w, self.coded_h, self.cu,
-                                    self.chroma)
+                                    self.chroma, tiles=self.tiles)
         if cfg.lossless:
             # Deblocking would break bit-exactness of bypass blocks;
             # the reference's --lossless implies the same choice.
@@ -791,7 +797,8 @@ class IntraFrameEncoder(PFrameMixin):
                       self.coded_h - cfg.height),
             scaling_list_mode=_sl_mode,
             scaling_custom=_sl_custom,
-            tmvp_enabled=cfg.tmvp)
+            tmvp_enabled=cfg.tmvp,
+            tiles=self.tiles)
         self.qp_c = chroma_qp(cfg.qp)
         lam = qp_to_lambda(cfg.qp)
         self.lambda_satd = math.sqrt(lam)
@@ -985,7 +992,18 @@ class IntraFrameEncoder(PFrameMixin):
             st_c = None
             if s_cb is not None:
                 st_c = ([a[i] for a in s_cb], [a[i] for a in s_cr])
-            p = sao_decide_frame(st_y, st_c, lam)
+            tcol = trow = None
+            if self.params.tiles_enabled:
+                cbx = self.plan.tile_col_bounds
+                cby = self.plan.tile_row_bounds
+                tcol = np.searchsorted(
+                    cbx[1:], np.arange(self.params.width_in_ctus),
+                    "right")
+                trow = np.searchsorted(
+                    cby[1:], np.arange(self.params.height_in_ctus),
+                    "right")
+            p = sao_decide_frame(st_y, st_c, lam, tile_col=tcol,
+                                 tile_row=trow)
             sao_list.append(p)
             t_all.append(p["type"])
             eo_all.append(p["eo"])
@@ -1192,7 +1210,8 @@ class IntraFrameEncoder(PFrameMixin):
 
     def _var_serialize(self, fd, rec_y, rec_cb, rec_cr) -> FrameResult:
         sizes = []
-        if _NATIVE_OK and not self.params.transquant_bypass:
+        if _NATIVE_OK and not self.params.transquant_bypass \
+                and not self.params.tiles_enabled:
             if self.params.wpp:
                 data, sizes = native.encode_slice_data_native_wpp(
                     self.params, fd, self.cfg.qp)
@@ -1204,7 +1223,9 @@ class IntraFrameEncoder(PFrameMixin):
             enc = SliceDataEncoder(self.params, fd,
                                    Contexts(SLICE_I, self.cfg.qp),
                                    CabacEncoder(dw))
-            if self.params.wpp:
+            if self.params.tiles_enabled:
+                sizes = enc.encode_slice_data_tiles()
+            elif self.params.wpp:
                 sizes = enc.encode_slice_data_wpp()
             else:
                 enc.encode_slice_data()
@@ -1250,7 +1271,8 @@ class IntraFrameEncoder(PFrameMixin):
             fd.sao_off[:] = sao["off"]
         # Slice data first (entry-point offsets go into the header).
         sizes = []
-        if _NATIVE_OK and not self.params.transquant_bypass:
+        if _NATIVE_OK and not self.params.transquant_bypass \
+                and not self.params.tiles_enabled:
             if self.params.wpp:
                 data, sizes = native.encode_slice_data_native_wpp(
                     self.params, fd, self.cfg.qp)
@@ -1262,7 +1284,9 @@ class IntraFrameEncoder(PFrameMixin):
             enc = SliceDataEncoder(self.params, fd,
                                    Contexts(SLICE_I, self.cfg.qp),
                                    CabacEncoder(dw))
-            if self.params.wpp:
+            if self.params.tiles_enabled:
+                sizes = enc.encode_slice_data_tiles()
+            elif self.params.wpp:
                 sizes = enc.encode_slice_data_wpp()
             else:
                 enc.encode_slice_data()

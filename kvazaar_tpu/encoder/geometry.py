@@ -57,19 +57,32 @@ class IntraFramePlan:
     avail: np.ndarray           # (By, Bx, 5) bool: L, A, AR, BL, AL
     luma: PlaneMaps
     chroma: PlaneMaps | None
+    tiles: tuple = (1, 1)       # (columns, rows)
+    tile_col_bounds: tuple = () # CTU x boundaries, len tx+1
+    tile_row_bounds: tuple = () # CTU y boundaries, len ty+1
 
 
-def _block_availability(bx, by, Bx, By, order):
+def _block_availability(bx, by, Bx, By, order, tile_of=None):
     """Availability of the 5 neighbor blocks (left, above, above-right,
-    below-left, above-left) per z-scan decode order."""
+    below-left, above-left) per z-scan decode order.  With a tile map,
+    neighbors in a different tile are unavailable (6.4.1: prediction
+    never crosses tile boundaries)."""
     me = order[by, bx]
     out = np.zeros(5, dtype=bool)
     for i, (dx, dy) in enumerate([(-1, 0), (0, -1), (1, -1), (-1, 1),
                                   (-1, -1)]):
         nx, ny = bx + dx, by + dy
-        if 0 <= nx < Bx and 0 <= ny < By and order[ny, nx] < me:
+        if 0 <= nx < Bx and 0 <= ny < By and order[ny, nx] < me \
+                and (tile_of is None
+                     or tile_of[ny, nx] == tile_of[by, bx]):
             out[i] = True
     return out
+
+
+def uniform_tile_bounds(n_ctus: int, n_tiles: int) -> list:
+    """Uniform-spacing tile boundaries in CTUs (7.4.3.3.1:
+    colWidth[i] = ((i+1)*W)/T - (i*W)/T)."""
+    return [(i * n_ctus) // n_tiles for i in range(n_tiles + 1)]
 
 
 def _ref_sample_owner(i: int, s: int):
@@ -136,31 +149,53 @@ def _plane_maps(plan_geo, s: int, width: int, height: int) -> PlaneMaps:
 
 @functools.lru_cache(maxsize=8)
 def make_intra_plan(width: int, height: int, cu_size: int,
-                    chroma: bool = True, ctu_size: int = 64
-                    ) -> IntraFramePlan:
+                    chroma: bool = True, ctu_size: int = 64,
+                    tiles: tuple = (1, 1)) -> IntraFramePlan:
     """Build the full static plan.  width/height are the *coded* sizes
-    (multiples of cu_size)."""
+    (multiples of cu_size).  tiles = (columns, rows): uniform-spacing
+    tile grid; decode order becomes tile-major (raster over tiles,
+    CTU raster within, z within CTU) and availability stops at tile
+    boundaries — which also CUTS wavefront dependency chains, so tiles
+    shorten the recon schedule (the reference's tile thread
+    parallelism, src/encoderstate.c:860-965, recast as schedule
+    width)."""
     s = cu_size
     assert width % s == 0 and height % s == 0
     Bx, By = width // s, height // s
     k = ctu_size // s
+    tx, ty = tiles
 
-    # Decode order: CTU raster, z-order within.
-    order = np.zeros((By, Bx), dtype=np.int64)
+    # Uniform tile boundaries in CTUs -> tile id per block.
     ctus_x = -(-Bx // k)
+    ctus_y = -(-By // k)
+    cbx = uniform_tile_bounds(ctus_x, tx)
+    cby = uniform_tile_bounds(ctus_y, ty)
+    tcol_of_ctu = np.searchsorted(cbx[1:], np.arange(ctus_x),
+                                  side="right")
+    trow_of_ctu = np.searchsorted(cby[1:], np.arange(ctus_y),
+                                  side="right")
+    tile_of = np.zeros((By, Bx), dtype=np.int64)
+    rank_in_tile = np.zeros((By, Bx), dtype=np.int64)
     for by in range(By):
         for bx in range(Bx):
             cx, cy = bx // k, by // k
-            # CTUs at the right/bottom edge hold fewer blocks; decode
-            # order is still raster over CTUs, z within.  Using a large
-            # fixed stride keeps relative order correct.
-            order[by, bx] = ((cy * ctus_x + cx) * k * k
-                             + z_order_index(bx % k, by % k))
+            tc, tr = tcol_of_ctu[cx], trow_of_ctu[cy]
+            tile_of[by, bx] = tr * tx + tc
+            tw = cbx[tc + 1] - cbx[tc]          # tile width in CTUs
+            rank_in_tile[by, bx] = ((cy - cby[tr]) * tw
+                                    + (cx - cbx[tc]))
+
+    # Decode order: tile-major, CTU raster within tile, z within CTU.
+    order = (tile_of * (ctus_x * ctus_y) + rank_in_tile) * (k * k) \
+        + np.array([[z_order_index(bx % k, by % k)
+                     for bx in range(Bx)] for by in range(By)],
+                   dtype=np.int64)
 
     avail = np.zeros((By, Bx, 5), dtype=bool)
     for by in range(By):
         for bx in range(Bx):
-            avail[by, bx] = _block_availability(bx, by, Bx, By, order)
+            avail[by, bx] = _block_availability(bx, by, Bx, By, order,
+                                               tile_of)
 
     # Wavefront step = longest dependency chain over available neighbors.
     step_of = np.zeros((By, Bx), dtype=np.int32)
@@ -196,4 +231,5 @@ def make_intra_plan(width: int, height: int, cu_size: int,
         width=width, height=height, cu_size=s, blocks_x=Bx, blocks_y=By,
         n_steps=n_steps, n_slots=n_slots, step_of_block=step_of,
         slot_of_block=slot_of, block_of_slot=block_of_slot, avail=avail,
-        luma=luma, chroma=chroma_maps)
+        luma=luma, chroma=chroma_maps, tiles=(tx, ty),
+        tile_col_bounds=tuple(cbx), tile_row_bounds=tuple(cby))

@@ -72,8 +72,8 @@ def search_inter_frame(cur, ref, plan: IntraFramePlan, lambda_satd: float,
     cur_blocks = cur.reshape(by, s, bx, s).transpose(0, 2, 1, 3)
     cur_blocks = cur_blocks.reshape(n, s, s).astype(jnp.int32)
 
-    sads = sad_surfaces(cur, ref, r, s, bitdepth)   # (By,Bx,2R+1,2R+1)
-    sads = sads.reshape(n, 2 * r + 1, 2 * r + 1)
+    sads = sad_surfaces(cur, ref, r, s, bitdepth)
+    sads = sads.reshape(n, 2 * r + 1, 2 * r + 1)    # (N, Ddy, Ddx)
 
     # Pass 1: pure-SAD integer winner.
     flat = sads.reshape(n, -1)
@@ -131,8 +131,11 @@ def _luma_hp_blocks(ref_y, x0s, y0s, mvs, size: int, bitdepth: int = 8,
                                        mc_luma_phases_hp)
     e = _MC_EXTEND
     if ref_y.ndim == 3:
-        planes = jax.vmap(
-            lambda p: luma_phase_planes(p, bitdepth, e))(ref_y)
+        # Static unroll over the (<=4) references: a vmap here would
+        # batch the banded FIR matmuls, and batched bf16 dots are
+        # unsupported on the CPU fallback backend.
+        planes = jnp.stack([luma_phase_planes(ref_y[r], bitdepth, e)
+                            for r in range(ref_y.shape[0])])
     else:
         planes = luma_phase_planes(ref_y, bitdepth, e)
     return mc_luma_phases_hp(planes, x0s, y0s, mvs, size, e, ridx)

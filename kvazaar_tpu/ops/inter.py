@@ -220,7 +220,11 @@ def sad_surfaces(cur_plane, ref_plane, radius: int, size: int,
         rows = jax.lax.dynamic_slice(pad, (dy, 0), (h, w + 2 * r))
         sl = jnp.stack([rows[:, k:k + w] for k in range(2 * r + 1)],
                        axis=0)                   # (2R+1, H, W)
+        # |diff| fits 2^bitdepth-1: materialize the (2R+1, H, W)
+        # intermediate at the narrowest dtype (the stage is
+        # HBM-bandwidth-bound; int32 here costs 4x the traffic).
         d = jnp.abs(sl - cur[None])
+        d = d.astype(jnp.uint8 if bitdepth <= 8 else jnp.int16)
         colred = einsum_exact("wb,dhw->dhb", colmj, d, d_bound)
         return einsum_exact("yh,dhb->dyb", rowmj, colred,
                             size * d_bound)      # (2R+1, By, Bx)
@@ -276,6 +280,19 @@ QPEL_OFFSETS = np.array([(qx, qy) for qy in range(-3, 4)
                          for qx in range(-3, 4)], np.int32)
 
 
+@functools.lru_cache(maxsize=None)
+def _fir_band_mat(n_out: int, phase: int):
+    """Banded (n_out + 8, n_out) matrix applying the 8-tap luma filter
+    of `phase` along an axis padded by 4 on each side:
+    out[X] = sum_k LUMA_FILTERS[phase][k] * in[1 + X + k]."""
+    m = np.zeros((n_out + 8, n_out), np.int32)
+    for k in range(8):
+        m[1 + k:1 + k + n_out, :][np.arange(n_out),
+                                  np.arange(n_out)] = \
+            LUMA_FILTERS[phase][k]
+    return m
+
+
 def luma_phase_planes(ref_plane, bitdepth: int = 8, extend: int = 0):
     """All 16 quarter-pel interpolated planes of a reference at the
     14-bit intermediate precision: (4, 4, He, We) int32 indexed
@@ -285,31 +302,27 @@ def luma_phase_planes(ref_plane, bitdepth: int = 8, extend: int = 0):
     `extend` replicates the frame border by E pixels BEFORE
     interpolation so that reads at out-of-frame base positions (MC with
     MVs pointing outside, |overreach| <= E) reproduce the per-sample
-    clamp of gather-based MC exactly.  TPU rationale: 16 whole-plane
-    separable filters are a few fused shift+contract passes; per-block
-    MC then needs only ONE stacked gather (mc_luma_phases) instead of
-    per-block tap contractions."""
+    clamp of gather-based MC exactly.  TPU rationale: each separable
+    FIR pass is a banded-matrix matmul on the MXU (shift-stack passes
+    materialize (8, H, W) intermediates and are HBM-bound); per-block
+    MC then needs only ONE stacked gather (mc_luma_phases)."""
     e = extend
     if e:
         ref_plane = jnp.pad(ref_plane, e, mode="edge")
     h, w = ref_plane.shape
     pad = jnp.pad(ref_plane.astype(jnp.int32), 4, mode="edge")
-    lf = jnp.asarray(LUMA_FILTERS)
     shift1 = bitdepth - 8
     hors = []
     for fx in range(4):
-        sl = jnp.stack([pad[:, 1 + k:1 + k + w] for k in range(8)],
-                       axis=0)                    # (8, H+8, W)
-        hv = einsum_exact("k,kyx->yx", lf[fx], sl, 1 << bitdepth)
+        a = jnp.asarray(_fir_band_mat(w, fx))     # (W+8, W)
+        hv = einsum_exact("xX,yx->yX", a, pad,
+                          (1 << bitdepth) - 1)    # (H+8, W)
         hors.append(hv >> shift1 if shift1 else hv)
     planes = []
     for fy in range(4):
-        row = []
-        for fx in range(4):
-            sl = jnp.stack([hors[fx][1 + k:1 + k + h] for k in range(8)],
-                           axis=0)                # (8, H, W)
-            row.append(einsum_exact("k,kyx->yx", lf[fy], sl,
-                                    1 << 15) >> 6)
+        b = jnp.asarray(_fir_band_mat(h, fy))     # (H+8, H)
+        row = [einsum_exact("hY,hx->Yx", b, hors[fx], 1 << 15) >> 6
+               for fx in range(4)]
         planes.append(jnp.stack(row))
     return jnp.stack(planes)                      # (4, 4, H, W) 14-bit
 

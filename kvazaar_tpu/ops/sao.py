@@ -218,7 +218,8 @@ def _dd_band(b_cnt, b_sum, bp, offs, cy, cx):
     return dd
 
 
-def sao_decide_frame(stats_y, stats_c, lam: float):
+def sao_decide_frame(stats_y, stats_c, lam: float,
+                     tile_col=None, tile_row=None):
     """Full SAO parameter decision for one frame from device stats.
 
     stats_y: (e_cnt, e_sum, b_cnt, b_sum) luma; stats_c: ((cb...),
@@ -285,20 +286,32 @@ def sao_decide_frame(stats_y, stats_c, lam: float):
         return c
 
     # Greedy raster merge decisions (exact RD on the stats).
+    # Merge flags exist only toward neighbors in the SAME tile
+    # (7.3.8.3 conditions; tile_col/tile_row: tile id per CTU axis).
+    def left_ok(yy, xx):
+        return xx > 0 and (tile_col is None
+                           or tile_col[xx - 1] == tile_col[xx])
+
+    def up_ok(yy, xx):
+        return yy > 0 and (tile_row is None
+                           or tile_row[yy - 1] == tile_row[yy])
+
     for yy in range(cy):
         for xx in range(cx):
-            best = own_cost[yy, xx] + lam * ((xx > 0) + (yy > 0))
+            best = own_cost[yy, xx] + lam * (left_ok(yy, xx)
+                                             + up_ok(yy, xx))
             choice = 0
-            if xx > 0:
+            if left_ok(yy, xx):
                 p = (n_t[yy, xx - 1], n_eo[yy, xx - 1],
                      n_bp[yy, xx - 1], n_off[yy, xx - 1])
                 cm = cost_with(p, yy, xx) + lam * 1.0
                 if cm < best:
                     best, choice = cm, 1
-            if yy > 0:
+            if up_ok(yy, xx):
                 p = (n_t[yy - 1, xx], n_eo[yy - 1, xx],
                      n_bp[yy - 1, xx], n_off[yy - 1, xx])
-                cm = cost_with(p, yy, xx) + lam * ((xx > 0) + 1.0)
+                cm = cost_with(p, yy, xx) + lam * (left_ok(yy, xx)
+                                                   + 1.0)
                 if cm < best:
                     best, choice = cm, 2
             if choice:

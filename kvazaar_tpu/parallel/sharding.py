@@ -117,3 +117,44 @@ def deblock_frame_sharded(rec_y, rec_cb, rec_cr, qp: int, cu_size: int,
                        out_specs=spec)(rec_cr.astype(jnp.int32), bs_v,
                                        bs_h)
     return y, cb, cr
+
+
+def intra_encode_tiles_sharded(y, qp: int, lambda_satd: float,
+                               mesh: Mesh, axis: str = "rows",
+                               bitdepth: int = 8):
+    """All-intra luma search + wavefront reconstruction with the frame
+    sharded into TILE-ROW bands over the mesh.
+
+    Tile boundaries cut every prediction/entropy dependency (6.4.1), so
+    with tiles = (1, n_devices) each device encodes its band with NO
+    communication — the tile-thread parallelism of the reference
+    (src/encoderstate.c:860-965) becomes pure spatial sharding; only
+    the deblocking filter afterwards crosses bands
+    (loop_filter_across_tiles) via the ppermute halo exchange.
+
+    Returns (modes (By, Bx), recon_y (H, W)) — bit-identical to the
+    single-device encode with a (1, n) tile plan, any mesh size."""
+    from jax import shard_map
+
+    from kvazaar_tpu.encoder.geometry import make_intra_plan
+    from kvazaar_tpu.encoder.intra_recon import reconstruct_frames
+    from kvazaar_tpu.encoder.intra_search import search_frame_modes
+    n = mesh.shape[axis]
+    h, w = y.shape
+    assert h % (n * 64) == 0, "bands must be whole CTU rows"
+    band_plan = make_intra_plan(w, h // n, 16, chroma=False)
+
+    def band(yb):
+        modes, _cost = search_frame_modes(
+            yb.astype(jnp.int32), band_plan, lambda_satd, bitdepth,
+            two_pass=False)
+        rec = reconstruct_frames(yb.astype(jnp.int32)[None], None,
+                                 None, modes[None], band_plan, qp, qp,
+                                 bitdepth)
+        return modes, rec[0][0]
+
+    spec = P(axis, None)
+    # check_vma off: the scan's zero-initialized edge carries are
+    # unvarying constants; the body makes them device-varying.
+    return shard_map(band, mesh=mesh, in_specs=(spec,),
+                     out_specs=(spec, spec), check_vma=False)(y)
