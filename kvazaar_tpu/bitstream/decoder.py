@@ -487,7 +487,8 @@ def reconstruct_parsed(fd: FrameData, params: StreamParams, qp: int):
     ops)."""
     from kvazaar_tpu.encoder.frame_encoder import chroma_qp
     depth = int(fd.depth8[0, 0])
-    if not np.all(fd.depth8 == depth):
+    if not np.all(fd.depth8 == depth) or (
+            fd.nxn8 is not None and fd.nxn8.any()):
         return reconstruct_parsed_var(fd, params, qp)
     s = params.ctu_size >> depth
     chroma = params.chroma_format_idc != 0
@@ -586,11 +587,13 @@ def _np_intra_pred(refs: np.ndarray, mode: int, s: int, luma: bool,
 
 
 def _np_inv_residual(levels: np.ndarray, s: int, qp: int,
-                     bitdepth: int, m=None) -> np.ndarray:
+                     bitdepth: int, m=None, dst: bool = False
+                     ) -> np.ndarray:
     """Pure-numpy dequant + inverse transform (8.6.3/8.6.4, int64).
-    m: optional (N, N) scaling-list matrix."""
+    m: optional (N, N) scaling-list matrix; dst: DST-VII (4x4 intra
+    luma TBs, 8.6.4.1)."""
     from kvazaar_tpu.ops.quant import quant_params
-    from kvazaar_tpu.ops.transform import dct_matrix_np
+    from kvazaar_tpu.ops.transform import dct_matrix_np, dst4_matrix_np
     log2n = s.bit_length() - 1
     _, _, inv_scale, shift = quant_params(qp, log2n, bitdepth)
     lv = levels.astype(np.int64)
@@ -605,7 +608,7 @@ def _np_inv_residual(levels: np.ndarray, s: int, qp: int,
         dq = (lv * (inv_scale << (qp // 6))
               + (1 << (shift - 5))) >> (shift - 4)
     dq = np.clip(dq, -32768, 32767)
-    t = dct_matrix_np(s).astype(np.int64)
+    t = (dst4_matrix_np() if dst else dct_matrix_np(s)).astype(np.int64)
     e = (t.T @ dq + 64) >> 7
     e = np.clip(e, -32768, 32767)
     sh2 = 20 - bitdepth
@@ -625,6 +628,8 @@ def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
     chroma = params.chroma_format_idc != 0
     h8, w8 = h // 8, w // 8
     sizes8 = (params.ctu_size >> fd.depth8.astype(np.int32)) // 8
+    nxn = (fd.nxn8 if fd.nxn8 is not None
+           else np.zeros((h8, w8), np.uint8))
     cus = []
     for y8 in range(h8):
         for x8 in range(w8):
@@ -638,6 +643,22 @@ def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
     order = np.zeros((h8, w8), np.int32)
     for k, (_key, x0, y0, s) in enumerate(cus):
         order[y0 // 8:(y0 + s) // 8, x0 // 8:(x0 + s) // 8] = k
+    # Luma decode-unit order at 4x4 granularity: PART_NxN CUs split
+    # into four z-ordered 4x4 PUs whose later PUs predict from earlier
+    # ones (8.4.4.2.2 availability follows this order).
+    lorder = np.zeros((h // 4, w // 4), np.int32)
+    lu = 0
+    luma_units_of_cu = []
+    for _key, x0, y0, s in cus:
+        if nxn[y0 // 8, x0 // 8]:
+            units = [(x0, y0, 4), (x0 + 4, y0, 4),
+                     (x0, y0 + 4, 4), (x0 + 4, y0 + 4, 4)]
+        else:
+            units = [(x0, y0, s)]
+        luma_units_of_cu.append(units)
+        for ux, uy, us in units:
+            lorder[uy // 4:(uy + us) // 4, ux // 4:(ux + us) // 4] = lu
+            lu += 1
 
     planes = [np.zeros((h, w), np.int64)]
     coeffs = [fd.coeff_y]
@@ -649,39 +670,58 @@ def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
     mid = 1 << (params.bitdepth - 1)
     maxv = (1 << params.bitdepth) - 1
 
-    for k, (_key, lx0, ly0, ls) in enumerate(cus):
-        mode = int(fd.mode4[ly0 // 4, lx0 // 4])
-        for pi, plane in enumerate(planes):
-            scale = 1 if pi == 0 else 2
-            x0, y0, s = lx0 // scale, ly0 // scale, ls // scale
-            ph, pw = plane.shape
-            # Spec-ordered refs with availability by decode order and
-            # substitution (8.4.4.2.2).
-            i = np.arange(4 * s + 1)
-            xs = np.where(i <= 2 * s, x0 - 1, x0 + i - (2 * s + 1))
-            ys = np.where(i <= 2 * s, y0 + 2 * s - 1 - i, y0 - 1)
-            inside = (xs >= 0) & (ys >= 0) & (xs < pw) & (ys < ph)
+    def recon_block(pi, x0, y0, s, mode, k_cu, my_lu):
+        plane = planes[pi]
+        scale = 1 if pi == 0 else 2
+        ph, pw = plane.shape
+        # Spec-ordered refs with availability by decode order and
+        # substitution (8.4.4.2.2).
+        i = np.arange(4 * s + 1)
+        xs = np.where(i <= 2 * s, x0 - 1, x0 + i - (2 * s + 1))
+        ys = np.where(i <= 2 * s, y0 + 2 * s - 1 - i, y0 - 1)
+        inside = (xs >= 0) & (ys >= 0) & (xs < pw) & (ys < ph)
+        if pi == 0:
+            avail = inside & (lorder[np.clip(ys, 0, ph - 1) // 4,
+                                     np.clip(xs, 0, pw - 1) // 4]
+                              < my_lu)
+        else:
             cx = np.clip(xs * scale, 0, w - 1) // 8
             cy = np.clip(ys * scale, 0, h - 1) // 8
-            avail = inside & (order[cy, cx] < k)
-            refs = np.full(4 * s + 1, mid, np.int64)
-            if avail.any():
-                vals = plane[np.clip(ys, 0, ph - 1),
-                             np.clip(xs, 0, pw - 1)]
-                sub = np.where(avail, np.arange(4 * s + 1), -1)
-                np.maximum.accumulate(sub, out=sub)
-                sub[sub < 0] = int(np.argmax(avail))
-                refs = np.where(avail[sub], vals[sub], mid)
-            pred = _np_intra_pred(refs, mode, s, pi == 0,
-                                  params.bitdepth)
-            lv = coeffs[pi][y0:y0 + s, x0:x0 + s]
-            if params.transquant_bypass:
-                res = lv.astype(np.int64)
-            else:
-                res = _np_inv_residual(
-                    lv, s, qps[pi], params.bitdepth,
-                    None if _sl_var is None else _sl_var.m(s, True, pi))
-            plane[y0:y0 + s, x0:x0 + s] = np.clip(pred + res, 0, maxv)
+            avail = inside & (order[cy, cx] < k_cu)
+        refs = np.full(4 * s + 1, mid, np.int64)
+        if avail.any():
+            vals = plane[np.clip(ys, 0, ph - 1),
+                         np.clip(xs, 0, pw - 1)]
+            sub = np.where(avail, np.arange(4 * s + 1), -1)
+            np.maximum.accumulate(sub, out=sub)
+            sub[sub < 0] = int(np.argmax(avail))
+            refs = np.where(avail[sub], vals[sub], mid)
+        pred = _np_intra_pred(refs, mode, s, pi == 0,
+                              params.bitdepth)
+        lv = coeffs[pi][y0:y0 + s, x0:x0 + s]
+        if params.transquant_bypass:
+            res = lv.astype(np.int64)
+        else:
+            dst = pi == 0 and s == 4       # 4x4 intra luma TB (8.6.4.1)
+            res = _np_inv_residual(
+                lv, s, qps[pi], params.bitdepth,
+                None if _sl_var is None else _sl_var.m(s, True, pi),
+                dst=dst)
+        plane[y0:y0 + s, x0:x0 + s] = np.clip(pred + res, 0, maxv)
+
+    lu = 0
+    for k, (_key, lx0, ly0, ls) in enumerate(cus):
+        for ux, uy, us in luma_units_of_cu[k]:
+            recon_block(0, ux, uy, us,
+                        int(fd.mode4[uy // 4, ux // 4]), k, lu)
+            lu += 1
+        if chroma:
+            # DM chroma mode = luma mode of the PU covering the CU
+            # origin (8.4.3); NxN CUs still carry one 4x4 chroma TB.
+            mode = int(fd.mode4[ly0 // 4, lx0 // 4])
+            for pi in (1, 2):
+                recon_block(pi, lx0 // 2, ly0 // 2, ls // 2, mode,
+                            k, None)
 
     rec_y = planes[0]
     rec_cb = planes[1] if chroma else None

@@ -67,6 +67,10 @@ class FrameData:
     sao_eo: np.ndarray = None      # (Cy, Cx, 2) uint8
     sao_bp: np.ndarray = None      # (Cy, Cx, 3) uint8
     sao_off: np.ndarray = None     # (Cy, Cx, 3, 4) int8
+    # 1 = min-size intra CU partitioned PART_NxN: four 4x4 PUs with
+    # per-PU modes in mode4, forced 4x4 TU split (IntraSplitFlag,
+    # 7.3.8.5/7.3.8.8; reference intra CU src/encode_coding_tree.c:683).
+    nxn8: np.ndarray = None        # (H/8, W/8) uint8
 
     @staticmethod
     def empty(width: int, height: int, chroma: bool = True) -> "FrameData":
@@ -95,6 +99,7 @@ class FrameData:
             sao_eo=np.zeros(cg + (2,), dtype=np.uint8),
             sao_bp=np.zeros(cg + (3,), dtype=np.uint8),
             sao_off=np.zeros(cg + (3, 4), dtype=np.int8),
+            nxn8=np.zeros(g8, dtype=np.uint8),
         )
 
 
@@ -218,6 +223,11 @@ class _SliceSyntaxBase:
     def _is_inter_cu(self, x0: int, y0: int) -> bool:
         return bool(self.d.inter8 is not None
                     and self.d.inter8[y0 >> 3, x0 >> 3])
+
+    def _is_nxn(self, x0: int, y0: int, log2_size: int) -> bool:
+        """PART_NxN intra CU (only defined at min CU size 8)."""
+        return (log2_size == 3 and self.d.nxn8 is not None
+                and bool(self.d.nxn8[y0 >> 3, x0 >> 3]))
 
     def skip_ctx(self, x0: int, y0: int) -> int:
         inc = 0
@@ -527,34 +537,46 @@ class SliceDataEncoder(_SliceSyntaxBase):
         return 0
 
     def _encode_intra_cu(self, x0, y0, log2_size) -> None:
-        # No transquant bypass, 2Nx2N intra only (NxN arrives with the
-        # 4x4 TU path).
+        nxn = self._is_nxn(x0, y0, log2_size)
         if log2_size == self.p.log2_min_cu:
-            self.c.encode_bin(self.ctx("part_size", 0), 1)  # PART_2Nx2N
-        mode = int(self.d.mode4[y0 >> 2, x0 >> 2])
-        mpm = self.mpm_for(x0, y0)
-        if mode in mpm:
-            self.c.encode_bin(self.ctx("intra_mode", 0), 1)
-            idx = mpm.index(mode)
-            self.c.encode_bypass(1 if idx else 0)
-            if idx:
-                self.c.encode_bypass(idx - 1)
-        else:
-            self.c.encode_bin(self.ctx("intra_mode", 0), 0)
-            rem = mode
-            for m in sorted(mpm, reverse=True):
-                if rem > m:
-                    rem -= 1
-            self.c.encode_bypass_bins(rem, 5)
+            # part_mode (9.3.3.5, intra): 1 = PART_2Nx2N, 0 = PART_NxN.
+            self.c.encode_bin(self.ctx("part_size", 0), 0 if nxn else 1)
+        pus = ([(x0, y0)] if not nxn else
+               [(x0, y0), (x0 + 4, y0), (x0, y0 + 4), (x0 + 4, y0 + 4)])
+        # 7.3.8.5: all prev_intra_luma_pred_flags first, then per-PU
+        # mpm_idx / rem_intra_luma_pred_mode.
+        in_mpm = []
+        for px, py in pus:
+            mode = int(self.d.mode4[py >> 2, px >> 2])
+            hit = mode in self.mpm_for(px, py)
+            in_mpm.append(hit)
+            self.c.encode_bin(self.ctx("intra_mode", 0), 1 if hit else 0)
+        for (px, py), hit in zip(pus, in_mpm):
+            mode = int(self.d.mode4[py >> 2, px >> 2])
+            mpm = self.mpm_for(px, py)
+            if hit:
+                idx = mpm.index(mode)
+                self.c.encode_bypass(1 if idx else 0)
+                if idx:
+                    self.c.encode_bypass(idx - 1)
+            else:
+                rem = mode
+                for m in sorted(mpm, reverse=True):
+                    if rem > m:
+                        rem -= 1
+                self.c.encode_bypass_bins(rem, 5)
         if self.chroma:
             # Derived (DM) chroma mode only, a single context bin = 0.
             self.c.encode_bin(self.ctx("chroma_pred_mode", 0), 0)
         self.transform_tree(x0, y0, log2_size, 0)
 
     def transform_tree(self, x0, y0, log2_size, tr_depth) -> None:
-        # max_tr_depth_intra = 0: split only when size exceeds max TU;
-        # the flag is never coded (7.3.8.8 inference rules).
-        split = log2_size > self.p.log2_max_tu
+        # max_tr_depth_intra = 0: split only when size exceeds max TU or
+        # IntraSplitFlag (NxN) forces 4x4 TUs; the flag is never coded
+        # (7.3.8.8 inference rules).
+        split = (log2_size > self.p.log2_max_tu
+                 or (tr_depth == 0 and self._is_nxn(x0, y0, log2_size)
+                     and not self._is_inter_cu(x0, y0)))
         cbf_cb = cbf_cr = 0
         if self.chroma and log2_size > 2:
             cb = self._tu_cbf(1, x0, y0, log2_size)
@@ -569,6 +591,14 @@ class SliceDataEncoder(_SliceSyntaxBase):
                     self._transform_leaf_or_split(
                         x0 + dx, y0 + dy, log2_size - 1, tr_depth + 1,
                         cbf_cb, cbf_cr)
+            if self.chroma and log2_size == 3:
+                # 4x4 luma children: the 8x8 area's single 4x4 chroma
+                # TBs ride after the last child (7.3.8.10,
+                # log2TrafoSize == 2 rule).
+                if cbf_cb:
+                    self.residual_coding(x0 >> 1, y0 >> 1, 2, 1)
+                if cbf_cr:
+                    self.residual_coding(x0 >> 1, y0 >> 1, 2, 2)
         else:
             cbf_luma = self._tu_cbf(0, x0, y0, log2_size)
             if (not self._is_inter_cu(x0, y0) or tr_depth != 0
@@ -1056,24 +1086,36 @@ class SliceDataDecoder(_SliceSyntaxBase):
             self.transform_tree(x0, y0, log2_size, 0)
 
     def _decode_intra_cu(self, x0, y0, log2_size) -> None:
+        nxn = False
         if log2_size == self.p.log2_min_cu:
             part = self.c.decode_bin(self.ctx("part_size", 0))
             if part != 1:
-                raise NotImplementedError("NxN partition not in v1 subset")
-        mpm = self.mpm_for(x0, y0)
-        if self.c.decode_bin(self.ctx("intra_mode", 0)):
-            idx = self.c.decode_bypass()
-            if idx:
-                idx = 1 + self.c.decode_bypass()
-            mode = mpm[idx]
-        else:
-            rem = self.c.decode_bypass_bins(5)
-            for m in sorted(mpm):
-                if rem >= m:
-                    rem += 1
-            mode = rem
-        n4 = 1 << (log2_size - 2)
-        self.d.mode4[y0 >> 2:(y0 >> 2) + n4, x0 >> 2:(x0 >> 2) + n4] = mode
+                if log2_size != 3:
+                    raise ValueError("PART_NxN requires 8x8 CU")
+                nxn = True
+                self.d.nxn8[y0 >> 3, x0 >> 3] = 1
+        pus = ([(x0, y0)] if not nxn else
+               [(x0, y0), (x0 + 4, y0), (x0, y0 + 4), (x0 + 4, y0 + 4)])
+        flags = [self.c.decode_bin(self.ctx("intra_mode", 0))
+                 for _ in pus]
+        n4 = (1 << (log2_size - 2)) if not nxn else 1
+        for (px, py), hit in zip(pus, flags):
+            # MPMs derive from modes of already-decoded PUs (spec
+            # 8.4.2) — fill mode4 per PU as we go.
+            mpm = self.mpm_for(px, py)
+            if hit:
+                idx = self.c.decode_bypass()
+                if idx:
+                    idx = 1 + self.c.decode_bypass()
+                mode = mpm[idx]
+            else:
+                rem = self.c.decode_bypass_bins(5)
+                for m in sorted(mpm):
+                    if rem >= m:
+                        rem += 1
+                mode = rem
+            self.d.mode4[py >> 2:(py >> 2) + n4,
+                         px >> 2:(px >> 2) + n4] = mode
         if self.chroma:
             dm = self.c.decode_bin(self.ctx("chroma_pred_mode", 0))
             if dm != 0:
@@ -1081,7 +1123,9 @@ class SliceDataDecoder(_SliceSyntaxBase):
         self.transform_tree(x0, y0, log2_size, 0)
 
     def transform_tree(self, x0, y0, log2_size, tr_depth) -> None:
-        split = log2_size > self.p.log2_max_tu
+        split = (log2_size > self.p.log2_max_tu
+                 or (tr_depth == 0 and self._is_nxn(x0, y0, log2_size)
+                     and not self._is_inter_cu(x0, y0)))
         cbf_cb = cbf_cr = 0
         if self.chroma and log2_size > 2:
             cbf_cb = self.c.decode_bin(self.ctx("cbf_chroma", tr_depth))
@@ -1093,6 +1137,11 @@ class SliceDataDecoder(_SliceSyntaxBase):
                     self._transform_leaf_or_split(
                         x0 + dx, y0 + dy, log2_size - 1, tr_depth + 1,
                         cbf_cb, cbf_cr)
+            if self.chroma and log2_size == 3:
+                if cbf_cb:
+                    self.residual_coding(x0 >> 1, y0 >> 1, 2, 1)
+                if cbf_cr:
+                    self.residual_coding(x0 >> 1, y0 >> 1, 2, 2)
         else:
             if (not self._is_inter_cu(x0, y0) or tr_depth != 0
                     or cbf_cb or cbf_cr):

@@ -46,6 +46,12 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="write reconstruction YUV for comparison "
                          "(reference --debug)")
     ap.add_argument("--no-psnr", action="store_true")
+    ap.add_argument("--set", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="set any config option by name (the string-"
+                         "keyed parser of the reference's "
+                         "kvz_config_parse, src/cfg.c:358); e.g. "
+                         "--set intra-max-cu=4 --set sao=1")
     return ap
 
 
@@ -63,6 +69,9 @@ def main(argv=None) -> int:
     if args.tiles:
         cfg.set("tiles", args.tiles)
         cfg.wpp = False
+    for kv in args.set:
+        key, _, value = kv.partition("=")
+        cfg.set(key, value)
     from kvazaar_tpu.api import Encoder   # deferred: jax import cost
     enc = Encoder(cfg)
 

@@ -98,10 +98,22 @@ class Config:
         if self.chroma_format not in (400, 420):
             raise ValueError("chroma_format must be 400 or 420")
         for v in (self.intra_min_cu, self.intra_max_cu):
-            if v not in (8, 16, 32):
-                raise ValueError("intra cu sizes must be in {8,16,32}")
+            if v not in (4, 8, 16, 32):
+                raise ValueError("intra cu sizes must be in {4,8,16,32}")
         if self.intra_min_cu > self.intra_max_cu:
             raise ValueError("intra_min_cu > intra_max_cu")
+        if 4 in (self.intra_min_cu, self.intra_max_cu):
+            # The intra-NxN operating point: 8x8 CUs as four 4x4
+            # PUs/TUs (DST-VII).  Fixed-granularity all-intra for now.
+            if self.intra_min_cu != 4 or self.intra_max_cu != 4:
+                raise ValueError("4x4 intra is a fixed operating point "
+                                 "(intra_min_cu=intra_max_cu=4)")
+            if self.intra_period != 1:
+                raise ValueError("4x4 intra (NxN) requires all-intra "
+                                 "coding (--period 1) for now")
+            if (self.tiles_x, self.tiles_y) != (1, 1):
+                raise ValueError("tiles with 4x4 intra are not "
+                                 "implemented")
         if self.transform_skip:
             raise ValueError("transform_skip is not implemented yet")
         if not 1 <= self.ref_frames <= 4:

@@ -761,11 +761,26 @@ class IntraFrameEncoder(PFrameMixin):
         self.chroma = cfg.chroma_format == 420
         self.cu = cfg.intra_max_cu          # fixed CU size in v1
         self.bitdepth = cfg.input_bitdepth
-        self.coded_w = -(-cfg.width // self.cu) * self.cu
-        self.coded_h = -(-cfg.height // self.cu) * self.cu
+        # cu = 4 is the intra-NxN operating point: 8x8 CUs coded
+        # PART_NxN with four 4x4 PUs/TUs (DST-VII luma) — luma runs on
+        # a 4x4-granularity plan, chroma keeps one 4x4 TB per CU on an
+        # 8x8-granularity plan (reference NxN search
+        # src/search_intra.c:189 + intra CU src/encode_coding_tree.c:683).
+        pad = max(self.cu, 8)
+        self.coded_w = -(-cfg.width // pad) * pad
+        self.coded_h = -(-cfg.height // pad) * pad
         self.tiles = (cfg.tiles_x, cfg.tiles_y)
-        self.plan = make_intra_plan(self.coded_w, self.coded_h, self.cu,
-                                    self.chroma, tiles=self.tiles)
+        self.plan_c = None
+        if self.cu == 4:
+            self.plan = make_intra_plan(self.coded_w, self.coded_h, 4,
+                                        chroma=False)
+            if self.chroma:
+                self.plan_c = make_intra_plan(self.coded_w,
+                                              self.coded_h, 8, True)
+        else:
+            self.plan = make_intra_plan(self.coded_w, self.coded_h,
+                                        self.cu, self.chroma,
+                                        tiles=self.tiles)
         if cfg.lossless:
             # Deblocking would break bit-exactness of bypass blocks;
             # the reference's --lossless implies the same choice.
@@ -833,22 +848,48 @@ class IntraFrameEncoder(PFrameMixin):
             lambda y: search_frame_modes(y, self.plan, self.lambda_satd,
                                          self.bitdepth,
                                          self.cfg.rd >= 1)[0])(ys)
-        rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr = reconstruct_frames(
-            ys, cbs, crs, modes, self.plan, self.cfg.qp, self.qp_c,
-            self.bitdepth, lossless=self.cfg.lossless,
-            signhide=self.cfg.signhide, rdoq=self.cfg.rdoq,
-            lam=qp_to_lambda(self.cfg.qp), scaling=self.scaling)
+        if self.cu == 4:
+            # Split planes: luma on the 4x4 plan, chroma (one 4x4 TB
+            # per 8x8 CU, DM mode of PU0) on the 8x8 plan.
+            rec_y, lv_y, _, _, _, _ = reconstruct_frames(
+                ys, None, None, modes, self.plan, self.cfg.qp,
+                self.qp_c, self.bitdepth, lossless=self.cfg.lossless,
+                signhide=self.cfg.signhide, rdoq=self.cfg.rdoq,
+                lam=qp_to_lambda(self.cfg.qp), scaling=self.scaling)
+            rec_cb = lv_cb = rec_cr = lv_cr = None
+            if self.chroma:
+                from kvazaar_tpu.encoder.intra_recon import \
+                    reconstruct_chroma_frames
+                rec_cb, lv_cb, rec_cr, lv_cr = \
+                    reconstruct_chroma_frames(
+                        cbs, crs, modes[:, ::2, ::2], self.plan_c,
+                        self.qp_c, self.bitdepth,
+                        lossless=self.cfg.lossless,
+                        signhide=self.cfg.signhide, rdoq=self.cfg.rdoq,
+                        lam=qp_to_lambda(self.cfg.qp),
+                        scaling=self.scaling)
+        else:
+            (rec_y, lv_y, rec_cb, lv_cb, rec_cr,
+             lv_cr) = reconstruct_frames(
+                ys, cbs, crs, modes, self.plan, self.cfg.qp, self.qp_c,
+                self.bitdepth, lossless=self.cfg.lossless,
+                signhide=self.cfg.signhide, rdoq=self.cfg.rdoq,
+                lam=qp_to_lambda(self.cfg.qp), scaling=self.scaling)
         if self.cfg.deblock:
             # In-loop filter as a batched post-pass: intra prediction
             # reads unfiltered samples (spec 8.4.4.2.1), so deblocking
             # never feeds the wavefront.
             rdt = rec_y.dtype
+            # Deblocking only filters the 8x8 edge grid (8.7.2): the
+            # intra-NxN point's 4x4 TU edges are never filtered, so its
+            # boundary grid is the 8x8 CU grid.
+            dcu = max(self.cu, 8)
             dy, dcb, dcr = jax.vmap(
                 lambda a, b, c: deblock_frame(a, b, c, self.cfg.qp,
-                                              self.cu, self.bitdepth)
+                                              dcu, self.bitdepth)
             )(rec_y, rec_cb, rec_cr) if self.chroma else (
                 jax.vmap(lambda a: deblock_frame(a, None, None,
-                                                 self.cfg.qp, self.cu,
+                                                 self.cfg.qp, dcu,
                                                  self.bitdepth)[0])(rec_y),
                 None, None)
             rec_y = dy.astype(rdt)
@@ -899,18 +940,24 @@ class IntraFrameEncoder(PFrameMixin):
         blocks (None where the plane is absent), modes, overflow, sse."""
         s = self.cu
         nb = self.plan.blocks_y * self.plan.blocks_x
+        cs = s // 2
+        nbc = nb
+        if s == 4:
+            cs = 4                       # one 4x4 chroma TB per 8x8 CU
+            nbc = (self.plan_c.blocks_y * self.plan_c.blocks_x
+                   if self.plan_c else 0)
         sizes = [nb * s * s]
         if self.chroma:
-            sizes += [nb * (s // 2) ** 2] * 2
+            sizes += [nbc * cs * cs] * 2
         sizes += [nb, 16]
         buf = buf.reshape(nframes, sum(sizes))
         offs = np.cumsum([0] + sizes)
         out_lv = []
         k = 0
         for _ in range(3 if self.chroma else 1):
-            size = s if k == 0 else s // 2
+            size, n = (s, nb) if k == 0 else (cs, nbc)
             out_lv.append(buf[:, offs[k]:offs[k + 1]].view(np.int8)
-                          .astype(np.int32).reshape(nframes, nb, size,
+                          .astype(np.int32).reshape(nframes, n, size,
                                                     size))
             k += 1
         while len(out_lv) < 3:
@@ -1252,17 +1299,32 @@ class IntraFrameEncoder(PFrameMixin):
                        rec_cr, sao=None) -> FrameResult:
         s = self.cu
         fd = FrameData.empty(self.coded_w, self.coded_h, self.chroma)
-        fd.depth8[:] = 6 - int(math.log2(s))
-        fd.mode4[:] = np.kron(modes, np.ones((s // 4, s // 4), np.uint8))
-        fd.coeff_y[:] = blocks_to_plane(lv_y, self.plan, s,
-                                        self.coded_w, self.coded_h)
-        if self.chroma:
-            fd.coeff_cb[:] = blocks_to_plane(lv_cb, self.plan, s // 2,
-                                             self.coded_w // 2,
-                                             self.coded_h // 2)
-            fd.coeff_cr[:] = blocks_to_plane(lv_cr, self.plan, s // 2,
-                                             self.coded_w // 2,
-                                             self.coded_h // 2)
+        if s == 4:
+            fd.depth8[:] = 3               # 8x8 CUs, PART_NxN
+            fd.nxn8[:] = 1
+            fd.mode4[:] = modes
+            fd.coeff_y[:] = blocks_to_plane(lv_y, self.plan, 4,
+                                            self.coded_w, self.coded_h)
+            if self.chroma:
+                fd.coeff_cb[:] = blocks_to_plane(
+                    lv_cb, self.plan_c, 4, self.coded_w // 2,
+                    self.coded_h // 2)
+                fd.coeff_cr[:] = blocks_to_plane(
+                    lv_cr, self.plan_c, 4, self.coded_w // 2,
+                    self.coded_h // 2)
+        else:
+            fd.depth8[:] = 6 - int(math.log2(s))
+            fd.mode4[:] = np.kron(modes,
+                                  np.ones((s // 4, s // 4), np.uint8))
+            fd.coeff_y[:] = blocks_to_plane(lv_y, self.plan, s,
+                                            self.coded_w, self.coded_h)
+            if self.chroma:
+                fd.coeff_cb[:] = blocks_to_plane(
+                    lv_cb, self.plan, s // 2, self.coded_w // 2,
+                    self.coded_h // 2)
+                fd.coeff_cr[:] = blocks_to_plane(
+                    lv_cr, self.plan, s // 2, self.coded_w // 2,
+                    self.coded_h // 2)
         if sao is not None:
             fd.sao_merge[:] = sao["merge"]
             fd.sao_type[:] = sao["type"]
@@ -1272,7 +1334,7 @@ class IntraFrameEncoder(PFrameMixin):
         # Slice data first (entry-point offsets go into the header).
         sizes = []
         if _NATIVE_OK and not self.params.transquant_bypass \
-                and not self.params.tiles_enabled:
+                and not self.params.tiles_enabled and self.cu != 4:
             if self.params.wpp:
                 data, sizes = native.encode_slice_data_native_wpp(
                     self.params, fd, self.cfg.qp)
@@ -1313,7 +1375,7 @@ class IntraFrameEncoder(PFrameMixin):
         with finalize_frames.  Queuing batch N+1 before finalizing batch
         N overlaps device compute with the previous batch's transfer +
         host CABAC."""
-        s = self.cu
+        s = max(self.cu, 8)     # coded sizes are multiples of min CU 8
         sdt = np.uint8 if self.bitdepth <= 8 else np.uint16
         ys = np.stack([pad_to_multiple(np.asarray(f[0], sdt), s)
                        for f in frames])

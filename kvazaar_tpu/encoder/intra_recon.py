@@ -128,16 +128,17 @@ def _predict_select(refs, modes, s, luma, bitdepth):
 
 def _tu_roundtrip(orig, pred, s, qp, bitdepth, intra=True,
                   lossless=False, scan_sel=None, rdoq=False,
-                  lam=0.0, scaling_tab=None):
+                  lam=0.0, scaling_tab=None, dst=False):
     """scaling_tab: (qc_intra, qc_inter, dqc_intra, dqc_inter) (N, N)
     per-position multiplier tables for this size/component/qp%6 when a
-    scaling list is active (ops/scaling.py)."""
+    scaling list is active (ops/scaling.py).  dst: DST-VII (4x4 intra
+    luma TBs, 8.6.4.1)."""
     resid = orig.astype(jnp.int32) - pred
     if lossless:
         # transquant bypass (cu_transquant_bypass_flag): the residual
         # itself is the coded level array; reconstruction is exact.
         return resid.astype(jnp.int16), orig.astype(jnp.int32)
-    coeff = forward_transform(resid, s, bitdepth)
+    coeff = forward_transform(resid, s, bitdepth, dst=dst)
     if rdoq:
         from kvazaar_tpu.ops.quant import quantize_rdoq
         levels = quantize_rdoq(coeff, qp, s, bitdepth, intra=intra,
@@ -150,8 +151,8 @@ def _tu_roundtrip(orig, pred, s, qp, bitdepth, intra=True,
         levels = sign_hide(levels, scan_sel)
     dqc = None if scaling_tab is None else         (jnp.asarray(scaling_tab[2]), jnp.asarray(scaling_tab[3]))
     dq = dequantize(levels, qp, s, bitdepth, dqc=dqc, intra=intra)
-    rec = jnp.clip(pred + inverse_transform(dq, s, bitdepth), 0,
-                   (1 << bitdepth) - 1)
+    rec = jnp.clip(pred + inverse_transform(dq, s, bitdepth, dst=dst),
+                   0, (1 << bitdepth) - 1)
     return levels.astype(jnp.int16), rec
 
 
@@ -200,9 +201,13 @@ def _plane_pass(hbuf, vbuf, bxs, bys, avail, valid, origs, modes, s, qp,
         intra_flag = ~flat_inter
     scan_sel = (_scan_sel(flat_modes, s, luma, flat_inter)
                 if signhide else None)
+    # 4x4 luma TBs only arise from intra NxN coding here, which is an
+    # all-intra path — DST-VII applies uniformly (8.6.4.1).
+    dst = luma and s == 4 and is_inter is None
     levels, rec = _tu_roundtrip(origs.reshape(n_slots * b, s, s), pred,
                                 s, qp, bitdepth, intra_flag, lossless,
-                                scan_sel, rdoq, lam, scaling_tab)
+                                scan_sel, rdoq, lam, scaling_tab,
+                                dst=dst)
     rec = rec.reshape(n_slots, b, s, s)
     for k in range(n_slots):
         x0 = bxs[k] * s
@@ -418,6 +423,73 @@ def _assemble_outputs(outs, plan, s, s2, b, bitdepth, chroma):
                 steps_to_plane(rc[1], s2), lv_out(lvc[1], s2))
     return (steps_to_plane(r_y, s), lv_out(lv_y, s), None, None, None,
             None)
+
+
+def reconstruct_chroma_frames(cbs, crs, dm_modes, plan: IntraFramePlan,
+                              qp_c: int, bitdepth: int = 8,
+                              lossless=False, signhide=False,
+                              rdoq=False, lam=0.0, scaling=None):
+    """Chroma-only wavefront pass over a cu=8-granularity plan.
+
+    Serves the intra-4x4 (PART_NxN) operating point: luma reconstructs
+    on its own 4x4-granularity plan while each 8x8 CU keeps one 4x4
+    chroma TB predicted with the DM mode of its first PU (8.4.3;
+    reference TU-tree recursion kvz_intra_recon_cu, src/intra.c:652).
+    cbs/crs: (B, H/2, W/2); dm_modes: (B, By8, Bx8) int32.
+    Returns (rec_cb, lv_cb, rec_cr, lv_cr) — levels in raster block
+    order like reconstruct_frames."""
+    s2 = plan.chroma.size
+    b = cbs.shape[0]
+    bxs, bys, avail, valid = step_schedule(plan)
+    slot_ids = jnp.asarray(np.maximum(plan.block_of_slot, 0))
+
+    def to_steps(planes):
+        by_, bx_ = plan.blocks_y, plan.blocks_x
+        blocks = planes.reshape(b, by_, s2, bx_, s2)
+        blocks = blocks.transpose(1, 3, 0, 2, 4).reshape(
+            by_ * bx_, b, s2, s2)
+        return blocks[slot_ids]
+
+    # cb and cr share geometry/modes/QP: one scan over a 2B batch.
+    oc = jnp.concatenate([to_steps(cbs.astype(jnp.int32)),
+                          to_steps(crs.astype(jnp.int32))], axis=2)
+    m2 = dm_modes.reshape(b, -1).T[slot_ids]
+    m2 = jnp.concatenate([m2, m2], axis=2)
+
+    tab_c = None
+    if scaling is not None:
+        r_ = qp_c % 6
+        tab_c = (scaling.qc(s2, True, 1)[r_],
+                 scaling.qc(s2, False, 1)[r_],
+                 scaling.dqc(s2, True, 1)[r_],
+                 scaling.dqc(s2, False, 1)[r_])
+
+    hb0 = jnp.zeros((2 * b, plan.blocks_y, plan.width // 2), jnp.int32)
+    vb0 = jnp.zeros((2 * b, plan.blocks_x, plan.height // 2), jnp.int32)
+
+    def step_fn(carry, xs):
+        hc, vc = carry
+        bx_t, by_t, av_t, va_t, o_c, m = xs
+        hc, vc, lv, rc = _plane_pass(
+            hc, vc, bx_t, by_t, av_t, va_t, o_c, m, s2, qp_c, bitdepth,
+            False, None, None, lossless, signhide, rdoq, lam, tab_c)
+        return (hc, vc), (lv, rc)
+
+    _, (lv_c, r_c) = jax.lax.scan(
+        step_fn, (hb0, vb0), (bxs, bys, avail, valid, oc, m2))
+
+    outs_cb = (lv_c[:, :, :b], None, r_c[:, :, :b], None)
+    outs_cr = (lv_c[:, :, b:], None, r_c[:, :, b:], None)
+    rec_cb, lv_cb = _assemble_chroma(outs_cb, plan, s2, b, bitdepth)
+    rec_cr, lv_cr = _assemble_chroma(outs_cr, plan, s2, b, bitdepth)
+    return rec_cb, lv_cb, rec_cr, lv_cr
+
+
+def _assemble_chroma(outs, plan, s2, b, bitdepth):
+    rec, lv, _, _ = _assemble_outputs(
+        (outs[0], None, outs[2], None), plan, s2, None, b, bitdepth,
+        chroma=False)[:4]
+    return rec, lv
 
 
 def reconstruct_frame(y, cb, cr, modes, plan: IntraFramePlan, qp: int,

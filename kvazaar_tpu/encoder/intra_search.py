@@ -27,18 +27,29 @@ from kvazaar_tpu.ops.intra import predict_all_modes
 
 
 @functools.lru_cache(maxsize=None)
-def _hadamard8_np() -> np.ndarray:
+def _hadamard_np(n: int) -> np.ndarray:
     h = np.array([[1]], dtype=np.int32)
-    while h.shape[0] < 8:
+    while h.shape[0] < n:
         h = np.block([[h, h], [h, -h]])
     return h
+
+
+def _hadamard8_np() -> np.ndarray:
+    return _hadamard_np(8)
 
 
 def satd8_batch(diff):
     """SATD over (..., S, S) int32 diffs as a sum of 8x8 Hadamard costs,
     normalized like the reference's satd_8x8 ((sum + 2) >> 2,
-    src/strategies/generic/picture-generic.c)."""
+    src/strategies/generic/picture-generic.c).  4x4 blocks use the 4x4
+    Hadamard with the reference's (sum + 1) >> 1 normalization
+    (satd_4x4, same file)."""
     s = diff.shape[-1]
+    if s == 4:
+        h = jnp.asarray(_hadamard_np(4))
+        t1 = einsum_exact("ij,...jk->...ik", h, diff, 1 << 10)
+        t = einsum_exact("lk,...ik->...il", h, t1, 1 << 13)
+        return (jnp.sum(jnp.abs(t), axis=(-2, -1)) + 1) >> 1
     assert s % 8 == 0
     h = jnp.asarray(_hadamard8_np())
     d = diff.reshape(*diff.shape[:-2], s // 8, 8, s // 8, 8)

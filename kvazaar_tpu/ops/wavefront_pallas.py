@@ -417,5 +417,7 @@ def supported(plan: IntraFramePlan, bitdepth: int, lossless: bool,
               signhide: bool, inter: bool) -> bool:
     """Configs the fused kernel covers (intra AND inter blocks);
     everything else takes the XLA scan (same results)."""
+    # cu_size 4 (the intra-NxN luma plan) needs the DST path the kernel
+    # doesn't carry yet; it takes the XLA scan.
     return (bitdepth == 8 and not lossless and not signhide
-            and plan.cu_size <= 16)
+            and plan.cu_size in (8, 16))
