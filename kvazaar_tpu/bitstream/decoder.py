@@ -587,11 +587,12 @@ def _np_intra_pred(refs: np.ndarray, mode: int, s: int, luma: bool,
 
 
 def _np_inv_residual(levels: np.ndarray, s: int, qp: int,
-                     bitdepth: int, m=None, dst: bool = False
-                     ) -> np.ndarray:
+                     bitdepth: int, m=None, dst: bool = False,
+                     ts: bool = False) -> np.ndarray:
     """Pure-numpy dequant + inverse transform (8.6.3/8.6.4, int64).
     m: optional (N, N) scaling-list matrix; dst: DST-VII (4x4 intra
-    luma TBs, 8.6.4.1)."""
+    luma TBs, 8.6.4.1); ts: transform_skip (8.6.4.2: r = d << 7, then
+    the bdShift rounding — no transform)."""
     from kvazaar_tpu.ops.quant import quant_params
     from kvazaar_tpu.ops.transform import dct_matrix_np, dst4_matrix_np
     log2n = s.bit_length() - 1
@@ -608,10 +609,13 @@ def _np_inv_residual(levels: np.ndarray, s: int, qp: int,
         dq = (lv * (inv_scale << (qp // 6))
               + (1 << (shift - 5))) >> (shift - 4)
     dq = np.clip(dq, -32768, 32767)
+    sh2 = 20 - bitdepth
+    if ts:
+        r = ((dq << 7) + (1 << (sh2 - 1))) >> sh2
+        return np.clip(r, -32768, 32767)
     t = (dst4_matrix_np() if dst else dct_matrix_np(s)).astype(np.int64)
     e = (t.T @ dq + 64) >> 7
     e = np.clip(e, -32768, 32767)
-    sh2 = 20 - bitdepth
     r = (e @ t + (1 << (sh2 - 1))) >> sh2
     return np.clip(r, -32768, 32767)
 
@@ -702,11 +706,16 @@ def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
         if params.transquant_bypass:
             res = lv.astype(np.int64)
         else:
+            ts = False
+            if params.transform_skip and s == 4:
+                tmap = (fd.tskip4, fd.tskip_cb, fd.tskip_cr)[pi]
+                if tmap is not None:
+                    ts = bool(tmap[y0 // 4, x0 // 4])
             dst = pi == 0 and s == 4       # 4x4 intra luma TB (8.6.4.1)
             res = _np_inv_residual(
                 lv, s, qps[pi], params.bitdepth,
                 None if _sl_var is None else _sl_var.m(s, True, pi),
-                dst=dst)
+                dst=dst and not ts, ts=ts)
         plane[y0:y0 + s, x0:x0 + s] = np.clip(pred + res, 0, maxv)
 
     lu = 0

@@ -71,6 +71,11 @@ class FrameData:
     # per-PU modes in mode4, forced 4x4 TU split (IntraSplitFlag,
     # 7.3.8.5/7.3.8.8; reference intra CU src/encode_coding_tree.c:683).
     nxn8: np.ndarray = None        # (H/8, W/8) uint8
+    # transform_skip_flag per 4x4 TB (7.3.8.11, coded only when the PPS
+    # enables it and log2TrafoSize == 2; reference src/transform.c:151).
+    tskip4: np.ndarray = None      # (H/4, W/4) uint8 — luma
+    tskip_cb: np.ndarray = None    # (H/8, W/8) uint8 — chroma TBs
+    tskip_cr: np.ndarray = None
 
     @staticmethod
     def empty(width: int, height: int, chroma: bool = True) -> "FrameData":
@@ -100,6 +105,9 @@ class FrameData:
             sao_bp=np.zeros(cg + (3,), dtype=np.uint8),
             sao_off=np.zeros(cg + (3, 4), dtype=np.int8),
             nxn8=np.zeros(g8, dtype=np.uint8),
+            tskip4=np.zeros((height // 4, width // 4), dtype=np.uint8),
+            tskip_cb=np.zeros(g8, dtype=np.uint8),
+            tskip_cr=np.zeros(g8, dtype=np.uint8),
         )
 
 
@@ -655,6 +663,15 @@ class SliceDataEncoder(_SliceSyntaxBase):
         plane = self._plane(c_idx)
         block = plane[y0:y0 + size, x0:x0 + size]
 
+        if (p.transform_skip and log2_size == 2
+                and not p.transquant_bypass):
+            tmap = (self.d.tskip4, self.d.tskip_cb,
+                    self.d.tskip_cr)[c_idx]
+            flag = int(tmap[y0 >> 2, x0 >> 2]) if tmap is not None \
+                else 0
+            c.encode_bin(ctx("transform_skip", 1 if chroma else 0),
+                         flag)
+
         lx0 = x0 * 2 if chroma else x0
         ly0 = y0 * 2 if chroma else y0
         if self._is_inter_cu(lx0, ly0):
@@ -1178,6 +1195,14 @@ class SliceDataDecoder(_SliceSyntaxBase):
         p, c, ctx = self.p, self.c, self.ctx
         size = 1 << log2_size
         chroma = c_idx > 0
+        if (p.transform_skip and log2_size == 2
+                and not p.transquant_bypass):
+            flag = c.decode_bin(ctx("transform_skip",
+                                    1 if chroma else 0))
+            tmap = (self.d.tskip4, self.d.tskip_cb,
+                    self.d.tskip_cr)[c_idx]
+            if tmap is not None:
+                tmap[y0 >> 2, x0 >> 2] = flag
         lx0 = x0 * 2 if chroma else x0
         ly0 = y0 * 2 if chroma else y0
         if self._is_inter_cu(lx0, ly0):

@@ -115,7 +115,20 @@ class Config:
                 raise ValueError("tiles with 4x4 intra are not "
                                  "implemented")
         if self.transform_skip:
-            raise ValueError("transform_skip is not implemented yet")
+            # TS applies to 4x4 TBs (7.3.8.11); only the intra-NxN
+            # operating point produces them today.
+            if self.intra_max_cu != 4:
+                raise ValueError("transform_skip needs 4x4 TUs: set "
+                                 "intra_min_cu=intra_max_cu=4")
+            if self.rdoq:
+                raise ValueError("transform_skip with RDOQ is not "
+                                 "implemented")
+            if self.lossless:
+                raise ValueError("transform_skip is meaningless with "
+                                 "--lossless")
+            if self.scaling_list != "off":
+                raise ValueError("transform_skip with scaling lists "
+                                 "is not implemented")
         if not 1 <= self.ref_frames <= 4:
             raise ValueError("ref_frames must be in [1, 4]")
         if not 1 <= self.me_range <= 64:

@@ -806,6 +806,7 @@ class IntraFrameEncoder(PFrameMixin):
             deblock_enabled=cfg.deblock,
             sao_enabled=cfg.sao,
             transquant_bypass=cfg.lossless,
+            transform_skip=cfg.transform_skip,
             sign_hiding=cfg.signhide and not cfg.lossless,
             wpp=cfg.wpp,
             conf_win=(0, self.coded_w - cfg.width, 0,
@@ -848,14 +849,19 @@ class IntraFrameEncoder(PFrameMixin):
             lambda y: search_frame_modes(y, self.plan, self.lambda_satd,
                                          self.bitdepth,
                                          self.cfg.rd >= 1)[0])(ys)
+        ts_y = None
         if self.cu == 4:
             # Split planes: luma on the 4x4 plan, chroma (one 4x4 TB
             # per 8x8 CU, DM mode of PU0) on the 8x8 plan.
-            rec_y, lv_y, _, _, _, _ = reconstruct_frames(
+            out = reconstruct_frames(
                 ys, None, None, modes, self.plan, self.cfg.qp,
                 self.qp_c, self.bitdepth, lossless=self.cfg.lossless,
                 signhide=self.cfg.signhide, rdoq=self.cfg.rdoq,
-                lam=qp_to_lambda(self.cfg.qp), scaling=self.scaling)
+                lam=qp_to_lambda(self.cfg.qp), scaling=self.scaling,
+                tskip=self.cfg.transform_skip)
+            rec_y, lv_y = out[0], out[1]
+            if self.cfg.transform_skip:
+                ts_y = out[6]
             rec_cb = lv_cb = rec_cr = lv_cr = None
             if self.chroma:
                 from kvazaar_tpu.encoder.intra_recon import \
@@ -909,14 +915,16 @@ class IntraFrameEncoder(PFrameMixin):
              jnp.zeros(ys.shape[0], jnp.float32),
              sse(rec_cr, crs) if crs is not None else
              jnp.zeros(ys.shape[0], jnp.float32)], axis=1)  # (B, 3)
-        packed = self._pack_outputs(lv_y, lv_cb, lv_cr, modes, sses)
+        packed = self._pack_outputs(lv_y, lv_cb, lv_cr, modes, sses,
+                                    ts_y)
         dense = (lv_y, lv_cb, lv_cr)
         return packed, dense, (rec_y, rec_cb, rec_cr)
 
-    def _pack_outputs(self, lv_y, lv_cb, lv_cr, modes, sses):
+    def _pack_outputs(self, lv_y, lv_cb, lv_cr, modes, sses,
+                      ts_y=None):
         """Concatenate everything the host needs per frame into one 1-D
-        uint8 buffer: [lv_y i8][lv_cb i8][lv_cr i8][modes u8][meta]
-        with meta = per-frame (overflow_count i32, sse_y/cb/cr f32)."""
+        uint8 buffer: [lv_y i8][lv_cb i8][lv_cr i8][modes u8][tskip u8]
+        [meta] with meta = (overflow_count i32, sse_y/cb/cr f32)."""
         b = lv_y.shape[0]
         u8 = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint8)
         parts = []
@@ -929,6 +937,8 @@ class IntraFrameEncoder(PFrameMixin):
                 (jnp.abs(l16) > 127).astype(jnp.int32), axis=1)
             parts.append(u8(jnp.clip(l16, -127, 127).astype(jnp.int8)))
         parts.append(modes.astype(jnp.uint8).reshape(b, -1))
+        if ts_y is not None:
+            parts.append(ts_y.astype(jnp.uint8).reshape(b, -1))
         meta = jnp.concatenate(
             [u8(overflow[:, None]).reshape(b, 4),
              u8(sses).reshape(b, 12)], axis=1)
@@ -949,7 +959,11 @@ class IntraFrameEncoder(PFrameMixin):
         sizes = [nb * s * s]
         if self.chroma:
             sizes += [nbc * cs * cs] * 2
-        sizes += [nb, 16]
+        sizes += [nb]
+        has_ts = self.cfg.transform_skip and s == 4
+        if has_ts:
+            sizes += [nb]
+        sizes += [16]
         buf = buf.reshape(nframes, sum(sizes))
         offs = np.cumsum([0] + sizes)
         out_lv = []
@@ -964,10 +978,16 @@ class IntraFrameEncoder(PFrameMixin):
             out_lv.append(None)
         modes = buf[:, offs[k]:offs[k + 1]].reshape(
             nframes, self.plan.blocks_y, self.plan.blocks_x)
-        meta = buf[:, offs[k + 1]:]
+        k += 1
+        ts_y = None
+        if has_ts:
+            ts_y = buf[:, offs[k]:offs[k + 1]].reshape(
+                nframes, self.plan.blocks_y, self.plan.blocks_x)
+            k += 1
+        meta = buf[:, offs[k]:]
         overflow = meta[:, :4].copy().view(np.int32)[:, 0]
         sses = meta[:, 4:16].copy().view(np.float32)
-        return out_lv, modes, overflow, sses
+        return out_lv, modes, overflow, sses, ts_y
 
     def encode_frame(self, y: np.ndarray, cb=None, cr=None) -> FrameResult:
         """y: (H, W) source luma (uint8/uint16); cb/cr half size."""
@@ -1296,13 +1316,15 @@ class IntraFrameEncoder(PFrameMixin):
 
 
     def _host_finalize(self, modes, lv_y, lv_cb, lv_cr, rec_y, rec_cb,
-                       rec_cr, sao=None) -> FrameResult:
+                       rec_cr, sao=None, ts_y=None) -> FrameResult:
         s = self.cu
         fd = FrameData.empty(self.coded_w, self.coded_h, self.chroma)
         if s == 4:
             fd.depth8[:] = 3               # 8x8 CUs, PART_NxN
             fd.nxn8[:] = 1
             fd.mode4[:] = modes
+            if ts_y is not None:
+                fd.tskip4[:] = ts_y
             fd.coeff_y[:] = blocks_to_plane(lv_y, self.plan, 4,
                                             self.coded_w, self.coded_h)
             if self.chroma:
@@ -1419,7 +1441,7 @@ class IntraFrameEncoder(PFrameMixin):
         # Levels+modes+meta came in one packed transfer; recon planes
         # only when the caller needs pixels (hash SEI / --debug /
         # PSNR-from-recon).
-        (lv_y, lv_cb, lv_cr), modes, overflow, sses = \
+        (lv_y, lv_cb, lv_cr), modes, overflow, sses, ts_y = \
             self._unpack_outputs(packed_np, nframes)
         if np.any(overflow > 0):
             # Rare low-QP/high-energy fallback: some |level| > 127 —
@@ -1451,7 +1473,8 @@ class IntraFrameEncoder(PFrameMixin):
                 None if rec_y is None else rec_y[i],
                 rec_cb[i] if (self.chroma and rec_cb is not None) else None,
                 rec_cr[i] if (self.chroma and rec_cr is not None) else None,
-                sao_list[i]))
+                sao_list[i],
+                ts_y[i] if ts_y is not None else None))
         out = [f.result() for f in futs]
         for i, r in enumerate(out):
             r.sse = tuple(float(s) for s in sses[i])

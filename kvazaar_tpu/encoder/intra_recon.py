@@ -128,32 +128,64 @@ def _predict_select(refs, modes, s, luma, bitdepth):
 
 def _tu_roundtrip(orig, pred, s, qp, bitdepth, intra=True,
                   lossless=False, scan_sel=None, rdoq=False,
-                  lam=0.0, scaling_tab=None, dst=False):
+                  lam=0.0, scaling_tab=None, dst=False, tskip=False):
     """scaling_tab: (qc_intra, qc_inter, dqc_intra, dqc_inter) (N, N)
     per-position multiplier tables for this size/component/qp%6 when a
     scaling list is active (ops/scaling.py).  dst: DST-VII (4x4 intra
-    luma TBs, 8.6.4.1)."""
+    luma TBs, 8.6.4.1).  tskip: evaluate transform_skip per TB against
+    the transform and keep the cheaper (the reference's try-both path,
+    quantize_tr_residual src/transform.c:281-404); returns a third
+    element, the (N,) int32 skip decisions."""
     resid = orig.astype(jnp.int32) - pred
     if lossless:
         # transquant bypass (cu_transquant_bypass_flag): the residual
         # itself is the coded level array; reconstruction is exact.
-        return resid.astype(jnp.int16), orig.astype(jnp.int32)
-    coeff = forward_transform(resid, s, bitdepth, dst=dst)
-    if rdoq:
-        from kvazaar_tpu.ops.quant import quantize_rdoq
-        levels = quantize_rdoq(coeff, qp, s, bitdepth, intra=intra,
-                               lam=lam)
-    else:
-        qc = None if scaling_tab is None else             (jnp.asarray(scaling_tab[0]), jnp.asarray(scaling_tab[1]))
-        levels = quantize(coeff, qp, s, bitdepth, intra=intra, qc=qc)
-    if scan_sel is not None:
-        from kvazaar_tpu.ops.quant import sign_hide
-        levels = sign_hide(levels, scan_sel)
-    dqc = None if scaling_tab is None else         (jnp.asarray(scaling_tab[2]), jnp.asarray(scaling_tab[3]))
-    dq = dequantize(levels, qp, s, bitdepth, dqc=dqc, intra=intra)
-    rec = jnp.clip(pred + inverse_transform(dq, s, bitdepth, dst=dst),
-                   0, (1 << bitdepth) - 1)
-    return levels.astype(jnp.int16), rec
+        return resid.astype(jnp.int16), orig.astype(jnp.int32), None
+
+    def roundtrip(coeff, inverse):
+        if rdoq:
+            from kvazaar_tpu.ops.quant import quantize_rdoq
+            levels = quantize_rdoq(coeff, qp, s, bitdepth, intra=intra,
+                                   lam=lam)
+        else:
+            qc = None if scaling_tab is None else                 (jnp.asarray(scaling_tab[0]),
+                 jnp.asarray(scaling_tab[1]))
+            levels = quantize(coeff, qp, s, bitdepth, intra=intra,
+                              qc=qc)
+        if scan_sel is not None:
+            from kvazaar_tpu.ops.quant import sign_hide
+            levels = sign_hide(levels, scan_sel)
+        dqc = None if scaling_tab is None else             (jnp.asarray(scaling_tab[2]), jnp.asarray(scaling_tab[3]))
+        dq = dequantize(levels, qp, s, bitdepth, dqc=dqc, intra=intra)
+        rec = jnp.clip(pred + inverse(dq), 0, (1 << bitdepth) - 1)
+        return levels, rec
+
+    levels, rec = roundtrip(
+        forward_transform(resid, s, bitdepth, dst=dst),
+        lambda dq: inverse_transform(dq, s, bitdepth, dst=dst))
+    if not tskip:
+        return levels.astype(jnp.int16), rec, None
+
+    # Transform-skip branch (8.6.4.2): coeff = resid << (15 - bd -
+    # log2N); inverse r = (dq << 7 + rnd) >> (20 - bd).
+    sh_f = 15 - bitdepth - (s.bit_length() - 1)
+    sh_i = 20 - bitdepth
+    lv_s, rec_s = roundtrip(
+        resid << sh_f,
+        lambda dq: ((dq << 7) + (1 << (sh_i - 1))) >> sh_i)
+
+    def cost(lv, rc):
+        d = (rc - orig.astype(jnp.int32)).astype(jnp.float32)
+        ssd = jnp.sum(d * d, axis=(-2, -1))
+        a = jnp.abs(lv).astype(jnp.float32)
+        bits = jnp.sum(jnp.where(a > 0, 2.0 + 2.0 * jnp.log2(a + 1.0),
+                                 0.0), axis=(-2, -1)) + 1.0
+        return ssd + lam * bits
+
+    sel = cost(lv_s, rec_s) < cost(levels, rec)
+    levels = jnp.where(sel[:, None, None], lv_s, levels)
+    rec = jnp.where(sel[:, None, None], rec_s, rec)
+    return levels.astype(jnp.int16), rec, sel.astype(jnp.int32)
 
 
 def _scan_sel(modes, s, luma, is_inter=None):
@@ -171,7 +203,7 @@ def _scan_sel(modes, s, luma, is_inter=None):
 def _plane_pass(hbuf, vbuf, bxs, bys, avail, valid, origs, modes, s, qp,
                 bitdepth, luma, is_inter=None, mc_pred=None,
                 lossless=False, signhide=False, rdoq=False, lam=0.0,
-                scaling_tab=None):
+                scaling_tab=None, tskip=False):
     """One wavefront step for one plane over all slots.
 
     hbuf: (B, By, W); vbuf: (B, Bx, H) — edge state only (the carry is
@@ -204,10 +236,12 @@ def _plane_pass(hbuf, vbuf, bxs, bys, avail, valid, origs, modes, s, qp,
     # 4x4 luma TBs only arise from intra NxN coding here, which is an
     # all-intra path — DST-VII applies uniformly (8.6.4.1).
     dst = luma and s == 4 and is_inter is None
-    levels, rec = _tu_roundtrip(origs.reshape(n_slots * b, s, s), pred,
-                                s, qp, bitdepth, intra_flag, lossless,
-                                scan_sel, rdoq, lam, scaling_tab,
-                                dst=dst)
+    levels, rec, ts = _tu_roundtrip(
+        origs.reshape(n_slots * b, s, s), pred, s, qp, bitdepth,
+        intra_flag, lossless, scan_sel, rdoq, lam, scaling_tab,
+        dst=dst, tskip=tskip and s == 4)
+    ts = (jnp.zeros((n_slots, b), jnp.int32) if ts is None
+          else ts.reshape(n_slots, b))
     rec = rec.reshape(n_slots, b, s, s)
     for k in range(n_slots):
         x0 = bxs[k] * s
@@ -220,14 +254,14 @@ def _plane_pass(hbuf, vbuf, bxs, bys, avail, valid, origs, modes, s, qp,
         cur_v = jax.lax.dynamic_slice(vbuf, (0, bxs[k], y0), (b, 1, s))
         vbuf = jax.lax.dynamic_update_slice(
             vbuf, jnp.where(valid[k], rcol, cur_v), (0, bxs[k], y0))
-    return hbuf, vbuf, levels.reshape(n_slots, b, s, s), rec
+    return hbuf, vbuf, levels.reshape(n_slots, b, s, s), rec, ts
 
 
 def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
                        qp: int, qp_c: int, bitdepth: int = 8,
                        is_inter=None, mc_y=None, mc_cb=None, mc_cr=None,
                        lossless=False, signhide=False, rdoq=False,
-                       lam=0.0, scaling=None):
+                       lam=0.0, scaling=None, tskip=False):
     """Batched wavefront over all planes.
 
     ys: (B, H, W) int32; cbs/crs: (B, H/2, W/2) or None;
@@ -284,7 +318,7 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
 
     from kvazaar_tpu.ops import wavefront_pallas as wfp
     if (wfp.supported(plan, bitdepth, lossless, signhide, inter)
-            and not rdoq and scaling is None
+            and not rdoq and scaling is None and not tskip
             and jax.default_backend() == "tpu"):
         # Fused-VMEM kernel path (bit-identical to the scan below).
         k = plan.n_slots
@@ -340,20 +374,20 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
                 (hy, vy, hcb, vcb, hcr, vcr) = carry
                 bx_t, by_t, av_t, va_t, o_y, o_cb, o_cr, m = xs
                 ii_t = my_t = mcb_t = mcr_t = None
-            hy, vy, lv_y, r_y = _plane_pass(
+            hy, vy, lv_y, r_y, ts_y = _plane_pass(
                 hy, vy, bx_t, by_t, av_t, va_t, o_y, m, s, qp,
                 bitdepth, True, ii_t, my_t, lossless, signhide, rdoq,
-                lam, tab_y)
-            hcb, vcb, lv_cb, r_cb = _plane_pass(
+                lam, tab_y, tskip)
+            hcb, vcb, lv_cb, r_cb, _ = _plane_pass(
                 hcb, vcb, bx_t, by_t, av_t, va_t, o_cb, m, s2, qp_c,
                 bitdepth, False, ii_t, mcb_t, lossless, signhide,
                 rdoq, lam, tab_cb)
-            hcr, vcr, lv_cr, r_cr = _plane_pass(
+            hcr, vcr, lv_cr, r_cr, _ = _plane_pass(
                 hcr, vcr, bx_t, by_t, av_t, va_t, o_cr, m, s2, qp_c,
                 bitdepth, False, ii_t, mcr_t, lossless, signhide,
                 rdoq, lam, tab_cr)
             return (hy, vy, hcb, vcb, hcr, vcr), \
-                (lv_y, lv_cb, lv_cr, r_y, r_cb, r_cr)
+                (lv_y, lv_cb, lv_cr, r_y, r_cb, r_cr, ts_y)
         if inter:
             (hy, vy) = carry
             bx_t, by_t, av_t, va_t, o_y, m, ii_t, my_t = xs
@@ -361,10 +395,11 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
             (hy, vy) = carry
             bx_t, by_t, av_t, va_t, o_y, m = xs
             ii_t = my_t = None
-        hy, vy, lv_y, r_y = _plane_pass(
+        hy, vy, lv_y, r_y, ts_y = _plane_pass(
             hy, vy, bx_t, by_t, av_t, va_t, o_y, m, s, qp, bitdepth,
-            True, ii_t, my_t, lossless, signhide, rdoq, lam, tab_y)
-        return (hy, vy), (lv_y, r_y)
+            True, ii_t, my_t, lossless, signhide, rdoq, lam, tab_y,
+            tskip)
+        return (hy, vy), (lv_y, r_y, ts_y)
 
     if chroma:
         xs = (bxs, bys, avail, valid, oy, ocb, ocr, modes_steps)
@@ -379,13 +414,31 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
     _, outs = jax.lax.scan(step_fn, carry0, xs)
 
     if chroma:
-        lv_y, lv_cb, lv_cr, r_y, r_cb, r_cr = outs
-        return _assemble_outputs(
+        lv_y, lv_cb, lv_cr, r_y, r_cb, r_cr, ts_y = outs
+        out = _assemble_outputs(
             (lv_y, (lv_cb, lv_cr), r_y, (r_cb, r_cr)), plan, s, s2, b,
             bitdepth, chroma=True)
-    lv_y, r_y = outs
-    return _assemble_outputs((lv_y, None, r_y, None), plan, s, None, b,
-                             bitdepth, chroma=False)
+    else:
+        lv_y, r_y, ts_y = outs
+        out = _assemble_outputs((lv_y, None, r_y, None), plan, s, None,
+                                b, bitdepth, chroma=False)
+    if not tskip:
+        return out
+    return out + (_flags_to_blocks(ts_y, plan, b),)
+
+
+def _flags_to_blocks(flags, plan, b):
+    """(steps, slots, B) per-block flags -> (B, N_blocks) raster block
+    order (the ordering of _assemble_outputs' lv_out)."""
+    order = np.zeros(plan.blocks_y * plan.blocks_x, np.int64)
+    bos = plan.block_of_slot
+    for st in range(plan.n_steps):
+        for sl in range(plan.n_slots):
+            if bos[st, sl] >= 0:
+                order[bos[st, sl]] = st * plan.n_slots + sl
+    flat = flags.reshape(plan.n_steps * plan.n_slots,
+                         flags.shape[2])[jnp.asarray(order)]
+    return flat.T.astype(jnp.int32)          # (B, N_blocks)
 
 
 def _assemble_outputs(outs, plan, s, s2, b, bitdepth, chroma):
@@ -470,7 +523,7 @@ def reconstruct_chroma_frames(cbs, crs, dm_modes, plan: IntraFramePlan,
     def step_fn(carry, xs):
         hc, vc = carry
         bx_t, by_t, av_t, va_t, o_c, m = xs
-        hc, vc, lv, rc = _plane_pass(
+        hc, vc, lv, rc, _ = _plane_pass(
             hc, vc, bx_t, by_t, av_t, va_t, o_c, m, s2, qp_c, bitdepth,
             False, None, None, lossless, signhide, rdoq, lam, tab_c)
         return (hc, vc), (lv, rc)

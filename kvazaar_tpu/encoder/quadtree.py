@@ -120,7 +120,7 @@ def _class_pass(hbuf, vbuf, xs_c, s: int, qp: int, bitdepth: int,
     # Min luma CU is 8 here, so the DST-VII 4x4 intra-luma path never
     # arises; 4x4 chroma TBs use the DCT as the spec requires.
     scan_sel = _scan_sel(modes, s, luma) if signhide else None
-    levels, rec = _tu_roundtrip(origs.astype(jnp.int32), pred, s, qp,
+    levels, rec, _ = _tu_roundtrip(origs.astype(jnp.int32), pred, s, qp,
                                 bitdepth, True, lossless, scan_sel,
                                 rdoq, lam, scaling_tab)
     hbuf = hbuf.at[wr_h.reshape(-1)].set(

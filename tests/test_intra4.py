@@ -97,6 +97,30 @@ def test_intra4_mono_10bit():
     assert np.array_equal(dec[0][0][0], recs[0][0])
 
 
+def test_transform_skip_bit_exact():
+    """TS flags coded per 4x4 TB (7.3.8.11); try-both encoder decision;
+    oracle reconstructs TS blocks via the 8.6.4.2 shift path."""
+    cfg = Config(width=64, height=64, qp=32, intra_period=1,
+                 intra_max_cu=4, intra_min_cu=4, wpp=False,
+                 transform_skip=True, hash="md5")
+    # Piecewise-flat content with sharp steps: the place TS wins.
+    rng = np.random.default_rng(3)
+    y = np.kron(rng.integers(0, 255, (8, 8)),
+                np.ones((8, 8))).astype(np.uint8)
+    y[::3, :] = 255 - y[::3, :]
+    frames = [(y, np.full((32, 32), 120, np.uint8),
+               np.full((32, 32), 130, np.uint8))]
+    stream, dec = _roundtrip(cfg, frames)
+    assert dec[0][1].tskip4.any(), \
+        "encoder should pick TS somewhere on step content"
+
+
+def test_transform_skip_rejected_without_4x4():
+    with pytest.raises(ValueError):
+        Config(width=64, height=64, transform_skip=True,
+               intra_max_cu=16, intra_min_cu=16).validate()
+
+
 def test_intra4_beats_cu8_on_detail():
     """At equal QP the 4x4 point must reconstruct detailed content with
     lower distortion than 8x8 CUs (the point of finer prediction)."""
