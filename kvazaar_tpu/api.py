@@ -14,7 +14,7 @@ import dataclasses
 import numpy as np
 
 from kvazaar_tpu.config import Config
-from kvazaar_tpu.constants import NAL_IDR_W_RADL, SLICE_I
+from kvazaar_tpu.constants import NAL_IDR_W_RADL, SLICE_I, SLICE_P
 from kvazaar_tpu.encoder.frame_encoder import IntraFrameEncoder, psnr
 
 
@@ -96,6 +96,24 @@ class Encoder:
     def headers(self) -> bytes:
         return self._intra.headers()
 
+    def _au_prefix(self, slice_type: int) -> bytes:
+        """Per-access-unit prefix: AUD, then parameter sets + version
+        SEI once at stream start (the reference's assembly order,
+        encoder_state_write_bitstream_main,
+        src/encoder_state-bitstream.c:982-1010)."""
+        out = b""
+        if self.cfg.aud:
+            from kvazaar_tpu.bitstream.headers import write_aud
+            out += write_aud(slice_type)
+        if not self._wrote_headers:
+            out += self.headers()
+            if self.cfg.info:
+                from kvazaar_tpu.bitstream.headers import \
+                    write_version_sei
+                out += write_version_sei()
+            self._wrote_headers = True
+        return out
+
     def encode(self, y: np.ndarray, cb=None, cr=None):
         """Encode one frame.  Returns a LIST of (annexb_bytes,
         FrameInfo, recon) results in coding order — empty while a GOP
@@ -166,10 +184,7 @@ class Encoder:
         return out
 
     def _emit(self, res, poc, src):
-        chunks = b""
-        if not self._wrote_headers:
-            chunks += self.headers()
-            self._wrote_headers = True
+        chunks = self._au_prefix(SLICE_I if poc == 0 else 0)
         y, cb, cr = src
         h, w = y.shape
         rec_y = res.recon_y[:h, :w]
@@ -203,13 +218,10 @@ class Encoder:
                     ref_neg=list(range(1, self.cfg.ref_frames + 1)))
 
     def _encode_ld(self, y: np.ndarray, cb=None, cr=None):
-        chunks = b""
-        if not self._wrote_headers:
-            chunks += self.headers()
-            self._wrote_headers = True
         period = self.cfg.intra_period
         is_intra = (self._poc == 0 or period == 1
                     or (period > 1 and self._poc % period == 0))
+        chunks = self._au_prefix(SLICE_I if is_intra else SLICE_P)
         if self._rc is not None:
             lam, qp = self._rc.frame_lambda_qp(is_intra)
             # Clamp QP swings (keeps quality stable and bounds the
@@ -403,10 +415,7 @@ class Encoder:
         reorder = {}
 
         def emit(res, poc, rel, shape):
-            chunks = b""
-            if not self._wrote_headers:
-                chunks += self.headers()
-                self._wrote_headers = True
+            chunks = self._au_prefix(SLICE_I if rel == 0 else SLICE_P)
             h, w = shape
             rec = (None, None, None)
             if want_pixels and res.recon_y is not None:

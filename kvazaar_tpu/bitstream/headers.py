@@ -53,6 +53,19 @@ class StreamParams:
     # Uniform-spacing tile grid (1, 1) = no tiles (7.4.3.3.1;
     # reference tile geometry src/encoder.c:387-520).
     tiles: tuple = (1, 1)
+    # VUI (E.2.1; reference writer src/encoder_state-bitstream.c:194-296
+    # driven by the --sar/--overscan/--videoformat/--range/--colorprim/
+    # --transfer/--colormatrix/--chromaloc options).  framerate drives
+    # vui_timing_info; (0, 0) sar = not signalled.
+    framerate: tuple = (25, 1)       # (num, denom)
+    sar: tuple = (0, 0)
+    overscan: int = 0                # 0 unspec, 1 shown, 2 cropped
+    videoformat: int = 5             # 5 = unspecified
+    fullrange: int = 0
+    colorprim: int = 2               # 2 = unspecified
+    transfer: int = 2
+    colormatrix: int = 2
+    chroma_loc: int = 0
 
     @property
     def tiles_enabled(self) -> bool:
@@ -69,6 +82,32 @@ class StreamParams:
     @property
     def height_in_ctus(self) -> int:
         return -(-self.height // self.ctu_size)
+
+
+# Table A.8/A.9 main-tier limits: level_idc -> (MaxLumaPs, MaxLumaSr).
+_LEVELS = [
+    (30, 36864, 552960), (60, 122880, 3686400),
+    (63, 245760, 7372800), (90, 552960, 16588800),
+    (93, 983040, 33177600), (120, 2228224, 66846720),
+    (123, 2228224, 133693440), (150, 8912896, 267386880),
+    (153, 8912896, 534773760), (156, 8912896, 1069547520),
+    (180, 35651584, 1069547520), (183, 35651584, 2139095040),
+    (186, 35651584, 4278190080),
+]
+
+
+def compute_level_idc(width: int, height: int, fps: float) -> int:
+    """Lowest level whose A.4.1 picture-size / sample-rate / dimension
+    limits fit (the validation the reference runs in
+    kvz_encoder_control_init / cfg level checks, src/cfg.c:1460-1540)."""
+    ps = width * height
+    sr = ps * max(fps, 1.0)
+    for idc, max_ps, max_sr in _LEVELS:
+        dim = int((8 * max_ps) ** 0.5)
+        if ps <= max_ps and sr <= max_sr and width <= dim \
+                and height <= dim:
+            return idc
+    return _LEVELS[-1][0]
 
 
 def _profile_tier_level(w: BitWriter, p: StreamParams) -> None:
@@ -166,10 +205,106 @@ def write_sps(p: StreamParams) -> bytes:
     w.u(0, 1)               # long_term_ref_pics_present_flag
     w.u(1 if p.tmvp_enabled else 0, 1)  # sps_temporal_mvp_enabled
     w.u(1 if p.strong_intra_smoothing else 0, 1)
-    w.u(0, 1)               # vui_parameters_present_flag
+    w.u(1, 1)               # vui_parameters_present_flag
+    _write_vui(w, p)
     w.u(0, 1)               # sps_extension_present_flag
     w.rbsp_trailing_bits()
     return nal_unit(w.get_bytes(), NAL_SPS)
+
+
+# Table E.1 standard sample aspect ratios (aspect_ratio_idc 1..16).
+_SAR_TABLE = [(1, 1), (12, 11), (10, 11), (16, 11), (40, 33), (24, 11),
+              (20, 11), (32, 11), (80, 33), (18, 11), (15, 11),
+              (64, 33), (160, 99), (4, 3), (3, 2), (2, 1)]
+
+
+def _write_vui(w: BitWriter, p: StreamParams) -> None:
+    """VUI parameters (E.2.1), mirroring the reference's writer field
+    for field (src/encoder_state-bitstream.c:194-296)."""
+    if p.sar[0] > 0 and p.sar[1] > 0:
+        w.u(1, 1)           # aspect_ratio_info_present_flag
+        try:
+            idc = _SAR_TABLE.index((p.sar[0], p.sar[1])) + 1
+        except ValueError:
+            idc = 255       # EXTENDED_SAR
+        w.u(idc, 8)
+        if idc == 255:
+            w.u(p.sar[0], 16)
+            w.u(p.sar[1], 16)
+    else:
+        w.u(0, 1)
+    if p.overscan > 0:
+        w.u(1, 1)           # overscan_info_present_flag
+        w.u(p.overscan - 1, 1)  # overscan_appropriate_flag
+    else:
+        w.u(0, 1)
+    signal = (p.videoformat != 5 or p.fullrange != 0
+              or p.colorprim != 2 or p.transfer != 2
+              or p.colormatrix != 2)
+    w.u(1 if signal else 0, 1)  # video_signal_type_present_flag
+    if signal:
+        w.u(p.videoformat, 3)
+        w.u(p.fullrange, 1)
+        desc = (p.colorprim != 2 or p.transfer != 2
+                or p.colormatrix != 2)
+        w.u(1 if desc else 0, 1)  # colour_description_present_flag
+        if desc:
+            w.u(p.colorprim, 8)
+            w.u(p.transfer, 8)
+            w.u(p.colormatrix, 8)
+    if p.chroma_loc > 0:
+        w.u(1, 1)           # chroma_loc_info_present_flag
+        w.ue(p.chroma_loc)  # top field
+        w.ue(p.chroma_loc)  # bottom field
+    else:
+        w.u(0, 1)
+    w.u(0, 1)               # neutral_chroma_indication_flag
+    w.u(0, 1)               # field_seq_flag
+    w.u(0, 1)               # frame_field_info_present_flag
+    w.u(0, 1)               # default_display_window_flag
+    w.u(1, 1)               # vui_timing_info_present_flag
+    w.u(p.framerate[1], 32)  # vui_num_units_in_tick
+    w.u(p.framerate[0], 32)  # vui_time_scale
+    w.u(0, 1)               # vui_poc_proportional_to_timing_flag
+    w.u(0, 1)               # vui_hrd_parameters_present_flag
+    w.u(0, 1)               # bitstream_restriction_flag
+
+
+def write_aud(slice_type: int) -> bytes:
+    """Access unit delimiter (7.3.2.5; reference
+    encoder_state_write_bitstream_aud,
+    src/encoder_state-bitstream.c:44): pic_type 0 = I only, 1 = P+I,
+    2 = B+P+I."""
+    from kvazaar_tpu.constants import SLICE_B, SLICE_I
+    w = BitWriter()
+    pic_type = 0 if slice_type == SLICE_I else (
+        2 if slice_type == SLICE_B else 1)
+    w.u(pic_type, 3)
+    w.rbsp_trailing_bits()
+    return nal_unit(w.get_bytes(), 35)          # NAL_AUD
+
+
+def write_version_sei() -> bytes:
+    """user_data_unregistered prefix SEI (D.2.7) carrying the encoder
+    version string, like the reference's version SEI
+    (src/encoder_state-bitstream.c:1003)."""
+    import kvazaar_tpu
+    uuid = bytes.fromhex("2CA2DE09B51747DBBB55A4FE7FC2FC4E")
+    text = ("kvazaar_tpu "
+            + getattr(kvazaar_tpu, "__version__", "2.0")
+            + " TPU HEVC encoder").encode()
+    payload = uuid + text
+    w = BitWriter()
+    w.u(5, 8)               # payload type: user_data_unregistered
+    size = len(payload)
+    while size >= 255:
+        w.u(255, 8)
+        size -= 255
+    w.u(size, 8)
+    for b in payload:
+        w.u(b, 8)
+    w.rbsp_trailing_bits()
+    return nal_unit(w.get_bytes(), 39)          # PREFIX_SEI
 
 
 def write_pps(p: StreamParams) -> bytes:

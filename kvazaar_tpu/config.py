@@ -71,6 +71,21 @@ class Config:
     scaling_list: str = "off"
     cqmfile: Optional[str] = None
 
+    # VUI signalling (reference --sar/--overscan/--videoformat/--range/
+    # --colorprim/--transfer/--colormatrix/--chromaloc, src/cfg.c) +
+    # access-unit delimiters (--aud) + version SEI (--(no-)info).
+    sar_width: int = 0
+    sar_height: int = 0
+    overscan: int = 0            # 0 undef, 1 show, 2 crop
+    videoformat: int = 5
+    fullrange: int = 0
+    colorprim: int = 2
+    transfer: int = 2
+    colormatrix: int = 2
+    chromaloc: int = 0
+    aud: bool = False
+    info: bool = True
+
     # Tiles (reference --tiles WxH, uniform spacing; src/cfg.c tiles
     # parsing + src/encoder.c:387-520 geometry).  Breaks prediction
     # and entropy dependencies at tile boundaries: independent CABAC
@@ -193,6 +208,12 @@ class Config:
                              "--lossless")
         if self.sao and self.lossless:
             raise ValueError("SAO is meaningless with --lossless")
+        if not (0 <= self.overscan <= 2):
+            raise ValueError("overscan must be 0/1/2")
+        if not (0 <= self.videoformat <= 5):
+            raise ValueError("videoformat must be 0..5")
+        if not (0 <= self.chromaloc <= 5):
+            raise ValueError("chromaloc must be 0..5")
         return self
 
     def set(self, name: str, value: str) -> "Config":

@@ -19,7 +19,8 @@ import numpy as np
 from kvazaar_tpu.bitstream.bits import BitWriter, nal_unit
 from kvazaar_tpu.bitstream.cabac import CabacEncoder
 from kvazaar_tpu.bitstream.contexts import Contexts
-from kvazaar_tpu.bitstream.headers import (StreamParams, write_pps,
+from kvazaar_tpu.bitstream.headers import (StreamParams,
+                                           compute_level_idc, write_pps,
                                            write_slice_header, write_sps,
                                            write_vps)
 from kvazaar_tpu.bitstream import native
@@ -814,7 +815,16 @@ class IntraFrameEncoder(PFrameMixin):
             scaling_list_mode=_sl_mode,
             scaling_custom=_sl_custom,
             tmvp_enabled=cfg.tmvp,
-            tiles=self.tiles)
+            tiles=self.tiles,
+            framerate=(cfg.framerate_num, cfg.framerate_denom),
+            sar=(cfg.sar_width, cfg.sar_height),
+            overscan=cfg.overscan, videoformat=cfg.videoformat,
+            fullrange=cfg.fullrange, colorprim=cfg.colorprim,
+            transfer=cfg.transfer, colormatrix=cfg.colormatrix,
+            chroma_loc=cfg.chromaloc,
+            level_idc=compute_level_idc(
+                self.coded_w, self.coded_h,
+                cfg.framerate_num / max(cfg.framerate_denom, 1)))
         self.qp_c = chroma_qp(cfg.qp)
         lam = qp_to_lambda(cfg.qp)
         self.lambda_satd = math.sqrt(lam)
