@@ -25,8 +25,8 @@ _lib = None
 
 def _build() -> None:
     subprocess.run(
-        ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _LIB,
-         _SRC],
+        ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+         "-o", _LIB, _SRC],
         check=True, capture_output=True)
 
 
@@ -51,6 +51,10 @@ def get_lib():
         lib.ktpu_encode_slice_data.argtypes[:-2] + [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
             ctypes.c_void_p]
+    lib.ktpu_assemble_plane_i8.restype = None
+    lib.ktpu_assemble_plane_i8.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
     _lib = lib
     return lib
 
@@ -113,8 +117,25 @@ def encode_slice_data_native(params, fd, qp: int) -> bytes:
     return out[:n].tobytes()
 
 
-def encode_slice_data_native_wpp(params, fd, qp: int):
-    """WPP variant: returns (bytes, per-substream byte sizes)."""
+def assemble_plane_i8(blocks, bx: int, by: int, s: int, w: int,
+                      h: int) -> np.ndarray:
+    """(By*Bx, s, s) int8 raster blocks -> (h, w) int32 plane via the
+    native widening copy (GIL released; much faster than the numpy
+    gather + astype)."""
+    lib = get_lib()
+    blocks = np.ascontiguousarray(blocks, np.int8)
+    plane = np.empty((h, w), np.int32)
+    lib.ktpu_assemble_plane_i8(blocks.ctypes.data, bx, by, s,
+                               plane.ctypes.data, w, h)
+    return plane
+
+
+def encode_slice_data_native_wpp(params, fd, qp: int,
+                                 nthreads: int = 1):
+    """WPP variant: returns (bytes, per-substream byte sizes).
+    nthreads > 1 row-parallelizes the CABAC substreams (the
+    reference's WPP thread parallelism, src/encoderstate.c:776-830,
+    applied to the host finalize stage)."""
     lib = get_lib()
     depth8, mode4, cy, ccb, ccr, chroma = _frame_args(params, fd)
     cap = cy.nbytes * 2 + 65536
@@ -130,7 +151,7 @@ def encode_slice_data_native_wpp(params, fd, qp: int):
         None if ccb is None else ccb.ctypes.data,
         None if ccr is None else ccr.ctypes.data,
         out.ctypes.data, cap, sizes.ctypes.data, nss.ctypes.data,
-        1 if params.sign_hiding else 0,
+        (1 if params.sign_hiding else 0) | (int(nthreads) << 8),
         None if sao is None else sao.ctypes.data)
     if n < 0:
         raise RuntimeError("native slice buffer overflow")
@@ -138,7 +159,8 @@ def encode_slice_data_native_wpp(params, fd, qp: int):
 
 
 def encode_slice_data_native_p(params, fd, qp: int, wpp: bool,
-                               slice_type: int = 1):
+                               slice_type: int = 1,
+                               nthreads: int = 1):
     """P/B-slice native serializer.  Returns (bytes, sizes) — sizes
     empty when wpp is off."""
     import ctypes
@@ -190,7 +212,7 @@ def encode_slice_data_native_p(params, fd, qp: int, wpp: bool,
         mvp8.ctypes.data, mvd8.ctypes.data,
         dir8.ctypes.data, mvp8_l1.ctypes.data, mvd8_l1.ctypes.data,
         out.ctypes.data, cap, sizes.ctypes.data, nss.ctypes.data,
-        1 if params.sign_hiding else 0,
+        (1 if params.sign_hiding else 0) | (int(nthreads) << 8),
         None if (sao := _sao_blob(params, fd)) is None
         else sao.ctypes.data)
     if n < 0:

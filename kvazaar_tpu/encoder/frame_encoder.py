@@ -695,7 +695,7 @@ class PFrameMixin:
                 and not self.params.tiles_enabled:
             data, sizes = native.encode_slice_data_native_p(
                 self.params, fd, self.cfg.qp, self.params.wpp,
-                slice_type=SLICE_B)
+                slice_type=SLICE_B, nthreads=4)
         else:
             sizes = []
             dw = BitWriter()
@@ -723,8 +723,11 @@ class PFrameMixin:
         nref = 1 if ref_list_l0 is None else len(ref_list_l0)
         if _NATIVE_OK and not self.params.transquant_bypass \
                 and not self.params.tiles_enabled and nref == 1:
+            # Single-frame path: row-parallel CABAC (the batch paths
+            # instead parallelize across frames in the host pool).
             data, sizes = native.encode_slice_data_native_p(
-                self.params, fd, self.cfg.qp, self.params.wpp)
+                self.params, fd, self.cfg.qp, self.params.wpp,
+                nthreads=4)
         else:
             sizes = []
             dw = BitWriter()
@@ -980,9 +983,11 @@ class IntraFrameEncoder(PFrameMixin):
         k = 0
         for _ in range(3 if self.chroma else 1):
             size, n = (s, nb) if k == 0 else (cs, nbc)
+            # Stay int8: the native plane assembler widens during its
+            # copy; a python-level astype here costs ~9 ms/frame of
+            # GIL-held time on the finalize path.
             out_lv.append(buf[:, offs[k]:offs[k + 1]].view(np.int8)
-                          .astype(np.int32).reshape(nframes, n, size,
-                                                    size))
+                          .reshape(nframes, n, size, size))
             k += 1
         while len(out_lv) < 3:
             out_lv.append(None)

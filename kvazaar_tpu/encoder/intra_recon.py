@@ -47,7 +47,17 @@ def _blocks_by_step(plane: np.ndarray, maps: PlaneMaps, plan) -> np.ndarray:
 
 def blocks_to_plane(blocks: np.ndarray, plan: IntraFramePlan,
                     size: int, width: int, height: int) -> np.ndarray:
-    """(N_blocks, S, S) raster block order -> (H, W) plane."""
+    """(N_blocks, S, S) raster block order -> (H, W) plane.
+
+    int8 inputs (the packed-transfer layout) take the native widening
+    copy — the numpy gather + astype costs ~9 ms/frame of GIL-held
+    time on the finalize path."""
+    if blocks.dtype == np.int8:
+        from kvazaar_tpu.bitstream import native
+        if native.available():
+            return native.assemble_plane_i8(
+                blocks.reshape(-1, size, size), plan.blocks_x,
+                plan.blocks_y, size, width, height)
     g = blocks.reshape(plan.blocks_y, plan.blocks_x, size, size)
     return np.ascontiguousarray(
         g.transpose(0, 2, 1, 3).reshape(height, width))

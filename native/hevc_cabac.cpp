@@ -11,8 +11,11 @@
 // Build: g++ -O2 -shared -fPIC -o libhevc_cabac.so hevc_cabac.cpp
 // ABI: plain C functions at the bottom, driven via ctypes.
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <memory>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -525,6 +528,26 @@ struct Serializer {
     }
   }
 
+  // One WPP row into this serializer's CabacEnc (contexts must be
+  // pre-seeded by the caller).  Publishes the post-2nd-CTU context
+  // snapshot for the next row (the 2-CTU-lag inheritance the
+  // reference schedules with threadqueue deps, encoderstate.c:711).
+  void encode_wpp_row(int row, int ctus_x, int ctus_y,
+                      Contexts *snap, std::atomic<int> *snap_ready) {
+    for (int cxi = 0; cxi < ctus_x; cxi++) {
+      emit_sao(cxi, row, ctus_x);
+      quadtree(cxi << p.log2_ctu, row << p.log2_ctu, p.log2_ctu, 0);
+      bool last = (row == ctus_y - 1) && (cxi == ctus_x - 1);
+      c.terminate(last ? 1 : 0);
+      if (cxi == 1 && snap) {
+        *snap = ctx;
+        snap_ready->store(1, std::memory_order_release);
+      }
+      if (cxi == ctus_x - 1 && !last) c.terminate(1);
+    }
+    c.align_zero();
+  }
+
   void quadtree(int x0, int y0, int log2_size, int depth) {
     int size = 1 << log2_size;
     bool inside = x0 + size <= p.width && y0 + size <= p.height;
@@ -862,6 +885,74 @@ struct Serializer {
 
 }  // namespace
 
+// Row-parallel WPP drive: rows are claimed in order; row r seeds its
+// contexts from row r-1's snapshot (published after its 2nd CTU), so
+// threads run the classic wavefront stagger — the reference gets the
+// same schedule from threadqueue deps (src/encoderstate.c:776-830).
+static void encode_wpp_parallel(const FrameParams &fp,
+                                std::vector<uint8_t> &out,
+                                std::vector<int64_t> &sizes,
+                                int nthreads) {
+  int ctu = 1 << fp.log2_ctu;
+  int ctus_x = (fp.width + ctu - 1) >> fp.log2_ctu;
+  int ctus_y = (fp.height + ctu - 1) >> fp.log2_ctu;
+  if (nthreads <= 1 || ctus_y < 3 || ctus_x < 2) {
+    Serializer s(fp);
+    s.encode_slice_wpp(out, sizes);
+    return;
+  }
+  std::vector<Contexts> snaps(ctus_y);
+  std::unique_ptr<std::atomic<int>[]> ready(
+      new std::atomic<int>[ctus_y]);
+  for (int i = 0; i < ctus_y; i++) ready[i].store(0);
+  std::vector<std::vector<uint8_t>> rowbytes(ctus_y);
+  std::atomic<int> next_row{0};
+  auto worker = [&]() {
+    for (;;) {
+      int r = next_row.fetch_add(1);
+      if (r >= ctus_y) return;
+      Serializer s(fp);           // contexts init per slice type/qp
+      if (r > 0) {
+        while (!ready[r - 1].load(std::memory_order_acquire))
+          std::this_thread::yield();
+        s.ctx = snaps[r - 1];
+      }
+      s.encode_wpp_row(r, ctus_x, ctus_y, &snaps[r], &ready[r]);
+      rowbytes[r] = std::move(s.c.bytes);
+    }
+  };
+  int nt = nthreads < ctus_y ? nthreads : ctus_y;
+  std::vector<std::thread> threads;
+  for (int i = 0; i < nt - 1; i++) threads.emplace_back(worker);
+  worker();
+  for (auto &t : threads) t.join();
+  for (int r = 0; r < ctus_y; r++) {
+    sizes.push_back((int64_t)rowbytes[r].size());
+    out.insert(out.end(), rowbytes[r].begin(), rowbytes[r].end());
+  }
+}
+
+extern "C" {
+
+// (H, W) int32 plane from (By*Bx, s, s) int8 raster-ordered blocks —
+// the packed-transfer layout — widening as it copies.  Host-side fast
+// path for FrameData assembly (GIL released under ctypes).
+void ktpu_assemble_plane_i8(const int8_t *blocks, int bx, int by,
+                            int s, int32_t *plane, int w, int h) {
+  (void)h;
+  for (int b = 0; b < by * bx; b++) {
+    int y0 = (b / bx) * s, x0 = (b % bx) * s;
+    const int8_t *src = blocks + (size_t)b * s * s;
+    for (int r = 0; r < s; r++) {
+      int32_t *dst = plane + (size_t)(y0 + r) * w + x0;
+      const int8_t *sr = src + (size_t)r * s;
+      for (int k = 0; k < s; k++) dst[k] = sr[k];
+    }
+  }
+}
+
+}  // extern "C"
+
 extern "C" {
 
 // Serialize slice data (CABAC, starting byte-aligned after the slice
@@ -908,11 +999,12 @@ int64_t ktpu_encode_slice_data_p(
                  mvp8, mvd8, dir8, mvp8_l1, mvd8_l1};
   fp.sign_hiding = flags & 1;
   fp.sao = sao;
-  Serializer s(fp);
   if (wpp) {
     std::vector<uint8_t> bytes;
     std::vector<int64_t> sizes;
-    s.encode_slice_wpp(bytes, sizes);
+    int nthreads = (flags >> 8) & 0xff;
+    encode_wpp_parallel(fp, bytes, sizes,
+                        nthreads > 0 ? nthreads : 1);
     int64_t n = (int64_t)bytes.size();
     if (n > out_cap) return -1;
     std::memcpy(out, bytes.data(), (size_t)n);
@@ -920,6 +1012,7 @@ int64_t ktpu_encode_slice_data_p(
     *n_substreams = (int32_t)sizes.size();
     return n;
   }
+  Serializer s(fp);
   s.encode_slice();
   int64_t n = (int64_t)s.c.bytes.size();
   if (n > out_cap) return -1;
@@ -943,10 +1036,10 @@ int64_t ktpu_encode_slice_data_wpp(
                  log2_max_tu, depth8, mode4, coeff_y, coeff_cb, coeff_cr};
   fp.sign_hiding = flags & 1;
   fp.sao = sao;
-  Serializer s(fp);
   std::vector<uint8_t> bytes;
   std::vector<int64_t> sizes;
-  s.encode_slice_wpp(bytes, sizes);
+  int nthreads = (flags >> 8) & 0xff;
+  encode_wpp_parallel(fp, bytes, sizes, nthreads > 0 ? nthreads : 1);
   int64_t n = (int64_t)bytes.size();
   if (n > out_cap) return -1;
   std::memcpy(out, bytes.data(), (size_t)n);

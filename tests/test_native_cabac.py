@@ -100,3 +100,36 @@ def test_native_p_matches_python(width, height, seed, qp, wpp):
     nb, nb_sizes = nat.encode_slice_data_native_p(params, fd, qp, wpp)
     assert nb_sizes == py_sizes
     assert nb == py
+
+
+@pytest.mark.parametrize("nthreads", [2, 4])
+def test_native_wpp_parallel_byte_identical(nthreads):
+    """Row-parallel CABAC (2-CTU-lag context stagger across worker
+    threads) must be byte-identical to the sequential encode."""
+    from kvazaar_tpu.bitstream import native as nat
+    from tests.test_syntax import random_p_frame_data
+    rng = np.random.default_rng(33)
+    params = StreamParams(width=320, height=256, qp=30, wpp=True)
+    fd = random_p_frame_data(rng, 320, 256, True)
+    seq, seq_sizes = nat.encode_slice_data_native_p(params, fd, 30,
+                                                    True)
+    par, par_sizes = nat.encode_slice_data_native_p(
+        params, fd, 30, True, nthreads=nthreads)
+    assert par_sizes == seq_sizes
+    assert par == seq
+
+
+def test_native_assemble_plane_i8():
+    from kvazaar_tpu.bitstream import native as nat
+    from kvazaar_tpu.encoder.geometry import make_intra_plan
+    from kvazaar_tpu.encoder.intra_recon import blocks_to_plane
+    rng = np.random.default_rng(7)
+    plan = make_intra_plan(96, 64, 16, chroma=False)
+    blocks = rng.integers(-127, 128,
+                          (plan.blocks_y * plan.blocks_x, 16, 16)
+                          ).astype(np.int8)
+    got = nat.assemble_plane_i8(blocks, plan.blocks_x, plan.blocks_y,
+                                16, 96, 64)
+    g = blocks.reshape(plan.blocks_y, plan.blocks_x, 16, 16)
+    ref = g.transpose(0, 2, 1, 3).reshape(64, 96).astype(np.int32)
+    assert np.array_equal(got, ref)

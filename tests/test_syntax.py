@@ -134,7 +134,7 @@ def random_p_frame_data(rng, width, height, chroma=True):
         for c8x in range(g8w):
             if seen[c8y, c8x]:
                 continue
-            depth = fd.depth8[c8y, c8x]
+            depth = int(fd.depth8[c8y, c8x])
             size = 64 >> depth
             cells = max(size >> 3, 1)
             y0, x0 = c8y * 8, c8x * 8
