@@ -50,6 +50,8 @@ class Encoder:
 
     def __init__(self, cfg: Config):
         self.cfg = cfg.validate()
+        from kvazaar_tpu.checkpoint import Checkpointer
+        self._ckpt = Checkpointer()
         self._intra = IntraFrameEncoder(cfg)
         self._poc = 0
         self._wrote_headers = False
@@ -206,6 +208,9 @@ class Encoder:
             psnr_y=psnr(rec_y, np.asarray(y, np.int32),
                         self.cfg.input_bitdepth),
             psnr_u=p_u, psnr_v=p_v)
+        self._ckpt.mark_frame(info.poc, info.qp, info.nal_type,
+                              info.slice_type, info.bits,
+                              (rec_y, rec_cb, rec_cr), res.frame_data)
         return chunks + res.nals, info, (rec_y, rec_cb, rec_cr)
 
     def _lp_pattern(self, rel_poc: int):
@@ -309,6 +314,9 @@ class Encoder:
             psnr_y=psnr(rec_y, np.asarray(y, np.int32),
                         self.cfg.input_bitdepth),
             psnr_u=p_u, psnr_v=p_v)
+        self._ckpt.mark_frame(info.poc, info.qp, info.nal_type,
+                              info.slice_type, info.bits,
+                              (rec_y, rec_cb, rec_cr), res.frame_data)
         chunks += res.nals
         self._poc += 1
         return chunks, info, (rec_y, rec_cb, rec_cr)
@@ -426,6 +434,9 @@ class Encoder:
                        else res.recon_cr[:h // 2, :w // 2])
             info = self._stream_info(res, poc, self.cfg.qp,
                                      rel == 0, shape)
+            self._ckpt.mark_frame(info.poc, info.qp, info.nal_type,
+                                  info.slice_type, info.bits, rec,
+                                  res.frame_data)
             return chunks + res.nals, info, rec
 
         def finalize_batch():

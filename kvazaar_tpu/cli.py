@@ -12,7 +12,7 @@ import sys
 import time
 
 from kvazaar_tpu.config import Config, config_from_preset
-from kvazaar_tpu.io.yuv import read_frames, write_frame
+from kvazaar_tpu.io.yuv import read_frames_async, write_frame
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -23,22 +23,56 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("-o", "--output", required=True)
     ap.add_argument("-q", "--qp", type=int, default=22)
     ap.add_argument("-n", "--frames", type=int, default=None)
+    ap.add_argument("--seek", type=int, default=0,
+                    help="skip the first N input frames "
+                         "(yuv_io_seek, src/yuv_io.c:256)")
     ap.add_argument("--preset", default="ultrafast")
-    ap.add_argument("--input-bitdepth", type=int, default=8)
+    ap.add_argument("--input-bitdepth", type=int, default=None,
+                    help="bit depth of the input FILE (converted to "
+                         "the coding bit depth on read)")
+    ap.add_argument("--bitdepth", type=int, default=8,
+                    choices=[8, 10], help="coding bit depth")
+    ap.add_argument("--msb-first", action="store_true",
+                    help=">8-bit input is big-endian")
     ap.add_argument("--input-format", default="P420",
                     choices=["P400", "P420"])
-    ap.add_argument("--period", type=int, default=1,
+    ap.add_argument("--input-fps", default=None,
+                    help="framerate as float or num/denom")
+    ap.add_argument("-p", "--period", type=int, default=1,
                     help="intra period: 1=all-intra, N=IDR every N, "
                          "0=first frame only (low-delay IPPP)")
-    ap.add_argument("--gop", type=int, default=0, choices=[0, 4, 8],
-                    help="hierarchical B-pyramid GOP length "
-                         "(requires --period 0)")
+    ap.add_argument("--gop", default="0",
+                    help="GOP structure: 0 (IPPP), 4/8 (B pyramid), "
+                         "or lp-g#d#t# low-delay (src/cfg.c:885)")
     ap.add_argument("--bitrate", type=int, default=0,
                     help="target bits/s (0 = fixed QP)")
+    ap.add_argument("--ref", type=int, default=None,
+                    help="reference frames per list")
+    ap.add_argument("--rd", type=int, default=None)
+    ap.add_argument("--me-range", type=int, default=None)
+    ap.add_argument("--subme", type=int, default=None,
+                    help="0 = integer-pel only, >0 = half+quarter")
     ap.add_argument("--tiles", default=None, metavar="WxH",
                     help="uniform tile grid, e.g. 3x3 (implies "
                          "--no-wpp; independent CABAC substreams "
                          "with entry points)")
+    ap.add_argument("--no-wpp", action="store_true")
+    ap.add_argument("--sao", action="store_true", default=None)
+    ap.add_argument("--no-sao", dest="sao", action="store_false")
+    ap.add_argument("--rdoq", action="store_true", default=None)
+    ap.add_argument("--no-rdoq", dest="rdoq", action="store_false")
+    ap.add_argument("--signhide", action="store_true", default=None)
+    ap.add_argument("--no-signhide", dest="signhide",
+                    action="store_false")
+    ap.add_argument("--no-deblock", action="store_true")
+    ap.add_argument("--lossless", action="store_true")
+    ap.add_argument("--sar", default=None, metavar="W:H")
+    ap.add_argument("--aud", action="store_true")
+    ap.add_argument("--no-info", action="store_true")
+    ap.add_argument("--cqmfile", default=None,
+                    help="custom quant matrices (HM format)")
+    ap.add_argument("--scaling-list", default=None,
+                    choices=["off", "default", "custom"])
     ap.add_argument("--hash", default="none",
                     choices=["none", "md5", "checksum"],
                     help="decoded-picture-hash SEI per frame")
@@ -59,13 +93,43 @@ def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     w, h = (int(v) for v in args.input_res.split("x"))
     cfg = config_from_preset(args.preset, width=w, height=h, qp=args.qp,
-                             input_bitdepth=args.input_bitdepth,
+                             input_bitdepth=args.bitdepth,
                              intra_period=args.period,
-                             gop_len=args.gop,
                              bitrate=args.bitrate,
                              hash=args.hash,
                              chroma_format=420
                              if args.input_format == "P420" else 400)
+    cfg.set("gop", args.gop)
+    if args.input_fps:
+        if "/" in args.input_fps:
+            num, den = args.input_fps.split("/")
+            cfg.framerate_num, cfg.framerate_denom = int(num), int(den)
+        else:
+            cfg.framerate_num = int(round(float(args.input_fps) * 1000))
+            cfg.framerate_denom = 1000
+    if args.sar:
+        sw, _, sh = args.sar.partition(":")
+        cfg.sar_width, cfg.sar_height = int(sw), int(sh)
+    for name, key in (("ref", "ref_frames"), ("rd", "rd"),
+                      ("me_range", "me_range"), ("sao", "sao"),
+                      ("rdoq", "rdoq"), ("signhide", "signhide"),
+                      ("cqmfile", "cqmfile"),
+                      ("scaling_list", "scaling_list")):
+        v = getattr(args, name)
+        if v is not None:
+            setattr(cfg, key, v)
+    if args.subme is not None:
+        cfg.me_subpel = args.subme > 0
+    if args.no_wpp:
+        cfg.wpp = False
+    if args.no_deblock:
+        cfg.deblock = False
+    if args.lossless:
+        cfg.lossless = True
+    if args.aud:
+        cfg.aud = True
+    if args.no_info:
+        cfg.info = False
     if args.tiles:
         cfg.set("tiles", args.tiles)
         cfg.wpp = False
@@ -100,7 +164,7 @@ def main(argv=None) -> int:
                     while dbg_next[0] in dbg_pend:
                         r = dbg_pend.pop(dbg_next[0])
                         write_frame(dbg, r[0], r[1], r[2],
-                                    args.input_bitdepth)
+                                    cfg.input_bitdepth)
                         dbg_next[0] += 1
                 if not args.no_psnr:
                     print(f"POC {info.poc} QP {info.qp} "
@@ -110,8 +174,10 @@ def main(argv=None) -> int:
                           f"V {info.psnr_v:.4f}", file=sys.stderr)
                 n += 1
 
-        src = read_frames(args.input, w, h, args.input_bitdepth,
-                          chroma, args.frames)
+        src = read_frames_async(
+            args.input, w, h, cfg.input_bitdepth, chroma, args.frames,
+            skip=args.seek, file_bitdepth=args.input_bitdepth,
+            big_endian=args.msb_first)
         for result in enc.encode_stream(src,
                                         need_recon=dbg is not None):
             handle([result])
