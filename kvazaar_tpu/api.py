@@ -78,6 +78,19 @@ class Encoder:
             fps = cfg.framerate_num / max(cfg.framerate_denom, 1)
             self._rc = RateController(cfg.bitrate, fps, cfg.width,
                                       cfg.height)
+        # Per-CTU QP machinery (LCU RC / ROI / AQ -> cu_qp_delta).
+        self._rc_wts = {}        # slice kind -> (Cy, Cx) weights
+        self._roi_map = None
+        if cfg.roi is not None:
+            with open(cfg.roi) as f:
+                toks = f.read().split()
+            rw, rh = int(toks[0]), int(toks[1])
+            vals = np.array([int(t) for t in toks[2:2 + rw * rh]],
+                            np.int32)
+            if vals.size != rw * rh:
+                raise ValueError("ROI file: expected %d deltas" %
+                                 (rw * rh))
+            self._roi_map = vals.reshape(rh, rw)
 
     def _encoder_for_qp(self, qp: int) -> "IntraFrameEncoder":
         """Per-QP compiled encoder (QP is static in the device
@@ -135,12 +148,28 @@ class Encoder:
             return []
         return self._flush_gop(partial=True)
 
+    def _rc_enc(self, is_intra: bool):
+        """(encoder, lambda) for the next frame under frame-level rate
+        control, or (default encoder, None) at fixed QP.  Serves the
+        GOP/B-pyramid path — LCU allocation is low-delay-only, but the
+        picture-level R-lambda loop applies to every structure
+        (pic_allocate_bits, src/rate_control.c:142)."""
+        if self._rc is None:
+            return self._intra, None
+        lam, qp = self._rc.frame_lambda_qp(is_intra)
+        qp = min(max(qp, self._prev_qp - 3), self._prev_qp + 3)
+        self._prev_qp = qp
+        return self._encoder_for_qp(qp), lam
+
     def _encode_gop_input(self, y, cb=None, cr=None):
         if self._poc == 0:
             # Open the stream with the IDR anchor at POC 0.
-            out = [self._emit(self._intra.encode_frame(y, cb, cr), 0,
-                              (y, cb, cr))]
-            self._dpb_map[0] = self._intra._dpb
+            enc, lam = self._rc_enc(True)
+            res = enc.encode_frame(y, cb, cr)
+            if lam is not None:
+                self._rc.update(len(res.nals) * 8, lam)
+            out = [self._emit(res, 0, (y, cb, cr))]
+            self._dpb_map[0] = enc._dpb
             self._poc = 1
             return out
         self._pending.append((y, cb, cr))
@@ -149,22 +178,25 @@ class Encoder:
         return []
 
     def _flush_gop(self, partial: bool):
-        ife = self._intra
         base = self._base_poc
         out = []
         if partial:
             # Tail shorter than the GOP: low-delay P chain.
             for i, (y, cb, cr) in enumerate(self._pending):
                 poc = base + 1 + i
+                ife, lam = self._rc_enc(False)
                 ife._dpb = self._dpb_map[poc - 1]
                 res = ife.encode_p_frame(y, cb, cr, poc=poc,
                                          ref_poc=poc - 1)
+                if lam is not None:
+                    self._rc.update(len(res.nals) * 8, lam)
                 self._dpb_map[poc] = ife._dpb
                 out.append(self._emit(res, poc, self._pending[i]))
         else:
             for (off, l0, l1) in GOP_TABLES[self._gop]:
                 poc = base + off
                 src = self._pending[off - 1]
+                ife, lam = self._rc_enc(False)
                 if l1 is None:
                     ife._dpb = self._dpb_map[poc - l0]
                     res = ife.encode_p_frame(*src, poc=poc,
@@ -176,6 +208,8 @@ class Encoder:
                         ref0=(poc - l0, self._dpb_map[poc - l0]),
                         ref1=(poc + l1, self._dpb_map[poc + l1]))
                     self._dpb_map[poc] = recs
+                if lam is not None:
+                    self._rc.update(len(res.nals) * 8, lam)
                 out.append(self._emit(res, poc, src))
             self._base_poc = base + self._gop
             # Keep only the refs the next GOP can use.
@@ -213,6 +247,47 @@ class Encoder:
                               (rec_y, rec_cb, rec_cr), res.frame_data)
         return chunks + res.nals, info, (rec_y, rec_cb, rec_cr)
 
+    def _qp_ctu_for(self, base_qp: int, y: np.ndarray, is_intra: bool):
+        """Per-CTU QP map for the next frame, or None when per-CTU QP
+        is off.  Combines LCU rate-control allocation (weights from the
+        previous frame of the same slice type), the ROI delta map, and
+        variance AQ — the reference's kvz_set_lcu_lambda_and_qp
+        (src/rate_control.c:278) + ROI/AQP (src/encoder.c:127-170)."""
+        if not self.cfg.cu_qp_delta_active:
+            return None
+        p = self._intra.params
+        cy, cx = p.height_in_ctus, p.width_in_ctus
+        if self._rc is not None and self.cfg.lcu_rc:
+            key = "i" if is_intra else "p"
+            qmap = self._rc.lcu_qp_map(base_qp, (cy, cx),
+                                       self._rc_wts.get(key))
+        else:
+            qmap = np.full((cy, cx), base_qp, np.int32)
+        if self._roi_map is not None:
+            rh, rw = self._roi_map.shape
+            iy = np.minimum(np.arange(cy) * rh // cy, rh - 1)
+            ix = np.minimum(np.arange(cx) * rw // cx, rw - 1)
+            qmap = qmap + self._roi_map[np.ix_(iy, ix)]
+        if self.cfg.aq > 0:
+            h, w = y.shape
+            yp = np.pad(np.asarray(y, np.float64),
+                        ((0, cy * 64 - h), (0, cx * 64 - w)),
+                        mode="edge")
+            v = yp.reshape(cy, 64, cx, 64).var(axis=(1, 3))
+            lv = np.log2(v + 1.0)
+            dqp = np.rint(self.cfg.aq * (lv - lv.mean()))
+            qmap = qmap + np.clip(dqp, -3, 3).astype(np.int32)
+        return np.clip(qmap, 0, 51).astype(np.int32)
+
+    def _note_ctu_weights(self, fd, is_intra: bool) -> None:
+        """Feed per-CTU complexity back to the LCU rate controller."""
+        if self._rc is None or not self.cfg.lcu_rc:
+            return
+        from kvazaar_tpu.encoder.rate_control import RateController
+        self._rc_wts["i" if is_intra else "p"] = \
+            RateController.ctu_weights_from_levels(
+                fd, self._intra.coded_w, self._intra.coded_h)
+
     def _lp_pattern(self, rel_poc: int):
         """Structure entry for a low-delay frame at rel POC n (>= 1):
         ref deltas + QP offset (reference: the gop[] table consumed by
@@ -227,18 +302,29 @@ class Encoder:
         is_intra = (self._poc == 0 or period == 1
                     or (period > 1 and self._poc % period == 0))
         chunks = self._au_prefix(SLICE_I if is_intra else SLICE_P)
+        frame_qp = self.cfg.qp
         if self._rc is not None:
             lam, qp = self._rc.frame_lambda_qp(is_intra)
             # Clamp QP swings (keeps quality stable and bounds the
             # number of distinct compiled programs).
             qp = min(max(qp, self._prev_qp - 3), self._prev_qp + 3)
             self._rc_lambda = lam
-            enc = self._encoder_for_qp(qp)
             self._prev_qp = qp
+            frame_qp = qp
+            if self.cfg.cu_qp_delta_active:
+                # The RC frame QP rides the per-CTU map: slice QP stays
+                # at the config QP and ONE compiled program (with QP as
+                # traced data) serves every frame — no per-QP
+                # recompiles (the reference's per-LCU QP has the same
+                # effect, src/rate_control.c:278).
+                enc = self._intra
+            else:
+                enc = self._encoder_for_qp(qp)
         else:
             enc = self._intra
+        qp_ctu = self._qp_ctu_for(frame_qp, y, is_intra)
         if is_intra:
-            res = enc.encode_frame(y, cb, cr)
+            res = enc.encode_frame(y, cb, cr, qp_ctu=qp_ctu)
             # POC restarts at every IDR (8.3.1); slice headers signal
             # POC relative to the last IDR.
             self._last_idr = self._poc
@@ -291,7 +377,8 @@ class Encoder:
         else:
             rel = self._poc - getattr(self, "_last_idr", 0)
             res = enc.encode_p_frame(y, cb, cr, poc=rel,
-                                     ref_poc=rel - 1)
+                                     ref_poc=rel - 1, qp_ctu=qp_ctu)
+        self._note_ctu_weights(res.frame_data, is_intra)
         if self._rc is not None:
             self._rc.update(len(res.nals) * 8, self._rc_lambda)
             self._intra = enc     # DPB owner for the next frame
@@ -347,6 +434,9 @@ class Encoder:
         """True when the config takes the overlapped submit/download/
         finalize path in encode_stream (no cross-frame host
         dependencies)."""
+        if self.cfg.cu_qp_delta_active:
+            # Per-CTU QP maps are computed per frame on the host.
+            return False
         if self.cfg.intra_period == 1:
             # Batched all-intra pipeline: SAO is applied inside
             # finalize; only variable-CU trees (per-frame schedules)

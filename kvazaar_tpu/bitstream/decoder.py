@@ -136,6 +136,10 @@ def decode_stream(stream: bytes, params: StreamParams):
                 poc = 0
             chroma = params.chroma_format_idc != 0
             fd = FrameData.empty(params.width, params.height, chroma)
+            if getattr(params, "cu_qp_delta", False):
+                fd.qp_ctu = np.full((params.height_in_ctus,
+                                     params.width_in_ctus), qp,
+                                    np.int32)
             cab = CabacDecoder(r)
             nref = len(rpd) if slice_type == SLICE_P else 1
             dec = SliceDataDecoder(params, fd,
@@ -147,7 +151,9 @@ def decode_stream(stream: bytes, params: StreamParams):
                 # bit_position - 9.
                 start = (r.bit_position - 9) // 8
                 sizes = entries + [len(rbsp) - start - sum(entries)]
-                if params.tiles_enabled:
+                if params.tiles_enabled and params.wpp:
+                    dec.decode_slice_data_tiles_wpp(rbsp, start, sizes)
+                elif params.tiles_enabled:
                     dec.decode_slice_data_tiles(rbsp, start, sizes)
                 else:
                     dec.decode_slice_data_wpp(rbsp, start, sizes)
@@ -197,6 +203,18 @@ def decode_stream(stream: bytes, params: StreamParams):
                         raise ValueError(
                             "decoded-picture-hash SEI mismatch")
     return frames
+
+
+def _qp_block_map(fd: FrameData, params: StreamParams, plan, s: int):
+    """(By, Bx) block-grid luma QP from the per-CTU effective map, or
+    None when cu_qp_delta is off."""
+    if fd.qp_ctu is None:
+        return None
+    by = np.minimum(np.arange(plan.blocks_y) * s // params.ctu_size,
+                    fd.qp_ctu.shape[0] - 1)
+    bx = np.minimum(np.arange(plan.blocks_x) * s // params.ctu_size,
+                    fd.qp_ctu.shape[1] - 1)
+    return jnp.asarray(fd.qp_ctu[np.ix_(by, bx)].astype(np.int32))
 
 
 def _motion_of(fd: FrameData, params: StreamParams, poc: int,
@@ -452,6 +470,7 @@ def reconstruct_parsed_p(fd: FrameData, params: StreamParams, qp: int,
         lv_cb = _blocks_by_step(fd.coeff_cb, plan.chroma, plan)
         lv_cr = _blocks_by_step(fd.coeff_cr, plan.chroma, plan)
 
+    qp_blk = _qp_block_map(fd, params, plan, s)
     out = _decode_recon_impl(
         plan, s, chroma, qp, chroma_qp(qp), params.bitdepth,
         jnp.asarray(lv_y),
@@ -460,7 +479,7 @@ def reconstruct_parsed_p(fd: FrameData, params: StreamParams, qp: int,
         jnp.asarray(modes), is_inter=jnp.asarray(inter_map),
         mc_y=mc_y, mc_cb=mc_cb, mc_cr=mc_cr,
         lossless=params.transquant_bypass,
-        scaling=_scaling_from_params(params))
+        scaling=_scaling_from_params(params), qp_map=qp_blk)
     rec_y, rec_cb, rec_cr = out
     if params.deblock_enabled:
         cbf_blk = np.any(
@@ -473,7 +492,8 @@ def reconstruct_parsed_p(fd: FrameData, params: StreamParams, qp: int,
         rec_y, rec_cb, rec_cr = deblock_frame(
             rec_y, rec_cb, rec_cr, qp, s, params.bitdepth,
             params.deblock_beta_offset_div2,
-            params.deblock_tc_offset_div2, bs_v=bs_v, bs_h=bs_h)
+            params.deblock_tc_offset_div2, bs_v=bs_v, bs_h=bs_h,
+            qp_map=qp_blk)
     rec_y = np.asarray(rec_y)
     rec_cb = None if rec_cb is None else np.asarray(rec_cb)
     rec_cr = None if rec_cr is None else np.asarray(rec_cr)
@@ -502,20 +522,22 @@ def reconstruct_parsed(fd: FrameData, params: StreamParams, qp: int):
         lv_cb = _blocks_by_step(fd.coeff_cb, plan.chroma, plan)
         lv_cr = _blocks_by_step(fd.coeff_cr, plan.chroma, plan)
 
+    qp_blk = _qp_block_map(fd, params, plan, s)
     out = _decode_recon_jit(plan, s, chroma, qp, chroma_qp(qp),
                             params.bitdepth, jnp.asarray(lv_y),
                             None if lv_cb is None else jnp.asarray(lv_cb),
                             None if lv_cr is None else jnp.asarray(lv_cr),
                             jnp.asarray(modes),
                             lossless=params.transquant_bypass,
-                            scaling=_scaling_from_params(params))
+                            scaling=_scaling_from_params(params),
+                            qp_map=qp_blk)
     rec_y, rec_cb, rec_cr = out[0], out[1], out[2]
     if params.deblock_enabled:
         from kvazaar_tpu.ops.deblock import deblock_frame
         rec_y, rec_cb, rec_cr = deblock_frame(
             rec_y, rec_cb, rec_cr, qp, s, params.bitdepth,
             params.deblock_beta_offset_div2,
-            params.deblock_tc_offset_div2)
+            params.deblock_tc_offset_div2, qp_map=qp_blk)
     rec_y = np.asarray(rec_y)
     rec_cb = None if rec_cb is None else np.asarray(rec_cb)
     rec_cr = None if rec_cr is None else np.asarray(rec_cr)
@@ -764,7 +786,7 @@ def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
 def _plane_step_from_levels(recon_flat, gidx, noref, scatter, levels,
                             modes, size, qp, bitdepth, luma,
                             inter=None, mc=None, lossless=False,
-                            scaling_tab=None):
+                            scaling_tab=None, qp_step=None):
     refs = recon_flat[gidx]
     refs = jnp.where(noref[:, None], 1 << (bitdepth - 1), refs)
     pred = predict_modes(refs.astype(jnp.int32), modes, size, luma=luma,
@@ -780,8 +802,9 @@ def _plane_step_from_levels(recon_flat, gidx, noref, scatter, levels,
             dqc = (jnp.asarray(scaling_tab[2]),
                    jnp.asarray(scaling_tab[3]))
             intra_m = True if inter is None else ~inter
-        dq = dequantize(levels, qp, size, bitdepth, dqc=dqc,
-                        intra=intra_m)
+        dq = dequantize(levels,
+                        qp if qp_step is None else qp_step, size,
+                        bitdepth, dqc=dqc, intra=intra_m)
         res = inverse_transform(dq, size, bitdepth)
     rec = jnp.clip(pred + res, 0, (1 << bitdepth) - 1)
     return recon_flat.at[scatter.reshape(-1)].set(rec.reshape(-1))
@@ -790,7 +813,7 @@ def _plane_step_from_levels(recon_flat, gidx, noref, scatter, levels,
 def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
                        lv_cr, modes, is_inter=None, mc_y=None,
                        mc_cb=None, mc_cr=None, lossless=False,
-                       scaling=None):
+                       scaling=None, qp_map=None):
     tab_y = tab_cb = tab_cr = None
     if scaling is not None:
         def _tabs(size, comp, qq):
@@ -805,6 +828,14 @@ def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
     h, w = plan.height, plan.width
     slot_ids = jnp.asarray(np.maximum(plan.block_of_slot, 0))
     modes_steps = modes.reshape(-1)[slot_ids]
+    has_qp = qp_map is not None
+    qp_steps = qpc_steps = None
+    if has_qp:
+        from kvazaar_tpu.encoder.intra_recon import _CHROMA_QP_TAB
+        qpi = jnp.clip(qp_map.astype(jnp.int32), 0, 51)
+        qp_steps = qpi.reshape(-1)[slot_ids]
+        qpc_steps = jnp.take(jnp.asarray(_CHROMA_QP_TAB),
+                             qpi).reshape(-1)[slot_ids]
     inter = is_inter is not None
     if inter:
         inter_steps = is_inter.reshape(-1)[slot_ids]
@@ -833,6 +864,9 @@ def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
         sc2 = plan.chroma.size
 
     def step_fn(carry, xs):
+        qt = qct = None
+        if has_qp:
+            xs, qt, qct = xs[:-2], xs[-2], xs[-1]
         if chroma:
             ry, rcb, rcr = carry
             if inter:
@@ -843,13 +877,15 @@ def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
                 it = my = mcb = mcr = None
             ry = _plane_step_from_levels(ry, gy, ny, scy, ly, m, s, qp,
                                          bitdepth, True, it, my,
-                                         lossless, tab_y)
+                                         lossless, tab_y, qp_step=qt)
             rcb = _plane_step_from_levels(rcb, gc, nc, scc, lcb, m, sc2,
                                           qp_c, bitdepth, False, it,
-                                          mcb, lossless, tab_cb)
+                                          mcb, lossless, tab_cb,
+                                          qp_step=qct)
             rcr = _plane_step_from_levels(rcr, gc, nc, scc, lcr, m, sc2,
                                           qp_c, bitdepth, False, it,
-                                          mcr, lossless, tab_cr)
+                                          mcr, lossless, tab_cr,
+                                          qp_step=qct)
             return (ry, rcb, rcr), None
         (ry,) = carry
         if inter:
@@ -859,7 +895,7 @@ def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
             it = my = None
         ry = _plane_step_from_levels(ry, gy, ny, scy, ly, m, s, qp,
                                      bitdepth, True, it, my, lossless,
-                                     tab_y)
+                                     tab_y, qp_step=qt)
         return (ry,), None
 
     if chroma:
@@ -873,6 +909,8 @@ def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
         if inter:
             xs = xs + (inter_steps, mcy_steps)
         carry0 = (rec_y0,)
+    if has_qp:
+        xs = xs + (qp_steps, qpc_steps)
     carry, _ = jax.lax.scan(step_fn, carry0, xs)
     rec_y = carry[0][:-1].reshape(h, w)
     if chroma:
@@ -882,8 +920,10 @@ def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
 
 
 def _decode_recon_jit(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
-                      lv_cr, modes, lossless=False, scaling=None):
+                      lv_cr, modes, lossless=False, scaling=None,
+                      qp_map=None):
     # jit keyed on the static arguments via closure; plans are cached.
     return _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth,
                               lv_y, lv_cb, lv_cr, modes,
-                              lossless=lossless, scaling=scaling)
+                              lossless=lossless, scaling=scaling,
+                              qp_map=qp_map)

@@ -39,6 +39,10 @@ class StreamParams:
     sign_hiding: bool = False
     transform_skip: bool = False
     transquant_bypass: bool = False
+    # cu_qp_delta_enabled_flag with diff_cu_qp_delta_depth = 0 (QG =
+    # CTU): per-CTU QP for LCU rate control / ROI maps (reference
+    # src/rate_control.c:278, src/encoder.c:127-170).
+    cu_qp_delta: bool = False
     strong_intra_smoothing: bool = True
     wpp: bool = False
     amp: bool = False
@@ -321,7 +325,9 @@ def write_pps(p: StreamParams) -> bytes:
     w.se(p.qp - 26)         # init_qp_minus26
     w.u(0, 1)               # constrained_intra_pred_flag
     w.u(1 if p.transform_skip else 0, 1)
-    w.u(0, 1)               # cu_qp_delta_enabled_flag
+    w.u(1 if p.cu_qp_delta else 0, 1)   # cu_qp_delta_enabled_flag
+    if p.cu_qp_delta:
+        w.ue(0)             # diff_cu_qp_delta_depth (QG = CTU)
     w.se(0)                 # pps_cb_qp_offset
     w.se(0)                 # pps_cr_qp_offset
     w.u(0, 1)               # pps_slice_chroma_qp_offsets_present_flag

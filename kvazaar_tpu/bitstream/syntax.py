@@ -76,6 +76,12 @@ class FrameData:
     tskip4: np.ndarray = None      # (H/4, W/4) uint8 — luma
     tskip_cb: np.ndarray = None    # (H/8, W/8) uint8 — chroma TBs
     tskip_cr: np.ndarray = None
+    # Per-CTU luma QP (LCU rate control / ROI, reference
+    # kvz_set_lcu_lambda_and_qp src/rate_control.c:278).  Encoder fills
+    # the intended QP; the serializer/parser normalize it to the
+    # EFFECTIVE QP (prediction chain value where no cu_qp_delta was
+    # coded because the CTU has no coded coefficients, 8.6.1).
+    qp_ctu: np.ndarray = None      # (Cy, Cx) int32
 
     @staticmethod
     def empty(width: int, height: int, chroma: bool = True) -> "FrameData":
@@ -186,6 +192,16 @@ class _SliceSyntaxBase:
         self.d = data
         self.ctx = contexts
         self.chroma = params.chroma_format_idc != 0
+        # cu_qp_delta state (QG = CTU, diff_cu_qp_delta_depth = 0, so
+        # qPY_A/B always fall back to qPY_PREV — 8.6.1): one predictor
+        # chain per slice, reset at WPP row / tile starts.
+        self.dqp = bool(getattr(params, "cu_qp_delta", False)
+                        and data.qp_ctu is not None)
+        self._slice_qp = contexts.qp
+        self._qp_pred = contexts.qp
+        self._qg_coded = False
+        self._qg_qp = contexts.qp
+        self._qg_cur = (0, 0)
         self._tcol = self._trow = None
         if params.tiles_enabled:
             from kvazaar_tpu.encoder.geometry import \
@@ -201,6 +217,17 @@ class _SliceSyntaxBase:
                 [(cx, cy) for cy in range(cby[tr], cby[tr + 1])
                  for cx in range(cbx[tc], cbx[tc + 1])]
                 for tr in range(ty) for tc in range(tx)]
+
+    def _tile_rows(self):
+        """Tiles in raster order; each as a list of CTU rows, each row
+        a list of (cx, cy) (the tiles x WPP substream structure)."""
+        out = []
+        for ctus in self._tile_ctus:
+            rows: dict = {}
+            for (cx, cy) in ctus:
+                rows.setdefault(cy, []).append((cx, cy))
+            out.append([rows[k] for k in sorted(rows)])
+        return out
 
     def _same_tile(self, xa: int, ya: int, xb: int, yb: int) -> bool:
         """Prediction/context availability never crosses a tile
@@ -264,6 +291,23 @@ class _SliceSyntaxBase:
     def _plane(self, c_idx: int) -> np.ndarray:
         return (self.d.coeff_y, self.d.coeff_cb, self.d.coeff_cr)[c_idx]
 
+    # -- cu_qp_delta quant-group bookkeeping (shared by both dirs) --
+
+    def _qg_reset_pred(self) -> None:
+        """Start of slice / WPP CTU row / tile: qPY_PREV = SliceQpY
+        (8.6.1)."""
+        self._qp_pred = self._slice_qp
+
+    def _qg_end(self) -> None:
+        """CTU finished: commit the effective QP and advance the
+        predictor chain."""
+        if not self.dqp:
+            return
+        cyi, cxi = self._qg_cur
+        eff = self._qg_qp if self._qg_coded else self._qp_pred
+        self.d.qp_ctu[cyi, cxi] = eff
+        self._qp_pred = eff
+
 
 class SliceDataEncoder(_SliceSyntaxBase):
     """Serialize a fully populated FrameData into CABAC slice data."""
@@ -274,15 +318,46 @@ class SliceDataEncoder(_SliceSyntaxBase):
         self.c = cabac
         self.nref_l0 = nref_l0
 
+    def _qg_start(self, cxi: int, cyi: int) -> None:
+        if not self.dqp:
+            return
+        self._qg_cur = (cyi, cxi)
+        self._qg_coded = False
+        self._qg_qp = int(self.d.qp_ctu[cyi, cxi])
+
+    def _maybe_code_dqp(self, any_cbf) -> None:
+        """cu_qp_delta_abs/sign at the first TU with coded coefficients
+        in this quant group (7.3.8.10; binarization 9.3.3.1.3: TR cMax 5
+        prefix + EG0 suffix; ctx 0 for bin 0, ctx 1 for bins 1..4)."""
+        if not self.dqp or self._qg_coded or not any_cbf:
+            return
+        delta = self._qg_qp - self._qp_pred
+        a = abs(delta)
+        prefix = min(a, 5)
+        self.c.encode_bin(self.ctx("cu_qp_delta", 0), 1 if prefix else 0)
+        if prefix:
+            for _ in range(1, prefix):
+                self.c.encode_bin(self.ctx("cu_qp_delta", 1), 1)
+            if prefix < 5:
+                self.c.encode_bin(self.ctx("cu_qp_delta", 1), 0)
+            else:
+                self._encode_egk(a - 5, 0)
+        if a:
+            self.c.encode_bypass(1 if delta < 0 else 0)
+        self._qg_coded = True
+
     def encode_slice_data(self) -> None:
         ctus_x = self.p.width_in_ctus
         ctus_y = self.p.height_in_ctus
         n = ctus_x * ctus_y
+        self._qg_reset_pred()
         for i in range(n):
             x0 = (i % ctus_x) << self.p.log2_ctu
             y0 = (i // ctus_x) << self.p.log2_ctu
             self.encode_sao(i % ctus_x, i // ctus_x)
+            self._qg_start(i % ctus_x, i // ctus_x)
             self.coding_quadtree(x0, y0, self.p.log2_ctu, 0)
+            self._qg_end()
             self.c.encode_terminate(1 if i == n - 1 else 0)
 
     def encode_sao(self, cxi: int, cyi: int) -> None:
@@ -351,11 +426,14 @@ class SliceDataEncoder(_SliceSyntaxBase):
                 else:
                     self.ctx = Contexts(self.ctx.slice_type, self.ctx.qp)
                 self.c = CabacEncoder(w)
+            self._qg_reset_pred()
             for cx in range(ctus_x):
                 x0 = cx << self.p.log2_ctu
                 y0 = row << self.p.log2_ctu
                 self.encode_sao(cx, row)
+                self._qg_start(cx, row)
                 self.coding_quadtree(x0, y0, self.p.log2_ctu, 0)
+                self._qg_end()
                 last_ctu = (row == ctus_y - 1) and (cx == ctus_x - 1)
                 self.c.encode_terminate(1 if last_ctu else 0)
                 if cx == 1:
@@ -384,17 +462,61 @@ class SliceDataEncoder(_SliceSyntaxBase):
             if ti > 0:
                 self.ctx = Contexts(self.ctx.slice_type, self.ctx.qp)
                 self.c = CabacEncoder(w)
+            self._qg_reset_pred()
             for k, (cx, cy) in enumerate(ctus):
                 self.encode_sao(cx, cy)
+                self._qg_start(cx, cy)
                 self.coding_quadtree(cx << self.p.log2_ctu,
                                      cy << self.p.log2_ctu,
                                      self.p.log2_ctu, 0)
+                self._qg_end()
                 last = ti == n_tiles - 1 and k == len(ctus) - 1
                 self.c.encode_terminate(1 if last else 0)
                 if k == len(ctus) - 1 and not last:
                     self.c.encode_terminate(1)  # end_of_subset_one_bit
             w.align_zero()
             sizes.append(len(w.get_bytes()) - start)
+        return sizes
+
+    def encode_slice_data_tiles_wpp(self) -> list[int]:
+        """Tiles x WPP combined: each CTU row OF EACH TILE is its own
+        substream (7.4.3.3 entry points with both tiles_enabled and
+        entropy_coding_sync); contexts fully re-init at tile starts and
+        sync from the 2nd CTU of the row above WITHIN the tile
+        (9.3.1).  The reference supports the combination through its
+        encoder-state tree (flagged experimental, README.md:383-388)."""
+        from kvazaar_tpu.bitstream.cabac import CabacEncoder
+        w = self.c.writer
+        assert w.byte_aligned
+        tiles = self._tile_rows()
+        s = self.p.log2_ctu
+        sizes = []
+        first = True
+        for ti, rows in enumerate(tiles):
+            saved = None
+            for ri, row in enumerate(rows):
+                start = len(w.get_bytes())
+                if not first:
+                    if ri == 0 or saved is None:
+                        self.ctx = Contexts(self.ctx.slice_type,
+                                            self.ctx.qp)
+                    else:
+                        self.ctx.copy_from(saved)
+                    self.c = CabacEncoder(w)
+                first = False
+                for k, (cx, cy) in enumerate(row):
+                    self.encode_sao(cx, cy)
+                    self.coding_quadtree(cx << s, cy << s, s, 0)
+                    last = (ti == len(tiles) - 1
+                            and ri == len(rows) - 1
+                            and k == len(row) - 1)
+                    self.c.encode_terminate(1 if last else 0)
+                    if k == 1:
+                        saved = self.ctx.clone()
+                    if k == len(row) - 1 and not last:
+                        self.c.encode_terminate(1)
+                w.align_zero()
+                sizes.append(len(w.get_bytes()) - start)
         return sizes
 
     def coding_quadtree(self, x0, y0, log2_size, depth) -> None:
@@ -636,7 +758,14 @@ class SliceDataEncoder(_SliceSyntaxBase):
         cbf_luma = self._tu_cbf(0, x0, y0, log2_size)
         self.c.encode_bin(
             self.ctx("cbf_luma", 1 if tr_depth == 0 else 0), cbf_luma)
-        self._transform_unit(x0, y0, log2_size, cbf_luma, cbf_cb, cbf_cr)
+        # Spec 7.3.8.10: for the last 4x4 child of an 8x8 split, the
+        # transform_unit condition includes the PARENT chroma cbfs
+        # (whose residuals ride after this child).
+        extra = 0
+        if log2_size == 2 and (x0 & 4) and (y0 & 4):
+            extra = parent_cb or parent_cr
+        self._transform_unit(x0, y0, log2_size, cbf_luma, cbf_cb,
+                             cbf_cr, dqp_extra=extra)
 
     def _tu_cbf(self, c_idx, x0, y0, log2_size) -> int:
         shift = 1 if c_idx else 0
@@ -646,7 +775,8 @@ class SliceDataEncoder(_SliceSyntaxBase):
         return 1 if np.any(block) else 0
 
     def _transform_unit(self, x0, y0, log2_size, cbf_luma, cbf_cb,
-                        cbf_cr) -> None:
+                        cbf_cr, dqp_extra=0) -> None:
+        self._maybe_code_dqp(cbf_luma or cbf_cb or cbf_cr or dqp_extra)
         if cbf_luma:
             self.residual_coding(x0, y0, log2_size, 0)
         if self.chroma and log2_size > 2:
@@ -846,11 +976,14 @@ class SliceDataDecoder(_SliceSyntaxBase):
         ctus_x = self.p.width_in_ctus
         ctus_y = self.p.height_in_ctus
         n = ctus_x * ctus_y
+        self._qg_reset_pred()
         for i in range(n):
             x0 = (i % ctus_x) << self.p.log2_ctu
             y0 = (i // ctus_x) << self.p.log2_ctu
             self.parse_sao(i % ctus_x, i // ctus_x)
+            self._qg_start(i % ctus_x, i // ctus_x)
             self.coding_quadtree(x0, y0, self.p.log2_ctu, 0)
+            self._qg_end()
             end = self.c.decode_terminate()
             if end != (1 if i == n - 1 else 0):
                 raise ValueError(f"end_of_slice at CTU {i}/{n} mismatched")
@@ -929,11 +1062,14 @@ class SliceDataDecoder(_SliceSyntaxBase):
                 else:
                     self.ctx = Contexts(self.ctx.slice_type, self.ctx.qp)
                 self.c = CabacDecoder(BitReader(rbsp[off:]))
+            self._qg_reset_pred()
             for cx in range(ctus_x):
                 x0 = cx << self.p.log2_ctu
                 y0 = row << self.p.log2_ctu
                 self.parse_sao(cx, row)
+                self._qg_start(cx, row)
                 self.coding_quadtree(x0, y0, self.p.log2_ctu, 0)
+                self._qg_end()
                 last_ctu = (row == ctus_y - 1) and (cx == ctus_x - 1)
                 end = self.c.decode_terminate()
                 if end != (1 if last_ctu else 0):
@@ -944,6 +1080,49 @@ class SliceDataDecoder(_SliceSyntaxBase):
                     if self.c.decode_terminate() != 1:
                         raise ValueError("missing end_of_subset bit")
             off += sizes[row]
+
+    def decode_slice_data_tiles_wpp(self, rbsp: bytes,
+                                    data_offset: int,
+                                    sizes: list[int]) -> None:
+        """Inverse of encode_slice_data_tiles_wpp: one substream per
+        CTU row per tile."""
+        from kvazaar_tpu.bitstream.bits import BitReader
+        from kvazaar_tpu.bitstream.cabac import CabacDecoder
+        tiles = self._tile_rows()
+        s = self.p.log2_ctu
+        n_rows = sum(len(rows) for rows in tiles)
+        assert len(sizes) == n_rows
+        off = data_offset
+        si = 0
+        first = True
+        for ti, rows in enumerate(tiles):
+            saved = None
+            for ri, row in enumerate(rows):
+                if not first:
+                    if ri == 0 or saved is None:
+                        self.ctx = Contexts(self.ctx.slice_type,
+                                            self.ctx.qp)
+                    else:
+                        self.ctx.copy_from(saved)
+                    self.c = CabacDecoder(BitReader(rbsp[off:]))
+                first = False
+                for k, (cx, cy) in enumerate(row):
+                    self.parse_sao(cx, cy)
+                    self.coding_quadtree(cx << s, cy << s, s, 0)
+                    last = (ti == len(tiles) - 1
+                            and ri == len(rows) - 1
+                            and k == len(row) - 1)
+                    if self.c.decode_terminate() != (1 if last else 0):
+                        raise ValueError(
+                            "end_of_slice mismatch (tiles+wpp)")
+                    if k == 1:
+                        saved = self.ctx.clone()
+                    if k == len(row) - 1 and not last:
+                        if self.c.decode_terminate() != 1:
+                            raise ValueError(
+                                "missing end_of_subset bit")
+                off += sizes[si]
+                si += 1
 
     def decode_slice_data_tiles(self, rbsp: bytes, data_offset: int,
                                 sizes: list[int]) -> None:
@@ -958,11 +1137,14 @@ class SliceDataDecoder(_SliceSyntaxBase):
             if ti > 0:
                 self.ctx = Contexts(self.ctx.slice_type, self.ctx.qp)
                 self.c = CabacDecoder(BitReader(rbsp[off:]))
+            self._qg_reset_pred()
             for k, (cx, cy) in enumerate(ctus):
                 self.parse_sao(cx, cy)
+                self._qg_start(cx, cy)
                 self.coding_quadtree(cx << self.p.log2_ctu,
                                      cy << self.p.log2_ctu,
                                      self.p.log2_ctu, 0)
+                self._qg_end()
                 last = ti == n_tiles - 1 and k == len(ctus) - 1
                 if self.c.decode_terminate() != (1 if last else 0):
                     raise ValueError("end_of_slice mismatch (tiles)")
@@ -1179,10 +1361,40 @@ class SliceDataDecoder(_SliceSyntaxBase):
                 cbf_cr = self.c.decode_bin(self.ctx("cbf_chroma", tr_depth))
         cbf_luma = self.c.decode_bin(
             self.ctx("cbf_luma", 1 if tr_depth == 0 else 0))
-        self._transform_unit(x0, y0, log2_size, cbf_luma, cbf_cb, cbf_cr)
+        extra = 0
+        if log2_size == 2 and (x0 & 4) and (y0 & 4):
+            extra = parent_cb or parent_cr
+        self._transform_unit(x0, y0, log2_size, cbf_luma, cbf_cb,
+                             cbf_cr, dqp_extra=extra)
+
+    def _qg_start(self, cxi: int, cyi: int) -> None:
+        if not self.dqp:
+            return
+        self._qg_cur = (cyi, cxi)
+        self._qg_coded = False
+        self._qg_qp = None
+
+    def _maybe_parse_dqp(self, any_cbf) -> None:
+        """Inverse of _maybe_code_dqp."""
+        if not self.dqp or self._qg_coded or not any_cbf:
+            return
+        a = 0
+        if self.c.decode_bin(self.ctx("cu_qp_delta", 0)):
+            a = 1
+            while a < 5 and self.c.decode_bin(
+                    self.ctx("cu_qp_delta", 1)):
+                a += 1
+            if a == 5:
+                a += self._decode_egk(0)
+        delta = 0
+        if a:
+            delta = -a if self.c.decode_bypass() else a
+        self._qg_qp = self._qp_pred + delta
+        self._qg_coded = True
 
     def _transform_unit(self, x0, y0, log2_size, cbf_luma, cbf_cb,
-                        cbf_cr) -> None:
+                        cbf_cr, dqp_extra=0) -> None:
+        self._maybe_parse_dqp(cbf_luma or cbf_cb or cbf_cr or dqp_extra)
         if cbf_luma:
             self.residual_coding(x0, y0, log2_size, 0)
         if self.chroma and log2_size > 2:

@@ -46,6 +46,15 @@ def build_argparser() -> argparse.ArgumentParser:
                          "or lp-g#d#t# low-delay (src/cfg.c:885)")
     ap.add_argument("--bitrate", type=int, default=0,
                     help="target bits/s (0 = fixed QP)")
+    ap.add_argument("--no-lcu-rc", action="store_true",
+                    help="disable per-CTU bit allocation under "
+                         "--bitrate (frame-level RC only)")
+    ap.add_argument("--roi", default=None,
+                    help="delta-QP ROI map file: 'W H' then W*H "
+                         "offsets on a CTU grid")
+    ap.add_argument("--aq", type=float, default=None,
+                    help="variance adaptive-quantization strength "
+                         "(0..3)")
     ap.add_argument("--ref", type=int, default=None,
                     help="reference frames per list")
     ap.add_argument("--rd", type=int, default=None)
@@ -53,9 +62,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--subme", type=int, default=None,
                     help="0 = integer-pel only, >0 = half+quarter")
     ap.add_argument("--tiles", default=None, metavar="WxH",
-                    help="uniform tile grid, e.g. 3x3 (implies "
-                         "--no-wpp; independent CABAC substreams "
-                         "with entry points)")
+                    help="uniform tile grid, e.g. 3x3; combines with "
+                         "WPP (one substream per CTU row per tile)")
     ap.add_argument("--no-wpp", action="store_true")
     ap.add_argument("--sao", action="store_true", default=None)
     ap.add_argument("--no-sao", dest="sao", action="store_false")
@@ -110,10 +118,13 @@ def main(argv=None) -> int:
     if args.sar:
         sw, _, sh = args.sar.partition(":")
         cfg.sar_width, cfg.sar_height = int(sw), int(sh)
+    if args.no_lcu_rc:
+        cfg.lcu_rc = False
     for name, key in (("ref", "ref_frames"), ("rd", "rd"),
                       ("me_range", "me_range"), ("sao", "sao"),
                       ("rdoq", "rdoq"), ("signhide", "signhide"),
-                      ("cqmfile", "cqmfile"),
+                      ("cqmfile", "cqmfile"), ("roi", "roi"),
+                      ("aq", "aq"),
                       ("scaling_list", "scaling_list")):
         v = getattr(args, name)
         if v is not None:
@@ -132,7 +143,6 @@ def main(argv=None) -> int:
         cfg.info = False
     if args.tiles:
         cfg.set("tiles", args.tiles)
-        cfg.wpp = False
     for kv in args.set:
         key, _, value = kv.partition("=")
         cfg.set(key, value)

@@ -60,6 +60,17 @@ class Config:
 
     # Rate control (0 = fixed QP).
     bitrate: int = 0
+    # LCU-level rate control: per-CTU bit allocation + QP via
+    # cu_qp_delta (reference lcu_allocate_bits src/rate_control.c:259,
+    # kvz_set_lcu_lambda_and_qp :278).  Applies when bitrate > 0.
+    lcu_rc: bool = True
+    # Delta-QP ROI map file: "W H" header then W*H integer QP offsets
+    # on a CTU grid, scaled to the frame (reference --roi,
+    # src/cfg.c ROI parsing + src/encoder.c:127-170).
+    roi: Optional[str] = None
+    # Adaptive quantization strength (variance AQ at CTU granularity);
+    # 0 = off.
+    aq: float = 0.0
 
     # Decoded-picture-hash SEI per frame ("none", "md5", "checksum";
     # reference --hash).
@@ -99,6 +110,32 @@ class Config:
     # Wavefront parallel processing (entropy_coding_sync): per-CTU-row
     # CABAC substreams, on by default like the reference (src/cfg.c:91).
     wpp: bool = True
+
+    @property
+    def cu_qp_delta_active(self) -> bool:
+        """True when per-CTU QP signalling will actually be used.
+
+        ROI/AQ force it (validate() rejects unsupported combos for
+        those explicit requests).  LCU rate control uses it on the
+        structures it supports and documentedly falls back to
+        frame-level RC elsewhere (B pyramids, multi-ref, lossless,
+        variable trees, tiles) — a degradation, not a silent no-op."""
+        if self.roi is not None or self.aq > 0:
+            return True
+        if not (self.bitrate > 0 and self.lcu_rc):
+            return False
+        if (self.gop_len > 1 or self.lp_gop is not None
+                or self.ref_frames > 1 or self.tmvp):
+            return False
+        if (self.lossless or self.scaling_list != "off"
+                or self.transform_skip):
+            return False
+        if (self.intra_min_cu != self.intra_max_cu
+                or self.intra_max_cu == 4):
+            return False
+        if (self.tiles_x, self.tiles_y) != (1, 1):
+            return False
+        return True
 
     def validate(self) -> "Config":
         """Reject anything the encoder cannot honor (the analogue of
@@ -179,10 +216,6 @@ class Config:
         if not (1 <= self.tiles_x <= 16 and 1 <= self.tiles_y <= 16):
             raise ValueError("tiles must be 1..16 per axis")
         if (self.tiles_x, self.tiles_y) != (1, 1):
-            if self.wpp:
-                raise ValueError("tiles currently exclude WPP (one "
-                                 "entry-point scheme per picture); "
-                                 "set wpp=0 with --tiles")
             if self.intra_min_cu != self.intra_max_cu:
                 raise ValueError("tiles require a fixed CU size for "
                                  "now")
@@ -208,6 +241,37 @@ class Config:
                              "--lossless")
         if self.sao and self.lossless:
             raise ValueError("SAO is meaningless with --lossless")
+        if self.roi is not None or self.aq > 0:
+            # Explicit per-CTU QP requests: reject what the traced-QP
+            # path cannot honor (LCU RC instead degrades to frame-level
+            # RC on these structures — see cu_qp_delta_active).
+            if self.intra_min_cu != self.intra_max_cu:
+                raise ValueError("ROI/AQ require a fixed CU size for "
+                                 "now")
+            if self.intra_max_cu == 4:
+                raise ValueError("ROI/AQ with the 4x4 intra operating "
+                                 "point are not implemented")
+            if self.gop_len > 1:
+                raise ValueError("ROI/AQ with B pyramids are not "
+                                 "implemented (low-delay only)")
+            if self.ref_frames > 1 or self.lp_gop is not None \
+                    or self.tmvp:
+                raise ValueError("ROI/AQ with multi-ref / TMVP "
+                                 "structures are not implemented")
+            if (self.tiles_x, self.tiles_y) != (1, 1):
+                raise ValueError("ROI/AQ with tiles are not "
+                                 "implemented")
+            if self.lossless:
+                raise ValueError("ROI/AQ are meaningless with "
+                                 "--lossless")
+            if self.scaling_list != "off":
+                raise ValueError("ROI/AQ with scaling lists are not "
+                                 "implemented")
+            if self.transform_skip:
+                raise ValueError("ROI/AQ with transform skip are not "
+                                 "implemented")
+        if self.aq < 0 or self.aq > 3:
+            raise ValueError("aq strength must be in [0, 3]")
         if not (0 <= self.overscan <= 2):
             raise ValueError("overscan must be 0/1/2")
         if not (0 <= self.videoformat <= 5):
@@ -245,6 +309,8 @@ class Config:
             setattr(self, name, value.lower() in ("1", "true", "yes", "on"))
         elif isinstance(cur, int):
             setattr(self, name, int(value))
+        elif isinstance(cur, float):
+            setattr(self, name, float(value))
         else:
             setattr(self, name, value)
         return self

@@ -98,9 +98,66 @@ class PFrameMixin:
     # reference (the OWF dependency chain, src/encoderstate.c:790,
     # becomes XLA async dispatch order). ----
 
-    def _p_fused_fns(self, nref: int):
-        if nref not in self._p_fused_cache:
-            def fused(yp, cbp, crp, refs_y, refs_cb, refs_cr):
+    # ---- Per-CTU QP support (LCU rate control / ROI / AQ): QP enters
+    # the device programs as DATA on the CTU grid; the quantizer and
+    # deblock take per-block maps; the effective-QP chain (8.6.1 with
+    # QG = CTU) is derived on device so deblocking matches what the
+    # cu_qp_delta syntax will make a decoder reconstruct. ----
+
+    def _qp_grid_idx(self):
+        """Static block-grid -> CTU-grid index vectors."""
+        ctus_y = -(-self.coded_h // 64)
+        ctus_x = -(-self.coded_w // 64)
+        by = np.minimum(np.arange(self.plan.blocks_y) * self.cu // 64,
+                        ctus_y - 1)
+        bx = np.minimum(np.arange(self.plan.blocks_x) * self.cu // 64,
+                        ctus_x - 1)
+        return ctus_y, ctus_x, by, bx
+
+    def _qp_blk_of(self, qp_ctu):
+        """(B, Cy, Cx) -> (B, By, Bx) block-grid gather."""
+        _, _, by, bx = self._qp_grid_idx()
+        return qp_ctu[:, jnp.asarray(by)][:, :, jnp.asarray(bx)]
+
+    def _cbf_ctu_of(self, lv_y, lv_cb, lv_cr):
+        """Per-CTU coded-coefficient flag from raster-order level
+        tensors (B, N_blocks, S, S)."""
+        b = lv_y.shape[0]
+        cy, cx, byi, bxi = self._qp_grid_idx()
+        shape = (b, self.plan.blocks_y, self.plan.blocks_x)
+        cbf = jnp.any(lv_y != 0, axis=(-1, -2)).reshape(shape)
+        for lv in (lv_cb, lv_cr):
+            if lv is not None:
+                cbf = cbf | jnp.any(lv != 0, axis=(-1, -2)).reshape(shape)
+        return jnp.zeros((b, cy, cx), jnp.int32).at[
+            :, byi[:, None], bxi[None, :]].max(
+                cbf.astype(jnp.int32)).astype(bool)
+
+    def _effective_qp_ctu(self, qp_ctu, cbf_ctu):
+        """Intended (B, Cy, Cx) + cbf -> effective map: a CTU with no
+        coded coefficients cannot signal cu_qp_delta, so it inherits
+        the predictor chain (slice QP at the start of each slice, and
+        of each CTU row under WPP — 8.6.1)."""
+        b, cy, cx = qp_ctu.shape
+        if self.params.wpp:
+            q, c = qp_ctu, cbf_ctu
+        else:
+            q = qp_ctu.reshape(b, 1, cy * cx)
+            c = cbf_ctu.reshape(b, 1, cy * cx)
+        idx = jnp.broadcast_to(jnp.arange(q.shape[2])[None, None, :],
+                               q.shape)
+        last = jax.lax.cummax(jnp.where(c, idx, -1), axis=2)
+        eff = jnp.where(last >= 0,
+                        jnp.take_along_axis(q, jnp.maximum(last, 0),
+                                            axis=2),
+                        jnp.int32(self.cfg.qp))
+        return eff.reshape(b, cy, cx)
+
+    def _p_fused_fns(self, nref: int, with_qp: bool = False):
+        key = (nref, with_qp)
+        if key not in self._p_fused_cache:
+            def fused(yp, cbp, crp, refs_y, refs_cb, refs_cr,
+                      qp_ctu=None):
                 yp = yp.astype(jnp.int32)
                 if cbp is not None:
                     cbp = cbp.astype(jnp.int32)
@@ -138,6 +195,8 @@ class PFrameMixin:
                     None if refs_cr is None else
                     refs_cr.astype(jnp.int32),
                     mv, self.plan, self.bitdepth, ref_grid=ref_sel)
+                qp_blk_b = None if qp_ctu is None else \
+                    self._qp_blk_of(qp_ctu[None])
                 rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr = \
                     reconstruct_frames(
                         yp[None], None if cbp is None else cbp[None],
@@ -151,7 +210,13 @@ class PFrameMixin:
                         signhide=self.cfg.signhide,
                         rdoq=self.cfg.rdoq,
                         lam=qp_to_lambda(self.cfg.qp),
-                        scaling=self.scaling)
+                        scaling=self.scaling, qp_map=qp_blk_b)
+                dqp_blk = None
+                if qp_ctu is not None:
+                    eff = self._effective_qp_ctu(
+                        qp_ctu[None],
+                        self._cbf_ctu_of(lv_y, lv_cb, lv_cr))
+                    dqp_blk = self._qp_blk_of(eff)[0]
                 rec_y, lv_y = rec_y[0], lv_y[0]
                 if cbp is not None:
                     rec_cb, lv_cb = rec_cb[0], lv_cb[0]
@@ -163,7 +228,8 @@ class PFrameMixin:
                                                  mv, ref=ref_sel)
                     dy, dcb, dcr = deblock_frame(
                         rec_y, rec_cb, rec_cr, self.cfg.qp, self.cu,
-                        self.bitdepth, bs_v=bs_v, bs_h=bs_h)
+                        self.bitdepth, bs_v=bs_v, bs_h=bs_h,
+                        qp_map=dqp_blk)
                     rdt = jnp.uint8 if self.bitdepth <= 8 else \
                         jnp.uint16
                     rec_y = dy.astype(rdt)
@@ -186,8 +252,13 @@ class PFrameMixin:
                 return (packed, (lv_y, lv_cb, lv_cr),
                         (rec_y, rec_cb, rec_cr))
 
-            self._p_fused_cache[nref] = jax.jit(fused)
-        return self._p_fused_cache[nref]
+            if with_qp:
+                self._p_fused_cache[key] = jax.jit(fused)
+            else:
+                self._p_fused_cache[key] = jax.jit(
+                    lambda yp, cbp, crp, ry, rcb, rcr: fused(
+                        yp, cbp, crp, ry, rcb, rcr))
+        return self._p_fused_cache[key]
 
     def _p_pack(self, lv_y, lv_cb, lv_cr, modes, inter_map, ref_sel,
                 mv, sses):
@@ -241,9 +312,10 @@ class PFrameMixin:
         sses = buf[offs[k + 5]:].copy().view(np.float32)
         return out_lv, modes, inter_map, ref_sel, mv, overflow, sses
 
-    def submit_p(self, y, cb, cr, refs):
+    def submit_p(self, y, cb, cr, refs, qp_ctu=None):
         """Dispatch the fused P program (async).  refs: [(ref_poc,
-        (y, cb, cr) device planes), ...] in L0 order."""
+        (y, cb, cr) device planes), ...] in L0 order.  qp_ctu:
+        (Cy, Cx) int32 per-CTU QP (LCU rate control)."""
         s = self.cu
         sdt = np.uint8 if self.bitdepth <= 8 else np.uint16
         yp = jnp.asarray(pad_to_multiple(np.asarray(y, sdt), s))
@@ -258,8 +330,14 @@ class PFrameMixin:
         if self.chroma:
             refs_cb = jnp.stack([pl[1] for _rp, pl in refs])
             refs_cr = jnp.stack([pl[2] for _rp, pl in refs])
-        packed, dense, recs = self._p_fused_fns(len(refs))(
-            yp, cbp, crp, refs_y, refs_cb, refs_cr)
+        if qp_ctu is not None:
+            packed, dense, recs = self._p_fused_fns(
+                len(refs), with_qp=True)(
+                    yp, cbp, crp, refs_y, refs_cb, refs_cr,
+                    jnp.asarray(np.asarray(qp_ctu, np.int32)))
+        else:
+            packed, dense, recs = self._p_fused_fns(len(refs))(
+                yp, cbp, crp, refs_y, refs_cb, refs_cr)
         return packed, dense, recs
 
     def download_p(self, handle):
@@ -271,7 +349,7 @@ class PFrameMixin:
     def finalize_p_downloaded(self, downloaded, poc: int, ref_pocs,
                               retained=(), tctx=None,
                               need_recon: bool = True,
-                              multi: bool = True):
+                              multi: bool = True, qp_ctu=None):
         """Host stage: merge/AMVP signalling decisions + CABAC.
 
         multi: emit the explicit multi-ref RPS / ref-aware candidate
@@ -296,6 +374,8 @@ class PFrameMixin:
         fd = self._assemble_p_frame_data(
             modes, inter_map, mv, merge_idx, mvp_idx, mvd, lv_y,
             lv_cb, lv_cr, ref_sel=ref_sel if multi else None)
+        if qp_ctu is not None:
+            fd.qp_ctu = np.asarray(qp_ctu, np.int32).copy()
         deltas = [poc - rp for rp in ref_pocs]
         nal = self._serialize_p(
             fd, poc, deltas[0],
@@ -392,11 +472,14 @@ class PFrameMixin:
         return res, recs
 
     def encode_p_frame(self, y, cb=None, cr=None, poc: int = 1,
-                       ref_poc: int = 0):
-        """Plain IPPP P frame against the DPB via the fused path."""
-        handle = self.submit_p(y, cb, cr, [(ref_poc, self._dpb)])
+                       ref_poc: int = 0, qp_ctu=None):
+        """Plain IPPP P frame against the DPB via the fused path.
+        qp_ctu: optional (Cy, Cx) per-CTU QP (LCU rate control)."""
+        handle = self.submit_p(y, cb, cr, [(ref_poc, self._dpb)],
+                               qp_ctu=qp_ctu)
         res, recs = self.finalize_p_downloaded(
-            self.download_p(handle), poc, [ref_poc], multi=False)
+            self.download_p(handle), poc, [ref_poc], multi=False,
+            qp_ctu=qp_ctu)
         self._dpb = recs
         return res
 
@@ -692,6 +775,7 @@ class PFrameMixin:
     def _serialize_b(self, fd, poc, rpd0, rpd1):
         from kvazaar_tpu.constants import SLICE_B
         if _NATIVE_OK and not self.params.transquant_bypass \
+                and not self.params.cu_qp_delta \
                 and not self.params.tiles_enabled:
             data, sizes = native.encode_slice_data_native_p(
                 self.params, fd, self.cfg.qp, self.params.wpp,
@@ -702,7 +786,9 @@ class PFrameMixin:
             enc = SliceDataEncoder(self.params, fd,
                                    Contexts(SLICE_B, self.cfg.qp),
                                    CabacEncoder(dw))
-            if self.params.tiles_enabled:
+            if self.params.tiles_enabled and self.params.wpp:
+                sizes = enc.encode_slice_data_tiles_wpp()
+            elif self.params.tiles_enabled:
                 sizes = enc.encode_slice_data_tiles()
             elif self.params.wpp:
                 sizes = enc.encode_slice_data_wpp()
@@ -722,6 +808,7 @@ class PFrameMixin:
                      retained_l0=(), tmvp: bool = False):
         nref = 1 if ref_list_l0 is None else len(ref_list_l0)
         if _NATIVE_OK and not self.params.transquant_bypass \
+                and not self.params.cu_qp_delta \
                 and not self.params.tiles_enabled and nref == 1:
             # Single-frame path: row-parallel CABAC (the batch paths
             # instead parallelize across frames in the host pool).
@@ -734,7 +821,9 @@ class PFrameMixin:
             enc = SliceDataEncoder(self.params, fd,
                                    Contexts(SLICE_P, self.cfg.qp),
                                    CabacEncoder(dw), nref_l0=nref)
-            if self.params.tiles_enabled:
+            if self.params.tiles_enabled and self.params.wpp:
+                sizes = enc.encode_slice_data_tiles_wpp()
+            elif self.params.tiles_enabled:
                 sizes = enc.encode_slice_data_tiles()
             elif self.params.wpp:
                 sizes = enc.encode_slice_data_wpp()
@@ -811,6 +900,7 @@ class IntraFrameEncoder(PFrameMixin):
             sao_enabled=cfg.sao,
             transquant_bypass=cfg.lossless,
             transform_skip=cfg.transform_skip,
+            cu_qp_delta=cfg.cu_qp_delta_active,
             sign_hiding=cfg.signhide and not cfg.lossless,
             wpp=cfg.wpp,
             conf_win=(0, self.coded_w - cfg.width, 0,
@@ -1004,11 +1094,92 @@ class IntraFrameEncoder(PFrameMixin):
         sses = meta[:, 4:16].copy().view(np.float32)
         return out_lv, modes, overflow, sses, ts_y
 
-    def encode_frame(self, y: np.ndarray, cb=None, cr=None) -> FrameResult:
-        """y: (H, W) source luma (uint8/uint16); cb/cr half size."""
+    def encode_frame(self, y: np.ndarray, cb=None, cr=None,
+                     qp_ctu=None) -> FrameResult:
+        """y: (H, W) source luma (uint8/uint16); cb/cr half size.
+        qp_ctu: optional (Cy, Cx) int32 per-CTU QP map (LCU rate
+        control / ROI / AQ); routes through the traced-QP program +
+        cu_qp_delta syntax."""
+        if qp_ctu is not None:
+            return self.encode_frame_qp(y, cb, cr, qp_ctu)
         if self.cfg.intra_min_cu < self.cfg.intra_max_cu:
             return self.encode_frame_var(y, cb, cr)
         return self.finalize_frames(self.submit_frames([(y, cb, cr)]))[0]
+
+    def _device_encode_qp_impl(self, ys, cbs, crs, qp_ctu):
+        """Traced-QP variant of _device_encode_impl (single or batched
+        frames; qp_ctu: (B, Cy, Cx) int32).  Returns dense outputs —
+        this path serves rate-controlled encodes where correctness,
+        not the packed-transfer fast path, is the target."""
+        ys = ys.astype(jnp.int32)
+        if cbs is not None:
+            cbs = cbs.astype(jnp.int32)
+            crs = crs.astype(jnp.int32)
+        modes = jax.vmap(
+            lambda y: search_frame_modes(y, self.plan, self.lambda_satd,
+                                         self.bitdepth,
+                                         self.cfg.rd >= 1)[0])(ys)
+        qp_blk = self._qp_blk_of(qp_ctu)
+        (rec_y, lv_y, rec_cb, lv_cb, rec_cr,
+         lv_cr) = reconstruct_frames(
+            ys, cbs, crs, modes, self.plan, self.cfg.qp, self.qp_c,
+            self.bitdepth, lossless=self.cfg.lossless,
+            signhide=self.cfg.signhide, rdoq=self.cfg.rdoq,
+            lam=qp_to_lambda(self.cfg.qp), scaling=self.scaling,
+            qp_map=qp_blk)
+        eff = self._effective_qp_ctu(
+            qp_ctu, self._cbf_ctu_of(lv_y, lv_cb, lv_cr))
+        if self.cfg.deblock:
+            rdt = rec_y.dtype
+            dqp_blk = self._qp_blk_of(eff)
+            dcu = max(self.cu, 8)
+            if self.chroma:
+                dy, dcb, dcr = jax.vmap(
+                    lambda a, b, c, q: deblock_frame(
+                        a, b, c, self.cfg.qp, dcu, self.bitdepth,
+                        qp_map=q))(rec_y, rec_cb, rec_cr, dqp_blk)
+                rec_cb, rec_cr = dcb.astype(rdt), dcr.astype(rdt)
+            else:
+                dy = jax.vmap(
+                    lambda a, q: deblock_frame(
+                        a, None, None, self.cfg.qp, dcu, self.bitdepth,
+                        qp_map=q)[0])(rec_y, dqp_blk)
+            rec_y = dy.astype(rdt)
+        return modes, (lv_y, lv_cb, lv_cr), (rec_y, rec_cb, rec_cr)
+
+    def encode_frame_qp(self, y, cb=None, cr=None,
+                        qp_ctu=None) -> FrameResult:
+        """Intra frame with a per-CTU QP map (the LCU rate-control
+        operating point, reference kvz_set_lcu_lambda_and_qp
+        src/rate_control.c:278 + per-LCU allocation :259)."""
+        if not hasattr(self, "_device_encode_qp"):
+            self._device_encode_qp = jax.jit(self._device_encode_qp_impl)
+        s = max(self.cu, 8)
+        sdt = np.uint8 if self.bitdepth <= 8 else np.uint16
+        ys = pad_to_multiple(np.asarray(y, sdt), s)[None]
+        cbs = crs = None
+        if self.chroma:
+            cbs = pad_to_multiple(np.asarray(cb, sdt), s // 2)[None]
+            crs = pad_to_multiple(np.asarray(cr, sdt), s // 2)[None]
+        qarr = np.asarray(qp_ctu, np.int32)[None]
+        modes, lvs, recs = self._device_encode_qp(ys, cbs, crs,
+                                                  jnp.asarray(qarr))
+        sao = None
+        if self.cfg.sao:
+            recs, sao_list = self._sao_stage((ys, cbs, crs), recs)
+            sao = sao_list[0]
+        self._dpb = (recs[0][0],
+                     recs[1][0] if self.chroma else None,
+                     recs[2][0] if self.chroma else None)
+        rec_y = np.asarray(recs[0][0])
+        rec_cb = np.asarray(recs[1][0]) if self.chroma else None
+        rec_cr = np.asarray(recs[2][0]) if self.chroma else None
+        return self._host_finalize(
+            np.asarray(modes[0]), np.asarray(lvs[0][0], np.int32),
+            None if not self.chroma else np.asarray(lvs[1][0], np.int32),
+            None if not self.chroma else np.asarray(lvs[2][0], np.int32),
+            rec_y, rec_cb, rec_cr, sao=sao,
+            qp_ctu=np.asarray(qp_ctu, np.int32))
 
     # ---- SAO stage (ops/sao.py): runs after deblock on the device
     # recon; params chosen on host from device statistics. ----
@@ -1293,6 +1464,7 @@ class IntraFrameEncoder(PFrameMixin):
     def _var_serialize(self, fd, rec_y, rec_cb, rec_cr) -> FrameResult:
         sizes = []
         if _NATIVE_OK and not self.params.transquant_bypass \
+                and not self.params.cu_qp_delta \
                 and not self.params.tiles_enabled:
             if self.params.wpp:
                 data, sizes = native.encode_slice_data_native_wpp(
@@ -1305,7 +1477,9 @@ class IntraFrameEncoder(PFrameMixin):
             enc = SliceDataEncoder(self.params, fd,
                                    Contexts(SLICE_I, self.cfg.qp),
                                    CabacEncoder(dw))
-            if self.params.tiles_enabled:
+            if self.params.tiles_enabled and self.params.wpp:
+                sizes = enc.encode_slice_data_tiles_wpp()
+            elif self.params.tiles_enabled:
                 sizes = enc.encode_slice_data_tiles()
             elif self.params.wpp:
                 sizes = enc.encode_slice_data_wpp()
@@ -1331,9 +1505,12 @@ class IntraFrameEncoder(PFrameMixin):
 
 
     def _host_finalize(self, modes, lv_y, lv_cb, lv_cr, rec_y, rec_cb,
-                       rec_cr, sao=None, ts_y=None) -> FrameResult:
+                       rec_cr, sao=None, ts_y=None,
+                       qp_ctu=None) -> FrameResult:
         s = self.cu
         fd = FrameData.empty(self.coded_w, self.coded_h, self.chroma)
+        if qp_ctu is not None:
+            fd.qp_ctu = np.asarray(qp_ctu, np.int32).copy()
         if s == 4:
             fd.depth8[:] = 3               # 8x8 CUs, PART_NxN
             fd.nxn8[:] = 1
@@ -1371,6 +1548,7 @@ class IntraFrameEncoder(PFrameMixin):
         # Slice data first (entry-point offsets go into the header).
         sizes = []
         if _NATIVE_OK and not self.params.transquant_bypass \
+                and not self.params.cu_qp_delta \
                 and not self.params.tiles_enabled and self.cu != 4:
             if self.params.wpp:
                 data, sizes = native.encode_slice_data_native_wpp(
@@ -1383,7 +1561,9 @@ class IntraFrameEncoder(PFrameMixin):
             enc = SliceDataEncoder(self.params, fd,
                                    Contexts(SLICE_I, self.cfg.qp),
                                    CabacEncoder(dw))
-            if self.params.tiles_enabled:
+            if self.params.tiles_enabled and self.params.wpp:
+                sizes = enc.encode_slice_data_tiles_wpp()
+            elif self.params.tiles_enabled:
                 sizes = enc.encode_slice_data_tiles()
             elif self.params.wpp:
                 sizes = enc.encode_slice_data_wpp()

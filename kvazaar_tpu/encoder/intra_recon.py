@@ -213,7 +213,7 @@ def _scan_sel(modes, s, luma, is_inter=None):
 def _plane_pass(hbuf, vbuf, bxs, bys, avail, valid, origs, modes, s, qp,
                 bitdepth, luma, is_inter=None, mc_pred=None,
                 lossless=False, signhide=False, rdoq=False, lam=0.0,
-                scaling_tab=None, tskip=False):
+                scaling_tab=None, tskip=False, qp_step=None):
     """One wavefront step for one plane over all slots.
 
     hbuf: (B, By, W); vbuf: (B, Bx, H) — edge state only (the carry is
@@ -246,8 +246,10 @@ def _plane_pass(hbuf, vbuf, bxs, bys, avail, valid, origs, modes, s, qp,
     # 4x4 luma TBs only arise from intra NxN coding here, which is an
     # all-intra path — DST-VII applies uniformly (8.6.4.1).
     dst = luma and s == 4 and is_inter is None
+    qp_eff = qp if qp_step is None else \
+        qp_step.reshape(n_slots * b).astype(jnp.int32)
     levels, rec, ts = _tu_roundtrip(
-        origs.reshape(n_slots * b, s, s), pred, s, qp, bitdepth,
+        origs.reshape(n_slots * b, s, s), pred, s, qp_eff, bitdepth,
         intra_flag, lossless, scan_sel, rdoq, lam, scaling_tab,
         dst=dst, tskip=tskip and s == 4)
     ts = (jnp.zeros((n_slots, b), jnp.int32) if ts is None
@@ -267,11 +269,19 @@ def _plane_pass(hbuf, vbuf, bxs, bys, avail, valid, origs, modes, s, qp,
     return hbuf, vbuf, levels.reshape(n_slots, b, s, s), rec, ts
 
 
+_CHROMA_QP_TAB = np.array(
+    [q if q < 30 else {30: 29, 31: 30, 32: 31, 33: 32, 34: 33, 35: 33,
+                       36: 34, 37: 34, 38: 35, 39: 35, 40: 36, 41: 36,
+                       42: 37, 43: 37}.get(q, q - 6)
+     for q in range(52)], np.int32)   # H.265 Table 8-10 (4:2:0)
+
+
 def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
                        qp: int, qp_c: int, bitdepth: int = 8,
                        is_inter=None, mc_y=None, mc_cb=None, mc_cr=None,
                        lossless=False, signhide=False, rdoq=False,
-                       lam=0.0, scaling=None, tskip=False):
+                       lam=0.0, scaling=None, tskip=False,
+                       qp_map=None):
     """Batched wavefront over all planes.
 
     ys: (B, H, W) int32; cbs/crs: (B, H/2, W/2) or None;
@@ -298,6 +308,15 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
 
     oy = to_steps(ys.astype(jnp.int32), s)
     modes_steps = modes.reshape(b, -1).T[slot_ids]   # (steps, slots, B)
+    has_qp = qp_map is not None
+    qp_steps = qpc_steps = None
+    if has_qp:
+        # Per-block QP (LCU rate control / ROI): (B, By, Bx) traced ->
+        # per-step arrays like modes; chroma via Table 8-10.
+        qpi = jnp.clip(qp_map.astype(jnp.int32), 0, 51)
+        qp_steps = qpi.reshape(b, -1).T[slot_ids]
+        qpc_steps = jnp.take(jnp.asarray(_CHROMA_QP_TAB),
+                             qpi).reshape(b, -1).T[slot_ids]
     if chroma:
         s2 = plan.chroma.size
         ocb = to_steps(cbs.astype(jnp.int32), s2)
@@ -329,7 +348,7 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
     from kvazaar_tpu.ops import wavefront_pallas as wfp
     if (wfp.supported(plan, bitdepth, lossless, signhide, inter)
             and not rdoq and scaling is None and not tskip
-            and jax.default_backend() == "tpu"):
+            and not has_qp and jax.default_backend() == "tpu"):
         # Fused-VMEM kernel path (bit-identical to the scan below).
         k = plan.n_slots
         ii_fm = mc_fm = None
@@ -375,6 +394,9 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
                           jnp.int32)
 
     def step_fn(carry, xs):
+        qp_t = qpc_t = None
+        if has_qp:
+            xs, qp_t, qpc_t = xs[:-2], xs[-2], xs[-1]
         if chroma:
             if inter:
                 (hy, vy, hcb, vcb, hcr, vcr) = carry
@@ -387,15 +409,15 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
             hy, vy, lv_y, r_y, ts_y = _plane_pass(
                 hy, vy, bx_t, by_t, av_t, va_t, o_y, m, s, qp,
                 bitdepth, True, ii_t, my_t, lossless, signhide, rdoq,
-                lam, tab_y, tskip)
+                lam, tab_y, tskip, qp_step=qp_t)
             hcb, vcb, lv_cb, r_cb, _ = _plane_pass(
                 hcb, vcb, bx_t, by_t, av_t, va_t, o_cb, m, s2, qp_c,
                 bitdepth, False, ii_t, mcb_t, lossless, signhide,
-                rdoq, lam, tab_cb)
+                rdoq, lam, tab_cb, qp_step=qpc_t)
             hcr, vcr, lv_cr, r_cr, _ = _plane_pass(
                 hcr, vcr, bx_t, by_t, av_t, va_t, o_cr, m, s2, qp_c,
                 bitdepth, False, ii_t, mcr_t, lossless, signhide,
-                rdoq, lam, tab_cr)
+                rdoq, lam, tab_cr, qp_step=qpc_t)
             return (hy, vy, hcb, vcb, hcr, vcr), \
                 (lv_y, lv_cb, lv_cr, r_y, r_cb, r_cr, ts_y)
         if inter:
@@ -408,7 +430,7 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
         hy, vy, lv_y, r_y, ts_y = _plane_pass(
             hy, vy, bx_t, by_t, av_t, va_t, o_y, m, s, qp, bitdepth,
             True, ii_t, my_t, lossless, signhide, rdoq, lam, tab_y,
-            tskip)
+            tskip, qp_step=qp_t)
         return (hy, vy), (lv_y, r_y, ts_y)
 
     if chroma:
@@ -421,6 +443,9 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
         if inter:
             xs = xs + (ii, my)
         carry0 = (hb_y0, vb_y0)
+    if has_qp:
+        xs = xs + (qp_steps, qpc_steps if qpc_steps is not None
+                   else qp_steps)
     _, outs = jax.lax.scan(step_fn, carry0, xs)
 
     if chroma:

@@ -1,19 +1,27 @@
 """Rate control: the R-lambda model (reference: src/rate_control.c,
 which cites Li et al., doi 10.1109/TIP.2014.2336550).
 
-Host-side per-frame math (tiny), mirroring the reference's
-picture-level allocation for low-delay coding: a target bitrate is
-spread over frames; lambda = alpha * (bits-per-pixel)^beta with
-post-frame alpha/beta adaptation from the actually produced bits; QP is
-derived from lambda (kvz's lambda_to_qp clip rules, src/rate_control.c
-:170-176).  Per-LCU allocation arrives with a later round; the frame
-level is what the driver's bitrate config exercises.
+Host-side math (tiny), mirroring the reference's two levels for
+low-delay coding:
+- picture allocation: target bits spread over frames; lambda =
+  alpha * (bits-per-pixel)^beta with post-frame alpha/beta adaptation
+  (pic_allocate_bits src/rate_control.c:142, update_parameters :50);
+- LCU allocation: the frame target split over CTUs proportionally to
+  per-CTU complexity weights from the previous frame of the same type
+  (lcu_allocate_bits :259), each CTU's lambda -> QP offset around the
+  frame QP (kvz_set_lcu_lambda_and_qp :278), signalled with
+  cu_qp_delta.  Our complexity proxy is the per-CTU absolute level sum
+  (the reference uses coded bits from its lcu_stats, which live after
+  CABAC — the level sum is available pre-CABAC on the device path and
+  tracks it closely).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import math
+
+import numpy as np
 
 
 @dataclasses.dataclass
@@ -57,6 +65,44 @@ class RateController:
         qp = int(round(4.2005 * math.log(lam) + 13.7122))
         qp = min(max(qp, self.MIN_QP), self.MAX_QP)
         return lam, qp
+
+    def lcu_qp_map(self, frame_qp: int, shape, weights=None,
+                   max_delta: int = 3):
+        """Per-CTU QP map around the frame QP.
+
+        weights: (Cy, Cx) non-negative complexity of each CTU from the
+        previous frame of the same slice type (None/zero-sum -> flat
+        map).  CTUs above the mean complexity get MORE bits (lower QP)
+        in proportion to log2(w / mean), clipped to +-max_delta — the
+        shape of the reference's lambda_lcu = alpha*(bpp_lcu)^beta
+        allocation collapsed onto the QP ladder (4.2 * ln lambda)."""
+        qmap = np.full(shape, frame_qp, np.int32)
+        if weights is None:
+            return qmap
+        w = np.asarray(weights, np.float64).reshape(shape)
+        mean = w.mean()
+        if mean <= 0:
+            return qmap
+        # beta ~ -1.367: bits ratio r -> lambda ratio r^beta ->
+        # dQP = 4.2005 * ln(r^beta) = 4.2005*beta*ln r; allocating
+        # proportionally to weight w means r = w/mean.
+        ln_r = np.log(np.maximum(w, mean * 0.05) / mean)
+        dqp = np.rint(4.2005 * self.s.beta * ln_r * 0.5)
+        qmap = frame_qp + np.clip(dqp, -max_delta, max_delta)
+        return np.clip(qmap, self.MIN_QP, self.MAX_QP).astype(np.int32)
+
+    @staticmethod
+    def ctu_weights_from_levels(fd, width: int, height: int):
+        """(Cy, Cx) complexity weights = per-CTU absolute level sums of
+        a coded frame's FrameData (the lcu_stats feedback analogue,
+        src/encoderstate.h:52-67)."""
+        cy, cx = -(-height // 64), -(-width // 64)
+        w = np.zeros((cy, cx), np.float64)
+        pads = ((0, cy * 64 - fd.coeff_y.shape[0]),
+                (0, cx * 64 - fd.coeff_y.shape[1]))
+        yy = np.pad(np.abs(fd.coeff_y.astype(np.int64)), pads)
+        w += yy.reshape(cy, 64, cx, 64).sum(axis=(1, 3))
+        return w
 
     def update(self, used_bits: int, lam: float) -> None:
         """Post-frame alpha/beta adaptation (reference

@@ -169,51 +169,67 @@ def _tc_lookup(qp_plus: int, bs, scale: int):
     return jnp.where(bs > 0, tc, 0)
 
 
+_CHROMA_QP_TAB = np.array(
+    [q if q < 30 else {30: 29, 31: 30, 32: 31, 33: 32, 34: 33, 35: 33,
+                       36: 34, 37: 34, 38: 35, 39: 35, 40: 36, 41: 36,
+                       42: 37, 43: 37}.get(q, q - 6)
+     for q in range(52)], np.int32)   # H.265 Table 8-10 (4:2:0)
+
+
 def deblock_plane(plane, qp: int, edge_step: int, bitdepth: int = 8,
                   beta_off2: int = 0, tc_off2: int = 0,
                   chroma: bool = False, bs_v=None, bs_h=None,
-                  blk: int = 0):
+                  blk: int = 0, qp_map=None):
     """Deblock one plane: vertical edges pass then horizontal pass.
 
     plane: (..., H, W) int32; edge_step: S for luma, S/2 for chroma
     (chroma only filters edges on its own 8-grid).  bs_v/bs_h:
     (By, Bx) int32 boundary strength of each block's left/top edge on
-    the *block* grid of size `blk` (defaults: all 2 = all-intra)."""
+    the *block* grid of size `blk` (defaults: all 2 = all-intra).
+    qp_map: (By, Bx) int32 LUMA QP per block on the same grid (LCU
+    rate control); per-edge QP is the two-sided average of 8.7.2.5.3
+    ((QpQ + QpP + 1) >> 1), chroma mapped through Table 8-10."""
     scale = 1 << (bitdepth - 8)
+    per_qp = qp_map is not None
     if chroma:
         from kvazaar_tpu.encoder.frame_encoder import chroma_qp
-        cqp = chroma_qp(qp)
-        qp_plus = cqp + (tc_off2 << 1)
+        if not per_qp:
+            cqp = chroma_qp(qp)
+            qp_plus = cqp + (tc_off2 << 1)
         step = max(edge_step, 8)   # chroma filters only its 8-grid
         taps = 4
     else:
-        beta, _ = luma_params(qp, beta_off2, tc_off2, bitdepth)
-        if beta == 0:
-            return plane
-        qp_plus = qp + (tc_off2 << 1)
+        if not per_qp:
+            beta, _ = luma_params(qp, beta_off2, tc_off2, bitdepth)
+            if beta == 0:
+                return plane
+            qp_plus = qp + (tc_off2 << 1)
         step = edge_step
         taps = 8
     if blk == 0:
         blk = step
 
+    def edge_of(m, n_edges, transposed, avg):
+        # (E, Brows): per-edge value for each block row along edge e
+        # (edge coordinate (e+1)*step).  avg: two-sided QP average.
+        mm = jnp.swapaxes(m, 0, 1) if transposed else m
+        cols = (np.arange(n_edges) + 1) * step // blk
+        if avg:
+            v = (mm[:, cols - 1] + mm[:, cols] + 1) >> 1
+        else:
+            v = mm[:, cols]
+        return jnp.swapaxes(v, 0, 1)
+
     def edge_bs(bs_map, n_edges, transposed):
-        # (E, By_blocks): bs of edge e (coordinate (e+1)*step) for each
-        # block row along the edge.
         if bs_map is None:
             return None
-        m = jnp.swapaxes(bs_map, 0, 1) if transposed else bs_map
-        cols = (np.arange(n_edges) + 1) * step // blk
-        return jnp.swapaxes(m[:, cols], 0, 1)    # (E, Brows)
+        return edge_of(bs_map, n_edges, transposed, avg=False)
 
-    def tc_groups(bs_e, n_edges, n_groups, lines_per_blk):
-        # (E, G) tc per 4-line decision group.
-        if bs_e is None:
-            bs_arr = jnp.full((n_edges, n_groups), 2, jnp.int32)
-        else:
-            rows = np.minimum(np.arange(n_groups) * 4 // lines_per_blk,
-                              bs_e.shape[1] - 1)
-            bs_arr = bs_e[:, rows]
-        return _tc_lookup(qp_plus, bs_arr, scale)
+    def group_rows(src, n_groups, lines_per_blk):
+        # (E, Brows) -> (E, G) per-4-line decision group.
+        rows = np.minimum(np.arange(n_groups) * 4 // lines_per_blk,
+                          src.shape[1] - 1)
+        return src[:, rows]
 
     def filt_factory(bs_map, transposed, height):
         if chroma:
@@ -228,7 +244,17 @@ def deblock_plane(plane, qp: int, edge_step: int, bitdepth: int = 8,
                     rows = np.minimum(np.arange(height) // blk,
                                       bs_e.shape[1] - 1)
                     bs_lines = bs_e[:, rows]          # (E, H)
-                tc = _tc_lookup(qp_plus, jnp.where(bs_lines == 2, 2, 0),
+                if per_qp:
+                    qe = edge_of(qp_map.astype(jnp.int32), n_e,
+                                 transposed, avg=True)
+                    cq = jnp.take(jnp.asarray(_CHROMA_QP_TAB),
+                                  jnp.clip(qe, 0, 51))
+                    rows = np.minimum(np.arange(height) // blk,
+                                      cq.shape[1] - 1)
+                    qpp = cq[:, rows] + (tc_off2 << 1)    # (E, H)
+                else:
+                    qpp = qp_plus
+                tc = _tc_lookup(qpp, jnp.where(bs_lines == 2, 2, 0),
                                 scale)
                 return _filter_chroma_stripes_tc(st, tc, bitdepth)
             return filt
@@ -237,8 +263,22 @@ def deblock_plane(plane, qp: int, edge_step: int, bitdepth: int = 8,
             n_e = st.shape[-3]
             g = st.shape[-1] // 4
             bs_e = edge_bs(bs_map, n_e, transposed)
-            tc = tc_groups(bs_e, n_e, g, blk)    # (E, g)
-            return _filter_luma_stripes(st, beta, tc, bitdepth)
+            if bs_e is None:
+                bs_arr = jnp.full((n_e, g), 2, jnp.int32)
+            else:
+                bs_arr = group_rows(bs_e, g, blk)
+            if per_qp:
+                qe = edge_of(qp_map.astype(jnp.int32), n_e, transposed,
+                             avg=True)
+                qe_g = group_rows(qe, g, blk)              # (E, G)
+                b_idx = jnp.clip(qe_g + (beta_off2 << 1), 0, 51)
+                beta_l = jnp.asarray(BETA_TABLE)[b_idx] * scale
+                qpp = qe_g + (tc_off2 << 1)
+            else:
+                beta_l = beta
+                qpp = qp_plus
+            tc = _tc_lookup(qpp, bs_arr, scale)            # (E, G)
+            return _filter_luma_stripes(st, beta_l, tc, bitdepth)
         return filt
 
     h, w = plane.shape[-2], plane.shape[-1]
@@ -253,19 +293,22 @@ def deblock_plane(plane, qp: int, edge_step: int, bitdepth: int = 8,
 
 def deblock_frame(y, cb, cr, qp: int, cu_size: int, bitdepth: int = 8,
                   beta_off2: int = 0, tc_off2: int = 0,
-                  bs_v=None, bs_h=None):
+                  bs_v=None, bs_h=None, qp_map=None):
     """Deblock a full frame (y: (..., H, W); cb/cr half size or None).
 
     bs_v/bs_h: per-CU-edge boundary strengths on the (By, Bx) grid
-    (bs_v[by][bx] = edge at x = bx*S); None = all-intra bs 2."""
+    (bs_v[by][bx] = edge at x = bx*S); None = all-intra bs 2.
+    qp_map: (By, Bx) int32 per-block luma QP (else uniform `qp`)."""
     y = deblock_plane(y.astype(jnp.int32), qp, cu_size, bitdepth,
                       beta_off2, tc_off2, chroma=False,
-                      bs_v=bs_v, bs_h=bs_h, blk=cu_size)
+                      bs_v=bs_v, bs_h=bs_h, blk=cu_size, qp_map=qp_map)
     if cb is not None:
         cb = deblock_plane(cb.astype(jnp.int32), qp, cu_size // 2,
                            bitdepth, beta_off2, tc_off2, chroma=True,
-                           bs_v=bs_v, bs_h=bs_h, blk=cu_size // 2)
+                           bs_v=bs_v, bs_h=bs_h, blk=cu_size // 2,
+                           qp_map=qp_map)
         cr = deblock_plane(cr.astype(jnp.int32), qp, cu_size // 2,
                            bitdepth, beta_off2, tc_off2, chroma=True,
-                           bs_v=bs_v, bs_h=bs_h, blk=cu_size // 2)
+                           bs_v=bs_v, bs_h=bs_h, blk=cu_size // 2,
+                           qp_map=qp_map)
     return y, cb, cr

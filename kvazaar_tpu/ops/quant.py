@@ -30,6 +30,24 @@ def quant_params(qp: int, log2_size: int, bitdepth: int):
             int(INV_QUANT_SCALES[qp % 6]), inv_shift)
 
 
+def _qp_is_array(qp) -> bool:
+    return not isinstance(qp, (int, np.integer))
+
+
+def _quant_params_arr(qp, log2_size: int, bitdepth: int):
+    """Array form of quant_params: qp is a traced int32 tensor (per-CU
+    QP — the LCU-level rate-control path, reference
+    kvz_set_lcu_lambda_and_qp src/rate_control.c:278).  Returns
+    (scale, qbits, inv_scale) broadcastable over block leading dims;
+    inv_shift stays static."""
+    qp = qp.astype(jnp.int32)
+    transform_shift = 15 - bitdepth - log2_size
+    qbits = QUANT_SHIFT + qp // 6 + transform_shift
+    scale = jnp.take(jnp.asarray(QUANT_SCALES), qp % 6)
+    inv_scale = jnp.take(jnp.asarray(INV_QUANT_SCALES), qp % 6)
+    return scale, qbits, inv_scale
+
+
 def quantize(coeff, qp: int, size: int, bitdepth: int = 8,
              intra=True, qc=None):
     """Scalar (non-RDOQ) quantization, the reference's kvz_quant path.
@@ -40,6 +58,24 @@ def quantize(coeff, qp: int, size: int, bitdepth: int = 8,
     of coeff (mixed P-frame batches).
     """
     log2n = size.bit_length() - 1
+    if _qp_is_array(qp):
+        # Per-block QP (LCU rate control): scale/qbits become tensors
+        # broadcastable over the block's leading axes.
+        scale, qbits, _ = _quant_params_arr(qp, log2n, bitdepth)
+        scale = scale[..., None, None]
+        qbits = qbits[..., None, None]
+        rnd = jnp.where(intra, 171, 85) if not isinstance(intra, bool) \
+            else (171 if intra else 85)
+        if not isinstance(rnd, int):
+            rnd = rnd.astype(jnp.int32)[..., None, None]
+        offset = rnd << (qbits - 9)
+        c = coeff.astype(jnp.int32)
+        if qc is not None:
+            raise NotImplementedError(
+                "scaling lists with per-block QP")
+        level = (jnp.abs(c) * scale + offset) >> qbits
+        level = jnp.clip(level, 0, 32767)
+        return jnp.where(c < 0, -level, level).astype(jnp.int32)
     scale, qbits, _, _ = quant_params(qp, log2n, bitdepth)
     if isinstance(intra, bool):
         offset = (171 if intra else 85) << (qbits - 9)
@@ -73,6 +109,15 @@ def dequantize(level, qp: int, size: int, bitdepth: int = 8,
     the reference's integer schedule (kvz_dequant scaling branch,
     src/strategies/generic/quant-generic.c:290)."""
     log2n = size.bit_length() - 1
+    if _qp_is_array(qp):
+        if dqc is not None:
+            raise NotImplementedError("scaling lists with per-block QP")
+        _, _, inv_scale = _quant_params_arr(qp, log2n, bitdepth)
+        shift = bitdepth + log2n - 5
+        l = level.astype(jnp.int32)
+        m = (inv_scale << (qp.astype(jnp.int32) // 6))[..., None, None]
+        d = (l * m + (1 << (shift - 5))) >> (shift - 4)
+        return jnp.clip(d, -32768, 32767).astype(jnp.int32)
     _, _, inv_scale, shift = quant_params(qp, log2n, bitdepth)
     l = level.astype(jnp.int32)
     if dqc is not None:
@@ -120,20 +165,30 @@ def quantize_rdoq(coeff, qp: int, size: int, bitdepth: int = 8,
     d_pixel = (dequant(l) - c)^2 / 4^(15 - bitdepth - log2n).
     """
     log2n = size.bit_length() - 1
-    scale, qbits, inv_scale, inv_shift = quant_params(qp, log2n,
-                                                      bitdepth)
+    if _qp_is_array(qp):
+        scale, qbits, inv_scale = _quant_params_arr(qp, log2n, bitdepth)
+        scale = scale[..., None, None]
+        qbits = qbits[..., None, None]
+        inv_m = (inv_scale << (qp.astype(jnp.int32) // 6))[..., None,
+                                                           None]
+        inv_shift = bitdepth + log2n - 5
+        rnd_half = 1 << (qbits - 1)
+    else:
+        scale, qbits, inv_scale, inv_shift = quant_params(qp, log2n,
+                                                          bitdepth)
+        inv_m = inv_scale << (qp // 6)
+        rnd_half = 1 << (qbits - 1)
     c = coeff.astype(jnp.int32)
     ac = jnp.abs(c)
     # Round-half level and its lower neighbor.
-    l1 = ((ac * scale + (1 << (qbits - 1))) >> qbits).astype(jnp.int32)
+    l1 = ((ac * scale + rnd_half) >> qbits).astype(jnp.int32)
     l1 = jnp.clip(l1, 0, 32767)
     l0 = jnp.maximum(l1 - 1, 0)
 
     inv_gain = 1.0 / float(4 ** (15 - bitdepth - log2n))
 
     def dq(l):
-        d = (l * (inv_scale << (qp // 6))
-             + (1 << (inv_shift - 5))) >> (inv_shift - 4)
+        d = (l * inv_m + (1 << (inv_shift - 5))) >> (inv_shift - 4)
         return jnp.clip(d, -32768, 32767)
 
     def dist(l):

@@ -124,3 +124,45 @@ def test_tile_band_sharding_bit_identical(ndev):
                              30, 30, 8)[0][0]
     assert np.array_equal(np.asarray(modes_s), np.asarray(modes))
     assert np.array_equal(np.asarray(rec_s), np.asarray(rec))
+
+
+@pytest.mark.parametrize("tiles", [(2, 2), (3, 2)])
+def test_tiles_plus_wpp_bit_exact(tiles):
+    """Tiles x WPP combined: one CABAC substream per CTU row per tile
+    (7.4.3.3; driver config #4's --wpp --tiles shape)."""
+    cfg = Config(width=192, height=128, qp=30, intra_period=1,
+                 intra_max_cu=16, intra_min_cu=16, wpp=True,
+                 tiles_x=tiles[0], tiles_y=tiles[1], hash="md5")
+    _roundtrip(cfg, _clip(2, 192, 128))
+
+
+def test_tiles_plus_wpp_ippp_bit_exact():
+    cfg = Config(width=192, height=128, qp=32, intra_period=0,
+                 intra_max_cu=16, intra_min_cu=16, wpp=True,
+                 tiles_x=2, tiles_y=2)
+    _roundtrip(cfg, _clip(3, 192, 128))
+
+
+def test_tiles_plus_wpp_entry_point_count():
+    """Substream count = sum over tiles of tile CTU rows."""
+    from kvazaar_tpu.bitstream.headers import StreamParams
+    from kvazaar_tpu.bitstream.syntax import (FrameData,
+                                              SliceDataEncoder)
+    from kvazaar_tpu.bitstream.bits import BitWriter
+    from kvazaar_tpu.bitstream.cabac import CabacEncoder
+    from kvazaar_tpu.bitstream.contexts import Contexts
+    from kvazaar_tpu.constants import SLICE_I
+    import sys
+    sys.path.insert(0, "tests")
+    from test_syntax import random_frame_data
+    rng = np.random.default_rng(2)
+    W, H = 256, 128   # 4x2 CTUs; tiles 2x1 -> 2 tiles x 2 rows = 4
+    params = StreamParams(width=W, height=H, qp=30,
+                          chroma_format_idc=1, wpp=True,
+                          tiles=(2, 1))
+    fd = random_frame_data(rng, W, H, True)
+    w = BitWriter()
+    enc = SliceDataEncoder(params, fd, Contexts(SLICE_I, 30),
+                           CabacEncoder(w))
+    sizes = enc.encode_slice_data_tiles_wpp()
+    assert len(sizes) == 4
