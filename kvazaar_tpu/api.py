@@ -52,6 +52,14 @@ class Encoder:
         self.cfg = cfg.validate()
         from kvazaar_tpu.checkpoint import Checkpointer
         self._ckpt = Checkpointer()
+        # Interlaced sources: the internal encoder codes half-height
+        # FIELD pictures (the reference's field adapter,
+        # src/kvazaar.c:294); encode() splits each frame into fields.
+        self._fields = cfg.source_scan_type
+        if self._fields:
+            import dataclasses as dc
+            cfg = dc.replace(cfg, height=cfg.height // 2)
+            self.cfg = cfg.validate()
         self._intra = IntraFrameEncoder(cfg)
         self._poc = 0
         self._wrote_headers = False
@@ -136,7 +144,22 @@ class Encoder:
 
         GOP control: gop_len in {4, 8} → hierarchical B pyramid with
         reordering; otherwise --period semantics (1 → all-intra,
-        N > 1 → IDR every N, 0 → first frame only intra, IPPP)."""
+        N > 1 → IDR every N, 0 → first frame only intra, IPPP).
+
+        Interlaced sources (--source-scan-type tff/bff) split each
+        frame into two half-height field pictures, each coded as its
+        own picture with a pic_timing SEI (pic_struct 1/2)."""
+        if self._fields:
+            outs = []
+            for parity in (0, 1):
+                off = parity if self._fields == 1 else 1 - parity
+                fy = y[off::2]
+                fcb = None if cb is None else cb[off::2]
+                fcr = None if cr is None else cr[off::2]
+                ps = 1 if off == 0 else 2    # top field / bottom field
+                outs.append(self._encode_ld(fy, fcb, fcr,
+                                            pic_struct=ps))
+            return outs
         if self._gop:
             return self._encode_gop_input(y, cb, cr)
         return [self._encode_ld(y, cb, cr)]
@@ -297,11 +320,16 @@ class Encoder:
         return dict(poc_offset=rel_poc, layer=1, qp_offset=0,
                     ref_neg=list(range(1, self.cfg.ref_frames + 1)))
 
-    def _encode_ld(self, y: np.ndarray, cb=None, cr=None):
+    def _encode_ld(self, y: np.ndarray, cb=None, cr=None,
+                   pic_struct=None):
         period = self.cfg.intra_period
         is_intra = (self._poc == 0 or period == 1
                     or (period > 1 and self._poc % period == 0))
         chunks = self._au_prefix(SLICE_I if is_intra else SLICE_P)
+        if pic_struct is not None:
+            from kvazaar_tpu.bitstream.headers import \
+                write_pic_timing_sei
+            chunks += write_pic_timing_sei(pic_struct)
         frame_qp = self.cfg.qp
         if self._rc is not None:
             lam, qp = self._rc.frame_lambda_qp(is_intra)
@@ -434,8 +462,9 @@ class Encoder:
         """True when the config takes the overlapped submit/download/
         finalize path in encode_stream (no cross-frame host
         dependencies)."""
-        if self.cfg.cu_qp_delta_active:
-            # Per-CTU QP maps are computed per frame on the host.
+        if self.cfg.cu_qp_delta_active or self._fields:
+            # Per-CTU QP maps / field splitting happen per frame on
+            # the host.
             return False
         if self.cfg.intra_period == 1:
             # Batched all-intra pipeline: SAO is applied inside

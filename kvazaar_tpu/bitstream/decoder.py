@@ -44,6 +44,37 @@ def _scaling_from_params(p: StreamParams):
     return ScalingLists("default")
 
 
+def parse_slice_segment(r: BitReader, p: StreamParams, nal_type: int):
+    """--slices streams: parse one slice segment header.  Returns
+    (info, first_seg, dependent, address) where info is
+    parse_slice_header's tuple for independent segments and None for
+    dependent ones."""
+    first = r.u(1) == 1           # first_slice_segment_in_pic_flag
+    if 16 <= nal_type <= 23:
+        r.u(1)                    # no_output_of_prior_pics_flag
+    assert r.ue() == 0            # slice_pic_parameter_set_id
+    dep = False
+    addr = 0
+    if not first:
+        if p.slices == "wpp":
+            dep = r.u(1) == 1     # dependent_slice_segment_flag
+        pic = p.width_in_ctus * p.height_in_ctus
+        nbits = max((pic - 1).bit_length(), 1)
+        addr = r.u(nbits)         # slice_segment_address
+        if dep:
+            if p.wpp or p.tiles_enabled:
+                n = r.ue()
+                if n:
+                    ln = r.ue() + 1
+                    for _ in range(n):
+                        r.u(ln)
+            assert r.bit() == 1
+            r.byte_align()
+            return None, first, True, addr
+    info = _parse_slice_fields(r, p, nal_type)
+    return info, first, dep, addr
+
+
 def parse_slice_header(r: BitReader, p: StreamParams, nal_type: int):
     """Parse the slice headers we emit; returns (slice_type, QP, POC,
     ref_deltas_l0 — the used negative POC deltas in L0 order,
@@ -52,6 +83,10 @@ def parse_slice_header(r: BitReader, p: StreamParams, nal_type: int):
     if 16 <= nal_type <= 23:
         r.u(1)                    # no_output_of_prior_pics_flag
     assert r.ue() == 0            # slice_pic_parameter_set_id
+    return _parse_slice_fields(r, p, nal_type)
+
+
+def _parse_slice_fields(r: BitReader, p: StreamParams, nal_type: int):
     slice_type = r.ue()
     poc = 0
     ref_deltas = [1]
@@ -125,21 +160,85 @@ def decode_stream(stream: bytes, params: StreamParams):
     frames = []
     dpb = {}
     col_motion = {}    # poc -> collocated motion grids (TMVP source)
+    pend = {}          # --slices picture assembly across NALs
+
+    def _finish_picture(nal_type, slice_type, qp, poc, rpd, rpd1,
+                        tmvp, fd):
+        if nal_type in (19, 20):
+            dpb.clear()
+            col_motion.clear()
+            poc = 0
+        if slice_type == 2:
+            col_motion[poc] = None
+            recon = reconstruct_parsed(fd, params, qp)
+        elif slice_type == SLICE_P:
+            tctx = None
+            if tmvp and col_motion.get(poc - rpd[0]) is not None:
+                tctx = dict(col_motion[poc - rpd[0]],
+                            cur_poc=poc, w=params.width,
+                            h=params.height)
+            reconstruct_mvs(fd, params, poc, rpd, tctx=tctx)
+            col_motion[poc] = _motion_of(fd, params, poc, rpd)
+            refs = [dpb[poc - d] for d in rpd]
+            recon = reconstruct_parsed_p(
+                fd, params, qp,
+                refs if len(refs) > 1 else refs[0])
+        else:
+            poc0, poc1 = poc - rpd[0], poc + rpd1
+            reconstruct_mvs_b(fd, params, poc, poc0, poc1)
+            recon = reconstruct_parsed_b(
+                fd, params, qp, dpb[poc0], dpb[poc1])
+        frames.append((recon, fd))
+        dpb[poc] = recon
+
+    def _new_fd(qp):
+        chroma = params.chroma_format_idc != 0
+        fd = FrameData.empty(params.width, params.height, chroma)
+        if getattr(params, "cu_qp_delta", False):
+            fd.qp_ctu = np.full((params.height_in_ctus,
+                                 params.width_in_ctus), qp, np.int32)
+        return fd
+
     for nal_type, _tid, rbsp in split_annexb(stream):
-        if nal_type in (0, 1, 19, 20):   # TRAIL or IDR slices
+        if nal_type in (0, 1, 19, 20) \
+                and getattr(params, "slices", "none") != "none":
+            # Multi-segment pictures: buffer slice-data payloads until
+            # the picture's segment count is complete.
+            r = BitReader(rbsp)
+            info, first, _dep, _addr = parse_slice_segment(
+                r, params, nal_type)
+            payload = rbsp[r.bit_position // 8:]
+            if first:
+                pend.clear()
+                pend.update(info=info, nal_type=nal_type,
+                            segs=[payload])
+            else:
+                pend["segs"].append(payload)
+            expected = (params.height_in_ctus
+                        if params.slices == "wpp"
+                        else params.tiles[0] * params.tiles[1])
+            if len(pend["segs"]) < expected:
+                continue
+            (slice_type, qp, poc, rpd, rpd1, _entries,
+             tmvp) = pend["info"]
+            fd = _new_fd(qp)
+            nref = len(rpd) if slice_type == SLICE_P else 1
+            dec = SliceDataDecoder(
+                params, fd, Contexts(slice_type, qp),
+                CabacDecoder(BitReader(pend["segs"][0])),
+                nref_l0=nref)
+            if params.slices == "wpp":
+                dec.decode_row_slices(pend["segs"])
+            else:
+                dec.decode_tile_slices(pend["segs"])
+            _finish_picture(pend["nal_type"], slice_type, qp, poc,
+                            rpd, rpd1, tmvp, fd)
+            pend.clear()
+        elif nal_type in (0, 1, 19, 20):   # TRAIL or IDR slices
             r = BitReader(rbsp)
             (slice_type, qp, poc, rpd, rpd1, entries,
              tmvp) = parse_slice_header(r, params, nal_type)
-            if nal_type in (19, 20):
-                dpb.clear()
-                col_motion.clear()
-                poc = 0
-            chroma = params.chroma_format_idc != 0
-            fd = FrameData.empty(params.width, params.height, chroma)
-            if getattr(params, "cu_qp_delta", False):
-                fd.qp_ctu = np.full((params.height_in_ctus,
-                                     params.width_in_ctus), qp,
-                                    np.int32)
+            fd = _new_fd(qp)
             cab = CabacDecoder(r)
             nref = len(rpd) if slice_type == SLICE_P else 1
             dec = SliceDataDecoder(params, fd,
@@ -159,28 +258,8 @@ def decode_stream(stream: bytes, params: StreamParams):
                     dec.decode_slice_data_wpp(rbsp, start, sizes)
             else:
                 dec.decode_slice_data()
-            if slice_type == 2:
-                col_motion[poc] = None
-                recon = reconstruct_parsed(fd, params, qp)
-            elif slice_type == SLICE_P:
-                tctx = None
-                if tmvp and col_motion.get(poc - rpd[0]) is not None:
-                    tctx = dict(col_motion[poc - rpd[0]],
-                                cur_poc=poc, w=params.width,
-                                h=params.height)
-                reconstruct_mvs(fd, params, poc, rpd, tctx=tctx)
-                col_motion[poc] = _motion_of(fd, params, poc, rpd)
-                refs = [dpb[poc - d] for d in rpd]
-                recon = reconstruct_parsed_p(
-                    fd, params, qp,
-                    refs if len(refs) > 1 else refs[0])
-            else:
-                poc0, poc1 = poc - rpd[0], poc + rpd1
-                reconstruct_mvs_b(fd, params, poc, poc0, poc1)
-                recon = reconstruct_parsed_b(
-                    fd, params, qp, dpb[poc0], dpb[poc1])
-            frames.append((recon, fd))
-            dpb[poc] = recon
+            _finish_picture(nal_type, slice_type, qp, poc, rpd, rpd1,
+                            tmvp, fd)
         elif nal_type == 40:                 # suffix SEI: verify hash
             from kvazaar_tpu.bitstream.headers import \
                 parse_picture_hash_sei

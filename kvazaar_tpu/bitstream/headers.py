@@ -43,6 +43,15 @@ class StreamParams:
     # CTU): per-CTU QP for LCU rate control / ROI maps (reference
     # src/rate_control.c:278, src/encoder.c:127-170).
     cu_qp_delta: bool = False
+    # --slices mode: "none" (one slice/picture), "wpp" (each CTU row a
+    # dependent slice segment), "tiles" (each tile an independent
+    # slice) — reference src/kvazaar.h:198-201.
+    slices: str = "none"
+    # Interlaced source: 0 progressive, 1 top-field-first, 2
+    # bottom-field-first — field pictures with field_seq VUI +
+    # pic_timing SEIs (reference kvazaar_field_encoding_adapter,
+    # src/kvazaar.c:294; SEI src/encoder_state-bitstream.c:618-650).
+    source_scan_type: int = 0
     strong_intra_smoothing: bool = True
     wpp: bool = False
     amp: bool = False
@@ -263,8 +272,9 @@ def _write_vui(w: BitWriter, p: StreamParams) -> None:
     else:
         w.u(0, 1)
     w.u(0, 1)               # neutral_chroma_indication_flag
-    w.u(0, 1)               # field_seq_flag
-    w.u(0, 1)               # frame_field_info_present_flag
+    fld = 1 if p.source_scan_type else 0
+    w.u(fld, 1)             # field_seq_flag (1 = field pictures)
+    w.u(fld, 1)             # frame_field_info_present_flag
     w.u(0, 1)               # default_display_window_flag
     w.u(1, 1)               # vui_timing_info_present_flag
     w.u(p.framerate[1], 32)  # vui_num_units_in_tick
@@ -286,6 +296,22 @@ def write_aud(slice_type: int) -> bytes:
     w.u(pic_type, 3)
     w.rbsp_trailing_bits()
     return nal_unit(w.get_bytes(), 35)          # NAL_AUD
+
+
+def write_pic_timing_sei(pic_struct: int) -> bytes:
+    """pic_timing prefix SEI (D.2.3) for field pictures: pic_struct
+    1 = top field, 2 = bottom field; source_scan_type 0 = interlaced.
+    Reference: encoder_state_write_picture_timing_sei_message,
+    src/encoder_state-bitstream.c:618-650."""
+    w = BitWriter()
+    w.u(1, 8)               # payload type: pic_timing
+    w.u(1, 8)               # payload size
+    w.u(pic_struct, 4)
+    w.u(0, 2)               # source_scan_type: interlaced
+    w.u(0, 1)               # duplicate_flag
+    w.bit(1)                # payload_bit_equal_to_one (alignment)
+    w.rbsp_trailing_bits()
+    return nal_unit(w.get_bytes(), 39)          # PREFIX_SEI
 
 
 def write_version_sei() -> bytes:
@@ -315,7 +341,8 @@ def write_pps(p: StreamParams) -> bytes:
     w = BitWriter()
     w.ue(0)                 # pps_pic_parameter_set_id
     w.ue(0)                 # pps_seq_parameter_set_id
-    w.u(0, 1)               # dependent_slice_segments_enabled_flag
+    w.u(1 if p.slices == "wpp" else 0,
+        1)                  # dependent_slice_segments_enabled_flag
     w.u(0, 1)               # output_flag_present_flag
     w.u(0, 3)               # num_extra_slice_header_bits
     w.u(1 if p.sign_hiding else 0, 1)
@@ -363,7 +390,10 @@ def write_slice_header(w: BitWriter, p: StreamParams, slice_type: int,
                        ref_list_l0=None, retained_l0=(),
                        tmvp: bool = False,
                        num_entry_points: int = 0,
-                       entry_point_offsets=()) -> None:
+                       entry_point_offsets=(),
+                       first_seg: bool = True,
+                       dependent: bool = False,
+                       seg_address: int = 0) -> None:
     """Write the slice segment header into `w` (caller then byte-aligns
     into slice data).  H.265 7.3.6.1; one full-picture slice.
 
@@ -380,10 +410,30 @@ def write_slice_header(w: BitWriter, p: StreamParams, slice_type: int,
         ref_list_l0 = [ref_poc_diff]
     used = set(ref_list_l0)
     all_neg = sorted(used | set(retained_l0))
-    w.u(1, 1)               # first_slice_segment_in_pic_flag
+    w.u(1 if first_seg else 0, 1)   # first_slice_segment_in_pic_flag
     if 16 <= nal_type <= 23:
         w.u(0, 1)           # no_output_of_prior_pics_flag
     w.ue(0)                 # slice_pic_parameter_set_id
+    if not first_seg:
+        if p.slices == "wpp":       # dependent_slice_segments_enabled
+            w.u(1 if dependent else 0, 1)
+        pic_ctbs = p.width_in_ctus * p.height_in_ctus
+        nbits = max((pic_ctbs - 1).bit_length(), 1)
+        w.u(seg_address, nbits)     # slice_segment_address
+        if dependent:
+            # Dependent segments inherit every slice-level field
+            # (7.3.6.1): only entry points + byte alignment follow.
+            if p.wpp or p.tiles_enabled:
+                w.ue(num_entry_points)
+                if num_entry_points:
+                    ol = max(max(o.bit_length()
+                                 for o in entry_point_offsets), 1)
+                    w.ue(ol - 1)
+                    for off in entry_point_offsets:
+                        w.u(off - 1, ol)
+            w.bit(1)
+            w.align_zero()
+            return
     w.ue(slice_type)
     if nal_type not in (NAL_IDR_W_RADL, NAL_IDR_W_RADL + 1):
         w.u(poc & ((1 << p.log2_max_poc_lsb) - 1), p.log2_max_poc_lsb)

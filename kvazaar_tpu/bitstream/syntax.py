@@ -478,6 +478,68 @@ class SliceDataEncoder(_SliceSyntaxBase):
             sizes.append(len(w.get_bytes()) - start)
         return sizes
 
+    def encode_row_slices(self) -> list[bytes]:
+        """--slices=wpp: each CTU row is its own DEPENDENT slice
+        segment (src/kvazaar.h:198-201; dependent-segment emission
+        src/encoder_state-bitstream.c:964-980).  Returns per-row slice
+        DATA byte strings; WPP context inheritance still applies across
+        segments (9.3.1), and each segment's last CTU carries
+        end_of_slice_segment_flag = 1 (7.3.8.1)."""
+        from kvazaar_tpu.bitstream.bits import BitWriter
+        from kvazaar_tpu.bitstream.cabac import CabacEncoder
+        ctus_x = self.p.width_in_ctus
+        ctus_y = self.p.height_in_ctus
+        out = []
+        saved = None
+        for row in range(ctus_y):
+            w = BitWriter()
+            if row > 0:
+                if saved is not None:
+                    self.ctx.copy_from(saved)
+                else:
+                    self.ctx = Contexts(self.ctx.slice_type,
+                                        self.ctx.qp)
+            self.c = CabacEncoder(w)
+            self._qg_reset_pred()
+            for cx in range(ctus_x):
+                self.encode_sao(cx, row)
+                self._qg_start(cx, row)
+                self.coding_quadtree(cx << self.p.log2_ctu,
+                                     row << self.p.log2_ctu,
+                                     self.p.log2_ctu, 0)
+                self._qg_end()
+                self.c.encode_terminate(1 if cx == ctus_x - 1 else 0)
+                if cx == 1:
+                    saved = self.ctx.clone()
+            w.align_zero()
+            out.append(w.get_bytes())
+        return out
+
+    def encode_tile_slices(self) -> list[bytes]:
+        """--slices=tiles: each tile is its own INDEPENDENT slice.
+        Returns per-tile slice DATA byte strings (contexts re-init per
+        slice; prediction was already cut at tile boundaries)."""
+        from kvazaar_tpu.bitstream.bits import BitWriter
+        from kvazaar_tpu.bitstream.cabac import CabacEncoder
+        out = []
+        for ti, ctus in enumerate(self._tile_ctus):
+            w = BitWriter()
+            if ti > 0:
+                self.ctx = Contexts(self.ctx.slice_type, self.ctx.qp)
+            self.c = CabacEncoder(w)
+            self._qg_reset_pred()
+            for k, (cx, cy) in enumerate(ctus):
+                self.encode_sao(cx, cy)
+                self._qg_start(cx, cy)
+                self.coding_quadtree(cx << self.p.log2_ctu,
+                                     cy << self.p.log2_ctu,
+                                     self.p.log2_ctu, 0)
+                self._qg_end()
+                self.c.encode_terminate(1 if k == len(ctus) - 1 else 0)
+            w.align_zero()
+            out.append(w.get_bytes())
+        return out
+
     def encode_slice_data_tiles_wpp(self) -> list[int]:
         """Tiles x WPP combined: each CTU row OF EACH TILE is its own
         substream (7.4.3.3 entry points with both tiles_enabled and
@@ -1080,6 +1142,61 @@ class SliceDataDecoder(_SliceSyntaxBase):
                     if self.c.decode_terminate() != 1:
                         raise ValueError("missing end_of_subset bit")
             off += sizes[row]
+
+    def decode_row_slices(self, segments: list[bytes]) -> None:
+        """Inverse of encode_row_slices: per-row dependent slice
+        segment payloads."""
+        from kvazaar_tpu.bitstream.bits import BitReader
+        from kvazaar_tpu.bitstream.cabac import CabacDecoder
+        ctus_x = self.p.width_in_ctus
+        ctus_y = self.p.height_in_ctus
+        assert len(segments) == ctus_y
+        saved = None
+        for row, seg in enumerate(segments):
+            if row > 0:
+                if saved is not None:
+                    self.ctx.copy_from(saved)
+                else:
+                    self.ctx = Contexts(self.ctx.slice_type,
+                                        self.ctx.qp)
+            self.c = CabacDecoder(BitReader(seg))
+            self._qg_reset_pred()
+            for cx in range(ctus_x):
+                self.parse_sao(cx, row)
+                self._qg_start(cx, row)
+                self.coding_quadtree(cx << self.p.log2_ctu,
+                                     row << self.p.log2_ctu,
+                                     self.p.log2_ctu, 0)
+                self._qg_end()
+                if self.c.decode_terminate() != \
+                        (1 if cx == ctus_x - 1 else 0):
+                    raise ValueError(
+                        "end_of_slice_segment mismatch (row slices)")
+                if cx == 1:
+                    saved = self.ctx.clone()
+
+    def decode_tile_slices(self, segments: list[bytes]) -> None:
+        """Inverse of encode_tile_slices."""
+        from kvazaar_tpu.bitstream.bits import BitReader
+        from kvazaar_tpu.bitstream.cabac import CabacDecoder
+        assert len(segments) == len(self._tile_ctus)
+        for ti, (ctus, seg) in enumerate(zip(self._tile_ctus,
+                                             segments)):
+            if ti > 0:
+                self.ctx = Contexts(self.ctx.slice_type, self.ctx.qp)
+            self.c = CabacDecoder(BitReader(seg))
+            self._qg_reset_pred()
+            for k, (cx, cy) in enumerate(ctus):
+                self.parse_sao(cx, cy)
+                self._qg_start(cx, cy)
+                self.coding_quadtree(cx << self.p.log2_ctu,
+                                     cy << self.p.log2_ctu,
+                                     self.p.log2_ctu, 0)
+                self._qg_end()
+                if self.c.decode_terminate() != \
+                        (1 if k == len(ctus) - 1 else 0):
+                    raise ValueError(
+                        "end_of_slice_segment mismatch (tile slices)")
 
     def decode_slice_data_tiles_wpp(self, rbsp: bytes,
                                     data_offset: int,

@@ -36,6 +36,9 @@ def build_argparser() -> argparse.ArgumentParser:
                     help=">8-bit input is big-endian")
     ap.add_argument("--input-format", default="P420",
                     choices=["P400", "P420"])
+    ap.add_argument("--source-scan-type", default="progressive",
+                    choices=["progressive", "tff", "bff"],
+                    help="interlaced input: encode as field pictures")
     ap.add_argument("--input-fps", default=None,
                     help="framerate as float or num/denom")
     ap.add_argument("-p", "--period", type=int, default=1,
@@ -65,6 +68,10 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="uniform tile grid, e.g. 3x3; combines with "
                          "WPP (one substream per CTU row per tile)")
     ap.add_argument("--no-wpp", action="store_true")
+    ap.add_argument("--slices", default=None,
+                    choices=["wpp", "tiles"],
+                    help="wpp: each CTU row a dependent slice "
+                         "segment; tiles: independent slice per tile")
     ap.add_argument("--sao", action="store_true", default=None)
     ap.add_argument("--no-sao", dest="sao", action="store_false")
     ap.add_argument("--rdoq", action="store_true", default=None)
@@ -120,6 +127,10 @@ def main(argv=None) -> int:
         cfg.sar_width, cfg.sar_height = int(sw), int(sh)
     if args.no_lcu_rc:
         cfg.lcu_rc = False
+    if args.slices:
+        cfg.slices = args.slices
+    if args.source_scan_type != "progressive":
+        cfg.set("source_scan_type", args.source_scan_type)
     for name, key in (("ref", "ref_frames"), ("rd", "rd"),
                       ("me_range", "me_range"), ("sao", "sao"),
                       ("rdoq", "rdoq"), ("signhide", "signhide"),

@@ -105,6 +105,17 @@ class Config:
     tiles_x: int = 1
     tiles_y: int = 1
 
+    # --slices: "none", "wpp" (each CTU row a dependent slice
+    # segment), "tiles" (independent slice per tile) — reference
+    # src/kvazaar.h:198-201 (bitstream-only; scheduling unchanged).
+    slices: str = "none"
+
+    # Interlaced source (reference --source-scan-type, src/cfg.c:731 +
+    # field adapter src/kvazaar.c:294): 0 progressive, 1 tff, 2 bff.
+    # Each input frame codes as two half-height field pictures with
+    # field_seq VUI + per-picture pic_timing SEI.
+    source_scan_type: int = 0
+
     # Parallelism: device mesh shape for within-frame sharding.
     mesh_tiles: int = 1
     # Wavefront parallel processing (entropy_coding_sync): per-CTU-row
@@ -134,6 +145,8 @@ class Config:
                 or self.intra_max_cu == 4):
             return False
         if (self.tiles_x, self.tiles_y) != (1, 1):
+            return False
+        if self.slices != "none":
             return False
         return True
 
@@ -272,6 +285,34 @@ class Config:
                                  "implemented")
         if self.aq < 0 or self.aq > 3:
             raise ValueError("aq strength must be in [0, 3]")
+        if self.source_scan_type not in (0, 1, 2):
+            raise ValueError("source_scan_type must be 0/1/2 "
+                             "(progressive/tff/bff)")
+        if self.source_scan_type:
+            if self.height % (4 if self.chroma_format == 420 else 2):
+                raise ValueError("interlaced coding needs frame height "
+                                 "divisible by 4 (4:2:0 fields)")
+            if self.gop_len > 1:
+                raise ValueError("interlace with B pyramids is not "
+                                 "implemented (low-delay only)")
+        if self.slices not in ("none", "wpp", "tiles"):
+            raise ValueError("slices must be none/wpp/tiles")
+        if self.slices == "wpp":
+            if not self.wpp:
+                raise ValueError("slices=wpp requires WPP")
+            if (self.tiles_x, self.tiles_y) != (1, 1):
+                raise ValueError("slices=wpp with tiles is not "
+                                 "implemented")
+        if self.slices == "tiles":
+            if (self.tiles_x, self.tiles_y) == (1, 1):
+                raise ValueError("slices=tiles requires --tiles")
+            if self.wpp:
+                raise ValueError("slices=tiles with WPP substreams is "
+                                 "not implemented")
+        if self.slices != "none" and (self.roi is not None
+                                      or self.aq > 0):
+            raise ValueError("per-CTU QP with --slices is not "
+                             "implemented")
         if not (0 <= self.overscan <= 2):
             raise ValueError("overscan must be 0/1/2")
         if not (0 <= self.videoformat <= 5):
@@ -301,6 +342,12 @@ class Config:
         if name == "tiles":
             tx, ty = value.lower().split("x")
             self.tiles_x, self.tiles_y = int(tx), int(ty)
+            return self
+        if name == "source_scan_type":
+            names = {"progressive": 0, "tff": 1, "bff": 2}
+            self.source_scan_type = names.get(value.lower())
+            if self.source_scan_type is None:
+                self.source_scan_type = int(value)
             return self
         if not hasattr(self, name):
             raise KeyError(f"unknown option: {name}")

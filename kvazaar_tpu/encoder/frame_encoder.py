@@ -772,10 +772,47 @@ class PFrameMixin:
         fd.mvd8_l1[::c8, ::c8] = np.where(use_amvp[..., None], mvd1, 0)
         return fd
 
+    def _slice_nals(self, fd, slice_type, nal_type, hdr_kwargs,
+                    nref_l0: int = 1) -> bytes:
+        """--slices emission: one NAL per slice segment (reference
+        per-child slice headers, src/encoder_state-bitstream.c:964-980).
+        wpp mode: CTU rows as dependent segments of one slice; tiles
+        mode: independent slice per tile."""
+        enc = SliceDataEncoder(self.params, fd,
+                               Contexts(slice_type, self.cfg.qp),
+                               CabacEncoder(BitWriter()),
+                               nref_l0=nref_l0)
+        if self.params.slices == "wpp":
+            segs = enc.encode_row_slices()
+            ctus_x = self.params.width_in_ctus
+            addrs = [r * ctus_x for r in range(len(segs))]
+            dep = True
+        else:
+            segs = enc.encode_tile_slices()
+            ctus_x = self.params.width_in_ctus
+            addrs = [ctus[0][1] * ctus_x + ctus[0][0]
+                     for ctus in enc._tile_ctus]
+            dep = False
+        out = b""
+        for i, (seg, a) in enumerate(zip(segs, addrs)):
+            w = BitWriter()
+            write_slice_header(w, self.params, slice_type, nal_type,
+                               self.cfg.qp, first_seg=(i == 0),
+                               dependent=dep and i > 0, seg_address=a,
+                               **hdr_kwargs)
+            out += nal_unit(w.get_bytes() + seg, nal_type)
+        return out
+
     def _serialize_b(self, fd, poc, rpd0, rpd1):
+        if self.params.slices != "none":
+            from kvazaar_tpu.constants import SLICE_B
+            return self._slice_nals(
+                fd, SLICE_B, NAL_TRAIL_R,
+                dict(poc=poc, ref_poc_diff=rpd0, ref_poc_diff_l1=rpd1))
         from kvazaar_tpu.constants import SLICE_B
         if _NATIVE_OK and not self.params.transquant_bypass \
                 and not self.params.cu_qp_delta \
+                and self.params.slices == "none" \
                 and not self.params.tiles_enabled:
             data, sizes = native.encode_slice_data_native_p(
                 self.params, fd, self.cfg.qp, self.params.wpp,
@@ -807,8 +844,15 @@ class PFrameMixin:
     def _serialize_p(self, fd, poc, ref_poc_diff, ref_list_l0=None,
                      retained_l0=(), tmvp: bool = False):
         nref = 1 if ref_list_l0 is None else len(ref_list_l0)
+        if self.params.slices != "none":
+            return self._slice_nals(
+                fd, SLICE_P, NAL_TRAIL_R,
+                dict(poc=poc, ref_poc_diff=ref_poc_diff,
+                     ref_list_l0=ref_list_l0, retained_l0=retained_l0,
+                     tmvp=tmvp), nref_l0=nref)
         if _NATIVE_OK and not self.params.transquant_bypass \
                 and not self.params.cu_qp_delta \
+                and self.params.slices == "none" \
                 and not self.params.tiles_enabled and nref == 1:
             # Single-frame path: row-parallel CABAC (the batch paths
             # instead parallelize across frames in the host pool).
@@ -901,6 +945,8 @@ class IntraFrameEncoder(PFrameMixin):
             transquant_bypass=cfg.lossless,
             transform_skip=cfg.transform_skip,
             cu_qp_delta=cfg.cu_qp_delta_active,
+            slices=cfg.slices,
+            source_scan_type=cfg.source_scan_type,
             sign_hiding=cfg.signhide and not cfg.lossless,
             wpp=cfg.wpp,
             conf_win=(0, self.coded_w - cfg.width, 0,
@@ -1462,9 +1508,22 @@ class IntraFrameEncoder(PFrameMixin):
         return fd
 
     def _var_serialize(self, fd, rec_y, rec_cb, rec_cr) -> FrameResult:
+        if self.params.slices != "none":
+            nal = self._slice_nals(fd, SLICE_I, NAL_IDR_W_RADL, {})
+            if self.cfg.hash in ("md5", "checksum") \
+                    and rec_y is not None:
+                from kvazaar_tpu.bitstream.headers import \
+                    write_picture_hash_sei
+                nal += write_picture_hash_sei((rec_y, rec_cb, rec_cr),
+                                              self.bitdepth,
+                                              kind=self.cfg.hash)
+            return FrameResult(nals=nal, recon_y=rec_y,
+                               recon_cb=rec_cb, recon_cr=rec_cr,
+                               frame_data=fd, bits=len(nal) * 8)
         sizes = []
         if _NATIVE_OK and not self.params.transquant_bypass \
                 and not self.params.cu_qp_delta \
+                and self.params.slices == "none" \
                 and not self.params.tiles_enabled:
             if self.params.wpp:
                 data, sizes = native.encode_slice_data_native_wpp(
@@ -1545,10 +1604,23 @@ class IntraFrameEncoder(PFrameMixin):
             fd.sao_eo[:] = sao["eo"]
             fd.sao_bp[:] = sao["bp"]
             fd.sao_off[:] = sao["off"]
+        if self.params.slices != "none":
+            nal = self._slice_nals(fd, SLICE_I, NAL_IDR_W_RADL, {})
+            if self.cfg.hash in ("md5", "checksum") \
+                    and rec_y is not None:
+                from kvazaar_tpu.bitstream.headers import \
+                    write_picture_hash_sei
+                nal += write_picture_hash_sei((rec_y, rec_cb, rec_cr),
+                                              self.bitdepth,
+                                              kind=self.cfg.hash)
+            return FrameResult(nals=nal, recon_y=rec_y,
+                               recon_cb=rec_cb, recon_cr=rec_cr,
+                               frame_data=fd, bits=len(nal) * 8)
         # Slice data first (entry-point offsets go into the header).
         sizes = []
         if _NATIVE_OK and not self.params.transquant_bypass \
                 and not self.params.cu_qp_delta \
+                and self.params.slices == "none" \
                 and not self.params.tiles_enabled and self.cu != 4:
             if self.params.wpp:
                 data, sizes = native.encode_slice_data_native_wpp(
