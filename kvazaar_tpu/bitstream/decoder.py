@@ -586,8 +586,10 @@ def reconstruct_parsed(fd: FrameData, params: StreamParams, qp: int):
     ops)."""
     from kvazaar_tpu.encoder.frame_encoder import chroma_qp
     depth = int(fd.depth8[0, 0])
-    if not np.all(fd.depth8 == depth) or (
+    if depth == 0 or not np.all(fd.depth8 == depth) or (
             fd.nxn8 is not None and fd.nxn8.any()):
+        # Variable trees and 64x64 CUs (which reconstruct as four
+        # 32x32 TBs) take the sequential oracle path.
         return reconstruct_parsed_var(fd, params, qp)
     s = params.ctu_size >> depth
     chroma = params.chroma_format_idc != 0
@@ -750,7 +752,9 @@ def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
         order[y0 // 8:(y0 + s) // 8, x0 // 8:(x0 + s) // 8] = k
     # Luma decode-unit order at 4x4 granularity: PART_NxN CUs split
     # into four z-ordered 4x4 PUs whose later PUs predict from earlier
-    # ones (8.4.4.2.2 availability follows this order).
+    # ones; 64x64 CUs force the TU split into four z-ordered 32x32 TBs
+    # that predict sequentially with the CU mode (8.4.4.2.2
+    # availability follows this order).
     lorder = np.zeros((h // 4, w // 4), np.int32)
     lu = 0
     luma_units_of_cu = []
@@ -758,12 +762,32 @@ def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
         if nxn[y0 // 8, x0 // 8]:
             units = [(x0, y0, 4), (x0 + 4, y0, 4),
                      (x0, y0 + 4, 4), (x0 + 4, y0 + 4, 4)]
+        elif s == 64:
+            units = [(x0, y0, 32), (x0 + 32, y0, 32),
+                     (x0, y0 + 32, 32), (x0 + 32, y0 + 32, 32)]
         else:
             units = [(x0, y0, s)]
         luma_units_of_cu.append(units)
         for ux, uy, us in units:
             lorder[uy // 4:(uy + us) // 4, ux // 4:(ux + us) // 4] = lu
             lu += 1
+    # Chroma decode-unit order (4-sample granularity of the chroma
+    # plane): one TB per CU except 64 CUs -> four z-ordered 16x16 TBs.
+    corder = np.zeros((h // 8, w // 8), np.int32)
+    cu_ctr = 0
+    chroma_units_of_cu = []
+    for _key, x0, y0, s in cus:
+        cx0, cy0 = x0 // 2, y0 // 2
+        if s == 64:
+            cunits = [(cx0, cy0, 16), (cx0 + 16, cy0, 16),
+                      (cx0, cy0 + 16, 16), (cx0 + 16, cy0 + 16, 16)]
+        else:
+            cunits = [(cx0, cy0, s // 2)]
+        chroma_units_of_cu.append(cunits)
+        for ux, uy, us in cunits:
+            corder[uy // 4:(uy + us) // 4,
+                   ux // 4:(ux + us) // 4] = cu_ctr
+            cu_ctr += 1
 
     planes = [np.zeros((h, w), np.int64)]
     coeffs = [fd.coeff_y]
@@ -790,9 +814,9 @@ def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
                                      np.clip(xs, 0, pw - 1) // 4]
                               < my_lu)
         else:
-            cx = np.clip(xs * scale, 0, w - 1) // 8
-            cy = np.clip(ys * scale, 0, h - 1) // 8
-            avail = inside & (order[cy, cx] < k_cu)
+            avail = inside & (corder[np.clip(ys, 0, ph - 1) // 4,
+                                     np.clip(xs, 0, pw - 1) // 4]
+                              < my_lu)
         refs = np.full(4 * s + 1, mid, np.int64)
         if avail.any():
             vals = plane[np.clip(ys, 0, ph - 1),
@@ -820,6 +844,7 @@ def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
         plane[y0:y0 + s, x0:x0 + s] = np.clip(pred + res, 0, maxv)
 
     lu = 0
+    cu_ctr = 0
     for k, (_key, lx0, ly0, ls) in enumerate(cus):
         for ux, uy, us in luma_units_of_cu[k]:
             recon_block(0, ux, uy, us,
@@ -829,16 +854,21 @@ def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
             # DM chroma mode = luma mode of the PU covering the CU
             # origin (8.4.3); NxN CUs still carry one 4x4 chroma TB.
             mode = int(fd.mode4[ly0 // 4, lx0 // 4])
-            for pi in (1, 2):
-                recon_block(pi, lx0 // 2, ly0 // 2, ls // 2, mode,
-                            k, None)
+            base = cu_ctr
+            for j, (ux, uy, us) in enumerate(chroma_units_of_cu[k]):
+                for pi in (1, 2):
+                    recon_block(pi, ux, uy, us, mode, k, base + j)
+            cu_ctr += len(chroma_units_of_cu[k])
+        else:
+            cu_ctr += len(chroma_units_of_cu[k])
 
     rec_y = planes[0]
     rec_cb = planes[1] if chroma else None
     rec_cr = planes[2] if chroma else None
     if params.deblock_enabled:
         from kvazaar_tpu.ops.deblock import deblock_frame
-        c = sizes8.astype(np.int32)
+        # TU boundaries filter too: a 64 CU's forced 32x32 TUs (8.7.2).
+        c = np.minimum(sizes8.astype(np.int32), 4)
         x8 = np.arange(w8)[None, :]
         y8m = np.arange(h8)[:, None]
         bs_v = jnp.asarray(np.where(x8 % c == 0, 2, 0).astype(np.int32))

@@ -163,10 +163,16 @@ class Config:
         if self.chroma_format not in (400, 420):
             raise ValueError("chroma_format must be 400 or 420")
         for v in (self.intra_min_cu, self.intra_max_cu):
-            if v not in (4, 8, 16, 32):
-                raise ValueError("intra cu sizes must be in {4,8,16,32}")
+            if v not in (4, 8, 16, 32, 64):
+                raise ValueError(
+                    "intra cu sizes must be in {4,8,16,32,64}")
         if self.intra_min_cu > self.intra_max_cu:
             raise ValueError("intra_min_cu > intra_max_cu")
+        if self.intra_max_cu == 64 and self.intra_min_cu == 64:
+            raise ValueError("64x64 CUs require the variable quadtree "
+                             "(intra_min_cu < 64)")
+        if self.intra_min_cu == 64:
+            raise ValueError("intra_min_cu cannot be 64")
         if 4 in (self.intra_min_cu, self.intra_max_cu):
             # The intra-NxN operating point: 8x8 CUs as four 4x4
             # PUs/TUs (DST-VII).  Fixed-granularity all-intra for now.
@@ -236,8 +242,11 @@ class Config:
             ctus_y = -(-self.height // 64)
             if self.tiles_x > ctus_x or self.tiles_y > ctus_y:
                 raise ValueError("more tiles than CTUs")
-        if self.rd > 1:
-            raise ValueError("--rd levels above 1 are not implemented")
+        if self.rd > 2:
+            raise ValueError("--rd levels above 2 are not implemented")
+        if self.rd >= 2 and self.intra_max_cu == 4:
+            raise ValueError("--rd 2 with the 4x4 intra operating "
+                             "point is not implemented")
         if self.rdoq and self.lossless:
             raise ValueError("RDOQ is meaningless with --lossless")
         if self.scaling_list not in ("off", "default", "custom"):
@@ -378,14 +387,14 @@ PRESETS = {
     "fast": dict(rd=1, signhide=True, sao=True, me_range=16),
     "medium": dict(rd=1, rdoq=True, signhide=True, sao=True,
                    me_range=16, intra_min_cu=8),
-    "slow": dict(rd=1, rdoq=True, signhide=True, sao=True,
+    "slow": dict(rd=2, rdoq=True, signhide=True, sao=True,
                  me_range=32, intra_min_cu=8),
-    "slower": dict(rd=1, rdoq=True, signhide=True, sao=True,
-                   me_range=32, intra_min_cu=8),
-    "veryslow": dict(rd=1, rdoq=True, signhide=True, sao=True,
-                     me_range=32, intra_min_cu=8),
-    "placebo": dict(rd=1, rdoq=True, signhide=True, sao=True,
-                    me_range=64, intra_min_cu=8),
+    "slower": dict(rd=2, rdoq=True, signhide=True, sao=True,
+                   me_range=32, intra_min_cu=8, intra_max_cu=64),
+    "veryslow": dict(rd=2, rdoq=True, signhide=True, sao=True,
+                     me_range=32, intra_min_cu=8, intra_max_cu=64),
+    "placebo": dict(rd=2, rdoq=True, signhide=True, sao=True,
+                    me_range=64, intra_min_cu=8, intra_max_cu=64),
 }
 
 

@@ -896,7 +896,10 @@ class IntraFrameEncoder(PFrameMixin):
         cfg.validate()
         self.cfg = cfg
         self.chroma = cfg.chroma_format == 420
-        self.cu = cfg.intra_max_cu          # fixed CU size in v1
+        # Fixed-grid CU size (the variable-quadtree path schedules its
+        # own per-size plans; 64x64 CUs reconstruct as 32x32 TBs so
+        # the working granularity caps at 32).
+        self.cu = min(cfg.intra_max_cu, 32)
         self.bitdepth = cfg.input_bitdepth
         # cu = 4 is the intra-NxN operating point: 8x8 CUs coded
         # PART_NxN with four 4x4 PUs/TUs (DST-VII luma) — luma runs on
@@ -995,9 +998,11 @@ class IntraFrameEncoder(PFrameMixin):
             cbs = cbs.astype(jnp.int32)
             crs = crs.astype(jnp.int32)
         modes = jax.vmap(
-            lambda y: search_frame_modes(y, self.plan, self.lambda_satd,
-                                         self.bitdepth,
-                                         self.cfg.rd >= 1)[0])(ys)
+            lambda y: search_frame_modes(
+                y, self.plan, self.lambda_satd, self.bitdepth,
+                self.cfg.rd >= 1, rdo=self.cfg.rd >= 2,
+                qp=self.cfg.qp,
+                lam_rd=qp_to_lambda(self.cfg.qp))[0])(ys)
         ts_y = None
         if self.cu == 4:
             # Split planes: luma on the 4x4 plan, chroma (one 4x4 TB
@@ -1162,9 +1167,11 @@ class IntraFrameEncoder(PFrameMixin):
             cbs = cbs.astype(jnp.int32)
             crs = crs.astype(jnp.int32)
         modes = jax.vmap(
-            lambda y: search_frame_modes(y, self.plan, self.lambda_satd,
-                                         self.bitdepth,
-                                         self.cfg.rd >= 1)[0])(ys)
+            lambda y: search_frame_modes(
+                y, self.plan, self.lambda_satd, self.bitdepth,
+                self.cfg.rd >= 1, rdo=self.cfg.rd >= 2,
+                qp=self.cfg.qp,
+                lam_rd=qp_to_lambda(self.cfg.qp))[0])(ys)
         qp_blk = self._qp_blk_of(qp_ctu)
         (rec_y, lv_y, rec_cb, lv_cb, rec_cr,
          lv_cr) = reconstruct_frames(
@@ -1358,7 +1365,9 @@ class IntraFrameEncoder(PFrameMixin):
                 return search_quadtree(
                     yp, self.coded_w, self.coded_h, self.lambda_satd,
                     self.bitdepth, self.cfg.intra_min_cu,
-                    self.cfg.intra_max_cu, self.cfg.rd >= 1)
+                    self.cfg.intra_max_cu, self.cfg.rd >= 1,
+                    rdo=self.cfg.rd >= 2, qp=self.cfg.qp,
+                    lam_rd=qp_to_lambda(self.cfg.qp))
 
             self._qt_search = jax.jit(s)
         return self._qt_search
@@ -1377,10 +1386,31 @@ class IntraFrameEncoder(PFrameMixin):
             crp = pad_to_multiple(np.asarray(cr, np.int32), s // 2)
         from kvazaar_tpu.encoder.quadtree import choose_tree
         costs_d, modes_d = self._var_search_fn()(jnp.asarray(yp))
-        size8 = choose_tree(costs_d, self.coded_w, self.coded_h,
-                            self.lambda_satd)
+        if self.cfg.rd >= 2:
+            # rd-2 costs are true SSD + lambda*bits: structural bits
+            # charge at the rate lambda with real magnitudes.
+            size8 = choose_tree(costs_d, self.coded_w, self.coded_h,
+                                qp_to_lambda(self.cfg.qp),
+                                percu_bits=24.0, split_bits=1.0)
+        else:
+            size8 = choose_tree(costs_d, self.coded_w, self.coded_h,
+                                self.lambda_satd)
         mode_maps = {k: np.asarray(v) for k, v in modes_d.items()}
-        vp = build_var_plan(size8, mode_maps, self.coded_w,
+        # 64x64 CUs reconstruct as four same-mode 32x32 TBs (forced TU
+        # split, 7.3.8.8): schedule them as 32-blocks carrying the 64
+        # CU's mode; depth8/serialization keep the true tree.
+        sched_size8 = np.minimum(size8, 32).astype(size8.dtype)
+        if 64 in mode_maps and (size8 == 64).any():
+            m32 = mode_maps[32].copy()
+            m64 = mode_maps[64]
+            up = np.kron(m64, np.ones((2, 2), m32.dtype))
+            mask32 = size8[::4, ::4] == 64
+            region = m32[:up.shape[0], :up.shape[1]]
+            m32[:up.shape[0], :up.shape[1]] = np.where(
+                mask32[:up.shape[0], :up.shape[1]], up, region)
+            mode_maps = dict(mode_maps)
+            mode_maps[32] = m32
+        vp = build_var_plan(sched_size8, mode_maps, self.coded_w,
                             self.coded_h, self.chroma)
 
         sched, lv_shapes = self._var_sched_arrays(vp, yp, cbp, crp,
@@ -1406,7 +1436,7 @@ class IntraFrameEncoder(PFrameMixin):
         rec_cr = np.asarray(dcr) if self.chroma else None
 
         fd = self._var_frame_data(vp, size8, mode_maps, lv_np,
-                                  lv_shapes)
+                                  lv_shapes, sched_size8=sched_size8)
         if sao is not None:
             fd.sao_merge[:] = sao["merge"]
             fd.sao_type[:] = sao["type"]
@@ -1463,8 +1493,9 @@ class IntraFrameEncoder(PFrameMixin):
                     lv_shapes.append((pl, s, cs.valid.shape[0],
                                       cs.valid.shape[1]))
         # Deblock boundary strengths on the 8x8 cell grid: intra edges
-        # (bs 2) exactly at CU boundaries.
-        c = (size8 // 8).astype(np.int32)
+        # (bs 2) exactly at CU/TU boundaries (a 64 CU's forced 32x32
+        # TUs are TU boundaries, 8.7.2 — hence min(size, 32)).
+        c = np.minimum((size8 // 8).astype(np.int32), 4)
         x8 = np.arange(size8.shape[1])[None, :]
         y8 = np.arange(size8.shape[0])[:, None]
         sched["bs_v"] = jnp.asarray(
@@ -1473,16 +1504,22 @@ class IntraFrameEncoder(PFrameMixin):
             np.where(y8 % c == 0, 2, 0).astype(np.int32))
         return sched, lv_shapes
 
-    def _var_frame_data(self, vp, size8, mode_maps, lv_np, lv_shapes):
+    def _var_frame_data(self, vp, size8, mode_maps, lv_np, lv_shapes,
+                        sched_size8=None):
         """Host assembly: depth/mode grids + coefficient planes from
-        the packed level buffer."""
+        the packed level buffer.  sched_size8: the recon-schedule size
+        grid (64 CUs appear as four 32 entries carrying the CU mode)."""
         fd = FrameData.empty(self.coded_w, self.coded_h, self.chroma)
-        # depth = 6 - log2(size): 32->1, 16->2, 8->3.
+        # depth = 6 - log2(size): 64->0, 32->1, 16->2, 8->3.
         fd.depth8[:] = (6 - np.round(np.log2(size8)).astype(np.int32)
                         ).astype(np.uint8)
-        size4 = np.kron(size8, np.ones((2, 2), np.uint8))
+        if sched_size8 is None:
+            sched_size8 = size8
+        size4 = np.kron(sched_size8, np.ones((2, 2), np.uint8))
         mode4 = np.zeros_like(size4, np.uint8)
         for s, grid in mode_maps.items():
+            if s > 32:
+                continue        # 64 modes ride the patched 32 grid
             up = np.kron(grid.astype(np.uint8),
                          np.ones((s // 4, s // 4), np.uint8))
             mode4 = np.where(size4 == s, up[:size4.shape[0],

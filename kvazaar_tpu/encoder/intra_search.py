@@ -106,10 +106,52 @@ def mode_bits_table(modes_grid, cu_size: int, ctu_size: int = 64):
     return jnp.where(is0, 2.0, jnp.where(is1 | is2, 3.0, 6.0))
 
 
+def _rd_rerank(preds, orig, satd, modes1, lambda_satd, s, qp, lam_rd,
+               bitdepth, k: int = 4):
+    """--rd 2 stage: re-rank the top-K SATD candidates per block by
+    TRUE roundtrip cost — transform+quant+dequant+inverse SSD plus the
+    modeled CABAC coefficient rate (ops/rate.py) plus MPM mode bits.
+    The TPU recast of search_intra_rdo (src/search_intra.c:573): all
+    blocks x K candidates in one batch instead of per-PU recursion.
+
+    preds: (N, 35, S, S); orig: (N, 1, S, S); satd: (N, 35).
+    Returns ((N,) modes, (N,) rd costs)."""
+    import jax.lax
+    from kvazaar_tpu.ops.quant import dequantize, quantize
+    from kvazaar_tpu.ops.rate import tb_rate_bits
+    from kvazaar_tpu.ops.transform import (forward_transform,
+                                           inverse_transform)
+    n = preds.shape[0]
+    by_bx = modes1.shape
+    bits = mode_bits_table(modes1, s).reshape(n, 35)
+    cost1 = satd.astype(jnp.float32) + lambda_satd * bits
+    _, topk = jax.lax.top_k(-cost1, k)                    # (N, K)
+    cand = jnp.take_along_axis(
+        preds, topk[..., None, None], axis=1)             # (N,K,S,S)
+    resid = (orig - cand).reshape(n * k, s, s)
+    coeff = forward_transform(resid, s, bitdepth)
+    levels = quantize(coeff, qp, s, bitdepth, intra=True)
+    dq = dequantize(levels, qp, s, bitdepth)
+    rrec = inverse_transform(dq, s, bitdepth)
+    err = (rrec - resid).astype(jnp.float32)
+    ssd = jnp.sum(err * err, axis=(-2, -1)).reshape(n, k)
+    rate = tb_rate_bits(levels).reshape(n, k)
+    mbits = jnp.take_along_axis(bits, topk, axis=1)
+    cost = ssd + lam_rd * (rate + mbits)
+    sel = jnp.argmin(cost, axis=-1)
+    modes = jnp.take_along_axis(topk, sel[:, None],
+                                axis=1)[:, 0].astype(jnp.int32)
+    best = jnp.min(cost, axis=-1)
+    return modes.reshape(by_bx), best.reshape(by_bx)
+
+
 def search_frame_modes(frame, plan: IntraFramePlan, lambda_satd: float,
-                       bitdepth: int = 8, two_pass: bool = True):
+                       bitdepth: int = 8, two_pass: bool = True,
+                       return_satd: bool = False, rdo: bool = False,
+                       qp: int = 30, lam_rd: float = None):
     """frame: (H, W) int32 coded-size luma.  Returns (By, Bx) int32 modes
-    and the winning cost grid.
+    and the winning cost grid (+ the full (By, Bx, 35) SATD tensor when
+    return_satd — feeds the same-mode 64x64 CU aggregation).
 
     two_pass: re-rank with MPM-aware signalling bits from pass-1
     neighbor decisions (--rd >= 1; rd 0 is the pure-SATD argmin,
@@ -134,11 +176,85 @@ def search_frame_modes(frame, plan: IntraFramePlan, lambda_satd: float,
     satd = satd8_batch(preds - orig)                           # (N, 35)
 
     modes1 = jnp.argmin(satd, axis=-1).astype(jnp.int32).reshape(by, bx)
+    if rdo:
+        modes, best = _rd_rerank(preds, orig, satd, modes1,
+                                 lambda_satd, s, qp,
+                                 lam_rd if lam_rd is not None
+                                 else lambda_satd * lambda_satd,
+                                 bitdepth)
+        if return_satd:
+            return modes, best, satd.reshape(by, bx, 35)
+        return modes, best
     if not two_pass:
         best1 = jnp.min(satd, axis=-1).astype(jnp.float32)
+        if return_satd:
+            return modes1, best1.reshape(by, bx), \
+                satd.reshape(by, bx, 35)
         return modes1, best1.reshape(by, bx)
     bits = mode_bits_table(modes1, s).reshape(n, 35)
     cost = satd.astype(jnp.float32) + lambda_satd * bits
     modes = jnp.argmin(cost, axis=-1).astype(jnp.int32).reshape(by, bx)
     best = jnp.min(cost, axis=-1).reshape(by, bx)
+    if return_satd:
+        return modes, best, satd.reshape(by, bx, 35)
     return modes, best
+
+
+def rd_cost_given_modes(frame, plan: IntraFramePlan, modes, qp: int,
+                        lam_rd: float, bitdepth: int = 8):
+    """(By, Bx) true-roundtrip RD cost (SSD + lam*coeff rate) of coding
+    each block with the GIVEN mode (open-loop refs) — feeds the 64x64
+    level of the rd-2 quadtree argmin."""
+    from kvazaar_tpu.ops.intra import predict_modes
+    from kvazaar_tpu.ops.quant import dequantize, quantize
+    from kvazaar_tpu.ops.rate import tb_rate_bits
+    from kvazaar_tpu.ops.transform import (forward_transform,
+                                           inverse_transform)
+    s = plan.cu_size
+    by, bx = plan.blocks_y, plan.blocks_x
+    n = by * bx
+    flat_ext = jnp.concatenate([frame.reshape(-1),
+                                jnp.zeros((1,), frame.dtype)])
+    steps = plan.step_of_block.ravel()
+    slots = plan.slot_of_block.ravel()
+    gidx = jnp.asarray(plan.luma.gather_idx[steps, slots])
+    noref = jnp.asarray(plan.luma.no_refs[steps, slots])
+    refs = flat_ext[gidx]
+    refs = jnp.where(noref[:, None], 1 << (bitdepth - 1), refs)
+    pred = predict_modes(refs.astype(jnp.int32),
+                         modes.reshape(-1).astype(jnp.int32), s,
+                         luma=True, bitdepth=bitdepth)
+    orig = frame.reshape(by, s, bx, s).transpose(0, 2, 1, 3)
+    orig = orig.reshape(n, s, s).astype(jnp.int32)
+    resid = orig - pred
+    coeff = forward_transform(resid, s, bitdepth)
+    levels = quantize(coeff, qp, s, bitdepth, intra=True)
+    dq = dequantize(levels, qp, s, bitdepth)
+    rrec = inverse_transform(dq, s, bitdepth)
+    err = (rrec - resid).astype(jnp.float32)
+    ssd = jnp.sum(err * err, axis=(-2, -1))
+    cost = ssd + lam_rd * tb_rate_bits(levels)
+    return cost.reshape(by, bx)
+
+
+def modes64_from_satd32(satd32, lambda_satd: float,
+                        two_pass: bool = True):
+    """Best single-mode 64x64 CU from the four 32x32 TBs' per-mode
+    SATDs (a 64 intra CU forces the TU split to 32x32 TBs, 7.3.8.8 —
+    its prediction IS four same-mode 32x32 TB predictions, 8.4.4.2).
+
+    satd32: (By, Bx, 35).  Returns ((By//2, Bx//2) modes, cost grid);
+    partial CTUs (odd trailing 32-blocks) are excluded by the caller.
+    """
+    by, bx = satd32.shape[0] // 2, satd32.shape[1] // 2
+    s4 = (satd32[0::2, 0::2][:by, :bx]
+          + satd32[0::2, 1::2][:by, :bx]
+          + satd32[1::2, 0::2][:by, :bx]
+          + satd32[1::2, 1::2][:by, :bx]).astype(jnp.float32)
+    modes1 = jnp.argmin(s4, axis=-1).astype(jnp.int32)
+    if not two_pass:
+        return modes1, jnp.min(s4, axis=-1)
+    bits = mode_bits_table(modes1, 64)
+    cost = s4 + lambda_satd * bits
+    modes = jnp.argmin(cost, axis=-1).astype(jnp.int32)
+    return modes, jnp.min(cost, axis=-1)

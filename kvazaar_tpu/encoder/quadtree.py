@@ -36,20 +36,52 @@ SIZES = (8, 16, 32)
 
 def search_quadtree(y, width: int, height: int, lambda_satd: float,
                     bitdepth: int = 8, min_cu: int = 8,
-                    max_cu: int = 32, two_pass: bool = True):
+                    max_cu: int = 32, two_pass: bool = True,
+                    rdo: bool = False, qp: int = 30,
+                    lam_rd: float = None):
     """Open-loop mode search at every candidate CU size (device part).
 
     y: (H, W) int32 coded-size luma.  Returns (costs, modes): dicts
-    size -> (H/s, W/s) grids of SATD+lambda*modebits cost / best mode.
-    The tree argmin happens on the host (choose_tree)."""
+    size -> (H/s, W/s) grids of per-CU cost / best mode — SATD+lambda*
+    modebits at rd<=1, true roundtrip SSD+lam*rate at rd 2 (the
+    reference's search_intra_rdo depth, src/search_intra.c:573).
+    64x64 CUs are evaluated as same-mode sums of the four 32x32 TBs
+    (they force the TU split, 7.3.8.8).  The tree argmin happens on
+    the host (choose_tree)."""
+    from kvazaar_tpu.encoder.intra_search import (modes64_from_satd32,
+                                                  rd_cost_given_modes)
     costs = {}
     modes = {}
     for s in SIZES:
         if s < min_cu or s > max_cu:
             continue
         plan = make_intra_plan(width, height, s, chroma=False)
-        m, c = search_frame_modes(y, plan, lambda_satd, bitdepth,
-                                   two_pass)
+        if s == 32 and max_cu >= 64:
+            m, c, satd32 = search_frame_modes(
+                y, plan, lambda_satd, bitdepth, two_pass,
+                return_satd=True, rdo=rdo, qp=qp, lam_rd=lam_rd)
+            m64, c64 = modes64_from_satd32(satd32, lambda_satd,
+                                           two_pass)
+            if rdo:
+                # Keep the 64 level in the same RD units as the leaves:
+                # roundtrip the four 32 TBs with the chosen 64 mode.
+                m64up = jnp.repeat(jnp.repeat(m64, 2, 0), 2, 1)
+                by32, bx32 = plan.blocks_y, plan.blocks_x
+                pad = jnp.zeros((by32, bx32), jnp.int32)
+                pad = pad.at[:m64up.shape[0], :m64up.shape[1]].set(
+                    m64up)
+                cg = rd_cost_given_modes(y, plan, pad, qp,
+                                         lam_rd, bitdepth)
+                by64, bx64 = m64.shape
+                c64 = (cg[0::2, 0::2][:by64, :bx64]
+                       + cg[0::2, 1::2][:by64, :bx64]
+                       + cg[1::2, 0::2][:by64, :bx64]
+                       + cg[1::2, 1::2][:by64, :bx64])
+            modes[64], costs[64] = m64, c64
+        else:
+            m, c = search_frame_modes(y, plan, lambda_satd, bitdepth,
+                                      two_pass, rdo=rdo, qp=qp,
+                                      lam_rd=lam_rd)
         modes[s] = m
         costs[s] = c
     return costs, modes
@@ -76,21 +108,43 @@ def choose_tree(costs: dict, width: int, height: int,
         c16 = c[16]
         use8 = np.zeros_like(c16, bool)
     use16 = None
+    c32 = None
     if 32 in c and 16 in c:
         c16sum = (c16[0::2, 0::2] + c16[0::2, 1::2]
                   + c16[1::2, 0::2] + c16[1::2, 1::2] + 3 * percu)
         use16 = c16sum + split < c[32]
+        c32 = np.where(use16, c16sum + split, c[32])
+    elif 32 in c:
+        c32 = c[32]
     elif 16 in c:
         use16 = np.ones((c16.shape[0] // 2, c16.shape[1] // 2), bool)
 
+    # 64x64 level: full CTUs only (boundary CTUs take inferred splits).
+    use32 = None
+    if 64 in c and c32 is not None:
+        by64, bx64 = c[64].shape
+        c32sum = (c32[0::2, 0::2][:by64, :bx64]
+                  + c32[0::2, 1::2][:by64, :bx64]
+                  + c32[1::2, 0::2][:by64, :bx64]
+                  + c32[1::2, 1::2][:by64, :bx64] + 3 * percu)
+        use32 = c32sum + split < c[64]
+
     h8, w8 = height // 8, width // 8
-    size8 = np.full((h8, w8), 32 if 32 in c else 16, np.int32)
+    top = 32 if 32 in c else 16
+    size8 = np.full((h8, w8), top, np.int32)
+    eff32 = np.ones((h8, w8), bool)
+    if use32 is not None:
+        u64 = np.zeros((h8, w8), bool)
+        full = np.kron(~use32, np.ones((8, 8), bool))
+        u64[:full.shape[0], :full.shape[1]] = full
+        size8 = np.where(u64, 64, size8)
+        eff32 = ~u64
     if use16 is not None and 32 in c:
         u16 = np.kron(use16, np.ones((4, 4), bool))[:h8, :w8]
-        size8 = np.where(u16, 16, size8)
-        eff16 = u16
+        size8 = np.where(eff32 & u16, 16, size8)
+        eff16 = eff32 & u16
     else:
-        eff16 = np.ones((h8, w8), bool)
+        eff16 = eff32
     if use8 is not None:
         u8 = np.kron(use8, np.ones((2, 2), bool))[:h8, :w8]
         size8 = np.where(eff16 & u8, 8, size8)
