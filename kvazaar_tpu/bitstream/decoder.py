@@ -312,6 +312,61 @@ def _motion_of(fd: FrameData, params: StreamParams, poc: int,
     return dict(poc=poc, cu=s, inter=inter_map, mv=mv, refpoc=refpoc)
 
 
+def reconstruct_mvs_smp(fd: FrameData, params: StreamParams) -> None:
+    """Decode-order MV reconstruction for SMP P frames: per-PU merge /
+    AMVP on the 8-cell motion field (inverse of the encoder's
+    _merge_amvp_smp; 8.5.3.2 with the 6.4.2 availability rules).
+    Fills fd.mv8 region-filled per PU."""
+    from kvazaar_tpu.encoder.geometry import z_order_index
+    from kvazaar_tpu.encoder.inter_cands import (amvp_pair_pu_at,
+                                                 merge_list_pu_at)
+    depth = int(fd.depth8[0, 0])
+    s = params.ctu_size >> depth
+    cells = s // 8
+    half = cells // 2
+    h8, w8 = fd.inter8.shape
+    by, bx = h8 // cells, w8 // cells
+    inter8 = fd.inter8.astype(bool)
+    mv8 = np.zeros((h8, w8, 2), np.int32)
+    per_ctu = max(64 // s, 1)
+    zs = sorted(((z_order_index(zx, zy), zy, zx)
+                 for zy in range(per_ctu) for zx in range(per_ctu)))
+    for ty in range(-(-by // per_ctu)):
+        for tx in range(-(-bx // per_ctu)):
+            for _z, zy, zx in zs:
+                cy, cx = ty * per_ctu + zy, tx * per_ctu + zx
+                if cy >= by or cx >= bx:
+                    continue
+                by8, bx8 = cy * cells, cx * cells
+                if not inter8[by8, bx8]:
+                    continue
+                p = int(fd.part8[by8, bx8])
+                if p == 0:
+                    rects = [(by8, bx8, cells, cells, 0)]
+                elif p == 1:
+                    rects = [(by8, bx8, half, cells, 0),
+                             (by8 + half, bx8, half, cells, 1)]
+                else:
+                    rects = [(by8, bx8, cells, half, 0),
+                             (by8, bx8 + half, cells, half, 1)]
+                for (ry, rx, rh, rw, pu_idx) in rects:
+                    midx = int(fd.merge8[ry, rx])
+                    if midx >= 0:
+                        mlist = merge_list_pu_at(
+                            inter8, mv8, ry, rx, rh, rw, p, pu_idx,
+                            cells)
+                        v = mlist[midx]
+                    else:
+                        pair = amvp_pair_pu_at(
+                            inter8, mv8, ry, rx, rh, rw, p, pu_idx,
+                            cells)
+                        mvp = pair[int(fd.mvp8[ry, rx])]
+                        v = (mvp[0] + int(fd.mvd8[ry, rx, 0]),
+                             mvp[1] + int(fd.mvd8[ry, rx, 1]))
+                    mv8[ry:ry + rh, rx:rx + rw] = v
+    fd.mv8[:] = mv8
+
+
 def reconstruct_mvs(fd: FrameData, params: StreamParams,
                     poc: int = None, ref_deltas=None,
                     tctx=None) -> None:
@@ -320,6 +375,8 @@ def reconstruct_mvs(fd: FrameData, params: StreamParams,
     multiple L0 references (`ref_deltas` longer than 1) candidates
     carry ref indices and AMVP applies POC scaling (8.5.3.2.7).
     Fills fd.mv8 (and fd.ref8 for merge CUs) in place."""
+    if fd.part8 is not None and fd.part8.any():
+        return reconstruct_mvs_smp(fd, params)
     from kvazaar_tpu.encoder.geometry import make_intra_plan
     from kvazaar_tpu.encoder.inter_cands import (
         amvp_pair_at, amvp_pair_p_multiref_at, merge_list_at,
@@ -523,6 +580,7 @@ def reconstruct_parsed_p(fd: FrameData, params: StreamParams, qp: int,
     modes = fd.mode4[::s // 4, ::s // 4].astype(np.int32)
     inter_map = fd.inter8[::c8, ::c8].astype(bool)
     mv = fd.mv8[::c8, ::c8].astype(np.int32)
+    smp = fd.part8 is not None and fd.part8.any()
 
     refs = ref if isinstance(ref, list) else [ref]
     ref_grid = None
@@ -539,9 +597,15 @@ def reconstruct_parsed_p(fd: FrameData, params: StreamParams, qp: int,
         return jnp.asarray(np.stack(
             [np.asarray(r[idx], np.int32) for r in refs]))
 
-    mc_y, mc_cb, mc_cr = mc_planes(
-        stack(0), stack(1), stack(2),
-        jnp.asarray(mv), plan, params.bitdepth, ref_grid=ref_grid)
+    if smp:
+        from kvazaar_tpu.encoder.inter_search import mc_planes_cells
+        mc_y, mc_cb, mc_cr = mc_planes_cells(
+            stack(0), stack(1), stack(2),
+            jnp.asarray(fd.mv8.astype(np.int32)), params.bitdepth)
+    else:
+        mc_y, mc_cb, mc_cr = mc_planes(
+            stack(0), stack(1), stack(2),
+            jnp.asarray(mv), plan, params.bitdepth, ref_grid=ref_grid)
 
     lv_y = _blocks_by_step(fd.coeff_y, plan.luma, plan)
     lv_cb = lv_cr = None
@@ -560,7 +624,25 @@ def reconstruct_parsed_p(fd: FrameData, params: StreamParams, qp: int,
         lossless=params.transquant_bypass,
         scaling=_scaling_from_params(params), qp_map=qp_blk)
     rec_y, rec_cb, rec_cr = out
-    if params.deblock_enabled:
+    if params.deblock_enabled and smp:
+        from kvazaar_tpu.encoder.frame_encoder import \
+            compute_bs_maps_smp
+        cells = s // 8
+        cbf_blk = np.any(
+            fd.coeff_y.reshape(plan.blocks_y, s, plan.blocks_x, s) != 0,
+            axis=(1, 3))
+        cbf8 = np.kron(cbf_blk, np.ones((cells, cells), bool))
+        partc = np.kron(fd.part8[::cells, ::cells].astype(np.int32),
+                        np.ones((cells, cells), np.int32))
+        bs_v8, bs_h8 = compute_bs_maps_smp(
+            jnp.asarray(fd.inter8.astype(bool)), jnp.asarray(cbf8),
+            jnp.asarray(fd.mv8.astype(np.int32)), s,
+            part8=jnp.asarray(partc))
+        rec_y, rec_cb, rec_cr = deblock_frame(
+            rec_y, rec_cb, rec_cr, qp, 8, params.bitdepth,
+            params.deblock_beta_offset_div2,
+            params.deblock_tc_offset_div2, bs_v=bs_v8, bs_h=bs_h8)
+    elif params.deblock_enabled:
         cbf_blk = np.any(
             fd.coeff_y.reshape(plan.blocks_y, s, plan.blocks_x, s) != 0,
             axis=(1, 3))

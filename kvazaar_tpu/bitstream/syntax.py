@@ -82,6 +82,11 @@ class FrameData:
     # EFFECTIVE QP (prediction chain value where no cu_qp_delta was
     # coded because the CTU has no coded coefficients, 8.6.1).
     qp_ctu: np.ndarray = None      # (Cy, Cx) int32
+    # Inter partition mode per CU (at the CU marker cell): 0 = 2Nx2N,
+    # 1 = 2NxN, 2 = Nx2N (SMP; reference kvz_search_cu_smp,
+    # src/search_inter.c:1627).  Motion fields hold per-PU values at
+    # each PU's marker cell and are region-filled for derivation.
+    part8: np.ndarray = None       # (H/8, W/8) uint8
 
     @staticmethod
     def empty(width: int, height: int, chroma: bool = True) -> "FrameData":
@@ -114,6 +119,7 @@ class FrameData:
             tskip4=np.zeros((height // 4, width // 4), dtype=np.uint8),
             tskip_cb=np.zeros(g8, dtype=np.uint8),
             tskip_cr=np.zeros(g8, dtype=np.uint8),
+            part8=np.zeros(g8, dtype=np.uint8),
         )
 
 
@@ -217,6 +223,18 @@ class _SliceSyntaxBase:
                 [(cx, cy) for cy in range(cby[tr], cby[tr + 1])
                  for cx in range(cbx[tc], cbx[tc + 1])]
                 for tr in range(ty) for tc in range(tx)]
+
+    @staticmethod
+    def _pu_rects(x0, y0, size, part):
+        """PU rectangles (x, y, w, h) in pixels, decode order
+        (PART_2Nx2N / 2NxN / Nx2N)."""
+        if part == 1:
+            h = size >> 1
+            return [(x0, y0, size, h), (x0, y0 + h, size, h)]
+        if part == 2:
+            w = size >> 1
+            return [(x0, y0, w, size), (x0 + w, y0, w, size)]
+        return [(x0, y0, size, size)]
 
     def _tile_rows(self):
         """Tiles in raster order; each as a list of CTU rows, each row
@@ -674,9 +692,42 @@ class SliceDataEncoder(_SliceSyntaxBase):
         if k:
             self.c.encode_bypass_bins(value, k)
 
+    def _encode_pu_motion(self, c8x: int, c8y: int) -> None:
+        """One PU's motion syntax at its marker cell (P slices)."""
+        merge_idx = int(self.d.merge8[c8y, c8x])
+        if merge_idx >= 0:
+            self.c.encode_bin(self.ctx("merge_flag", 0), 1)
+            self._encode_merge_idx(merge_idx)
+            return
+        self.c.encode_bin(self.ctx("merge_flag", 0), 0)
+        if self.nref_l0 > 1:
+            self._encode_ref_idx(int(self.d.ref8[c8y, c8x]),
+                                 self.nref_l0)
+        self._encode_mvd(self.d.mvd8[c8y, c8x])
+        self.c.encode_bin(self.ctx("mvp_idx", 0),
+                          int(self.d.mvp8[c8y, c8x]))
+
     def _encode_inter_cu(self, x0, y0, log2_size) -> None:
         c8y, c8x = y0 >> 3, x0 >> 3
-        self.c.encode_bin(self.ctx("part_size", 0), 1)   # PART_2Nx2N
+        part = int(self.d.part8[c8y, c8x]) \
+            if self.d.part8 is not None else 0
+        # part_mode, Table 9-34 (inter, no AMP, NxN disallowed):
+        # 2Nx2N "1", 2NxN "01", Nx2N "00"; bin0 ctx0, bin1 ctx1.
+        self.c.encode_bin(self.ctx("part_size", 0),
+                          1 if part == 0 else 0)
+        if part:
+            self.c.encode_bin(self.ctx("part_size", 1),
+                              1 if part == 1 else 0)
+            for pu_idx, (px, py, _pw, _ph) in enumerate(
+                    self._pu_rects(x0, y0, 1 << log2_size, part)):
+                self._encode_pu_motion(px >> 3, py >> 3)
+            # rqt_root_cbf is always coded for non-2Nx2N inter CUs
+            # (7.3.8.5 codes it unless PartMode==2Nx2N && merge_flag).
+            root = self._root_cbf(x0, y0, log2_size)
+            self.c.encode_bin(self.ctx("qt_root_cbf", 0), root)
+            if root:
+                self.transform_tree(x0, y0, log2_size, 0)
+            return
         merge_idx = int(self.d.merge8[c8y, c8x])
         if merge_idx >= 0:
             self.c.encode_bin(self.ctx("merge_flag", 0), 1)
@@ -1362,11 +1413,32 @@ class SliceDataDecoder(_SliceSyntaxBase):
             value += self.c.decode_bypass_bins(k)
         return value
 
+    def _decode_pu_motion(self, c8x: int, c8y: int) -> None:
+        if self.c.decode_bin(self.ctx("merge_flag", 0)):
+            self.d.merge8[c8y, c8x] = self._decode_merge_idx()
+            return
+        self.d.merge8[c8y, c8x] = -1
+        if self.nref_l0 > 1:
+            self.d.ref8[c8y, c8x] = self._decode_ref_idx(self.nref_l0)
+        self.d.mvd8[c8y, c8x] = self._decode_mvd()
+        self.d.mvp8[c8y, c8x] = self.c.decode_bin(
+            self.ctx("mvp_idx", 0))
+
     def _decode_inter_cu(self, x0, y0, log2_size) -> None:
         c8y, c8x = y0 >> 3, x0 >> 3
-        part = self.c.decode_bin(self.ctx("part_size", 0))
-        if part != 1:
-            raise NotImplementedError("non-2Nx2N inter not in v1 subset")
+        if not self.c.decode_bin(self.ctx("part_size", 0)):
+            # SMP: "01" = 2NxN, "00" = Nx2N (Table 9-34, no AMP).
+            part = 1 if self.c.decode_bin(self.ctx("part_size", 1)) \
+                else 2
+            if self.d.part8 is not None:
+                self.d.part8[c8y, c8x] = part
+            for px, py, _w, _h in self._pu_rects(
+                    x0, y0, 1 << log2_size, part):
+                self._decode_pu_motion(px >> 3, py >> 3)
+            root = self.c.decode_bin(self.ctx("qt_root_cbf", 0))
+            if root:
+                self.transform_tree(x0, y0, log2_size, 0)
+            return
         if self.c.decode_bin(self.ctx("merge_flag", 0)):
             self.d.merge8[c8y, c8x] = self._decode_merge_idx()
             root = 1                      # inferred for 2Nx2N merge

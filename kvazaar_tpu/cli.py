@@ -64,6 +64,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--me-range", type=int, default=None)
     ap.add_argument("--subme", type=int, default=None,
                     help="0 = integer-pel only, >0 = half+quarter")
+    ap.add_argument("--smp", action="store_true",
+                    help="enable 2NxN/Nx2N inter partitions")
     ap.add_argument("--tiles", default=None, metavar="WxH",
                     help="uniform tile grid, e.g. 3x3; combines with "
                          "WPP (one substream per CTU row per tile)")
@@ -142,6 +144,8 @@ def main(argv=None) -> int:
             setattr(cfg, key, v)
     if args.subme is not None:
         cfg.me_subpel = args.subme > 0
+    if args.smp:
+        cfg.smp = True
     if args.no_wpp:
         cfg.wpp = False
     if args.no_deblock:

@@ -54,6 +54,9 @@ class Config:
     # Motion estimation.
     me_range: int = 16         # full-search window radius (TPU: exhaustive)
     me_subpel: bool = True
+    # SMP inter partitions (PART_2NxN / PART_Nx2N; reference --smp,
+    # kvz_search_cu_smp src/search_inter.c:1627).  P slices, one ref.
+    smp: bool = False
     # Temporal MVP (sps_temporal_mvp_enabled_flag; reference --mv-constraint
     # era default on).  Implemented for low-delay P slices.
     tmvp: bool = False
@@ -146,7 +149,7 @@ class Config:
             return False
         if (self.tiles_x, self.tiles_y) != (1, 1):
             return False
-        if self.slices != "none":
+        if self.slices != "none" or self.smp:
             return False
         return True
 
@@ -294,6 +297,21 @@ class Config:
                                  "implemented")
         if self.aq < 0 or self.aq > 3:
             raise ValueError("aq strength must be in [0, 3]")
+        if self.smp:
+            if self.ref_frames > 1 or self.lp_gop is not None \
+                    or self.tmvp:
+                raise ValueError("SMP with multi-ref / TMVP is not "
+                                 "implemented")
+            if self.gop_len > 1:
+                raise ValueError("SMP with B pyramids is not "
+                                 "implemented (P slices only)")
+            if (self.intra_min_cu != self.intra_max_cu
+                    or self.intra_max_cu < 16):
+                raise ValueError("SMP requires a fixed CU size >= 16")
+            if (self.tiles_x, self.tiles_y) != (1, 1):
+                raise ValueError("SMP with tiles is not implemented")
+            if self.roi is not None or self.aq > 0:
+                raise ValueError("SMP with ROI/AQ is not implemented")
         if self.source_scan_type not in (0, 1, 2):
             raise ValueError("source_scan_type must be 0/1/2 "
                              "(progressive/tff/bff)")

@@ -165,36 +165,78 @@ class PFrameMixin:
                 modes, intra_cost = search_frame_modes(
                     yp, self.plan, self.lambda_satd, self.bitdepth,
                     two_pass=self.cfg.rd >= 1)
-                mvs, costs = [], []
-                for ri in range(nref):
-                    mv_r, c_r = search_inter_frame(
-                        yp, refs_y[ri].astype(jnp.int32), self.plan,
+                part = mv_pu = mv_cells = None
+                if self.cfg.smp:
+                    from kvazaar_tpu.encoder.inter_search import (
+                        mc_planes_cells, search_inter_frame_smp)
+                    part, mv_pu, inter_cost = search_inter_frame_smp(
+                        yp, refs_y[0].astype(jnp.int32), self.plan,
                         self.lambda_me, self.cfg.me_range,
                         self.bitdepth, subpel=self.cfg.me_subpel)
-                    rb = 0 if nref == 1 else \
-                        (ri + 1 if ri < nref - 1 else ri)
-                    mvs.append(mv_r)
-                    costs.append(c_r + self.lambda_me * rb)
-                costs = jnp.stack(costs)
-                mvs = jnp.stack(mvs)
-                sel = jnp.argmin(costs, axis=0).astype(jnp.int32)
-                idx = jnp.broadcast_to(sel[None, ..., None],
-                                       (1,) + sel.shape + (2,))
-                mv = jnp.take_along_axis(mvs, idx, axis=0)[0]
-                inter_cost = jnp.min(costs, axis=0)
-                # Mode decision on device (slight inter bias covers
-                # un-modeled merge savings, frame_encoder legacy 1.02).
-                inter_map = inter_cost <= intra_cost * 1.02
-                mv = jnp.where(inter_map[..., None], mv,
-                               0).astype(jnp.int32)
-                ref_sel = jnp.where(inter_map, sel, 0)
-                mc_y, mc_cb, mc_cr = mc_planes(
-                    refs_y.astype(jnp.int32),
-                    None if refs_cb is None else
-                    refs_cb.astype(jnp.int32),
-                    None if refs_cr is None else
-                    refs_cr.astype(jnp.int32),
-                    mv, self.plan, self.bitdepth, ref_grid=ref_sel)
+                    inter_map = inter_cost <= intra_cost * 1.02
+                    part = jnp.where(inter_map, part, 0)
+                    mv_pu = jnp.where(inter_map[..., None, None],
+                                      mv_pu, 0).astype(jnp.int32)
+                    # Cell-granularity motion field: PU1 region select.
+                    cells = self.cu // 8
+                    half = cells // 2
+
+                    def up(a):
+                        return jnp.repeat(jnp.repeat(a, cells, 0),
+                                          cells, 1)
+
+                    h8 = self.coded_h // 8
+                    w8 = self.coded_w // 8
+                    row_in = (jnp.arange(h8) % cells)[:, None]
+                    col_in = (jnp.arange(w8) % cells)[None, :]
+                    partc = up(part)
+                    pu1 = ((partc == 1) & (row_in >= half)) | \
+                        ((partc == 2) & (col_in >= half))
+                    mv_cells = jnp.where(
+                        pu1[..., None], up(mv_pu[:, :, 1]),
+                        up(mv_pu[:, :, 0]))
+                    mv = mv_pu[:, :, 0]      # block-grid rep for SSE
+                    ref_sel = jnp.zeros_like(part)
+                    mc_y, mc_cb, mc_cr = mc_planes_cells(
+                        refs_y[0].astype(jnp.int32),
+                        None if refs_cb is None else
+                        refs_cb[0].astype(jnp.int32),
+                        None if refs_cr is None else
+                        refs_cr[0].astype(jnp.int32),
+                        mv_cells, self.bitdepth)
+                else:
+                    mvs, costs = [], []
+                    for ri in range(nref):
+                        mv_r, c_r = search_inter_frame(
+                            yp, refs_y[ri].astype(jnp.int32),
+                            self.plan, self.lambda_me,
+                            self.cfg.me_range, self.bitdepth,
+                            subpel=self.cfg.me_subpel)
+                        rb = 0 if nref == 1 else \
+                            (ri + 1 if ri < nref - 1 else ri)
+                        mvs.append(mv_r)
+                        costs.append(c_r + self.lambda_me * rb)
+                    costs = jnp.stack(costs)
+                    mvs = jnp.stack(mvs)
+                    sel = jnp.argmin(costs, axis=0).astype(jnp.int32)
+                    idx = jnp.broadcast_to(sel[None, ..., None],
+                                           (1,) + sel.shape + (2,))
+                    mv = jnp.take_along_axis(mvs, idx, axis=0)[0]
+                    inter_cost = jnp.min(costs, axis=0)
+                    # Mode decision on device (slight inter bias covers
+                    # un-modeled merge savings, legacy 1.02).
+                    inter_map = inter_cost <= intra_cost * 1.02
+                    mv = jnp.where(inter_map[..., None], mv,
+                                   0).astype(jnp.int32)
+                    ref_sel = jnp.where(inter_map, sel, 0)
+                    mc_y, mc_cb, mc_cr = mc_planes(
+                        refs_y.astype(jnp.int32),
+                        None if refs_cb is None else
+                        refs_cb.astype(jnp.int32),
+                        None if refs_cr is None else
+                        refs_cr.astype(jnp.int32),
+                        mv, self.plan, self.bitdepth,
+                        ref_grid=ref_sel)
                 qp_blk_b = None if qp_ctu is None else \
                     self._qp_blk_of(qp_ctu[None])
                 rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr = \
@@ -223,13 +265,29 @@ class PFrameMixin:
                     rec_cr, lv_cr = rec_cr[0], lv_cr[0]
                 cbf_blk = jnp.any(lv_y != 0, axis=(-1, -2)).reshape(
                     self.plan.blocks_y, self.plan.blocks_x)
-                if self.cfg.deblock:
+                if self.cfg.deblock and self.cfg.smp:
+                    cells = self.cu // 8
+
+                    def up(a):
+                        return jnp.repeat(jnp.repeat(a, cells, 0),
+                                          cells, 1)
+
+                    bs_v8, bs_h8 = compute_bs_maps_smp(
+                        up(inter_map), up(cbf_blk), mv_cells, self.cu,
+                        part8=up(part))
+                    dy, dcb, dcr = deblock_frame(
+                        rec_y, rec_cb, rec_cr, self.cfg.qp, 8,
+                        self.bitdepth, bs_v=bs_v8, bs_h=bs_h8,
+                        qp_map=None if dqp_blk is None else
+                        up(dqp_blk))
+                elif self.cfg.deblock:
                     bs_v, bs_h = compute_bs_maps(inter_map, cbf_blk,
                                                  mv, ref=ref_sel)
                     dy, dcb, dcr = deblock_frame(
                         rec_y, rec_cb, rec_cr, self.cfg.qp, self.cu,
                         self.bitdepth, bs_v=bs_v, bs_h=bs_h,
                         qp_map=dqp_blk)
+                if self.cfg.deblock:
                     rdt = jnp.uint8 if self.bitdepth <= 8 else \
                         jnp.uint16
                     rec_y = dy.astype(rdt)
@@ -248,7 +306,8 @@ class PFrameMixin:
                      sse(rec_cr, crp) if crp is not None else
                      jnp.float32(0)])
                 packed = self._p_pack(lv_y, lv_cb, lv_cr, modes,
-                                      inter_map, ref_sel, mv, sses)
+                                      inter_map, ref_sel, mv, sses,
+                                      part=part, mv_pu=mv_pu)
                 return (packed, (lv_y, lv_cb, lv_cr),
                         (rec_y, rec_cb, rec_cr))
 
@@ -261,9 +320,10 @@ class PFrameMixin:
         return self._p_fused_cache[key]
 
     def _p_pack(self, lv_y, lv_cb, lv_cr, modes, inter_map, ref_sel,
-                mv, sses):
+                mv, sses, part=None, mv_pu=None):
         """One transfer buffer: [lv i8 ...][modes u8][inter u8]
-        [ref u8][mv i16][meta: overflow i32, sse f32 x3]."""
+        [ref u8][mv i16 | part u8 + mv_pu i16][meta: overflow i32,
+        sse f32 x3]."""
         u8 = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint8)
         parts = []
         overflow = jnp.int32(0)
@@ -277,7 +337,11 @@ class PFrameMixin:
         parts.append(modes.astype(jnp.uint8).reshape(-1))
         parts.append(inter_map.astype(jnp.uint8).reshape(-1))
         parts.append(ref_sel.astype(jnp.uint8).reshape(-1))
-        parts.append(u8(mv.astype(jnp.int16)).reshape(-1))
+        if part is not None:
+            parts.append(part.astype(jnp.uint8).reshape(-1))
+            parts.append(u8(mv_pu.astype(jnp.int16)).reshape(-1))
+        else:
+            parts.append(u8(mv.astype(jnp.int16)).reshape(-1))
         parts.append(u8(overflow[None]).reshape(-1))
         parts.append(u8(sses).reshape(-1))
         return jnp.concatenate(parts)
@@ -286,10 +350,13 @@ class PFrameMixin:
         s = self.cu
         nb = self.plan.blocks_y * self.plan.blocks_x
         by, bx = self.plan.blocks_y, self.plan.blocks_x
+        smp = self.cfg.smp
         sizes = [nb * s * s]
         if self.chroma:
             sizes += [nb * (s // 2) ** 2] * 2
-        sizes += [nb, nb, nb, nb * 4, 4, 12]
+        sizes += [nb, nb, nb]
+        sizes += [nb, nb * 8] if smp else [nb * 4]
+        sizes += [4, 12]
         offs = np.cumsum([0] + sizes)
         out_lv = []
         k = 0
@@ -305,12 +372,25 @@ class PFrameMixin:
                                                         bx).astype(bool)
         ref_sel = buf[offs[k + 2]:offs[k + 3]].reshape(
             by, bx).astype(np.int32)
-        mv = buf[offs[k + 3]:offs[k + 4]].copy().view(np.int16) \
-            .astype(np.int32).reshape(by, bx, 2)
-        overflow = int(buf[offs[k + 4]:offs[k + 5]].copy()
+        k += 3
+        part = None
+        mv_pu = None
+        if smp:
+            part = buf[offs[k]:offs[k + 1]].reshape(
+                by, bx).astype(np.int32)
+            mv_pu = buf[offs[k + 1]:offs[k + 2]].copy() \
+                .view(np.int16).astype(np.int32).reshape(by, bx, 2, 2)
+            mv = mv_pu[:, :, 0]
+            k += 2
+        else:
+            mv = buf[offs[k]:offs[k + 1]].copy().view(np.int16) \
+                .astype(np.int32).reshape(by, bx, 2)
+            k += 1
+        overflow = int(buf[offs[k]:offs[k + 1]].copy()
                        .view(np.int32)[0])
-        sses = buf[offs[k + 5]:].copy().view(np.float32)
-        return out_lv, modes, inter_map, ref_sel, mv, overflow, sses
+        sses = buf[offs[k + 1]:].copy().view(np.float32)
+        return (out_lv, modes, inter_map, ref_sel, mv, overflow, sses,
+                part, mv_pu)
 
     def submit_p(self, y, cb, cr, refs, qp_ctu=None):
         """Dispatch the fused P program (async).  refs: [(ref_poc,
@@ -358,22 +438,29 @@ class PFrameMixin:
         shape."""
         packed_np, dense, recs = downloaded
         (lv_y, lv_cb, lv_cr), modes, inter_map, ref_sel, mv, \
-            overflow, sses = self._p_unpack(packed_np)
+            overflow, sses, part, mv_pu = self._p_unpack(packed_np)
         if overflow > 0:
             lv_y = np.asarray(dense[0]).astype(np.int32)
             if self.chroma:
                 lv_cb = np.asarray(dense[1]).astype(np.int32)
                 lv_cr = np.asarray(dense[2]).astype(np.int32)
         nref = len(ref_pocs)
-        if not multi:
-            merge_idx, mvp_idx, mvd = self._merge_amvp_fast(inter_map,
-                                                            mv)
+        if self.cfg.smp:
+            mv8, merge8, mvp8, mvd8 = self._merge_amvp_smp(
+                inter_map, part, mv_pu)
+            fd = self._assemble_p_frame_data_smp(
+                modes, inter_map, part, mv8, merge8, mvp8, mvd8,
+                lv_y, lv_cb, lv_cr)
         else:
-            merge_idx, mvp_idx, mvd = self._merge_amvp_multi(
-                inter_map, ref_sel, mv, nref, poc, ref_pocs, tctx)
-        fd = self._assemble_p_frame_data(
-            modes, inter_map, mv, merge_idx, mvp_idx, mvd, lv_y,
-            lv_cb, lv_cr, ref_sel=ref_sel if multi else None)
+            if not multi:
+                merge_idx, mvp_idx, mvd = self._merge_amvp_fast(
+                    inter_map, mv)
+            else:
+                merge_idx, mvp_idx, mvd = self._merge_amvp_multi(
+                    inter_map, ref_sel, mv, nref, poc, ref_pocs, tctx)
+            fd = self._assemble_p_frame_data(
+                modes, inter_map, mv, merge_idx, mvp_idx, mvd, lv_y,
+                lv_cb, lv_cr, ref_sel=ref_sel if multi else None)
         if qp_ctu is not None:
             fd.qp_ctu = np.asarray(qp_ctu, np.int32).copy()
         deltas = [poc - rp for rp in ref_pocs]
@@ -396,6 +483,88 @@ class PFrameMixin:
             recon_cr=rec_np[2], frame_data=fd, bits=len(nal) * 8,
             sse=tuple(float(v) for v in sses))
         return res, recs
+
+    def _cu_decode_order(self):
+        """Fixed-grid CU decode order: CTUs in raster order, CUs in
+        z-order within each CTU (6.5.1)."""
+        from kvazaar_tpu.encoder.geometry import z_order_index
+        by, bx = self.plan.blocks_y, self.plan.blocks_x
+        per_ctu = max(64 // self.cu, 1)
+        zs = sorted(((z_order_index(zx, zy), zy, zx)
+                     for zy in range(per_ctu)
+                     for zx in range(per_ctu)))
+        order = []
+        for ty in range(-(-by // per_ctu)):
+            for tx in range(-(-bx // per_ctu)):
+                for _z, zy, zx in zs:
+                    cy, cx = ty * per_ctu + zy, tx * per_ctu + zx
+                    if cy < by and cx < bx:
+                        order.append((cy, cx))
+        return order
+
+    def _merge_amvp_smp(self, inter_map, part, mv_pu):
+        """Per-PU merge/AMVP signalling for SMP frames: scalar CU loop
+        in decode order over the 8-cell motion field (PU-level
+        candidate rules of inter_cands.merge_list_pu_at / 6.4.2).
+
+        Returns (mv8 cell field, merge8, mvp8, mvd8) — motion at PU
+        marker cells, mv8 region-filled."""
+        from kvazaar_tpu.encoder.inter_cands import (amvp_pair_pu_at,
+                                                     merge_list_pu_at)
+        cells = self.cu // 8
+        by, bx = inter_map.shape
+        h8, w8 = by * cells, bx * cells
+        inter8 = np.kron(inter_map, np.ones((cells, cells), bool))
+        half = cells // 2
+        # Final cell-granularity motion field (candidates only read
+        # decode-order-previous cells, enforced by _pu_nbr).
+        partc = np.kron(part, np.ones((cells, cells), np.int32))
+        ri = np.arange(h8)[:, None] % cells
+        ci = np.arange(w8)[None, :] % cells
+        pu1 = ((partc == 1) & (ri >= half)) | \
+            ((partc == 2) & (ci >= half))
+        up0 = np.kron(mv_pu[:, :, 0],
+                      np.ones((cells, cells, 1),
+                              np.int32)).reshape(h8, w8, 2)
+        up1 = np.kron(mv_pu[:, :, 1],
+                      np.ones((cells, cells, 1),
+                              np.int32)).reshape(h8, w8, 2)
+        mv8 = np.where(pu1[..., None], up1, up0)
+        mv8 = np.where(inter8[..., None], mv8, 0)
+        merge8 = np.full((h8, w8), -1, np.int32)
+        mvp8 = np.zeros((h8, w8), np.uint8)
+        mvd8 = np.zeros((h8, w8, 2), np.int32)
+        for (cy, cx) in self._cu_decode_order():
+            if not inter_map[cy, cx]:
+                continue
+            p = int(part[cy, cx])
+            by8, bx8 = cy * cells, cx * cells
+            if p == 0:
+                rects = [(by8, bx8, cells, cells, 0)]
+            elif p == 1:
+                rects = [(by8, bx8, half, cells, 0),
+                         (by8 + half, bx8, half, cells, 1)]
+            else:
+                rects = [(by8, bx8, cells, half, 0),
+                         (by8, bx8 + half, cells, half, 1)]
+            for (ry, rx, rh, rw, pu_idx) in rects:
+                mine = (int(mv8[ry, rx, 0]), int(mv8[ry, rx, 1]))
+                mlist = merge_list_pu_at(inter8, mv8, ry, rx, rh, rw,
+                                         p, pu_idx, cells)
+                if mine in mlist:
+                    merge8[ry, rx] = mlist.index(mine)
+                    continue
+                pair = amvp_pair_pu_at(inter8, mv8, ry, rx, rh, rw,
+                                       p, pu_idx, cells)
+                d0 = abs(mine[0] - pair[0][0]) + abs(mine[1]
+                                                     - pair[0][1])
+                d1 = abs(mine[0] - pair[1][0]) + abs(mine[1]
+                                                     - pair[1][1])
+                i = 1 if d1 < d0 else 0
+                mvp8[ry, rx] = i
+                mvd8[ry, rx] = (mine[0] - pair[i][0],
+                                mine[1] - pair[i][1])
+        return mv8, merge8, mvp8, mvd8
 
     def _merge_amvp_fast(self, inter_map, mv):
         """Vectorized single-ref merge/AMVP signalling decisions (all
@@ -482,6 +651,48 @@ class PFrameMixin:
             qp_ctu=qp_ctu)
         self._dpb = recs
         return res
+
+    def _assemble_p_frame_data_smp(self, modes, inter_map, part, mv8,
+                                   merge8, mvp8, mvd8, lv_y, lv_cb,
+                                   lv_cr):
+        """FrameData for an SMP P frame: part mode + PU-marker motion
+        on the 8-cell grid."""
+        s = self.cu
+        cells = s // 8
+        fd = FrameData.empty(self.coded_w, self.coded_h, self.chroma)
+        fd.depth8[:] = 6 - int(math.log2(s))
+        fd.mode4[:] = np.kron(modes.astype(np.uint8),
+                              np.ones((s // 4, s // 4), np.uint8))
+        fd.coeff_y[:] = blocks_to_plane(lv_y, self.plan, s,
+                                        self.coded_w, self.coded_h)
+        if self.chroma:
+            fd.coeff_cb[:] = blocks_to_plane(lv_cb, self.plan, s // 2,
+                                             self.coded_w // 2,
+                                             self.coded_h // 2)
+            fd.coeff_cr[:] = blocks_to_plane(lv_cr, self.plan, s // 2,
+                                             self.coded_w // 2,
+                                             self.coded_h // 2)
+        ones = np.ones((cells, cells), np.uint8)
+        fd.inter8[:] = np.kron(inter_map.astype(np.uint8), ones)
+        fd.mv8[:] = mv8
+        fd.part8[::cells, ::cells] = np.where(inter_map, part,
+                                              0).astype(np.uint8)
+        fd.merge8[:] = np.clip(merge8, -1, 4).astype(np.int8)
+        fd.mvp8[:] = mvp8
+        fd.mvd8[:] = mvd8
+        # Skip: 2Nx2N merge CUs with no coefficients anywhere.
+        by, bx = inter_map.shape
+        czero = ~np.any(fd.coeff_y.reshape(by, s, bx, s), axis=(1, 3))
+        if self.chroma:
+            s2 = s // 2
+            czero &= ~np.any(fd.coeff_cb.reshape(by, s2, bx, s2),
+                             axis=(1, 3))
+            czero &= ~np.any(fd.coeff_cr.reshape(by, s2, bx, s2),
+                             axis=(1, 3))
+        skip = (inter_map & (part == 0)
+                & (merge8[::cells, ::cells] >= 0) & czero)
+        fd.skip8[:] = np.kron(skip.astype(np.uint8), ones)
+        return fd
 
     def _assemble_p_frame_data(self, modes, inter_map, mv, merge_idx,
                                mvp_idx, mvd, lv_y, lv_cb, lv_cr,
@@ -853,6 +1064,7 @@ class PFrameMixin:
         if _NATIVE_OK and not self.params.transquant_bypass \
                 and not self.params.cu_qp_delta \
                 and self.params.slices == "none" \
+                and not self.cfg.smp \
                 and not self.params.tiles_enabled and nref == 1:
             # Single-frame path: row-parallel CABAC (the batch paths
             # instead parallelize across frames in the host pool).
@@ -1822,6 +2034,53 @@ def compute_bs_maps_b(is_inter, cbf_luma_blk, dirs, mv0, mv1):
     bs_h = bs_h.at[1:, :].set(
         edge((slice(0, by - 1), slice(None)),
              (slice(1, by), slice(None))))
+    return bs_v, bs_h
+
+
+def compute_bs_maps_smp(inter8, cbf8, mv_cells, cu: int, part8=None):
+    """8-grid boundary strengths for SMP frames (8.7.2.4): full rules
+    at CU/TU edges (every cu-multiple), the MV-difference rule at SMP
+    PU edges inside inter CUs, 0 elsewhere (internal non-boundary
+    edges are never filtered).
+
+    inter8/cbf8: (h8, w8) bool CU-filled; mv_cells: (h8, w8, 2) qpel;
+    part8: (h8, w8) int32 CU-filled part mode."""
+    cells = cu // 8
+    h8, w8 = inter8.shape
+    intra8 = ~inter8
+    xi = jnp.arange(w8)
+    yi = jnp.arange(h8)
+
+    def edge(sl_a, sl_b, is_cu_edge, is_pu_edge):
+        a_i, b_i = intra8[sl_a], intra8[sl_b]
+        cbf = cbf8[sl_a] | cbf8[sl_b]
+        mvd = jnp.any(jnp.abs(mv_cells[sl_a] - mv_cells[sl_b]) >= 4,
+                      axis=-1)
+        bs = jnp.where(a_i | b_i, 2,
+                       jnp.where(cbf | mvd, 1, 0)).astype(jnp.int32)
+        bs_pu = jnp.where(mvd, 1, 0)
+        return jnp.where(is_cu_edge, bs,
+                         jnp.where(is_pu_edge, bs_pu, 0))
+
+    # Vertical edges at x = j*8 (j >= 1).
+    cu_v = ((xi % cells) == 0)[None, 1:w8]
+    pu_v = jnp.zeros((h8, w8), bool)
+    pu_h = jnp.zeros((h8, w8), bool)
+    if part8 is not None and cells > 1:
+        half = cells // 2
+        pu_v = (part8 == 2) & (((xi % cells) == half)[None, :]) \
+            & inter8
+        pu_h = (part8 == 1) & (((yi % cells) == half)[:, None]) \
+            & inter8
+    bs_v = jnp.zeros((h8, w8), jnp.int32)
+    bs_h = jnp.zeros((h8, w8), jnp.int32)
+    bs_v = bs_v.at[:, 1:].set(edge(
+        (slice(None), slice(0, w8 - 1)), (slice(None), slice(1, w8)),
+        cu_v, pu_v[:, 1:]))
+    cu_h = ((yi % cells) == 0)[1:h8, None]
+    bs_h = bs_h.at[1:, :].set(edge(
+        (slice(0, h8 - 1), slice(None)), (slice(1, h8), slice(None)),
+        cu_h, pu_h[1:, :]))
     return bs_v, bs_h
 
 

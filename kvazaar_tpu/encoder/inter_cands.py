@@ -495,3 +495,102 @@ def amvp_pair_p_multiref_at(inter_map, refs, mv, avail, by, bx,
     while len(out) < 2:
         out.append((0, 0))
     return out
+
+
+# ---------------------------------------------------------------------
+# PU-level derivation (SMP: PART_2NxN / PART_Nx2N) on the 8x8 cell
+# grid — the reference's per-PU neighbor positions
+# (get_spatial_merge_candidates, src/inter.c:799) with the prediction-
+# block availability rules of 6.4.2 (same-CU neighbors unavailable,
+# z-scan decode-order precedence otherwise).
+# ---------------------------------------------------------------------
+
+def _cu_decode_key(cy8: int, cx8: int, cu_cells: int):
+    """Decode-order key of the CU containing 8-cell (cy8, cx8):
+    (CTU raster index, z index within the CTU)."""
+    from kvazaar_tpu.encoder.geometry import z_order_index
+    ctu_y, ctu_x = cy8 // 8, cx8 // 8
+    zy = (cy8 % 8) // cu_cells
+    zx = (cx8 % 8) // cu_cells
+    return (ctu_y, ctu_x, z_order_index(zx, zy))
+
+
+def _pu_nbr(inter8, mv8, ny: int, nx: int, cur_key, cu_cells: int,
+            ref8=None):
+    """Motion of the PU covering cell (ny, nx), or None (availability:
+    inside picture, decoded before the current CU, not in the current
+    CU — 6.4.2 — and inter-coded)."""
+    h8, w8 = inter8.shape
+    if ny < 0 or nx < 0 or ny >= h8 or nx >= w8:
+        return None
+    if _cu_decode_key(ny, nx, cu_cells) >= cur_key:
+        return None
+    if not inter8[ny, nx]:
+        return None
+    m = (int(mv8[ny, nx, 0]), int(mv8[ny, nx, 1]))
+    if ref8 is None:
+        return m
+    return (int(ref8[ny, nx]), m)
+
+
+def merge_list_pu_at(inter8, mv8, by8: int, bx8: int, ph8: int,
+                     pw8: int, part: int, pu_idx: int, cu_cells: int,
+                     ref8=None):
+    """Merge candidate list for one PU at 8-cell rect (by8, bx8,
+    ph8, pw8).  part: 0=2Nx2N, 1=2NxN, 2=Nx2N; pu_idx 0/1.
+    Candidates are MV tuples (or (ref, mv) with ref8).  The 2NxN
+    PU1/B1 and Nx2N PU1/A1 exclusions ride the same-CU availability
+    rule (their cells are in the current CU)."""
+    key = _cu_decode_key(by8 if not (part == 1 and pu_idx) else
+                         by8 - ph8,
+                         bx8 if not (part == 2 and pu_idx) else
+                         bx8 - pw8, cu_cells)
+    a1 = _pu_nbr(inter8, mv8, by8 + ph8 - 1, bx8 - 1, key, cu_cells,
+                 ref8)
+    b1 = _pu_nbr(inter8, mv8, by8 - 1, bx8 + pw8 - 1, key, cu_cells,
+                 ref8)
+    b0 = _pu_nbr(inter8, mv8, by8 - 1, bx8 + pw8, key, cu_cells, ref8)
+    a0 = _pu_nbr(inter8, mv8, by8 + ph8, bx8 - 1, key, cu_cells, ref8)
+    b2 = _pu_nbr(inter8, mv8, by8 - 1, bx8 - 1, key, cu_cells, ref8)
+    out = []
+    if a1 is not None:
+        out.append(a1)
+    if b1 is not None and b1 != a1:
+        out.append(b1)
+    if b0 is not None and b0 != b1:
+        out.append(b0)
+    if a0 is not None and a0 != a1:
+        out.append(a0)
+    if len(out) < 4 and b2 is not None and b2 != a1 and b2 != b1:
+        out.append(b2)
+    zero = (0, (0, 0)) if ref8 is not None else (0, 0)
+    while len(out) < MAX_MERGE_CANDS:
+        out.append(zero)
+    return out
+
+
+def amvp_pair_pu_at(inter8, mv8, by8: int, bx8: int, ph8: int,
+                    pw8: int, part: int, pu_idx: int, cu_cells: int):
+    """AMVP pair for one PU (8.5.3.2.6 with one L0 reference: no
+    scaling; A = below-left else left, B = above-right else above else
+    above-left)."""
+    key = _cu_decode_key(by8 if not (part == 1 and pu_idx) else
+                         by8 - ph8,
+                         bx8 if not (part == 2 and pu_idx) else
+                         bx8 - pw8, cu_cells)
+    a = _pu_nbr(inter8, mv8, by8 + ph8, bx8 - 1, key, cu_cells)
+    if a is None:
+        a = _pu_nbr(inter8, mv8, by8 + ph8 - 1, bx8 - 1, key, cu_cells)
+    b = _pu_nbr(inter8, mv8, by8 - 1, bx8 + pw8, key, cu_cells)
+    if b is None:
+        b = _pu_nbr(inter8, mv8, by8 - 1, bx8 + pw8 - 1, key, cu_cells)
+    if b is None:
+        b = _pu_nbr(inter8, mv8, by8 - 1, bx8 - 1, key, cu_cells)
+    out = []
+    if a is not None:
+        out.append(a)
+    if b is not None and (a is None or b != a):
+        out.append(b)
+    while len(out) < 2:
+        out.append((0, 0))
+    return out

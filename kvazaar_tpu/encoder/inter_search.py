@@ -231,3 +231,165 @@ def mc_planes(ref_y, ref_cb, ref_cr, mv, plan: IntraFramePlan,
     out_cb = blocks_to_plane_j(pcb, s2, plan.height // 2, plan.width // 2)
     out_cr = blocks_to_plane_j(pcr, s2, plan.height // 2, plan.width // 2)
     return out_y, out_cb, out_cr
+
+
+def mc_planes_cells(ref_y, ref_cb, ref_cr, mv_cells, bitdepth: int = 8):
+    """Full-frame MC driven by an 8x8-cell motion field (h8, w8, 2) —
+    serves every PU shape uniformly (interpolation is position-
+    independent, so per-cell MC is bit-identical to per-PU MC).
+    Returns (pred_y (H, W), pred_cb, pred_cr)."""
+    from kvazaar_tpu.ops.inter import mc_chroma, uni_round
+    h8, w8 = mv_cells.shape[:2]
+    n = h8 * w8
+    ys, xs = np.mgrid[0:h8, 0:w8]
+    x0s = jnp.asarray((xs * 8).reshape(-1))
+    y0s = jnp.asarray((ys * 8).reshape(-1))
+    mvs = mv_cells.reshape(n, 2)
+    py = uni_round(_luma_hp_blocks(ref_y, x0s, y0s, mvs, 8, bitdepth),
+                   bitdepth)
+
+    def to_plane(blocks, size, h, w):
+        g = blocks.reshape(h8, w8, size, size).transpose(0, 2, 1, 3)
+        return g.reshape(h, w)
+
+    out_y = to_plane(py, 8, h8 * 8, w8 * 8)
+    if ref_cb is None:
+        return out_y, None, None
+    pcb = mc_chroma(ref_cb, x0s // 2, y0s // 2, mvs, 4, bitdepth)
+    pcr = mc_chroma(ref_cr, x0s // 2, y0s // 2, mvs, 4, bitdepth)
+    return (out_y, to_plane(pcb, 4, h8 * 4, w8 * 4),
+            to_plane(pcr, 4, h8 * 4, w8 * 4))
+
+
+def search_inter_frame_smp(cur, ref, plan: IntraFramePlan,
+                           lambda_satd: float, me_range: int,
+                           bitdepth: int = 8, subpel: bool = True):
+    """ME + partition decision over {2Nx2N, 2NxN, Nx2N} — the
+    reference's SMP search (kvz_search_cu_smp, src/search_inter.c:1627)
+    recast as quadrant aggregation of ONE dense half-size SAD surface
+    tensor: SAD(shape) = sum of its quadrants' surfaces, so all three
+    partitions share the integer search compute.
+
+    Returns (part (By, Bx) int32 0/1/2,
+             mv_pu (By, Bx, 2, 2) int32 qpel [PU0, PU1],
+             cost (By, Bx) f32)."""
+    from kvazaar_tpu.ops.inter import (QPEL_OFFSETS, refine_qpel_dense,
+                                       sad_surfaces)
+    s = plan.cu_size
+    hs = s // 2
+    by, bx = plan.blocks_y, plan.blocks_x
+    n = by * bx
+    r = me_range
+    d = 2 * r + 1
+    q = sad_surfaces(cur, ref, r, hs, bitdepth)
+    q = q.reshape(by, 2, bx, 2, d, d)
+    surf = {
+        "full": q.sum(axis=(1, 3)),
+        "top": q[:, 0].sum(axis=2), "bottom": q[:, 1].sum(axis=2),
+        "left": q[:, :, :, 0].sum(axis=1),
+        "right": q[:, :, :, 1].sum(axis=1),
+    }
+
+    # Pass-1 predictor from the full-shape SAD argmin (rate reference).
+    flat = surf["full"].reshape(n, -1)
+    idx1 = jnp.argmin(flat, axis=-1)
+    mv1 = jnp.stack([idx1 % d - r, idx1 // d - r],
+                    axis=-1).reshape(by, bx, 2) * 4
+    pred = _mv_pred_grid(mv1).reshape(n, 2)
+    dxs = (jnp.arange(-r, r + 1) * 4)[None, None, :]
+    dys = (jnp.arange(-r, r + 1) * 4)[None, :, None]
+    bits_grid = (_mv_bits_est(dxs - pred[:, None, None, 0])
+                 + _mv_bits_est(dys - pred[:, None, None, 1]))
+
+    def int_winner(sads):
+        cost = sads.reshape(n, d, d).astype(jnp.float32) \
+            + lambda_satd * bits_grid
+        i = jnp.argmin(cost.reshape(n, -1), axis=-1)
+        return jnp.stack([i % d - r, i // d - r],
+                         axis=-1).astype(jnp.int32) * 4
+
+    mv_int = {k: int_winner(v) for k, v in surf.items()}
+
+    # Quadrant geometry for subpel SATD sums.
+    qys, qxs = np.mgrid[0:2 * by, 0:2 * bx]
+    qx0 = jnp.asarray((qxs * hs).reshape(-1))
+    qy0 = jnp.asarray((qys * hs).reshape(-1))
+    cq = cur.reshape(2 * by, hs, 2 * bx, hs).transpose(0, 2, 1, 3)
+    cq = cq.reshape(4 * n, hs, hs).astype(jnp.int32)
+    qoff = jnp.asarray(QPEL_OFFSETS)
+
+    def refine_pairs(mvc, sel_quads):
+        """Refine one half shape: mvc (N, 2) center; sel_quads: the 2
+        quadrant flat indices per block (N, 2).  Returns (N, 2) qpel
+        mv + (N,) cost."""
+        qi = sel_quads.reshape(-1)
+        blocks = cq[qi]
+        centers = jnp.repeat(mvc, 2, axis=0)
+        satd = refine_qpel_dense(blocks, ref, qx0[qi], qy0[qi],
+                                 centers, hs, bitdepth)   # (2N, 49)
+        satd = satd.reshape(n, 2, 49).sum(axis=1)
+        cands = mvc[:, None, :] + qoff[None]
+        rate = (_mv_bits_est(cands[..., 0] - pred[:, None, 0])
+                + _mv_bits_est(cands[..., 1] - pred[:, None, 1]))
+        c = satd.astype(jnp.float32) + lambda_satd * rate
+        k = jnp.argmin(c, axis=-1)
+        mvq = jnp.take_along_axis(cands, k[:, None, None],
+                                  axis=1)[:, 0]
+        return mvq, jnp.min(c, axis=-1)
+
+    byi, bxi = np.mgrid[0:by, 0:bx]
+    base = (2 * byi * (2 * bx) + 2 * bxi).reshape(-1)
+    quads = {
+        "top": np.stack([base, base + 1], axis=-1),
+        "bottom": np.stack([base + 2 * bx, base + 2 * bx + 1], axis=-1),
+        "left": np.stack([base, base + 2 * bx], axis=-1),
+        "right": np.stack([base + 1, base + 2 * bx + 1], axis=-1),
+        "full0": np.stack([base, base + 1], axis=-1),
+        "full1": np.stack([base + 2 * bx, base + 2 * bx + 1], axis=-1),
+    }
+    if subpel:
+        halves = {k: refine_pairs(mv_int[k], jnp.asarray(quads[k]))
+                  for k in ("top", "bottom", "left", "right")}
+        # Full shape: one 49-candidate argmin over all four quadrants.
+        qi_all = jnp.asarray(
+            np.concatenate([quads["full0"], quads["full1"]],
+                           axis=-1)).reshape(-1)
+        blocks = cq[qi_all]
+        centers = jnp.repeat(mv_int["full"], 4, axis=0)
+        satd = refine_qpel_dense(blocks, ref, qx0[qi_all], qy0[qi_all],
+                                 centers, hs, bitdepth)
+        satd = satd.reshape(n, 4, 49).sum(axis=1)
+        cands = mv_int["full"][:, None, :] + qoff[None]
+        rate = (_mv_bits_est(cands[..., 0] - pred[:, None, 0])
+                + _mv_bits_est(cands[..., 1] - pred[:, None, 1]))
+        cf = satd.astype(jnp.float32) + lambda_satd * rate
+        kf = jnp.argmin(cf, axis=-1)
+        mv_full = jnp.take_along_axis(cands, kf[:, None, None],
+                                      axis=1)[:, 0]
+        cost_full = jnp.min(cf, axis=-1)
+    else:
+        def int_cost(k):
+            sads = surf[k].reshape(n, -1)
+            cost = sads.astype(jnp.float32) \
+                + lambda_satd * bits_grid.reshape(n, -1)
+            return jnp.min(cost, axis=-1)
+        halves = {k: (mv_int[k], int_cost(k))
+                  for k in ("top", "bottom", "left", "right")}
+        mv_full, cost_full = mv_int["full"], int_cost("full")
+
+    # Partition decision: SMP pays the extra part_mode bin, a second
+    # merge flag, and its own mv rate (inside the PU costs).
+    extra = lambda_satd * 3.0
+    cost_h = halves["top"][1] + halves["bottom"][1] + extra
+    cost_v = halves["left"][1] + halves["right"][1] + extra
+    costs = jnp.stack([cost_full, cost_h, cost_v])     # (3, N)
+    part = jnp.argmin(costs, axis=0).astype(jnp.int32)
+    best = jnp.min(costs, axis=0)
+    mv0 = jnp.where((part == 1)[:, None], halves["top"][0],
+                    jnp.where((part == 2)[:, None], halves["left"][0],
+                              mv_full))
+    mv1 = jnp.where((part == 1)[:, None], halves["bottom"][0],
+                    jnp.where((part == 2)[:, None],
+                              halves["right"][0], mv_full))
+    mv_pu = jnp.stack([mv0, mv1], axis=1).reshape(by, bx, 2, 2)
+    return part.reshape(by, bx), mv_pu, best.reshape(by, bx)
