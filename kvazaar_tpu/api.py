@@ -496,15 +496,22 @@ class Encoder:
             return
         import queue as _q
         import threading
+        import time as _time
         ife = self._intra
         want_pixels = need_recon or self.cfg.hash != "none"
+        # Per-stage wall-time accounting (--stats; the reference prints
+        # wall/CPU FPS, src/encmain.c:570-640 — here the pipeline
+        # stages are the interesting split).
+        self.stats = {"submit_s": 0.0, "download_s": 0.0,
+                      "finalize_s": 0.0, "frames": 0}
+        _stats_lock = threading.Lock()
         # Per-frame download + host finalize both cost tens of ms
         # (tunnel ~30 ms/call latency + data; CABAC ~30 ms): three
         # combined workers keep the device chain the only serial
         # resource.  Finalize is per-frame independent here (each
         # slice restarts CABAC contexts; the DPB is device-side state
         # threaded through submissions on the main thread).
-        n_workers = 3
+        n_workers = self.cfg.owf or 3
         dlq: "_q.Queue" = _q.Queue(maxsize=n_workers + 1)
         outq: "_q.Queue" = _q.Queue()
 
@@ -515,17 +522,25 @@ class Encoder:
                     return
                 seq, kind, handle, metas = item
                 try:
+                    t0 = _time.monotonic()
                     if kind == "i":
                         dl = ife.download_frames(handle)
+                        t1 = _time.monotonic()
                         res = ife.finalize_downloaded(
                             dl, need_recon=want_pixels)
                     else:
                         (poc, rel, shape), = metas
                         dl = ife.download_p(handle)
+                        t1 = _time.monotonic()
                         r0, _recs = ife.finalize_p_downloaded(
                             dl, poc=rel, ref_pocs=[rel - 1],
                             multi=False, need_recon=want_pixels)
                         res = [r0]
+                    t2 = _time.monotonic()
+                    with _stats_lock:
+                        self.stats["download_s"] += t1 - t0
+                        self.stats["finalize_s"] += t2 - t1
+                        self.stats["frames"] += len(metas)
                     outq.put((seq, res, metas, None))
                 except BaseException as e:   # surface on main thread
                     outq.put((seq, None, metas, e))
@@ -575,6 +590,7 @@ class Encoder:
 
         def submit_batch():
             nonlocal dpb, inflight
+            t0 = _time.monotonic()
             metas = []
             for (y, cb, cr) in batch:
                 p = self._poc
@@ -601,6 +617,8 @@ class Encoder:
             seq_submit += 1
             batch.clear()
             inflight += 1
+            with _stats_lock:
+                self.stats["submit_s"] += _time.monotonic() - t0
 
         try:
             for f in frames:

@@ -57,6 +57,7 @@ class StreamParams:
     amp: bool = False
     conf_win: tuple = (0, 0, 0, 0)   # left, right, top, bottom (luma px)
     level_idc: int = 120             # level 4.0 * 30
+    tier: int = 0                    # 0 = main, 1 = high (A.4)
     log2_max_poc_lsb: int = 8
     # Scaling lists: 0 = off (flat), 1 = custom (cqmfile, signalled in
     # scaling_list_data()), 2 = default lists (data_present = 0).
@@ -126,17 +127,18 @@ def compute_level_idc(width: int, height: int, fps: float) -> int:
 def _profile_tier_level(w: BitWriter, p: StreamParams) -> None:
     """profile_tier_level(1, 0) — H.265 7.3.3."""
     w.u(0, 2)               # general_profile_space
-    w.u(0, 1)               # general_tier_flag
+    w.u(p.tier, 1)          # general_tier_flag (main/high, A.4)
     profile_idc = 1 if p.bitdepth == 8 else 2   # Main / Main 10
     w.u(profile_idc, 5)
     compat = (1 << (31 - 1)) | (1 << (31 - 2))  # Main + Main10 compatible
     if p.bitdepth > 8:
         compat = 1 << (31 - 2)
     w.u(compat, 32)
-    w.u(1, 1)               # general_progressive_source_flag
-    w.u(0, 1)               # general_interlaced_source_flag
-    w.u(0, 1)               # general_non_packed_constraint_flag
-    w.u(1, 1)               # general_frame_only_constraint_flag
+    fld = 1 if p.source_scan_type else 0
+    w.u(0 if fld else 1, 1)  # general_progressive_source_flag
+    w.u(fld, 1)              # general_interlaced_source_flag
+    w.u(0, 1)                # general_non_packed_constraint_flag
+    w.u(0 if fld else 1, 1)  # general_frame_only_constraint_flag
     w.u(0, 32)              # general_reserved_zero_44bits
     w.u(0, 12)
     w.u(p.level_idc, 8)     # general_level_idc

@@ -97,6 +97,16 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="write reconstruction YUV for comparison "
                          "(reference --debug)")
     ap.add_argument("--no-psnr", action="store_true")
+    ap.add_argument("--level", default=None,
+                    help="force/validate the signalled level, e.g. 4.1")
+    ap.add_argument("--high-tier", action="store_true",
+                    help="signal high tier (levels 4+)")
+    ap.add_argument("--threads", type=int, default=0,
+                    help="host CABAC pool size (0 = auto)")
+    ap.add_argument("--owf", type=int, default=0,
+                    help="frame pipeline depth (0 = auto)")
+    ap.add_argument("--stats", action="store_true",
+                    help="print per-stage timing at the end")
     ap.add_argument("--set", action="append", default=[],
                     metavar="KEY=VALUE",
                     help="set any config option by name (the string-"
@@ -133,6 +143,12 @@ def main(argv=None) -> int:
         cfg.slices = args.slices
     if args.source_scan_type != "progressive":
         cfg.set("source_scan_type", args.source_scan_type)
+    if args.level:
+        cfg.level = args.level
+    if args.high_tier:
+        cfg.tier = "high"
+    cfg.threads = args.threads
+    cfg.owf = args.owf
     for name, key in (("ref", "ref_frames"), ("rd", "rd"),
                       ("me_range", "me_range"), ("sao", "sao"),
                       ("rdoq", "rdoq"), ("signhide", "signhide"),
@@ -215,6 +231,14 @@ def main(argv=None) -> int:
               f"V {psnr_acc[2] / n:.4f}", file=sys.stderr)
         print(f" Total time: {dt:.3f} s, FPS: {n / dt:.2f}",
               file=sys.stderr)
+        if args.stats and getattr(enc, "stats", None):
+            s = enc.stats
+            fr = max(s.get("frames", 0), 1)
+            print(f" Stages (ms/frame): submit "
+                  f"{1000 * s['submit_s'] / fr:.1f}  download "
+                  f"{1000 * s['download_s'] / fr:.1f}  finalize "
+                  f"{1000 * s['finalize_s'] / fr:.1f}  "
+                  f"(pipelined: stages overlap)", file=sys.stderr)
     return 0
 
 

@@ -119,6 +119,19 @@ class Config:
     # field_seq VUI + per-picture pic_timing SEI.
     source_scan_type: int = 0
 
+    # Level/tier (reference --level/--high-tier, src/cfg.c:1460-1540):
+    # level None = lowest fitting level (A.4.1); a forced level is
+    # validated against the picture-size/sample-rate limits.
+    level: Optional[str] = None
+    tier: str = "main"         # "main" or "high"
+
+    # Host parallelism knobs (reference --threads/--owf;
+    # src/encoder.c:43-51,249-273).  0 = auto.  threads sizes the host
+    # CABAC pools; owf the streaming pipeline depth (device dispatch /
+    # download / finalize overlap).
+    threads: int = 0
+    owf: int = 0
+
     # Parallelism: device mesh shape for within-frame sharding.
     mesh_tiles: int = 1
     # Wavefront parallel processing (entropy_coding_sync): per-CTU-row
@@ -315,6 +328,28 @@ class Config:
         if self.source_scan_type not in (0, 1, 2):
             raise ValueError("source_scan_type must be 0/1/2 "
                              "(progressive/tff/bff)")
+        if self.tier not in ("main", "high"):
+            raise ValueError("tier must be main or high")
+        if self.level is not None:
+            from kvazaar_tpu.bitstream.headers import (_LEVELS,
+                                                       compute_level_idc)
+            try:
+                idc = int(round(float(self.level) * 30))
+            except ValueError:
+                raise ValueError(f"bad level: {self.level!r}")
+            if idc not in {lv[0] for lv in _LEVELS}:
+                raise ValueError(f"unknown level {self.level}")
+            fps = self.framerate_num / max(self.framerate_denom, 1)
+            need = compute_level_idc(self.width, self.height, fps)
+            if idc < need:
+                raise ValueError(
+                    f"level {self.level} too low for {self.width}x"
+                    f"{self.height}@{fps:g} (needs level "
+                    f"{need / 30:g}; A.4.1 limits)")
+            if self.tier == "high" and idc < 120:
+                raise ValueError("high tier starts at level 4 (A.4)")
+        if self.threads < 0 or self.owf < 0:
+            raise ValueError("threads/owf must be >= 0")
         if self.source_scan_type:
             if self.height % (4 if self.chroma_format == 420 else 2):
                 raise ValueError("interlaced coding needs frame height "

@@ -1027,7 +1027,7 @@ class PFrameMixin:
                 and not self.params.tiles_enabled:
             data, sizes = native.encode_slice_data_native_p(
                 self.params, fd, self.cfg.qp, self.params.wpp,
-                slice_type=SLICE_B, nthreads=4)
+                slice_type=SLICE_B, nthreads=self.cfg.threads or 4)
         else:
             sizes = []
             dw = BitWriter()
@@ -1070,7 +1070,7 @@ class PFrameMixin:
             # instead parallelize across frames in the host pool).
             data, sizes = native.encode_slice_data_native_p(
                 self.params, fd, self.cfg.qp, self.params.wpp,
-                nthreads=4)
+                nthreads=self.cfg.threads or 4)
         else:
             sizes = []
             dw = BitWriter()
@@ -1176,7 +1176,9 @@ class IntraFrameEncoder(PFrameMixin):
             fullrange=cfg.fullrange, colorprim=cfg.colorprim,
             transfer=cfg.transfer, colormatrix=cfg.colormatrix,
             chroma_loc=cfg.chromaloc,
-            level_idc=compute_level_idc(
+            tier=1 if cfg.tier == "high" else 0,
+            level_idc=int(round(float(cfg.level) * 30))
+            if cfg.level is not None else compute_level_idc(
                 self.coded_w, self.coded_h,
                 cfg.framerate_num / max(cfg.framerate_denom, 1)))
         self.qp_c = chroma_qp(cfg.qp)
@@ -1979,7 +1981,8 @@ class IntraFrameEncoder(PFrameMixin):
             if self.chroma:
                 rec_cb, rec_cr = np.asarray(recs[1]), np.asarray(recs[2])
         if self._host_pool is None:
-            self._host_pool = cf.ThreadPoolExecutor(max_workers=8)
+            self._host_pool = cf.ThreadPoolExecutor(
+                max_workers=self.cfg.threads or 8)
         futs = []
         for i in range(nframes):
             futs.append(self._host_pool.submit(

@@ -151,3 +151,49 @@ def test_cli_flag_mapping():
         "--input-fps", "30000/1001", "--sar", "16:9", "--subme", "0"])
     assert args.gop == "lp-g4d2t1" and args.ref == 2
     assert args.no_wpp and args.seek == 3 and args.subme == 0
+
+
+def test_level_tier_config():
+    from kvazaar_tpu.config import Config
+    cfg = Config(width=1920, height=1080, qp=30, level="4.1").validate()
+    assert cfg.level == "4.1"
+    with pytest.raises(ValueError):
+        Config(width=3840, height=2160, qp=30, level="3.1").validate()
+    with pytest.raises(ValueError):
+        Config(width=64, height=64, qp=30, level="9.9").validate()
+    with pytest.raises(ValueError):
+        Config(width=64, height=64, qp=30, tier="bogus").validate()
+    cfg = Config(width=1920, height=1080, qp=30, level="5",
+                 tier="high").validate()
+
+
+def test_forced_level_reaches_sps():
+    import numpy as np
+    from kvazaar_tpu.config import Config
+    from kvazaar_tpu.encoder.frame_encoder import IntraFrameEncoder
+    cfg = Config(width=64, height=64, qp=30, level="5.1").validate()
+    enc = IntraFrameEncoder(cfg)
+    assert enc.params.level_idc == 153
+    cfg2 = Config(width=64, height=64, qp=30, tier="high",
+                  level="4").validate()
+    enc2 = IntraFrameEncoder(cfg2)
+    assert enc2.params.tier == 1
+
+
+def test_cli_stats_and_threads(tmp_path):
+    """--stats/--threads/--owf run e2e through the CLI."""
+    import numpy as np
+    rng = np.random.default_rng(0)
+    p = tmp_path / "c.yuv"
+    with open(p, "wb") as f:
+        for _ in range(3):
+            f.write(rng.integers(0, 255, (64, 64)).astype(
+                np.uint8).tobytes())
+            f.write(np.full((32, 32), 110, np.uint8).tobytes())
+            f.write(np.full((32, 32), 130, np.uint8).tobytes())
+    from kvazaar_tpu.cli import main
+    rc = main(["-i", str(p), "--input-res", "64x64", "-o",
+               str(tmp_path / "o.hevc"), "-q", "32", "-p", "1",
+               "--threads", "2", "--owf", "2", "--stats",
+               "--no-psnr"])
+    assert rc == 0
