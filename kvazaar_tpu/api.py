@@ -645,6 +645,68 @@ class Encoder:
             for th in workers:
                 th.join()
 
+    def feed(self, y=None, cb=None, cr=None):
+        """Reference-shaped async feed/drain (kvazaar_encode,
+        src/kvazaar.c:225): feed ONE picture (or None to flush) and
+        receive a list of finished results — possibly empty while the
+        pipeline fills (the OWF delay), possibly several at the end.
+
+        A lazy pipelined generator drives encode_stream underneath, so
+        device compute, tunnel downloads, and host CABAC of different
+        frames overlap exactly as in the streaming path."""
+        import queue as _q
+        import threading
+        if not hasattr(self, "_feed_q"):
+            self._feed_q = _q.Queue(maxsize=1)
+            self._feed_out = _q.Queue()
+            self._feed_done = object()
+
+            def srcgen():
+                while True:
+                    item = self._feed_q.get()
+                    if item is None:
+                        return
+                    yield item
+
+            def run():
+                try:
+                    for r in self.encode_stream(srcgen()):
+                        self._feed_out.put(r)
+                except BaseException as e:
+                    self._feed_out.put(e)
+                self._feed_out.put(self._feed_done)
+
+            self._feed_thread = threading.Thread(target=run,
+                                                 daemon=True)
+            self._feed_thread.start()
+            self._feed_open = True
+        out = []
+        if y is None:
+            if self._feed_open:
+                self._feed_q.put(None)
+                self._feed_open = False
+            while True:
+                r = self._feed_out.get()
+                if r is self._feed_done:
+                    self._feed_thread.join()
+                    break
+                if isinstance(r, BaseException):
+                    raise r
+                out.append(r)
+            return out
+        self._feed_q.put((y, cb, cr))
+        while True:
+            try:
+                r = self._feed_out.get_nowait()
+            except _q.Empty:
+                break
+            if r is self._feed_done:
+                break
+            if isinstance(r, BaseException):
+                raise r
+            out.append(r)
+        return out
+
     def encode_many(self, frames):
         """Encode a batch of frames through one vmapped device program
         (all-intra frames are independent).  Returns a list of

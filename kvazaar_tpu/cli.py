@@ -107,6 +107,9 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="frame pipeline depth (0 = auto)")
     ap.add_argument("--stats", action="store_true",
                     help="print per-stage timing at the end")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="write a JAX device-profiler trace (XPlane) "
+                         "under DIR for xprof/TensorBoard")
     ap.add_argument("--set", action="append", default=[],
                     metavar="KEY=VALUE",
                     help="set any config option by name (the string-"
@@ -219,9 +222,15 @@ def main(argv=None) -> int:
             args.input, w, h, cfg.input_bitdepth, chroma, args.frames,
             skip=args.seek, file_bitdepth=args.input_bitdepth,
             big_endian=args.msb_first)
-        for result in enc.encode_stream(src,
-                                        need_recon=dbg is not None):
-            handle([result])
+        import contextlib
+        tracer = contextlib.nullcontext()
+        if args.trace:
+            from kvazaar_tpu.profiler import device_trace
+            tracer = device_trace(args.trace)
+        with tracer:
+            for result in enc.encode_stream(src,
+                                            need_recon=dbg is not None):
+                handle([result])
     if dbg:
         dbg.close()
     dt = time.time() - t0

@@ -197,3 +197,43 @@ def test_cli_stats_and_threads(tmp_path):
                "--threads", "2", "--owf", "2", "--stats",
                "--no-psnr"])
     assert rc == 0
+
+
+def test_async_feed_drain():
+    """Reference-shaped feed/drain (kvazaar_encode async contract):
+    results trail the feed by the pipeline depth and flush(None)
+    drains the tail."""
+    from kvazaar_tpu.api import Encoder
+    from kvazaar_tpu.config import Config
+    rng = np.random.default_rng(9)
+    w = h = 64
+    enc = Encoder(Config(width=w, height=h, qp=32, intra_period=0,
+                         intra_max_cu=16, intra_min_cu=16))
+    results = []
+    n = 5
+    for i in range(n):
+        y = rng.integers(0, 255, (h, w)).astype(np.uint8)
+        cb = np.full((h // 2, w // 2), 110, np.uint8)
+        cr = np.full((h // 2, w // 2), 130, np.uint8)
+        results += enc.feed(y, cb, cr)
+    results += enc.feed(None)            # flush
+    assert len(results) == n
+    pocs = [info.poc for _c, info, _r in results]
+    assert pocs == list(range(n))
+
+
+def test_profiler_phases_and_trace(tmp_path):
+    from kvazaar_tpu.profiler import device_trace, phase, phases
+    phases.reset()
+    with phase("demo"):
+        pass
+    with phase("demo"):
+        pass
+    d = phases.as_dict()
+    assert d["demo"][1] == 2
+    assert "demo" in phases.report()
+    import jax.numpy as jnp
+    with device_trace(str(tmp_path / "tr")):
+        _ = jnp.ones((8, 8)).sum().block_until_ready()
+    import os
+    assert any(os.scandir(tmp_path / "tr"))
