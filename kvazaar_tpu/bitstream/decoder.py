@@ -319,11 +319,11 @@ def reconstruct_mvs_smp(fd: FrameData, params: StreamParams) -> None:
     Fills fd.mv8 region-filled per PU."""
     from kvazaar_tpu.encoder.geometry import z_order_index
     from kvazaar_tpu.encoder.inter_cands import (amvp_pair_pu_at,
-                                                 merge_list_pu_at)
+                                                 merge_list_pu_at,
+                                                 pu_cell_rects)
     depth = int(fd.depth8[0, 0])
     s = params.ctu_size >> depth
     cells = s // 8
-    half = cells // 2
     h8, w8 = fd.inter8.shape
     by, bx = h8 // cells, w8 // cells
     inter8 = fd.inter8.astype(bool)
@@ -341,25 +341,19 @@ def reconstruct_mvs_smp(fd: FrameData, params: StreamParams) -> None:
                 if not inter8[by8, bx8]:
                     continue
                 p = int(fd.part8[by8, bx8])
-                if p == 0:
-                    rects = [(by8, bx8, cells, cells, 0)]
-                elif p == 1:
-                    rects = [(by8, bx8, half, cells, 0),
-                             (by8 + half, bx8, half, cells, 1)]
-                else:
-                    rects = [(by8, bx8, cells, half, 0),
-                             (by8, bx8 + half, cells, half, 1)]
+                rects = [r + (i,) for i, r in enumerate(
+                    pu_cell_rects(by8, bx8, cells, p))]
                 for (ry, rx, rh, rw, pu_idx) in rects:
                     midx = int(fd.merge8[ry, rx])
                     if midx >= 0:
                         mlist = merge_list_pu_at(
                             inter8, mv8, ry, rx, rh, rw, p, pu_idx,
-                            cells)
+                            cells, cu_yx=(by8, bx8))
                         v = mlist[midx]
                     else:
                         pair = amvp_pair_pu_at(
                             inter8, mv8, ry, rx, rh, rw, p, pu_idx,
-                            cells)
+                            cells, cu_yx=(by8, bx8))
                         mvp = pair[int(fd.mvp8[ry, rx])]
                         v = (mvp[0] + int(fd.mvd8[ry, rx, 0]),
                              mvp[1] + int(fd.mvd8[ry, rx, 1]))

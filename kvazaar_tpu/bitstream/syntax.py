@@ -226,14 +226,24 @@ class _SliceSyntaxBase:
 
     @staticmethod
     def _pu_rects(x0, y0, size, part):
-        """PU rectangles (x, y, w, h) in pixels, decode order
-        (PART_2Nx2N / 2NxN / Nx2N)."""
+        """PU rectangles (x, y, w, h) in pixels, decode order (HEVC
+        PartMode values; 4..7 = AMP quarter splits)."""
+        h = size >> 1
+        q = size >> 2
         if part == 1:
-            h = size >> 1
             return [(x0, y0, size, h), (x0, y0 + h, size, h)]
         if part == 2:
-            w = size >> 1
-            return [(x0, y0, w, size), (x0 + w, y0, w, size)]
+            return [(x0, y0, h, size), (x0 + h, y0, h, size)]
+        if part == 4:
+            return [(x0, y0, size, q), (x0, y0 + q, size, size - q)]
+        if part == 5:
+            return [(x0, y0, size, size - q),
+                    (x0, y0 + size - q, size, q)]
+        if part == 6:
+            return [(x0, y0, q, size), (x0 + q, y0, size - q, size)]
+        if part == 7:
+            return [(x0, y0, size - q, size),
+                    (x0 + size - q, y0, q, size)]
         return [(x0, y0, size, size)]
 
     def _tile_rows(self):
@@ -711,13 +721,21 @@ class SliceDataEncoder(_SliceSyntaxBase):
         c8y, c8x = y0 >> 3, x0 >> 3
         part = int(self.d.part8[c8y, c8x]) \
             if self.d.part8 is not None else 0
-        # part_mode, Table 9-34 (inter, no AMP, NxN disallowed):
-        # 2Nx2N "1", 2NxN "01", Nx2N "00"; bin0 ctx0, bin1 ctx1.
+        # part_mode, Table 9-34 (inter, NxN disallowed): without AMP
+        # 2Nx2N "1", 2NxN "01", Nx2N "00"; with AMP the third bin
+        # (bypass above min CU size) selects symmetric vs asymmetric
+        # and a fourth bypass bin picks nU/nD (nL/nR).
         self.c.encode_bin(self.ctx("part_size", 0),
                           1 if part == 0 else 0)
         if part:
+            horiz = part in (1, 4, 5)
             self.c.encode_bin(self.ctx("part_size", 1),
-                              1 if part == 1 else 0)
+                              1 if horiz else 0)
+            if self.p.amp:
+                sym = part in (1, 2)
+                self.c.encode_bypass(1 if sym else 0)
+                if not sym:
+                    self.c.encode_bypass(1 if part in (5, 7) else 0)
             for pu_idx, (px, py, _pw, _ph) in enumerate(
                     self._pu_rects(x0, y0, 1 << log2_size, part)):
                 self._encode_pu_motion(px >> 3, py >> 3)
@@ -1427,9 +1445,16 @@ class SliceDataDecoder(_SliceSyntaxBase):
     def _decode_inter_cu(self, x0, y0, log2_size) -> None:
         c8y, c8x = y0 >> 3, x0 >> 3
         if not self.c.decode_bin(self.ctx("part_size", 0)):
-            # SMP: "01" = 2NxN, "00" = Nx2N (Table 9-34, no AMP).
-            part = 1 if self.c.decode_bin(self.ctx("part_size", 1)) \
-                else 2
+            horiz = self.c.decode_bin(self.ctx("part_size", 1))
+            if self.p.amp:
+                if self.c.decode_bypass():          # symmetric
+                    part = 1 if horiz else 2
+                else:
+                    second = self.c.decode_bypass()
+                    part = (5 if second else 4) if horiz \
+                        else (7 if second else 6)
+            else:
+                part = 1 if horiz else 2
             if self.d.part8 is not None:
                 self.d.part8[c8y, c8x] = part
             for px, py, _w, _h in self._pu_rects(

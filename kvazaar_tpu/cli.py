@@ -66,6 +66,9 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="0 = integer-pel only, >0 = half+quarter")
     ap.add_argument("--smp", action="store_true",
                     help="enable 2NxN/Nx2N inter partitions")
+    ap.add_argument("--amp", action="store_true",
+                    help="enable asymmetric inter partitions "
+                         "(implies --smp; 32x32 CUs)")
     ap.add_argument("--tiles", default=None, metavar="WxH",
                     help="uniform tile grid, e.g. 3x3; combines with "
                          "WPP (one substream per CTU row per tile)")
@@ -165,6 +168,9 @@ def main(argv=None) -> int:
         cfg.me_subpel = args.subme > 0
     if args.smp:
         cfg.smp = True
+    if args.amp:
+        cfg.smp = True
+        cfg.amp = True
     if args.no_wpp:
         cfg.wpp = False
     if args.no_deblock:

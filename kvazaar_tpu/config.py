@@ -57,6 +57,10 @@ class Config:
     # SMP inter partitions (PART_2NxN / PART_Nx2N; reference --smp,
     # kvz_search_cu_smp src/search_inter.c:1627).  P slices, one ref.
     smp: bool = False
+    # AMP (asymmetric) partitions 2NxnU/2NxnD/nLx2N/nRx2N (reference
+    # --amp); needs smp and 32x32 CUs (quarter splits at the 8-cell
+    # granularity).
+    amp: bool = False
     # Temporal MVP (sps_temporal_mvp_enabled_flag; reference --mv-constraint
     # era default on).  Implemented for low-delay P slices.
     tmvp: bool = False
@@ -325,6 +329,12 @@ class Config:
                 raise ValueError("SMP with tiles is not implemented")
             if self.roi is not None or self.aq > 0:
                 raise ValueError("SMP with ROI/AQ is not implemented")
+        if self.amp:
+            if not self.smp:
+                raise ValueError("--amp requires --smp")
+            if self.intra_max_cu != 32:
+                raise ValueError("AMP requires 32x32 CUs (quarter "
+                                 "splits at 8-pixel granularity)")
         if self.source_scan_type not in (0, 1, 2):
             raise ValueError("source_scan_type must be 0/1/2 "
                              "(progressive/tff/bff)")

@@ -172,7 +172,8 @@ class PFrameMixin:
                     part, mv_pu, inter_cost = search_inter_frame_smp(
                         yp, refs_y[0].astype(jnp.int32), self.plan,
                         self.lambda_me, self.cfg.me_range,
-                        self.bitdepth, subpel=self.cfg.me_subpel)
+                        self.bitdepth, subpel=self.cfg.me_subpel,
+                        amp=self.cfg.amp)
                     inter_map = inter_cost <= intra_cost * 1.02
                     part = jnp.where(inter_map, part, 0)
                     mv_pu = jnp.where(inter_map[..., None, None],
@@ -180,6 +181,7 @@ class PFrameMixin:
                     # Cell-granularity motion field: PU1 region select.
                     cells = self.cu // 8
                     half = cells // 2
+                    quarter = max(cells // 4, 1)
 
                     def up(a):
                         return jnp.repeat(jnp.repeat(a, cells, 0),
@@ -190,8 +192,14 @@ class PFrameMixin:
                     row_in = (jnp.arange(h8) % cells)[:, None]
                     col_in = (jnp.arange(w8) % cells)[None, :]
                     partc = up(part)
-                    pu1 = ((partc == 1) & (row_in >= half)) | \
-                        ((partc == 2) & (col_in >= half))
+                    pu1 = (((partc == 1) & (row_in >= half))
+                           | ((partc == 2) & (col_in >= half))
+                           | ((partc == 4) & (row_in >= quarter))
+                           | ((partc == 5)
+                              & (row_in >= cells - quarter))
+                           | ((partc == 6) & (col_in >= quarter))
+                           | ((partc == 7)
+                              & (col_in >= cells - quarter)))
                     mv_cells = jnp.where(
                         pu1[..., None], up(mv_pu[:, :, 1]),
                         up(mv_pu[:, :, 0]))
@@ -514,15 +522,21 @@ class PFrameMixin:
         cells = self.cu // 8
         by, bx = inter_map.shape
         h8, w8 = by * cells, bx * cells
+        from kvazaar_tpu.encoder.inter_cands import pu_cell_rects
         inter8 = np.kron(inter_map, np.ones((cells, cells), bool))
         half = cells // 2
+        quarter = max(cells // 4, 1)
         # Final cell-granularity motion field (candidates only read
         # decode-order-previous cells, enforced by _pu_nbr).
         partc = np.kron(part, np.ones((cells, cells), np.int32))
         ri = np.arange(h8)[:, None] % cells
         ci = np.arange(w8)[None, :] % cells
-        pu1 = ((partc == 1) & (ri >= half)) | \
-            ((partc == 2) & (ci >= half))
+        pu1 = (((partc == 1) & (ri >= half))
+               | ((partc == 2) & (ci >= half))
+               | ((partc == 4) & (ri >= quarter))
+               | ((partc == 5) & (ri >= cells - quarter))
+               | ((partc == 6) & (ci >= quarter))
+               | ((partc == 7) & (ci >= cells - quarter)))
         up0 = np.kron(mv_pu[:, :, 0],
                       np.ones((cells, cells, 1),
                               np.int32)).reshape(h8, w8, 2)
@@ -539,23 +553,19 @@ class PFrameMixin:
                 continue
             p = int(part[cy, cx])
             by8, bx8 = cy * cells, cx * cells
-            if p == 0:
-                rects = [(by8, bx8, cells, cells, 0)]
-            elif p == 1:
-                rects = [(by8, bx8, half, cells, 0),
-                         (by8 + half, bx8, half, cells, 1)]
-            else:
-                rects = [(by8, bx8, cells, half, 0),
-                         (by8, bx8 + half, cells, half, 1)]
+            rects = [r + (i,) for i, r in
+                     enumerate(pu_cell_rects(by8, bx8, cells, p))]
             for (ry, rx, rh, rw, pu_idx) in rects:
                 mine = (int(mv8[ry, rx, 0]), int(mv8[ry, rx, 1]))
                 mlist = merge_list_pu_at(inter8, mv8, ry, rx, rh, rw,
-                                         p, pu_idx, cells)
+                                         p, pu_idx, cells,
+                                         cu_yx=(by8, bx8))
                 if mine in mlist:
                     merge8[ry, rx] = mlist.index(mine)
                     continue
                 pair = amvp_pair_pu_at(inter8, mv8, ry, rx, rh, rw,
-                                       p, pu_idx, cells)
+                                       p, pu_idx, cells,
+                                       cu_yx=(by8, bx8))
                 d0 = abs(mine[0] - pair[0][0]) + abs(mine[1]
                                                      - pair[0][1])
                 d1 = abs(mine[0] - pair[1][0]) + abs(mine[1]
@@ -1169,6 +1179,7 @@ class IntraFrameEncoder(PFrameMixin):
             scaling_list_mode=_sl_mode,
             scaling_custom=_sl_custom,
             tmvp_enabled=cfg.tmvp,
+            amp=cfg.amp,
             tiles=self.tiles,
             framerate=(cfg.framerate_num, cfg.framerate_denom),
             sar=(cfg.sar_width, cfg.sar_height),
@@ -2071,10 +2082,15 @@ def compute_bs_maps_smp(inter8, cbf8, mv_cells, cu: int, part8=None):
     pu_h = jnp.zeros((h8, w8), bool)
     if part8 is not None and cells > 1:
         half = cells // 2
-        pu_v = (part8 == 2) & (((xi % cells) == half)[None, :]) \
-            & inter8
-        pu_h = (part8 == 1) & (((yi % cells) == half)[:, None]) \
-            & inter8
+        quarter = max(cells // 4, 1)
+        col = (xi % cells)[None, :]
+        row = (yi % cells)[:, None]
+        pu_v = (((part8 == 2) & (col == half))
+                | ((part8 == 6) & (col == quarter))
+                | ((part8 == 7) & (col == cells - quarter))) & inter8
+        pu_h = (((part8 == 1) & (row == half))
+                | ((part8 == 4) & (row == quarter))
+                | ((part8 == 5) & (row == cells - quarter))) & inter8
     bs_v = jnp.zeros((h8, w8), jnp.int32)
     bs_h = jnp.zeros((h8, w8), jnp.int32)
     bs_v = bs_v.at[:, 1:].set(edge(

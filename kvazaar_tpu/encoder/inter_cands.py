@@ -535,16 +535,18 @@ def _pu_nbr(inter8, mv8, ny: int, nx: int, cur_key, cu_cells: int,
 
 def merge_list_pu_at(inter8, mv8, by8: int, bx8: int, ph8: int,
                      pw8: int, part: int, pu_idx: int, cu_cells: int,
-                     ref8=None):
+                     ref8=None, cu_yx=None):
     """Merge candidate list for one PU at 8-cell rect (by8, bx8,
-    ph8, pw8).  part: 0=2Nx2N, 1=2NxN, 2=Nx2N; pu_idx 0/1.
-    Candidates are MV tuples (or (ref, mv) with ref8).  The 2NxN
-    PU1/B1 and Nx2N PU1/A1 exclusions ride the same-CU availability
-    rule (their cells are in the current CU)."""
-    key = _cu_decode_key(by8 if not (part == 1 and pu_idx) else
-                         by8 - ph8,
-                         bx8 if not (part == 2 and pu_idx) else
-                         bx8 - pw8, cu_cells)
+    ph8, pw8).  part: HEVC PartMode (0=2Nx2N, 1=2NxN, 2=Nx2N,
+    4..7=AMP); pu_idx 0/1; cu_yx: the CU origin in 8-cells (defaults
+    to the symmetric-split derivation for back-compat).  Candidates
+    are MV tuples (or (ref, mv) with ref8).  The partIdx==1 merge
+    exclusions (e.g. 2NxN PU1/B1) ride the same-CU availability rule
+    (those cells are in the current CU)."""
+    if cu_yx is None:
+        cu_yx = (by8 - ph8 if (part == 1 and pu_idx) else by8,
+                 bx8 - pw8 if (part == 2 and pu_idx) else bx8)
+    key = _cu_decode_key(cu_yx[0], cu_yx[1], cu_cells)
     a1 = _pu_nbr(inter8, mv8, by8 + ph8 - 1, bx8 - 1, key, cu_cells,
                  ref8)
     b1 = _pu_nbr(inter8, mv8, by8 - 1, bx8 + pw8 - 1, key, cu_cells,
@@ -570,14 +572,15 @@ def merge_list_pu_at(inter8, mv8, by8: int, bx8: int, ph8: int,
 
 
 def amvp_pair_pu_at(inter8, mv8, by8: int, bx8: int, ph8: int,
-                    pw8: int, part: int, pu_idx: int, cu_cells: int):
+                    pw8: int, part: int, pu_idx: int, cu_cells: int,
+                    cu_yx=None):
     """AMVP pair for one PU (8.5.3.2.6 with one L0 reference: no
     scaling; A = below-left else left, B = above-right else above else
     above-left)."""
-    key = _cu_decode_key(by8 if not (part == 1 and pu_idx) else
-                         by8 - ph8,
-                         bx8 if not (part == 2 and pu_idx) else
-                         bx8 - pw8, cu_cells)
+    if cu_yx is None:
+        cu_yx = (by8 - ph8 if (part == 1 and pu_idx) else by8,
+                 bx8 - pw8 if (part == 2 and pu_idx) else bx8)
+    key = _cu_decode_key(cu_yx[0], cu_yx[1], cu_cells)
     a = _pu_nbr(inter8, mv8, by8 + ph8, bx8 - 1, key, cu_cells)
     if a is None:
         a = _pu_nbr(inter8, mv8, by8 + ph8 - 1, bx8 - 1, key, cu_cells)
@@ -594,3 +597,26 @@ def amvp_pair_pu_at(inter8, mv8, by8: int, bx8: int, ph8: int,
     while len(out) < 2:
         out.append((0, 0))
     return out
+
+
+def pu_cell_rects(by8: int, bx8: int, cells: int, part: int):
+    """PU rectangles in 8-cells (y, x, h, w), decode order, for a CU
+    at (by8, bx8).  part: HEVC PartMode (0, 1=2NxN, 2=Nx2N,
+    4=2NxnU, 5=2NxnD, 6=nLx2N, 7=nRx2N)."""
+    h = cells // 2
+    q = max(cells // 4, 1)
+    if part == 1:
+        return [(by8, bx8, h, cells), (by8 + h, bx8, cells - h, cells)]
+    if part == 2:
+        return [(by8, bx8, cells, h), (by8, bx8 + h, cells, cells - h)]
+    if part == 4:
+        return [(by8, bx8, q, cells), (by8 + q, bx8, cells - q, cells)]
+    if part == 5:
+        return [(by8, bx8, cells - q, cells),
+                (by8 + cells - q, bx8, q, cells)]
+    if part == 6:
+        return [(by8, bx8, cells, q), (by8, bx8 + q, cells, cells - q)]
+    if part == 7:
+        return [(by8, bx8, cells, cells - q),
+                (by8, bx8 + cells - q, cells, q)]
+    return [(by8, bx8, cells, cells)]

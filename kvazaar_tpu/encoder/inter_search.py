@@ -261,34 +261,61 @@ def mc_planes_cells(ref_y, ref_cb, ref_cr, mv_cells, bitdepth: int = 8):
             to_plane(pcr, 4, h8 * 4, w8 * 4))
 
 
+
 def search_inter_frame_smp(cur, ref, plan: IntraFramePlan,
                            lambda_satd: float, me_range: int,
-                           bitdepth: int = 8, subpel: bool = True):
-    """ME + partition decision over {2Nx2N, 2NxN, Nx2N} — the
-    reference's SMP search (kvz_search_cu_smp, src/search_inter.c:1627)
-    recast as quadrant aggregation of ONE dense half-size SAD surface
-    tensor: SAD(shape) = sum of its quadrants' surfaces, so all three
-    partitions share the integer search compute.
+                           bitdepth: int = 8, subpel: bool = True,
+                           amp: bool = False):
+    """ME + partition decision over {2Nx2N, 2NxN, Nx2N} and, with
+    `amp`, the four asymmetric quarter splits — the reference's SMP/AMP
+    search (kvz_search_cu_smp, src/search_inter.c:1627) recast as
+    sub-block aggregation of ONE dense SAD surface tensor:
+    SAD(shape) = sum of its sub-blocks' surfaces, so every partition
+    shares the integer search compute.  Sub-block granularity is s/2
+    for SMP, 8 for AMP (quarter splits need s/4 rows/cols).
 
-    Returns (part (By, Bx) int32 0/1/2,
+    Returns (part (By, Bx) int32 HEVC PartMode,
              mv_pu (By, Bx, 2, 2) int32 qpel [PU0, PU1],
              cost (By, Bx) f32)."""
     from kvazaar_tpu.ops.inter import (QPEL_OFFSETS, refine_qpel_dense,
                                        sad_surfaces)
     s = plan.cu_size
-    hs = s // 2
+    sub = 8 if amp else s // 2
+    g = s // sub
     by, bx = plan.blocks_y, plan.blocks_x
     n = by * bx
     r = me_range
     d = 2 * r + 1
-    q = sad_surfaces(cur, ref, r, hs, bitdepth)
-    q = q.reshape(by, 2, bx, 2, d, d)
-    surf = {
-        "full": q.sum(axis=(1, 3)),
-        "top": q[:, 0].sum(axis=2), "bottom": q[:, 1].sum(axis=2),
-        "left": q[:, :, :, 0].sum(axis=1),
-        "right": q[:, :, :, 1].sum(axis=1),
-    }
+    q = sad_surfaces(cur, ref, r, sub, bitdepth)
+    q = q.reshape(by, g, bx, g, d, d)
+
+    def agg(axis, lo, hi):
+        if axis == "r":
+            return q[:, lo:hi].sum(axis=(1, 3))
+        return q[:, :, :, lo:hi].sum(axis=(1, 3))
+
+    h = g // 2
+    qt = max(g // 4, 1)
+    surf = {"full": q.sum(axis=(1, 3)),
+            "top": agg("r", 0, h), "bottom": agg("r", h, g),
+            "left": agg("c", 0, h), "right": agg("c", h, g)}
+    spans = {"full": ("r", 0, g), "top": ("r", 0, h),
+             "bottom": ("r", h, g), "left": ("c", 0, h),
+             "right": ("c", h, g)}
+    pu_of_part = {1: ("top", "bottom"), 2: ("left", "right")}
+    if amp and g >= 4:
+        surf.update({
+            "u0": agg("r", 0, qt), "u1": agg("r", qt, g),
+            "d0": agg("r", 0, g - qt), "d1": agg("r", g - qt, g),
+            "l0": agg("c", 0, qt), "l1": agg("c", qt, g),
+            "r0": agg("c", 0, g - qt), "r1": agg("c", g - qt, g)})
+        spans.update({
+            "u0": ("r", 0, qt), "u1": ("r", qt, g),
+            "d0": ("r", 0, g - qt), "d1": ("r", g - qt, g),
+            "l0": ("c", 0, qt), "l1": ("c", qt, g),
+            "r0": ("c", 0, g - qt), "r1": ("c", g - qt, g)})
+        pu_of_part.update({4: ("u0", "u1"), 5: ("d0", "d1"),
+                           6: ("l0", "l1"), 7: ("r0", "r1")})
 
     # Pass-1 predictor from the full-shape SAD argmin (rate reference).
     flat = surf["full"].reshape(n, -1)
@@ -310,86 +337,70 @@ def search_inter_frame_smp(cur, ref, plan: IntraFramePlan,
 
     mv_int = {k: int_winner(v) for k, v in surf.items()}
 
-    # Quadrant geometry for subpel SATD sums.
-    qys, qxs = np.mgrid[0:2 * by, 0:2 * bx]
-    qx0 = jnp.asarray((qxs * hs).reshape(-1))
-    qy0 = jnp.asarray((qys * hs).reshape(-1))
-    cq = cur.reshape(2 * by, hs, 2 * bx, hs).transpose(0, 2, 1, 3)
-    cq = cq.reshape(4 * n, hs, hs).astype(jnp.int32)
+    # Sub-block geometry (raster over the sub grid).
+    sby, sbx = by * g, bx * g
+    qys, qxs = np.mgrid[0:sby, 0:sbx]
+    qx0 = jnp.asarray((qxs * sub).reshape(-1))
+    qy0 = jnp.asarray((qys * sub).reshape(-1))
+    cq = cur.reshape(sby, sub, sbx, sub).transpose(0, 2, 1, 3)
+    cq = cq.reshape(sby * sbx, sub, sub).astype(jnp.int32)
     qoff = jnp.asarray(QPEL_OFFSETS)
 
-    def refine_pairs(mvc, sel_quads):
-        """Refine one half shape: mvc (N, 2) center; sel_quads: the 2
-        quadrant flat indices per block (N, 2).  Returns (N, 2) qpel
-        mv + (N,) cost."""
-        qi = sel_quads.reshape(-1)
-        blocks = cq[qi]
-        centers = jnp.repeat(mvc, 2, axis=0)
-        satd = refine_qpel_dense(blocks, ref, qx0[qi], qy0[qi],
-                                 centers, hs, bitdepth)   # (2N, 49)
-        satd = satd.reshape(n, 2, 49).sum(axis=1)
+    byi, bxi = np.mgrid[0:by, 0:bx]
+
+    def shape_sub_ids(name):
+        axis, lo, hi = spans[name]
+        rows = range(lo, hi) if axis == "r" else range(g)
+        cols = range(g) if axis == "r" else range(lo, hi)
+        ids = [((byi * g + rr) * sbx + bxi * g + cc)
+               for rr in rows for cc in cols]
+        return np.stack([a.reshape(-1) for a in ids], axis=-1)
+
+    def refine_shape(name):
+        mvc = mv_int[name]
+        sub_ids = jnp.asarray(shape_sub_ids(name))
+        k = sub_ids.shape[1]
+        qi = sub_ids.reshape(-1)
+        satd = refine_qpel_dense(cq[qi], ref, qx0[qi], qy0[qi],
+                                 jnp.repeat(mvc, k, axis=0), sub,
+                                 bitdepth)
+        satd = satd.reshape(n, k, 49).sum(axis=1)
         cands = mvc[:, None, :] + qoff[None]
         rate = (_mv_bits_est(cands[..., 0] - pred[:, None, 0])
                 + _mv_bits_est(cands[..., 1] - pred[:, None, 1]))
         c = satd.astype(jnp.float32) + lambda_satd * rate
-        k = jnp.argmin(c, axis=-1)
-        mvq = jnp.take_along_axis(cands, k[:, None, None],
+        kk = jnp.argmin(c, axis=-1)
+        mvq = jnp.take_along_axis(cands, kk[:, None, None],
                                   axis=1)[:, 0]
         return mvq, jnp.min(c, axis=-1)
 
-    byi, bxi = np.mgrid[0:by, 0:bx]
-    base = (2 * byi * (2 * bx) + 2 * bxi).reshape(-1)
-    quads = {
-        "top": np.stack([base, base + 1], axis=-1),
-        "bottom": np.stack([base + 2 * bx, base + 2 * bx + 1], axis=-1),
-        "left": np.stack([base, base + 2 * bx], axis=-1),
-        "right": np.stack([base + 1, base + 2 * bx + 1], axis=-1),
-        "full0": np.stack([base, base + 1], axis=-1),
-        "full1": np.stack([base + 2 * bx, base + 2 * bx + 1], axis=-1),
-    }
     if subpel:
-        halves = {k: refine_pairs(mv_int[k], jnp.asarray(quads[k]))
-                  for k in ("top", "bottom", "left", "right")}
-        # Full shape: one 49-candidate argmin over all four quadrants.
-        qi_all = jnp.asarray(
-            np.concatenate([quads["full0"], quads["full1"]],
-                           axis=-1)).reshape(-1)
-        blocks = cq[qi_all]
-        centers = jnp.repeat(mv_int["full"], 4, axis=0)
-        satd = refine_qpel_dense(blocks, ref, qx0[qi_all], qy0[qi_all],
-                                 centers, hs, bitdepth)
-        satd = satd.reshape(n, 4, 49).sum(axis=1)
-        cands = mv_int["full"][:, None, :] + qoff[None]
-        rate = (_mv_bits_est(cands[..., 0] - pred[:, None, 0])
-                + _mv_bits_est(cands[..., 1] - pred[:, None, 1]))
-        cf = satd.astype(jnp.float32) + lambda_satd * rate
-        kf = jnp.argmin(cf, axis=-1)
-        mv_full = jnp.take_along_axis(cands, kf[:, None, None],
-                                      axis=1)[:, 0]
-        cost_full = jnp.min(cf, axis=-1)
+        res = {name: refine_shape(name) for name in surf}
     else:
-        def int_cost(k):
-            sads = surf[k].reshape(n, -1)
-            cost = sads.astype(jnp.float32) \
+        def int_cost(name):
+            cost = surf[name].reshape(n, -1).astype(jnp.float32) \
                 + lambda_satd * bits_grid.reshape(n, -1)
             return jnp.min(cost, axis=-1)
-        halves = {k: (mv_int[k], int_cost(k))
-                  for k in ("top", "bottom", "left", "right")}
-        mv_full, cost_full = mv_int["full"], int_cost("full")
+        res = {name: (mv_int[name], int_cost(name)) for name in surf}
 
-    # Partition decision: SMP pays the extra part_mode bin, a second
+    # Partition decision: non-2Nx2N pays extra part_mode bins, a second
     # merge flag, and its own mv rate (inside the PU costs).
-    extra = lambda_satd * 3.0
-    cost_h = halves["top"][1] + halves["bottom"][1] + extra
-    cost_v = halves["left"][1] + halves["right"][1] + extra
-    costs = jnp.stack([cost_full, cost_h, cost_v])     # (3, N)
-    part = jnp.argmin(costs, axis=0).astype(jnp.int32)
+    parts = [0, 1, 2] + ([4, 5, 6, 7] if (amp and g >= 4) else [])
+    costs = [res["full"][1]]
+    for p_ in parts[1:]:
+        a, b = pu_of_part[p_]
+        extra = lambda_satd * (3.0 if p_ in (1, 2) else 4.0)
+        costs.append(res[a][1] + res[b][1] + extra)
+    costs = jnp.stack(costs)                       # (P, N)
+    sel = jnp.argmin(costs, axis=0)
     best = jnp.min(costs, axis=0)
-    mv0 = jnp.where((part == 1)[:, None], halves["top"][0],
-                    jnp.where((part == 2)[:, None], halves["left"][0],
-                              mv_full))
-    mv1 = jnp.where((part == 1)[:, None], halves["bottom"][0],
-                    jnp.where((part == 2)[:, None],
-                              halves["right"][0], mv_full))
-    mv_pu = jnp.stack([mv0, mv1], axis=1).reshape(by, bx, 2, 2)
+    part = jnp.asarray(np.array(parts, np.int32))[sel]
+    mv0 = res["full"][0]
+    mv1_ = res["full"][0]
+    for i, p_ in enumerate(parts[1:], start=1):
+        a, b = pu_of_part[p_]
+        m = (sel == i)[:, None]
+        mv0 = jnp.where(m, res[a][0], mv0)
+        mv1_ = jnp.where(m, res[b][0], mv1_)
+    mv_pu = jnp.stack([mv0, mv1_], axis=1).reshape(by, bx, 2, 2)
     return part.reshape(by, bx), mv_pu, best.reshape(by, bx)
