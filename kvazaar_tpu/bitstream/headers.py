@@ -47,6 +47,10 @@ class StreamParams:
     # dependent slice segment), "tiles" (each tile an independent
     # slice) — reference src/kvazaar.h:198-201.
     slices: str = "none"
+    # Selective encryption key (reference --crypto behind
+    # KVZ_SEL_ENCRYPTION, extras/crypto.cpp): AES-CTR keystream over
+    # sign bypass bins.  None = off.
+    crypto_key: bytes = None
     # Interlaced source: 0 progressive, 1 top-field-first, 2
     # bottom-field-first — field pictures with field_seq VUI +
     # pic_timing SEIs (reference kvazaar_field_encoding_adapter,

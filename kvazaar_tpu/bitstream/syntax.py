@@ -208,6 +208,13 @@ class _SliceSyntaxBase:
         self._qg_coded = False
         self._qg_qp = contexts.qp
         self._qg_cur = (0, 0)
+        # Selective encryption (--crypto): AES-CTR keystream XORed into
+        # sign bypass bins, consumed in parse order (one cipher per
+        # slice on both sides — reference extras/crypto.cpp hooks).
+        self.cipher = None
+        if getattr(params, "crypto_key", None):
+            from kvazaar_tpu.bitstream.crypto import SelectiveCipher
+            self.cipher = SelectiveCipher(params.crypto_key)
         self._tcol = self._trow = None
         if params.tiles_enabled:
             from kvazaar_tpu.encoder.geometry import \
@@ -318,6 +325,13 @@ class _SliceSyntaxBase:
 
     def _plane(self, c_idx: int) -> np.ndarray:
         return (self.d.coeff_y, self.d.coeff_cb, self.d.coeff_cr)[c_idx]
+
+    def _crypt(self, bit: int) -> int:
+        """XOR a sign bypass bin with the selective-encryption
+        keystream (no-op without a key)."""
+        if self.cipher is None:
+            return bit
+        return bit ^ self.cipher.next_bit()
 
     # -- cu_qp_delta quant-group bookkeeping (shared by both dirs) --
 
@@ -690,7 +704,7 @@ class SliceDataEncoder(_SliceSyntaxBase):
             if a:
                 if a > 1:
                     self._encode_egk(a - 2, 1)
-                self.c.encode_bypass(1 if v < 0 else 0)
+                self.c.encode_bypass(self._crypt(1 if v < 0 else 0))
 
     def _encode_egk(self, value: int, k: int) -> None:
         """Exp-Golomb order-k, bypass bins (9.3.3.3)."""
@@ -1029,7 +1043,8 @@ class SliceDataEncoder(_SliceSyntaxBase):
             for n in sig_pos:
                 if hide and n == sig_pos[-1]:
                     continue
-                c.encode_bypass(1 if sb_levels[n] < 0 else 0)
+                c.encode_bypass(self._crypt(
+                    1 if sb_levels[n] < 0 else 0))
 
             # remaining levels: present iff the coded flags saturated
             rice = 0
@@ -1417,7 +1432,8 @@ class SliceDataDecoder(_SliceSyntaxBase):
                 out.append(0)
                 continue
             a = 2 + self._decode_egk(1) if g1 else 1
-            out.append(-a if self.c.decode_bypass() else a)
+            out.append(-a if self._crypt(self.c.decode_bypass())
+                       else a)
         return out
 
     def _decode_egk(self, k: int) -> int:
@@ -1716,7 +1732,7 @@ class SliceDataDecoder(_SliceSyntaxBase):
                 if hide and n == sig_pos[-1]:
                     signs[n] = None         # inferred from parity below
                 else:
-                    signs[n] = c.decode_bypass()
+                    signs[n] = self._crypt(c.decode_bypass())
 
             rice = 0
             absvals = {}

@@ -69,6 +69,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--amp", action="store_true",
                     help="enable asymmetric inter partitions "
                          "(implies --smp; 32x32 CUs)")
+    ap.add_argument("--crypto", default=None, metavar="KEY",
+                    help="selective encryption: AES-CTR keystream over "
+                         "sign bins (hex key or passphrase)")
     ap.add_argument("--tiles", default=None, metavar="WxH",
                     help="uniform tile grid, e.g. 3x3; combines with "
                          "WPP (one substream per CTU row per tile)")
@@ -171,6 +174,8 @@ def main(argv=None) -> int:
     if args.amp:
         cfg.smp = True
         cfg.amp = True
+    if args.crypto:
+        cfg.crypto = args.crypto
     if args.no_wpp:
         cfg.wpp = False
     if args.no_deblock:

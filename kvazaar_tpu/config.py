@@ -61,6 +61,10 @@ class Config:
     # --amp); needs smp and 32x32 CUs (quarter splits at the 8-cell
     # granularity).
     amp: bool = False
+
+    # Selective encryption (reference --crypto): hex key or
+    # passphrase; AES-CTR keystream XORed into sign bypass bins.
+    crypto: Optional[str] = None
     # Temporal MVP (sps_temporal_mvp_enabled_flag; reference --mv-constraint
     # era default on).  Implemented for low-delay P slices.
     tmvp: bool = False

@@ -1032,6 +1032,7 @@ class PFrameMixin:
                 dict(poc=poc, ref_poc_diff=rpd0, ref_poc_diff_l1=rpd1))
         from kvazaar_tpu.constants import SLICE_B
         if _NATIVE_OK and not self.params.transquant_bypass \
+                and self.params.crypto_key is None \
                 and not self.params.cu_qp_delta \
                 and self.params.slices == "none" \
                 and not self.params.tiles_enabled:
@@ -1072,6 +1073,7 @@ class PFrameMixin:
                      ref_list_l0=ref_list_l0, retained_l0=retained_l0,
                      tmvp=tmvp), nref_l0=nref)
         if _NATIVE_OK and not self.params.transquant_bypass \
+                and self.params.crypto_key is None \
                 and not self.params.cu_qp_delta \
                 and self.params.slices == "none" \
                 and not self.cfg.smp \
@@ -1160,6 +1162,10 @@ class IntraFrameEncoder(PFrameMixin):
             else:
                 self.scaling = ScalingLists("default")
                 _sl_mode = 2
+        _ckey = None
+        if cfg.crypto is not None:
+            from kvazaar_tpu.bitstream.crypto import key_from_string
+            _ckey = key_from_string(cfg.crypto)
         self.params = StreamParams(
             width=self.coded_w, height=self.coded_h,
             bitdepth=self.bitdepth,
@@ -1180,6 +1186,7 @@ class IntraFrameEncoder(PFrameMixin):
             scaling_custom=_sl_custom,
             tmvp_enabled=cfg.tmvp,
             amp=cfg.amp,
+            crypto_key=_ckey,
             tiles=self.tiles,
             framerate=(cfg.framerate_num, cfg.framerate_denom),
             sar=(cfg.sar_width, cfg.sar_height),
@@ -1784,6 +1791,7 @@ class IntraFrameEncoder(PFrameMixin):
                                frame_data=fd, bits=len(nal) * 8)
         sizes = []
         if _NATIVE_OK and not self.params.transquant_bypass \
+                and self.params.crypto_key is None \
                 and not self.params.cu_qp_delta \
                 and self.params.slices == "none" \
                 and not self.params.tiles_enabled:
@@ -1881,6 +1889,7 @@ class IntraFrameEncoder(PFrameMixin):
         # Slice data first (entry-point offsets go into the header).
         sizes = []
         if _NATIVE_OK and not self.params.transquant_bypass \
+                and self.params.crypto_key is None \
                 and not self.params.cu_qp_delta \
                 and self.params.slices == "none" \
                 and not self.params.tiles_enabled and self.cu != 4:
