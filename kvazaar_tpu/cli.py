@@ -64,6 +64,12 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--me-range", type=int, default=None)
     ap.add_argument("--subme", type=int, default=None,
                     help="0 = integer-pel only, >0 = half+quarter")
+    ap.add_argument("--me", default=None,
+                    help="integer search algorithm name (informative: "
+                         "the dense exhaustive search covers every "
+                         "pattern search)")
+    ap.add_argument("--bipred", type=int, default=None,
+                    help="bi-prediction in B slices (0/1)")
     ap.add_argument("--smp", action="store_true",
                     help="enable 2NxN/Nx2N inter partitions")
     ap.add_argument("--amp", action="store_true",
@@ -176,6 +182,10 @@ def main(argv=None) -> int:
         cfg.amp = True
     if args.crypto:
         cfg.crypto = args.crypto
+    if args.me:
+        cfg.me = args.me
+    if args.bipred is not None:
+        cfg.bipred = bool(args.bipred)
     if args.no_wpp:
         cfg.wpp = False
     if args.no_deblock:

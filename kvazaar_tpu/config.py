@@ -65,6 +65,15 @@ class Config:
     # Selective encryption (reference --crypto): hex key or
     # passphrase; AES-CTR keystream XORed into sign bypass bins.
     crypto: Optional[str] = None
+
+    # Bi-prediction in B slices (reference --bipred; we default on —
+    # the exhaustive search absorbs the cost the reference avoids).
+    bipred: bool = True
+    # Integer search algorithm (reference --me hexbs/tz/full/dia/
+    # fullN).  The TPU search is always the exhaustive dense surface (a
+    # capability superset of every pattern search at equal-or-better
+    # quality); names are accepted and recorded for preset parity.
+    me: str = "full"
     # Temporal MVP (sps_temporal_mvp_enabled_flag; reference --mv-constraint
     # era default on).  Implemented for low-delay P slices.
     tmvp: bool = False
@@ -364,6 +373,9 @@ class Config:
                 raise ValueError("high tier starts at level 4 (A.4)")
         if self.threads < 0 or self.owf < 0:
             raise ValueError("threads/owf must be >= 0")
+        if self.me not in ("full", "hexbs", "tz", "dia", "full8",
+                          "full16", "full32", "full64"):
+            raise ValueError(f"unknown --me algorithm: {self.me}")
         if self.source_scan_type:
             if self.height % (4 if self.chroma_format == 420 else 2):
                 raise ValueError("interlaced coding needs frame height "

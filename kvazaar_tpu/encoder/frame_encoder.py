@@ -794,6 +794,10 @@ class PFrameMixin:
                    + _mv_bits_est(mv1[..., 0] - p1[..., 0])
                    + _mv_bits_est(mv1[..., 1] - p1[..., 1]))
         cbi = satd_bi.astype(jnp.float32) + self.lambda_me * rate_bi
+        if not self.cfg.bipred:
+            # --no-bipred (reference --bipred 0 default below
+            # veryslow): uni-prediction only.
+            cbi = jnp.full_like(cbi, jnp.inf)
         costs = jnp.stack([c0, c1, cbi])
         dirs = jnp.argmin(costs, axis=0).astype(jnp.int32)
         inter_cost = jnp.min(costs, axis=0)

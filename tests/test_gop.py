@@ -118,3 +118,32 @@ def test_b_merge_skip_used_and_bit_exact():
     n_merge = sum(int((fd.merge8 >= 0).sum()) for _r, fd in dec)
     n_skip = sum(int(fd.skip8.sum()) for _r, fd in dec)
     assert n_merge > 0 and n_skip > 0
+
+
+def test_no_bipred_b_frames():
+    """--bipred 0: B slices use uni-prediction only, still bit-exact."""
+    import numpy as np
+    from kvazaar_tpu.api import Encoder
+    from kvazaar_tpu.bitstream.decoder import decode_stream
+    from kvazaar_tpu.config import Config
+    rng = np.random.default_rng(8)
+    w = h = 64
+    cfg = Config(width=w, height=h, qp=32, gop_len=4, intra_period=0,
+                 intra_max_cu=16, intra_min_cu=16,
+                 bipred=False).validate()
+    enc = Encoder(cfg)
+    stream = b""
+    results = []
+    for i in range(5):
+        y = np.clip(rng.integers(0, 255, (h, w)) * 0.5 + 60 + i * 4,
+                    0, 255).astype(np.uint8)
+        cb = np.full((h // 2, w // 2), 110, np.uint8)
+        cr = np.full((h // 2, w // 2), 130, np.uint8)
+        results += enc.encode(y, cb, cr)
+    results += enc.flush()
+    for chunks, _i, _r in results:
+        stream += chunks
+    dec = decode_stream(stream, enc._intra.params)
+    assert len(dec) == 5
+    dirs = np.concatenate([fd.dir8.ravel() for _rec, fd in dec])
+    assert not (dirs == 2).any(), "bipred disabled but BI coded"
