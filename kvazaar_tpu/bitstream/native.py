@@ -160,7 +160,7 @@ def encode_slice_data_native_wpp(params, fd, qp: int,
 
 def encode_slice_data_native_p(params, fd, qp: int, wpp: bool,
                                slice_type: int = 1,
-                               nthreads: int = 1):
+                               nthreads: int = 1, nref_l0: int = 1):
     """P/B-slice native serializer.  Returns (bytes, sizes) — sizes
     empty when wpp is off."""
     import ctypes
@@ -178,7 +178,7 @@ def encode_slice_data_native_p(params, fd, qp: int, wpp: bool,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
-            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ]
         lib._p_configured = True
     depth8, mode4, cy, ccb, ccr, chroma = _frame_args(params, fd)
@@ -214,7 +214,11 @@ def encode_slice_data_native_p(params, fd, qp: int, wpp: bool,
         out.ctypes.data, cap, sizes.ctypes.data, nss.ctypes.data,
         (1 if params.sign_hiding else 0) | (int(nthreads) << 8),
         None if (sao := _sao_blob(params, fd)) is None
-        else sao.ctypes.data)
+        else sao.ctypes.data,
+        None if (ref8 := (np.ascontiguousarray(fd.ref8, np.uint8)
+                          if fd.ref8 is not None and nref_l0 > 1
+                          else None)) is None else ref8.ctypes.data,
+        int(nref_l0))
     if n < 0:
         raise RuntimeError("native slice buffer overflow")
     szs = [int(v) for v in sizes[:int(nss[0])]] if wpp else []

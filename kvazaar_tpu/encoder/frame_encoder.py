@@ -1081,12 +1081,12 @@ class PFrameMixin:
                 and not self.params.cu_qp_delta \
                 and self.params.slices == "none" \
                 and not self.cfg.smp \
-                and not self.params.tiles_enabled and nref == 1:
+                and not self.params.tiles_enabled:
             # Single-frame path: row-parallel CABAC (the batch paths
             # instead parallelize across frames in the host pool).
             data, sizes = native.encode_slice_data_native_p(
                 self.params, fd, self.cfg.qp, self.params.wpp,
-                nthreads=self.cfg.threads or 4)
+                nthreads=self.cfg.threads or 4, nref_l0=nref)
         else:
             sizes = []
             dw = BitWriter()

@@ -83,6 +83,7 @@ struct Contexts {
   Ctx merge_idx[1];
   Ctx mvd[2];
   Ctx mvp_idx[1];
+  Ctx ref_pic[2];
   Ctx inter_dir[5];
   Ctx qt_root_cbf[1];
   Ctx tqb[1];
@@ -133,6 +134,7 @@ struct Contexts {
     static const uint8_t MRGI[3][1] = {{137},{122},{154}};
     static const uint8_t MVD[3][2] = {{169,198},{140,198},{154,154}};
     static const uint8_t MVP[3][1] = {{168},{168},{154}};
+    static const uint8_t REFP[3][2] = {{153,153},{153,153},{154,154}};
     static const uint8_t ROOT[3][1] = {{79},{79},{154}};
     static const uint8_t SAOM[3][1] = {{153},{153},{153}};
     static const uint8_t SAOT[3][1] = {{160},{185},{200}};
@@ -158,6 +160,7 @@ struct Contexts {
     ctx_init(merge_idx[0], MRGI[s][0], qp);
     for (int i = 0; i < 2; i++) ctx_init(mvd[i], MVD[s][i], qp);
     ctx_init(mvp_idx[0], MVP[s][0], qp);
+    for (int i = 0; i < 2; i++) ctx_init(ref_pic[i], REFP[s][i], qp);
     for (int i = 0; i < 5; i++) ctx_init(inter_dir[i], IDIR[s][i], qp);
     ctx_init(qt_root_cbf[0], ROOT[s][0], qp);
     ctx_init(tqb[0], 154, qp);
@@ -399,6 +402,8 @@ struct FrameParams {
   const uint8_t *dir8 = nullptr;
   const uint8_t *mvp8_l1 = nullptr;
   const int32_t *mvd8_l1 = nullptr;
+  const uint8_t *ref8 = nullptr;     // L0 ref_idx per cell
+  int nref_l0 = 1;
   // SAO per CTU, 20 int8 each: [merge, type_l, type_c, eo_l, eo_c,
   // bp_y, bp_cb, bp_cr, off_y[4], off_cb[4], off_cr[4]] (offsets
   // signed as applied); nullptr = SAO disabled.
@@ -582,6 +587,18 @@ struct Serializer {
     if (k) c.bypass_bins((uint32_t)value, k);
   }
 
+  // ref_idx_lX: TR cMax = nref-1 (9.3.3, Table 9-42): bin0 ctx0,
+  // bin1 ctx1, rest bypass.
+  void write_ref_idx(int idx, int nref) {
+    c.bin(ctx.ref_pic[0], idx ? 1 : 0);
+    if (!idx) return;
+    for (int i = 0; i < nref - 2; i++) {
+      int sym = (i == idx - 1) ? 0 : 1;
+      if (i == 0) c.bin(ctx.ref_pic[1], sym); else c.bypass(sym);
+      if (!sym) break;
+    }
+  }
+
   void write_merge_idx(int idx) {
     c.bin(ctx.merge_idx[0], idx ? 1 : 0);
     if (idx) {
@@ -642,6 +659,8 @@ struct Serializer {
               c.bin(ctx.mvp_idx[0], p.mvp8_l1[cell]);
             }
           } else {
+            if (p.nref_l0 > 1)
+              write_ref_idx(p.ref8 ? p.ref8[cell] : 0, p.nref_l0);
             write_mvd(p.mvd8 + cell * 2);
             c.bin(ctx.mvp_idx[0], p.mvp8[cell]);
           }
@@ -992,13 +1011,15 @@ int64_t ktpu_encode_slice_data_p(
     const int32_t *mvd8_l1,
     uint8_t *out, int64_t out_cap,
     int64_t *entry_sizes, int32_t *n_substreams, int flags,
-    const int8_t *sao) {
+    const int8_t *sao, const uint8_t *ref8, int nref_l0) {
   FrameParams fp{width, height, chroma, qp, log2_ctu, log2_min_cu,
                  log2_max_tu, depth8, mode4, coeff_y, coeff_cb,
                  coeff_cr, slice_type, 0, 0, inter8, skip8, merge8,
                  mvp8, mvd8, dir8, mvp8_l1, mvd8_l1};
   fp.sign_hiding = flags & 1;
   fp.sao = sao;
+  fp.ref8 = ref8;
+  fp.nref_l0 = nref_l0 > 0 ? nref_l0 : 1;
   if (wpp) {
     std::vector<uint8_t> bytes;
     std::vector<int64_t> sizes;

@@ -133,3 +133,30 @@ def test_native_assemble_plane_i8():
     g = blocks.reshape(plan.blocks_y, plan.blocks_x, 16, 16)
     ref = g.transpose(0, 2, 1, 3).reshape(64, 96).astype(np.int32)
     assert np.array_equal(got, ref)
+
+
+@pytest.mark.parametrize("nref", [2, 4])
+def test_native_p_multiref_matches_python(nref):
+    """Multi-ref P: native ref_idx coding must be byte-identical to
+    the Python serializer."""
+    from kvazaar_tpu.bitstream import native as nat
+    from kvazaar_tpu.bitstream.bits import BitWriter
+    from kvazaar_tpu.bitstream.cabac import CabacEncoder
+    from kvazaar_tpu.bitstream.contexts import Contexts
+    from kvazaar_tpu.bitstream.syntax import SliceDataEncoder
+    from kvazaar_tpu.constants import SLICE_P
+    from tests.test_syntax import random_p_frame_data
+    rng = np.random.default_rng(40 + nref)
+    W, H = 192, 128
+    params = StreamParams(width=W, height=H, qp=30, wpp=True)
+    fd = random_p_frame_data(rng, W, H, True)
+    fd.ref8[:] = rng.integers(0, nref, fd.ref8.shape).astype(np.uint8)
+    w = BitWriter()
+    enc = SliceDataEncoder(params, fd, Contexts(SLICE_P, 30),
+                           CabacEncoder(w), nref_l0=nref)
+    py_sizes = enc.encode_slice_data_wpp()
+    py = w.get_bytes()
+    nb, nb_sizes = nat.encode_slice_data_native_p(
+        params, fd, 30, True, nref_l0=nref)
+    assert nb_sizes == py_sizes
+    assert nb == py
