@@ -84,6 +84,10 @@ class Encoder:
         if cfg.bitrate > 0:
             from kvazaar_tpu.encoder.rate_control import RateController
             fps = cfg.framerate_num / max(cfg.framerate_denom, 1)
+            if self._fields:
+                # Each source frame produces TWO field pictures: the
+                # per-picture budget is bitrate / (2*fps).
+                fps *= 2
             self._rc = RateController(cfg.bitrate, fps, cfg.width,
                                       cfg.height)
         # Per-CTU QP machinery (LCU RC / ROI / AQ -> cu_qp_delta).
@@ -466,6 +470,10 @@ class Encoder:
             # Per-CTU QP maps / field splitting happen per frame on
             # the host.
             return False
+        if self.cfg.crypto is not None:
+            # The per-picture nonce counter needs stream-order
+            # (sequential) emission.
+            return False
         if self.cfg.intra_period == 1:
             # Batched all-intra pipeline: SAO is applied inside
             # finalize; only variable-CU trees (per-frame schedules)
@@ -694,6 +702,10 @@ class Encoder:
                     raise r
                 out.append(r)
             return out
+        if not self._feed_open:
+            raise RuntimeError(
+                "feed() after flush: the stream is finished (open a "
+                "new Encoder to start another)")
         self._feed_q.put((y, cb, cr))
         while True:
             try:

@@ -199,6 +199,14 @@ def decode_stream(stream: bytes, params: StreamParams):
                                  params.width_in_ctus), qp, np.int32)
         return fd
 
+    pic_count = [0]
+
+    def _crypto_iv(dec):
+        """Per-picture selective-encryption nonce (stream order)."""
+        if getattr(params, "crypto_key", None):
+            dec.set_crypto_iv(pic_count[0])
+        pic_count[0] += 1
+
     for nal_type, _tid, rbsp in split_annexb(stream):
         if nal_type in (0, 1, 19, 20) \
                 and getattr(params, "slices", "none") != "none":
@@ -227,6 +235,7 @@ def decode_stream(stream: bytes, params: StreamParams):
                 params, fd, Contexts(slice_type, qp),
                 CabacDecoder(BitReader(pend["segs"][0])),
                 nref_l0=nref)
+            _crypto_iv(dec)
             if params.slices == "wpp":
                 dec.decode_row_slices(pend["segs"])
             else:
@@ -244,6 +253,7 @@ def decode_stream(stream: bytes, params: StreamParams):
             dec = SliceDataDecoder(params, fd,
                                    Contexts(slice_type, qp), cab,
                                    nref_l0=nref)
+            _crypto_iv(dec)
             if params.wpp or params.tiles_enabled:
                 # The header parse ended byte-aligned; the CabacDecoder
                 # init then read 9 bits, so slice data begins at

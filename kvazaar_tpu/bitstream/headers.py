@@ -283,8 +283,11 @@ def _write_vui(w: BitWriter, p: StreamParams) -> None:
     w.u(fld, 1)             # frame_field_info_present_flag
     w.u(0, 1)               # default_display_window_flag
     w.u(1, 1)               # vui_timing_info_present_flag
+    # Field sequences emit two pictures per source frame: the picture
+    # clock doubles (field_seq_flag=1 above).
+    ts_mult = 2 if p.source_scan_type else 1
     w.u(p.framerate[1], 32)  # vui_num_units_in_tick
-    w.u(p.framerate[0], 32)  # vui_time_scale
+    w.u(p.framerate[0] * ts_mult, 32)  # vui_time_scale
     w.u(0, 1)               # vui_poc_proportional_to_timing_flag
     w.u(0, 1)               # vui_hrd_parameters_present_flag
     w.u(0, 1)               # bitstream_restriction_flag

@@ -231,27 +231,24 @@ class _SliceSyntaxBase:
                  for cx in range(cbx[tc], cbx[tc + 1])]
                 for tr in range(ty) for tc in range(tx)]
 
+    def set_crypto_iv(self, iv: int) -> None:
+        """Per-picture CTR nonce (both sides count pictures in stream
+        order) — never reuse a keystream across pictures."""
+        if self.cipher is not None:
+            from kvazaar_tpu.bitstream.crypto import SelectiveCipher
+            self.cipher = SelectiveCipher(self.p.crypto_key,
+                                          iv=iv << 32)
+
     @staticmethod
     def _pu_rects(x0, y0, size, part):
-        """PU rectangles (x, y, w, h) in pixels, decode order (HEVC
-        PartMode values; 4..7 = AMP quarter splits)."""
-        h = size >> 1
-        q = size >> 2
-        if part == 1:
-            return [(x0, y0, size, h), (x0, y0 + h, size, h)]
-        if part == 2:
-            return [(x0, y0, h, size), (x0 + h, y0, h, size)]
-        if part == 4:
-            return [(x0, y0, size, q), (x0, y0 + q, size, size - q)]
-        if part == 5:
-            return [(x0, y0, size, size - q),
-                    (x0, y0 + size - q, size, q)]
-        if part == 6:
-            return [(x0, y0, q, size), (x0 + q, y0, size - q, size)]
-        if part == 7:
-            return [(x0, y0, size - q, size),
-                    (x0 + size - q, y0, q, size)]
-        return [(x0, y0, size, size)]
+        """PU rectangles (x, y, w, h) in pixels, decode order — the
+        pixel view of inter_cands.pu_cell_rects (the ONE partition
+        geometry table; every PU offset is an 8-multiple in the
+        supported operating points)."""
+        from kvazaar_tpu.encoder.inter_cands import pu_cell_rects
+        return [(rx * 8, ry * 8, rw * 8, rh * 8)
+                for (ry, rx, rh, rw) in pu_cell_rects(
+                    y0 >> 3, x0 >> 3, size >> 3, part)]
 
     def _tile_rows(self):
         """Tiles in raster order; each as a list of CTU rows, each row

@@ -63,7 +63,8 @@ class Config:
     amp: bool = False
 
     # Selective encryption (reference --crypto): hex key or
-    # passphrase; AES-CTR keystream XORed into sign bypass bins.
+    # passphrase; AES-CTR keystream XORed into sign bypass bins with a
+    # per-picture nonce.
     crypto: Optional[str] = None
 
     # Bi-prediction in B slices (reference --bipred; we default on —
@@ -376,6 +377,11 @@ class Config:
         if self.me not in ("full", "hexbs", "tz", "dia", "full8",
                           "full16", "full32", "full64"):
             raise ValueError(f"unknown --me algorithm: {self.me}")
+        if self.crypto is not None and self.bitrate > 0:
+            raise ValueError("--crypto with rate control is not "
+                             "implemented (per-QP encoder instances "
+                             "would desynchronize the per-picture "
+                             "nonce counter)")
         if self.source_scan_type:
             if self.height % (4 if self.chroma_format == 420 else 2):
                 raise ValueError("interlaced coding needs frame height "

@@ -50,3 +50,15 @@ MAX_QP = 51
 # Dynamic range of transform coefficients (16-bit path, extended precision
 # off — matches the reference's MAX_TR_DYNAMIC_RANGE=15).
 MAX_TR_DYNAMIC_RANGE = 15
+
+
+# H.265 Table 8-10: chroma QP from luma QP (4:2:0) — the ONE copy;
+# ops/deblock.py, encoder/intra_recon.py, and frame_encoder.chroma_qp
+# all derive from it.
+import numpy as _np
+
+CHROMA_QP_TAB = _np.array(
+    [q if q < 30 else {30: 29, 31: 30, 32: 31, 33: 32, 34: 33, 35: 33,
+                       36: 34, 37: 34, 38: 35, 39: 35, 40: 36, 41: 36,
+                       42: 37, 43: 37}.get(q, q - 6)
+     for q in range(52)], _np.int32)

@@ -39,17 +39,11 @@ from kvazaar_tpu.encoder.intra_recon import (blocks_to_plane,
                                              reconstruct_frames)
 from kvazaar_tpu.encoder.intra_search import search_frame_modes
 
-# H.265 Table 8-10: chroma QP mapping (4:2:0).
-_CHROMA_QP_MAP = {30: 29, 31: 30, 32: 31, 33: 32, 34: 33, 35: 33, 36: 34,
-                  37: 34, 38: 35, 39: 35, 40: 36, 41: 36, 42: 37, 43: 37}
-
-
 def chroma_qp(qp: int) -> int:
-    if qp < 30:
-        return qp
-    if qp > 43:
-        return qp - 6
-    return _CHROMA_QP_MAP[qp]
+    """H.265 Table 8-10 chroma QP (4:2:0) — backed by the single
+    shared table in constants.py."""
+    from kvazaar_tpu.constants import CHROMA_QP_TAB
+    return int(CHROMA_QP_TAB[min(max(qp, 0), 51)])
 
 
 def qp_to_lambda(qp: int) -> float:
@@ -1007,6 +1001,7 @@ class PFrameMixin:
                                Contexts(slice_type, self.cfg.qp),
                                CabacEncoder(BitWriter()),
                                nref_l0=nref_l0)
+        self._apply_crypto_iv(enc)
         if self.params.slices == "wpp":
             segs = enc.encode_row_slices()
             ctus_x = self.params.width_in_ctus
@@ -1014,9 +1009,13 @@ class PFrameMixin:
             dep = True
         else:
             segs = enc.encode_tile_slices()
-            ctus_x = self.params.width_in_ctus
-            addrs = [ctus[0][1] * ctus_x + ctus[0][0]
-                     for ctus in enc._tile_ctus]
+            # slice_segment_address is in TILE-scan CTB order
+            # (7.4.7.1): cumulative CTB count of preceding tiles.
+            addrs = []
+            acc = 0
+            for ctus in enc._tile_ctus:
+                addrs.append(acc)
+                acc += len(ctus)
             dep = False
         out = b""
         for i, (seg, a) in enumerate(zip(segs, addrs)):
@@ -1049,6 +1048,7 @@ class PFrameMixin:
             enc = SliceDataEncoder(self.params, fd,
                                    Contexts(SLICE_B, self.cfg.qp),
                                    CabacEncoder(dw))
+            self._apply_crypto_iv(enc)
             if self.params.tiles_enabled and self.params.wpp:
                 sizes = enc.encode_slice_data_tiles_wpp()
             elif self.params.tiles_enabled:
@@ -1093,6 +1093,7 @@ class PFrameMixin:
             enc = SliceDataEncoder(self.params, fd,
                                    Contexts(SLICE_P, self.cfg.qp),
                                    CabacEncoder(dw), nref_l0=nref)
+            self._apply_crypto_iv(enc)
             if self.params.tiles_enabled and self.params.wpp:
                 sizes = enc.encode_slice_data_tiles_wpp()
             elif self.params.tiles_enabled:
@@ -1218,6 +1219,13 @@ class IntraFrameEncoder(PFrameMixin):
         # design targets (int8 levels; dense int16 kept on device as a
         # rare low-QP overflow fallback).
         self._device_encode_batch = jax.jit(self._device_encode_impl)
+        # Per-picture selective-encryption nonce (stream order; crypto
+        # configs run the sequential emission path so this counter
+        # matches the decoder's picture count).
+        self._crypto_seq = 0
+        # Per-picture selective-encryption nonce counter (stream
+        # order; crypto configs run the sequential emission path).
+        self._crypto_seq = 0
         self._host_pool = None
         self._dpb = None
         self._setup_p()
@@ -1225,6 +1233,14 @@ class IntraFrameEncoder(PFrameMixin):
     def headers(self) -> bytes:
         return (write_vps(self.params) + write_sps(self.params)
                 + write_pps(self.params))
+
+    def _apply_crypto_iv(self, enc) -> None:
+        """Fresh per-picture CTR nonce for selective encryption (the
+        decoder counts pictures in stream order)."""
+        if self.params.crypto_key is None:
+            return
+        enc.set_crypto_iv(self._crypto_seq)
+        self._crypto_seq += 1
 
     def _device_encode_impl(self, ys, cbs, crs):
         """Batched device program: (B, H, W) sources in, packed uint8
@@ -1810,6 +1826,7 @@ class IntraFrameEncoder(PFrameMixin):
             enc = SliceDataEncoder(self.params, fd,
                                    Contexts(SLICE_I, self.cfg.qp),
                                    CabacEncoder(dw))
+            self._apply_crypto_iv(enc)
             if self.params.tiles_enabled and self.params.wpp:
                 sizes = enc.encode_slice_data_tiles_wpp()
             elif self.params.tiles_enabled:
@@ -1908,6 +1925,7 @@ class IntraFrameEncoder(PFrameMixin):
             enc = SliceDataEncoder(self.params, fd,
                                    Contexts(SLICE_I, self.cfg.qp),
                                    CabacEncoder(dw))
+            self._apply_crypto_iv(enc)
             if self.params.tiles_enabled and self.params.wpp:
                 sizes = enc.encode_slice_data_tiles_wpp()
             elif self.params.tiles_enabled:

@@ -269,11 +269,7 @@ def _plane_pass(hbuf, vbuf, bxs, bys, avail, valid, origs, modes, s, qp,
     return hbuf, vbuf, levels.reshape(n_slots, b, s, s), rec, ts
 
 
-_CHROMA_QP_TAB = np.array(
-    [q if q < 30 else {30: 29, 31: 30, 32: 31, 33: 32, 34: 33, 35: 33,
-                       36: 34, 37: 34, 38: 35, 39: 35, 40: 36, 41: 36,
-                       42: 37, 43: 37}.get(q, q - 6)
-     for q in range(52)], np.int32)   # H.265 Table 8-10 (4:2:0)
+from kvazaar_tpu.constants import CHROMA_QP_TAB as _CHROMA_QP_TAB
 
 
 def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,

@@ -18,6 +18,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from kvazaar_tpu.constants import CHROMA_QP_TAB as _CHROMA_QP_TAB
+
 # Spec Table 8-12 constants.
 TC_TABLE = np.array([
     0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1,
@@ -167,13 +169,6 @@ def _tc_lookup(qp_plus: int, bs, scale: int):
     idx = jnp.clip(qp_plus + 2 * (bs - 1), 0, 53)
     tc = jnp.asarray(TC_TABLE)[idx] * scale
     return jnp.where(bs > 0, tc, 0)
-
-
-_CHROMA_QP_TAB = np.array(
-    [q if q < 30 else {30: 29, 31: 30, 32: 31, 33: 32, 34: 33, 35: 33,
-                       36: 34, 37: 34, 38: 35, 39: 35, 40: 36, 41: 36,
-                       42: 37, 43: 37}.get(q, q - 6)
-     for q in range(52)], np.int32)   # H.265 Table 8-10 (4:2:0)
 
 
 def deblock_plane(plane, qp: int, edge_step: int, bitdepth: int = 8,

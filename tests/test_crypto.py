@@ -72,3 +72,21 @@ def test_crypto_changes_stream_not_size_class():
         outs[key] = r.nals
     assert outs["a"] != outs["b"]
     assert abs(len(outs["a"]) - len(outs["b"])) < 64
+
+
+def test_crypto_per_picture_nonce():
+    """Two identical pictures must encrypt differently (per-picture
+    CTR nonce -- no keystream reuse), and still decode bit-exact."""
+    w = h = 64
+    cfg = Config(width=w, height=h, qp=30, intra_period=1,
+                 intra_max_cu=16, intra_min_cu=16,
+                 crypto="k").validate()
+    enc = IntraFrameEncoder(cfg)
+    y, cb, cr = _frame(w, h)
+    r0 = enc.encode_frame(y, cb, cr)
+    r1 = enc.encode_frame(y, cb, cr)       # identical source
+    assert r0.nals != r1.nals, "keystream reused across pictures"
+    frames = decode_stream(enc.headers() + r0.nals + r1.nals,
+                           enc.params)
+    np.testing.assert_array_equal(frames[0][0][0], r0.recon_y)
+    np.testing.assert_array_equal(frames[1][0][0], r1.recon_y)

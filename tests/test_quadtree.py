@@ -79,8 +79,6 @@ def test_quadtree_cu64_bit_exact():
                  intra_max_cu=64)
     enc = IntraFrameEncoder(cfg)
     res = enc.encode_frame(y, cb, cr)
-    sizes = 64 >> res.frame_data.depth8.astype(np.int32)
-    assert (sizes == 64 // 8 * 8).any() or True
     assert (res.frame_data.depth8 == 0).any(), \
         "smooth content should pick some 64x64 CUs"
     (dy, dcb, dcr), fd = decode_stream(enc.headers() + res.nals,
