@@ -694,14 +694,46 @@ struct Serializer {
     transform_tree(x0, y0, log2_size, 0);
   }
 
+  // Per-4x4-cell nonzero bitmaps: tu_cbf queries repeat per TU (root
+  // cbf + tree cbfs) and would otherwise full-scan every ZERO block —
+  // the common case in P frames.  Built once per plane; the
+  // row-parallel WPP drive shares ONE set across workers.
+  mutable std::vector<uint8_t> nz4_[3];
+  const std::vector<uint8_t> *shared_nz_ = nullptr;   // [3]
+
+  void build_nz4(int cidx, std::vector<uint8_t> &m) const {
+    int stride; const int32_t *pl = plane(cidx, stride);
+    int shift = cidx ? 1 : 0;
+    int ph = p.height >> shift, pw = p.width >> shift;
+    int cw = pw >> 2;
+    m.assign((size_t)(ph >> 2) * cw, 0);
+    for (int cy = 0; cy < (ph >> 2); cy++)
+      for (int cx = 0; cx < cw; cx++) {
+        const int32_t *b = pl + (size_t)(cy * 4) * stride + cx * 4;
+        uint8_t any = 0;
+        for (int j = 0; j < 4 && !any; j++)
+          for (int i = 0; i < 4; i++)
+            if (b[j * stride + i]) { any = 1; break; }
+        m[(size_t)cy * cw + cx] = any;
+      }
+  }
+
+  const uint8_t *nz4(int cidx, int &cells_w) const {
+    int shift = cidx ? 1 : 0;
+    cells_w = (p.width >> shift) >> 2;
+    if (shared_nz_) return shared_nz_[cidx].data();
+    if (nz4_[cidx].empty()) build_nz4(cidx, nz4_[cidx]);
+    return nz4_[cidx].data();
+  }
+
   int tu_cbf(int cidx, int x0, int y0, int log2_size) const {
     int shift = cidx ? 1 : 0;
-    int n = 1 << (log2_size - shift);
-    int stride; const int32_t *pl = plane(cidx, stride);
-    int x = x0 >> shift, y = y0 >> shift;
+    int n = 1 << (log2_size - shift - 2);   // cells per side
+    int cw; const uint8_t *m = nz4(cidx, cw);
+    int cx = x0 >> (shift + 2), cy = y0 >> (shift + 2);
     for (int j = 0; j < n; j++)
       for (int i = 0; i < n; i++)
-        if (pl[(y + j) * stride + x + i]) return 1;
+        if (m[(size_t)(cy + j) * cw + cx + i]) return 1;
     return 0;
   }
 
@@ -920,6 +952,16 @@ static void encode_wpp_parallel(const FrameParams &fp,
     s.encode_slice_wpp(out, sizes);
     return;
   }
+  // One shared nonzero-cell bitmap set for every row worker.
+  std::vector<uint8_t> shared_nz[3];
+  {
+    Serializer probe(fp);
+    probe.build_nz4(0, shared_nz[0]);
+    if (fp.chroma) {
+      probe.build_nz4(1, shared_nz[1]);
+      probe.build_nz4(2, shared_nz[2]);
+    }
+  }
   std::vector<Contexts> snaps(ctus_y);
   std::unique_ptr<std::atomic<int>[]> ready(
       new std::atomic<int>[ctus_y]);
@@ -931,6 +973,7 @@ static void encode_wpp_parallel(const FrameParams &fp,
       int r = next_row.fetch_add(1);
       if (r >= ctus_y) return;
       Serializer s(fp);           // contexts init per slice type/qp
+      s.shared_nz_ = shared_nz;
       if (r > 0) {
         while (!ready[r - 1].load(std::memory_order_acquire))
           std::this_thread::yield();
