@@ -45,12 +45,13 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_void_p,
     ]
     lib.ktpu_encode_slice_data_wpp.restype = ctypes.c_int64
     lib.ktpu_encode_slice_data_wpp.argtypes = \
-        lib.ktpu_encode_slice_data.argtypes[:-2] + [
+        lib.ktpu_encode_slice_data.argtypes[:-3] + [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
-            ctypes.c_void_p]
+            ctypes.c_void_p, ctypes.c_void_p]
     lib.ktpu_assemble_plane_i8.restype = None
     lib.ktpu_assemble_plane_i8.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -96,6 +97,15 @@ def _sao_blob(params, fd):
     return np.ascontiguousarray(blob)
 
 
+def _qp_ctu_arr(params, fd):
+    """Writable per-CTU QP buffer for the native serializer (it
+    normalizes to effective QPs in place, like the Python one), or
+    None when cu_qp_delta is off."""
+    if not getattr(params, "cu_qp_delta", False) or fd.qp_ctu is None:
+        return None
+    return np.ascontiguousarray(fd.qp_ctu, np.int32)
+
+
 def encode_slice_data_native(params, fd, qp: int) -> bytes:
     """Native equivalent of SliceDataEncoder.encode_slice_data + final
     alignment; returns the CABAC slice-data bytes."""
@@ -104,6 +114,7 @@ def encode_slice_data_native(params, fd, qp: int) -> bytes:
     cap = cy.nbytes * 2 + 65536
     out = np.empty(cap, np.uint8)
     sao = _sao_blob(params, fd)
+    qpc = _qp_ctu_arr(params, fd)
     n = lib.ktpu_encode_slice_data(
         params.width, params.height, chroma, qp,
         params.log2_ctu, params.log2_min_cu, params.log2_max_tu,
@@ -111,9 +122,12 @@ def encode_slice_data_native(params, fd, qp: int) -> bytes:
         None if ccb is None else ccb.ctypes.data,
         None if ccr is None else ccr.ctypes.data,
         out.ctypes.data, cap, 1 if params.sign_hiding else 0,
-        None if sao is None else sao.ctypes.data)
+        None if sao is None else sao.ctypes.data,
+        None if qpc is None else qpc.ctypes.data)
     if n < 0:
         raise RuntimeError("native slice buffer overflow")
+    if qpc is not None:
+        fd.qp_ctu[:] = qpc
     return out[:n].tobytes()
 
 
@@ -152,9 +166,13 @@ def encode_slice_data_native_wpp(params, fd, qp: int,
         None if ccr is None else ccr.ctypes.data,
         out.ctypes.data, cap, sizes.ctypes.data, nss.ctypes.data,
         (1 if params.sign_hiding else 0) | (int(nthreads) << 8),
-        None if sao is None else sao.ctypes.data)
+        None if sao is None else sao.ctypes.data,
+        None if (qpc := _qp_ctu_arr(params, fd)) is None
+        else qpc.ctypes.data)
     if n < 0:
         raise RuntimeError("native slice buffer overflow")
+    if qpc is not None:
+        fd.qp_ctu[:] = qpc
     return out[:n].tobytes(), [int(v) for v in sizes[:int(nss[0])]]
 
 
@@ -179,6 +197,7 @@ def encode_slice_data_native_p(params, fd, qp: int, wpp: bool,
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
         ]
         lib._p_configured = True
     depth8, mode4, cy, ccb, ccr, chroma = _frame_args(params, fd)
@@ -218,8 +237,16 @@ def encode_slice_data_native_p(params, fd, qp: int, wpp: bool,
         None if (ref8 := (np.ascontiguousarray(fd.ref8, np.uint8)
                           if fd.ref8 is not None and nref_l0 > 1
                           else None)) is None else ref8.ctypes.data,
-        int(nref_l0))
+        int(nref_l0),
+        None if (part8 := (np.ascontiguousarray(fd.part8, np.uint8)
+                           if fd.part8 is not None else None)) is None
+        else part8.ctypes.data,
+        1 if getattr(params, "amp", False) else 0,
+        None if (qpc := _qp_ctu_arr(params, fd)) is None
+        else qpc.ctypes.data)
     if n < 0:
         raise RuntimeError("native slice buffer overflow")
+    if qpc is not None:
+        fd.qp_ctu[:] = qpc
     szs = [int(v) for v in sizes[:int(nss[0])]] if wpp else []
     return out[:n].tobytes(), szs

@@ -1036,7 +1036,6 @@ class PFrameMixin:
         from kvazaar_tpu.constants import SLICE_B
         if _NATIVE_OK and not self.params.transquant_bypass \
                 and self.params.crypto_key is None \
-                and not self.params.cu_qp_delta \
                 and self.params.slices == "none" \
                 and not self.params.tiles_enabled:
             data, sizes = native.encode_slice_data_native_p(
@@ -1078,9 +1077,7 @@ class PFrameMixin:
                      tmvp=tmvp), nref_l0=nref)
         if _NATIVE_OK and not self.params.transquant_bypass \
                 and self.params.crypto_key is None \
-                and not self.params.cu_qp_delta \
                 and self.params.slices == "none" \
-                and not self.cfg.smp \
                 and not self.params.tiles_enabled:
             # Single-frame path: row-parallel CABAC (the batch paths
             # instead parallelize across frames in the host pool).
@@ -1812,7 +1809,6 @@ class IntraFrameEncoder(PFrameMixin):
         sizes = []
         if _NATIVE_OK and not self.params.transquant_bypass \
                 and self.params.crypto_key is None \
-                and not self.params.cu_qp_delta \
                 and self.params.slices == "none" \
                 and not self.params.tiles_enabled:
             if self.params.wpp:
@@ -1911,7 +1907,6 @@ class IntraFrameEncoder(PFrameMixin):
         sizes = []
         if _NATIVE_OK and not self.params.transquant_bypass \
                 and self.params.crypto_key is None \
-                and not self.params.cu_qp_delta \
                 and self.params.slices == "none" \
                 and not self.params.tiles_enabled and self.cu != 4:
             if self.params.wpp:

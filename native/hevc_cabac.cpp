@@ -66,7 +66,7 @@ struct Contexts {
   Ctx sao_merge[1];
   Ctx sao_type[1];
   Ctx split_flag[3];
-  Ctx part_size[1];
+  Ctx part_size[2];
   Ctx intra_mode[1];
   Ctx chroma_pred_mode[1];
   Ctx cbf_luma[2];
@@ -84,6 +84,7 @@ struct Contexts {
   Ctx mvd[2];
   Ctx mvp_idx[1];
   Ctx ref_pic[2];
+  Ctx cu_qp_delta[2];
   Ctx inter_dir[5];
   Ctx qt_root_cbf[1];
   Ctx tqb[1];
@@ -92,7 +93,7 @@ struct Contexts {
   void init(int qp, int slice) {
     int s = (slice == 2) ? 2 : (slice == 1 ? 1 : 0);
     static const uint8_t SPLIT[3][3] = {{107,139,126},{107,139,126},{139,141,157}};
-    static const uint8_t PART[3][1] = {{154},{154},{184}};
+    static const uint8_t PART[3][2] = {{154,139},{154,139},{184,154}};
     static const uint8_t IMODE[3][1] = {{183},{154},{184}};
     static const uint8_t CMODE[3][1] = {{152},{152},{63}};
     static const uint8_t CBFL[3][2] = {{153,111},{153,111},{111,141}};
@@ -143,7 +144,7 @@ struct Contexts {
     ctx_init(sao_merge[0], SAOM[s][0], qp);
     ctx_init(sao_type[0], SAOT[s][0], qp);
     for (int i = 0; i < 3; i++) ctx_init(split_flag[i], SPLIT[s][i], qp);
-    ctx_init(part_size[0], PART[s][0], qp);
+    for (int i = 0; i < 2; i++) ctx_init(part_size[i], PART[s][i], qp);
     ctx_init(intra_mode[0], IMODE[s][0], qp);
     ctx_init(chroma_pred_mode[0], CMODE[s][0], qp);
     for (int i = 0; i < 2; i++) ctx_init(cbf_luma[i], CBFL[s][i], qp);
@@ -161,6 +162,7 @@ struct Contexts {
     for (int i = 0; i < 2; i++) ctx_init(mvd[i], MVD[s][i], qp);
     ctx_init(mvp_idx[0], MVP[s][0], qp);
     for (int i = 0; i < 2; i++) ctx_init(ref_pic[i], REFP[s][i], qp);
+    for (int i = 0; i < 2; i++) ctx_init(cu_qp_delta[i], 154, qp);
     for (int i = 0; i < 5; i++) ctx_init(inter_dir[i], IDIR[s][i], qp);
     ctx_init(qt_root_cbf[0], ROOT[s][0], qp);
     ctx_init(tqb[0], 154, qp);
@@ -404,6 +406,10 @@ struct FrameParams {
   const int32_t *mvd8_l1 = nullptr;
   const uint8_t *ref8 = nullptr;     // L0 ref_idx per cell
   int nref_l0 = 1;
+  const uint8_t *part8 = nullptr;    // PartMode at CU marker cells
+  int amp = 0;                       // amp_enabled (binarization)
+  int32_t *qp_ctu = nullptr;         // (Cy, Cx) per-CTU QP (in/out)
+  int dqp = 0;                       // cu_qp_delta_enabled
   // SAO per CTU, 20 int8 each: [merge, type_l, type_c, eo_l, eo_c,
   // bp_y, bp_cb, bp_cr, off_y[4], off_cb[4], off_cr[4]] (offsets
   // signed as applied); nullptr = SAO disabled.
@@ -415,8 +421,44 @@ struct Serializer {
   Contexts ctx;
   CabacEnc c;
 
+  // cu_qp_delta predictor chain (QG = CTU, 8.6.1).
+  int qp_pred_ = 0; int qg_qp_ = 0; bool qg_coded_ = false;
+  int qg_cy_ = 0, qg_cx_ = 0;
+
   explicit Serializer(const FrameParams &fp) : p(fp) {
     ctx.init(p.qp, p.slice_type);
+    qp_pred_ = p.qp;
+  }
+
+  void qg_reset() { if (p.dqp) qp_pred_ = p.qp; }
+  void qg_start(int cxi, int cyi) {
+    if (!p.dqp) return;
+    qg_cy_ = cyi; qg_cx_ = cxi; qg_coded_ = false;
+    int cw = (p.width + 63) >> 6;
+    qg_qp_ = p.qp_ctu[(size_t)cyi * cw + cxi];
+  }
+  void qg_end() {
+    if (!p.dqp) return;
+    int eff = qg_coded_ ? qg_qp_ : qp_pred_;
+    int cw = (p.width + 63) >> 6;
+    p.qp_ctu[(size_t)qg_cy_ * cw + qg_cx_] = eff;
+    qp_pred_ = eff;
+  }
+  // cu_qp_delta_abs/sign at the first TU with coded coefficients
+  // (7.3.8.10; TR cMax 5 + EG0, 9.3.3.1.3).
+  void maybe_dqp(int any_cbf) {
+    if (!p.dqp || qg_coded_ || !any_cbf) return;
+    int delta = qg_qp_ - qp_pred_;
+    int a = delta < 0 ? -delta : delta;
+    int prefix = a < 5 ? a : 5;
+    c.bin(ctx.cu_qp_delta[0], prefix ? 1 : 0);
+    if (prefix) {
+      for (int k = 1; k < prefix; k++) c.bin(ctx.cu_qp_delta[1], 1);
+      if (prefix < 5) c.bin(ctx.cu_qp_delta[1], 0);
+      else egk(a - 5, 0);
+    }
+    if (a) c.bypass(delta < 0 ? 1 : 0);
+    qg_coded_ = true;
   }
 
   bool is_inter_cu(int x, int y) const {
@@ -494,10 +536,13 @@ struct Serializer {
     int cx = (p.width + ctu - 1) >> p.log2_ctu;
     int cy = (p.height + ctu - 1) >> p.log2_ctu;
     int n = cx * cy;
+    qg_reset();
     for (int i = 0; i < n; i++) {
       emit_sao(i % cx, i / cx, cx);
+      qg_start(i % cx, i / cx);
       quadtree((i % cx) << p.log2_ctu, (i / cx) << p.log2_ctu,
                p.log2_ctu, 0);
+      qg_end();
       c.terminate(i == n - 1 ? 1 : 0);
     }
     c.align_zero();
@@ -519,9 +564,12 @@ struct Serializer {
         else ctx.init(p.qp, p.slice_type);
         c = CabacEnc();
       }
+      qg_reset();
       for (int cxi = 0; cxi < ctus_x; cxi++) {
         emit_sao(cxi, row, ctus_x);
+        qg_start(cxi, row);
         quadtree(cxi << p.log2_ctu, row << p.log2_ctu, p.log2_ctu, 0);
+        qg_end();
         bool last = (row == ctus_y - 1) && (cxi == ctus_x - 1);
         c.terminate(last ? 1 : 0);
         if (cxi == 1) { saved = ctx; have_saved = true; }
@@ -539,9 +587,12 @@ struct Serializer {
   // reference schedules with threadqueue deps, encoderstate.c:711).
   void encode_wpp_row(int row, int ctus_x, int ctus_y,
                       Contexts *snap, std::atomic<int> *snap_ready) {
+    qg_reset();
     for (int cxi = 0; cxi < ctus_x; cxi++) {
       emit_sao(cxi, row, ctus_x);
+      qg_start(cxi, row);
       quadtree(cxi << p.log2_ctu, row << p.log2_ctu, p.log2_ctu, 0);
+      qg_end();
       bool last = (row == ctus_y - 1) && (cxi == ctus_x - 1);
       c.terminate(last ? 1 : 0);
       if (cxi == 1 && snap) {
@@ -585,6 +636,21 @@ struct Serializer {
     while (value >= (1 << k)) { c.bypass(1); value -= 1 << k; k++; }
     c.bypass(0);
     if (k) c.bypass_bins((uint32_t)value, k);
+  }
+
+  // One PU's motion syntax at its marker cell (P slices).
+  void pu_motion(int cell) {
+    int midx = p.merge8[cell];
+    if (midx >= 0) {
+      c.bin(ctx.merge_flag[0], 1);
+      write_merge_idx(midx);
+      return;
+    }
+    c.bin(ctx.merge_flag[0], 0);
+    if (p.nref_l0 > 1)
+      write_ref_idx(p.ref8 ? p.ref8[cell] : 0, p.nref_l0);
+    write_mvd(p.mvd8 + cell * 2);
+    c.bin(ctx.mvp_idx[0], p.mvp8[cell]);
   }
 
   // ref_idx_lX: TR cMax = nref-1 (9.3.3, Table 9-42): bin0 ctx0,
@@ -638,7 +704,40 @@ struct Serializer {
       int inter = p.inter8[cell];
       c.bin(ctx.pred_mode[0], inter ? 0 : 1);
       if (inter) {
-        c.bin(ctx.part_size[0], 1);   // 2Nx2N
+        int part = p.part8 ? p.part8[cell] : 0;
+        c.bin(ctx.part_size[0], part == 0 ? 1 : 0);
+        if (part) {
+          // Table 9-34 (NxN disallowed): bin1 horiz/vert; with AMP a
+          // bypass bin selects symmetric and another picks nU/nD,
+          // nL/nR.
+          int horiz = (part == 1 || part == 4 || part == 5);
+          c.bin(ctx.part_size[1], horiz ? 1 : 0);
+          if (p.amp) {
+            int sym = (part == 1 || part == 2);
+            c.bypass(sym ? 1 : 0);
+            if (!sym) c.bypass((part == 5 || part == 7) ? 1 : 0);
+          }
+          int cells = 1 << (log2_size - 3);
+          int h = cells >> 1, qq = cells >= 4 ? (cells >> 2) : 1;
+          int oy1 = 0, ox1 = 0;
+          switch (part) {
+            case 1: oy1 = h; break;
+            case 2: ox1 = h; break;
+            case 4: oy1 = qq; break;
+            case 5: oy1 = cells - qq; break;
+            case 6: ox1 = qq; break;
+            case 7: ox1 = cells - qq; break;
+          }
+          int cw8 = p.width >> 3;
+          int cy8 = y0 >> 3, cx8 = x0 >> 3;
+          pu_motion(cy8 * cw8 + cx8);
+          pu_motion((cy8 + oy1) * cw8 + (cx8 + ox1));
+          // rqt_root_cbf always coded for non-2Nx2N inter (7.3.8.5).
+          int root = root_cbf(x0, y0, log2_size);
+          c.bin(ctx.qt_root_cbf[0], root);
+          if (root) transform_tree(x0, y0, log2_size, 0);
+          return;
+        }
         int midx = p.merge8[cell];
         if (midx >= 0) {
           c.bin(ctx.merge_flag[0], 1);
@@ -776,6 +875,7 @@ struct Serializer {
 
   void transform_unit(int x0, int y0, int log2_size, int cbf_luma,
                       int cbf_cb, int cbf_cr) {
+    maybe_dqp(cbf_luma || cbf_cb || cbf_cr);
     if (cbf_luma) residual(x0, y0, log2_size, 0);
     if (p.chroma && log2_size > 2) {
       if (cbf_cb) residual(x0 >> 1, y0 >> 1, log2_size - 1, 1);
@@ -1025,11 +1125,14 @@ int64_t ktpu_encode_slice_data(
     const uint8_t *depth8, const uint8_t *mode4,
     const int32_t *coeff_y, const int32_t *coeff_cb,
     const int32_t *coeff_cr,
-    uint8_t *out, int64_t out_cap, int flags, const int8_t *sao) {
+    uint8_t *out, int64_t out_cap, int flags, const int8_t *sao,
+    int32_t *qp_ctu) {
   FrameParams fp{width, height, chroma, qp, log2_ctu, log2_min_cu,
                  log2_max_tu, depth8, mode4, coeff_y, coeff_cb, coeff_cr};
   fp.sign_hiding = flags & 1;
   fp.sao = sao;
+  fp.qp_ctu = qp_ctu;
+  fp.dqp = qp_ctu != nullptr;
   Serializer s(fp);
   s.encode_slice();
   int64_t n = (int64_t)s.c.bytes.size();
@@ -1054,7 +1157,8 @@ int64_t ktpu_encode_slice_data_p(
     const int32_t *mvd8_l1,
     uint8_t *out, int64_t out_cap,
     int64_t *entry_sizes, int32_t *n_substreams, int flags,
-    const int8_t *sao, const uint8_t *ref8, int nref_l0) {
+    const int8_t *sao, const uint8_t *ref8, int nref_l0,
+    const uint8_t *part8, int amp, int32_t *qp_ctu) {
   FrameParams fp{width, height, chroma, qp, log2_ctu, log2_min_cu,
                  log2_max_tu, depth8, mode4, coeff_y, coeff_cb,
                  coeff_cr, slice_type, 0, 0, inter8, skip8, merge8,
@@ -1063,6 +1167,10 @@ int64_t ktpu_encode_slice_data_p(
   fp.sao = sao;
   fp.ref8 = ref8;
   fp.nref_l0 = nref_l0 > 0 ? nref_l0 : 1;
+  fp.part8 = part8;
+  fp.amp = amp;
+  fp.qp_ctu = qp_ctu;
+  fp.dqp = qp_ctu != nullptr;
   if (wpp) {
     std::vector<uint8_t> bytes;
     std::vector<int64_t> sizes;
@@ -1095,11 +1203,13 @@ int64_t ktpu_encode_slice_data_wpp(
     const int32_t *coeff_cr,
     uint8_t *out, int64_t out_cap,
     int64_t *entry_sizes, int32_t *n_substreams, int flags,
-    const int8_t *sao) {
+    const int8_t *sao, int32_t *qp_ctu) {
   FrameParams fp{width, height, chroma, qp, log2_ctu, log2_min_cu,
                  log2_max_tu, depth8, mode4, coeff_y, coeff_cb, coeff_cr};
   fp.sign_hiding = flags & 1;
   fp.sao = sao;
+  fp.qp_ctu = qp_ctu;
+  fp.dqp = qp_ctu != nullptr;
   std::vector<uint8_t> bytes;
   std::vector<int64_t> sizes;
   int nthreads = (flags >> 8) & 0xff;

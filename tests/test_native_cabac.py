@@ -160,3 +160,98 @@ def test_native_p_multiref_matches_python(nref):
         params, fd, 30, True, nref_l0=nref)
     assert nb_sizes == py_sizes
     assert nb == py
+
+
+def test_native_dqp_matches_python():
+    """cu_qp_delta: native serializer byte-identical to Python and
+    identical effective-QP normalization."""
+    from kvazaar_tpu.bitstream import native as nat
+    from kvazaar_tpu.bitstream.bits import BitWriter
+    from kvazaar_tpu.bitstream.cabac import CabacEncoder
+    from kvazaar_tpu.bitstream.contexts import Contexts
+    from kvazaar_tpu.bitstream.syntax import SliceDataEncoder
+    from kvazaar_tpu.constants import SLICE_I
+    from tests.test_syntax import random_frame_data
+    rng = np.random.default_rng(51)
+    W, H = 192, 128
+    for wpp in (False, True):
+        params = StreamParams(width=W, height=H, qp=30,
+                              chroma_format_idc=1, cu_qp_delta=True,
+                              wpp=wpp)
+        fd = random_frame_data(rng, W, H, True)
+        fd.coeff_y[64:128, 0:64] = 0     # one CTU without coefficients
+        fd.coeff_cb[32:64, 0:32] = 0
+        fd.coeff_cr[32:64, 0:32] = 0
+        cy, cx = -(-H // 64), -(-W // 64)
+        fd.qp_ctu = (30 + rng.integers(-5, 6, (cy, cx))).astype(np.int32)
+        import copy
+        fd2 = copy.deepcopy(fd)
+        w = BitWriter()
+        enc = SliceDataEncoder(params, fd, Contexts(SLICE_I, 30),
+                               CabacEncoder(w))
+        if wpp:
+            sizes_py = enc.encode_slice_data_wpp()
+        else:
+            enc.encode_slice_data()
+            w.align_zero()
+            sizes_py = []
+        py = w.get_bytes()
+        if wpp:
+            nb, sizes_n = nat.encode_slice_data_native_wpp(params, fd2,
+                                                           30)
+            assert sizes_n == sizes_py
+        else:
+            nb = nat.encode_slice_data_native(params, fd2, 30)
+        assert nb == py
+        np.testing.assert_array_equal(fd2.qp_ctu, fd.qp_ctu)
+
+
+def test_native_smp_amp_matches_python():
+    from kvazaar_tpu.bitstream import native as nat
+    from kvazaar_tpu.bitstream.bits import BitWriter
+    from kvazaar_tpu.bitstream.cabac import CabacEncoder
+    from kvazaar_tpu.bitstream.contexts import Contexts
+    from kvazaar_tpu.bitstream.syntax import SliceDataEncoder
+    from kvazaar_tpu.constants import SLICE_P
+    from tests.test_syntax import random_p_frame_data
+    rng = np.random.default_rng(52)
+    W, H = 192, 128
+    for amp in (False, True):
+        params = StreamParams(width=W, height=H, qp=30, wpp=True,
+                              amp=amp)
+        fd = random_p_frame_data(rng, W, H, True)
+        g8 = fd.depth8.shape
+        seen = np.zeros(g8, bool)
+        parts = (1, 2, 4, 5, 6, 7) if amp else (1, 2)
+        for c8y in range(g8[0]):
+            for c8x in range(g8[1]):
+                if seen[c8y, c8x]:
+                    continue
+                size = 64 >> int(fd.depth8[c8y, c8x])
+                cells = max(size >> 3, 1)
+                seen[c8y:c8y + cells, c8x:c8x + cells] = True
+                ok_amp = size == 32
+                cand = [p_ for p_ in parts if p_ < 4 or ok_amp]
+                if (fd.inter8[c8y, c8x] and not fd.skip8[c8y, c8x]
+                        and size >= 16 and rng.random() < 0.6):
+                    part = int(rng.choice(cand))
+                    fd.part8[c8y, c8x] = part
+                    from kvazaar_tpu.encoder.inter_cands import \
+                        pu_cell_rects
+                    (ry, rx, _h, _w) = pu_cell_rects(
+                        c8y, c8x, cells, part)[1]
+                    if rng.random() < 0.5:
+                        fd.merge8[ry, rx] = int(rng.integers(0, 5))
+                    else:
+                        fd.merge8[ry, rx] = -1
+                        fd.mvd8[ry, rx] = rng.integers(-30, 30, 2)
+                        fd.mvp8[ry, rx] = int(rng.integers(0, 2))
+        w = BitWriter()
+        enc = SliceDataEncoder(params, fd, Contexts(SLICE_P, 30),
+                               CabacEncoder(w))
+        sizes_py = enc.encode_slice_data_wpp()
+        py = w.get_bytes()
+        nb, sizes_n = nat.encode_slice_data_native_p(params, fd, 30,
+                                                     True)
+        assert sizes_n == sizes_py
+        assert nb == py, f"amp={amp}"
