@@ -344,7 +344,8 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
     from kvazaar_tpu.ops import wavefront_pallas as wfp
     if (wfp.supported(plan, bitdepth, lossless, signhide, inter)
             and not rdoq and scaling is None and not tskip
-            and not has_qp and jax.default_backend() == "tpu"):
+            and not has_qp and not wfp.DISABLE
+            and (jax.default_backend() == "tpu" or wfp.INTERPRET)):
         # Fused-VMEM kernel path (bit-identical to the scan below).
         k = plan.n_slots
         ii_fm = mc_fm = None

@@ -54,6 +54,14 @@ from kvazaar_tpu.ops.transform import dct_matrix_np
 
 _F_L, _F_A, _F_AR, _F_BL, _F_AL = 1, 2, 4, 8, 16
 
+# Test hooks (tests/test_wavefront_pallas.py pins kernel == XLA-scan
+# bit-identity): INTERPRET=True runs pallas_call in interpret mode so
+# the CPU suite executes the kernel; DISABLE=True forces the scan path
+# even on TPU (the reference side of the A/B).  Production TPU runs
+# compile the real Mosaic kernel (both False).
+INTERPRET = False
+DISABLE = False
+
 
 def _schedule_np(plan: IntraFramePlan) -> np.ndarray:
     """(steps*slots*2,) int32: [block_id, avail_flags] per slot.  Pad
@@ -396,6 +404,7 @@ def wavefront_plane_pallas(origs_fm, modes_fm, plan: IntraFramePlan,
             jax.ShapeDtypeStruct((n_steps, ss, kb), jnp.int16),
             jax.ShapeDtypeStruct((n_steps, ss, kb), jnp.uint8),
         ],
+        interpret=INTERPRET,
     )(sched, *args)
     return lv, rec
 

@@ -21,3 +21,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon TPU plugin (sitecustomize on PYTHONPATH) registers itself at
+# interpreter start and overrides the env var; force the selection back
+# to CPU through the live config so tests never ride the TPU tunnel.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
