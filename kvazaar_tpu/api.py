@@ -480,6 +480,9 @@ class Encoder:
             # and RC (per-frame QP) force the scalar path.
             return (self._rc is None
                     and self.cfg.intra_min_cu == self.cfg.intra_max_cu)
+        if self._intra._var_inter_active:
+            # Variable P/B trees plan per frame on the host.
+            return False
         return (not self._gop and self._rc is None and not self._multi
                 and not self.cfg.sao)
 

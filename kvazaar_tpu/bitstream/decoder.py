@@ -172,22 +172,35 @@ def decode_stream(stream: bytes, params: StreamParams):
             col_motion[poc] = None
             recon = reconstruct_parsed(fd, params, qp)
         elif slice_type == SLICE_P:
-            tctx = None
-            if tmvp and col_motion.get(poc - rpd[0]) is not None:
-                tctx = dict(col_motion[poc - rpd[0]],
-                            cur_poc=poc, w=params.width,
-                            h=params.height)
-            reconstruct_mvs(fd, params, poc, rpd, tctx=tctx)
-            col_motion[poc] = _motion_of(fd, params, poc, rpd)
-            refs = [dpb[poc - d] for d in rpd]
-            recon = reconstruct_parsed_p(
-                fd, params, qp,
-                refs if len(refs) > 1 else refs[0])
+            if _is_var_tree(fd, params):
+                # Variable trees: cell-granularity MV recon + the
+                # sequential var reconstruction (TMVP is off here).
+                reconstruct_mvs_var(fd, params)
+                col_motion[poc] = None
+                recon = reconstruct_parsed_var(
+                    fd, params, qp, ref=dpb[poc - rpd[0]])
+            else:
+                tctx = None
+                if tmvp and col_motion.get(poc - rpd[0]) is not None:
+                    tctx = dict(col_motion[poc - rpd[0]],
+                                cur_poc=poc, w=params.width,
+                                h=params.height)
+                reconstruct_mvs(fd, params, poc, rpd, tctx=tctx)
+                col_motion[poc] = _motion_of(fd, params, poc, rpd)
+                refs = [dpb[poc - d] for d in rpd]
+                recon = reconstruct_parsed_p(
+                    fd, params, qp,
+                    refs if len(refs) > 1 else refs[0])
         else:
             poc0, poc1 = poc - rpd[0], poc + rpd1
-            reconstruct_mvs_b(fd, params, poc, poc0, poc1)
-            recon = reconstruct_parsed_b(
-                fd, params, qp, dpb[poc0], dpb[poc1])
+            if _is_var_tree(fd, params):
+                reconstruct_mvs_b_var(fd, params, poc, poc0, poc1)
+                recon = reconstruct_parsed_var(
+                    fd, params, qp, ref_b=(dpb[poc0], dpb[poc1]))
+            else:
+                reconstruct_mvs_b(fd, params, poc, poc0, poc1)
+                recon = reconstruct_parsed_b(
+                    fd, params, qp, dpb[poc0], dpb[poc1])
         frames.append((recon, fd))
         dpb[poc] = recon
 
@@ -809,11 +822,105 @@ def _np_inv_residual(levels: np.ndarray, s: int, qp: int,
     return np.clip(r, -32768, 32767)
 
 
+def _is_var_tree(fd: FrameData, params: StreamParams) -> bool:
+    """True when the frame carries a non-uniform quadtree (or 64 CUs),
+    i.e. the encoder used the variable-CU path."""
+    depth = int(fd.depth8[0, 0])
+    return depth == 0 or not np.all(fd.depth8 == depth)
+
+
+def reconstruct_mvs_var(fd: FrameData, params: StreamParams) -> None:
+    """Decode-order MV reconstruction for a variable-tree P frame
+    (single L0 reference): per-CU merge/AMVP with the cell-granularity
+    candidate rules (6.4.2; cell-level z keys linearize any tree).
+    Fills fd.mv8 CU-filled in place."""
+    from kvazaar_tpu.encoder.inter_cands import (amvp_pair_pu_at,
+                                                 merge_list_pu_at)
+    from kvazaar_tpu.encoder.var_schedule import _enumerate_cus
+    h8, w8 = fd.inter8.shape
+    size8 = (params.ctu_size >> fd.depth8.astype(np.int32))
+    inter8 = fd.inter8.astype(bool)
+    mv8 = np.zeros((h8, w8, 2), np.int32)
+    for (x0, y0, s) in _enumerate_cus(size8):
+        cy8, cx8 = y0 // 8, x0 // 8
+        if not inter8[cy8, cx8]:
+            continue
+        cells = s // 8
+        midx = int(fd.merge8[cy8, cx8])
+        if midx >= 0:
+            mlist = merge_list_pu_at(inter8, mv8, cy8, cx8, cells,
+                                     cells, 0, 0, 1,
+                                     cu_yx=(cy8, cx8))
+            v = mlist[midx]
+        else:
+            pair = amvp_pair_pu_at(inter8, mv8, cy8, cx8, cells,
+                                   cells, 0, 0, 1, cu_yx=(cy8, cx8))
+            mvp = pair[int(fd.mvp8[cy8, cx8])]
+            v = (mvp[0] + int(fd.mvd8[cy8, cx8, 0]),
+                 mvp[1] + int(fd.mvd8[cy8, cx8, 1]))
+        mv8[cy8:cy8 + cells, cx8:cx8 + cells] = v
+    fd.mv8[:] = mv8
+
+
+def reconstruct_mvs_b_var(fd: FrameData, params: StreamParams,
+                          poc: int, poc0: int, poc1: int) -> None:
+    """Decode-order MV reconstruction for a variable-tree B frame
+    (one reference per list).  Fills fd.mv8/mv8_l1/dir8 in place."""
+    from kvazaar_tpu.encoder.inter_cands import (amvp_pair_b_pu_at,
+                                                 merge_list_b_pu_at)
+    from kvazaar_tpu.encoder.var_schedule import _enumerate_cus
+    h8, w8 = fd.inter8.shape
+    size8 = (params.ctu_size >> fd.depth8.astype(np.int32))
+    inter8 = fd.inter8.astype(bool)
+    dirs8 = fd.dir8.astype(np.int32).copy()
+    mv0 = np.zeros((h8, w8, 2), np.int32)
+    mv1 = np.zeros((h8, w8, 2), np.int32)
+    for (x0, y0, s) in _enumerate_cus(size8):
+        cy8, cx8 = y0 // 8, x0 // 8
+        if not inter8[cy8, cx8]:
+            continue
+        cells = s // 8
+        midx = int(fd.merge8[cy8, cx8])
+        if midx >= 0:
+            mlist = merge_list_b_pu_at(inter8, dirs8, mv0, mv1, cy8,
+                                       cx8, cells, (poc0, poc1))
+            d, m0, m1 = mlist[midx]
+            dirs8[cy8:cy8 + cells, cx8:cx8 + cells] = d
+            if d != 1:
+                mv0[cy8:cy8 + cells, cx8:cx8 + cells] = m0
+            if d != 0:
+                mv1[cy8:cy8 + cells, cx8:cx8 + cells] = m1
+            continue
+        d = int(dirs8[cy8, cx8])
+        dirs8[cy8:cy8 + cells, cx8:cx8 + cells] = d
+        if d != 1:
+            pair = amvp_pair_b_pu_at(inter8, dirs8, mv0, mv1, cy8,
+                                     cx8, cells, 0, poc, (poc0, poc1))
+            mvp = pair[int(fd.mvp8[cy8, cx8])]
+            mv0[cy8:cy8 + cells, cx8:cx8 + cells] = (
+                mvp[0] + int(fd.mvd8[cy8, cx8, 0]),
+                mvp[1] + int(fd.mvd8[cy8, cx8, 1]))
+        if d != 0:
+            pair = amvp_pair_b_pu_at(inter8, dirs8, mv0, mv1, cy8,
+                                     cx8, cells, 1, poc, (poc0, poc1))
+            mvp = pair[int(fd.mvp8_l1[cy8, cx8])]
+            mv1[cy8:cy8 + cells, cx8:cx8 + cells] = (
+                mvp[0] + int(fd.mvd8_l1[cy8, cx8, 0]),
+                mvp[1] + int(fd.mvd8_l1[cy8, cx8, 1]))
+    fd.mv8[:] = mv0
+    fd.mv8_l1[:] = mv1
+    fd.dir8[:] = dirs8.astype(np.uint8)
+
+
 def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
-                           qp: int):
-    """Sequential per-CU reconstruction for variable-CU intra frames —
+                           qp: int, ref=None, ref_b=None):
+    """Sequential per-CU reconstruction for variable-CU frames —
     a direct transcription of the decoding process (8.4.4), one CU at a
-    time in z-scan order, entirely in numpy."""
+    time in z-scan order, entirely in numpy for the intra path.
+
+    P frames pass `ref` ((y, cb, cr) planes); B frames `ref_b`
+    ((ref0, ref1)); inter CUs take a full-frame cell-granularity MC
+    prediction (fd.mv8/mv8_l1/dir8 must be reconstructed first)."""
     _sl_var = _scaling_from_params(params)
     from kvazaar_tpu.encoder.frame_encoder import chroma_qp
     from kvazaar_tpu.encoder.geometry import z_order_index
@@ -885,7 +992,51 @@ def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
     mid = 1 << (params.bitdepth - 1)
     maxv = (1 << params.bitdepth) - 1
 
-    def recon_block(pi, x0, y0, s, mode, k_cu, my_lu):
+    # Inter support: full-frame cell-granularity MC prediction from the
+    # reconstructed motion fields (interpolation is position-
+    # independent, so per-cell MC equals per-PU MC).
+    inter8 = fd.inter8.astype(bool) if fd.inter8 is not None else None
+    has_inter = ((ref is not None or ref_b is not None)
+                 and inter8 is not None and inter8.any())
+    mc = (None, None, None)
+    if has_inter:
+        def j(p):
+            return None if p is None else jnp.asarray(
+                np.asarray(p, np.int32))
+        if ref_b is not None:
+            from kvazaar_tpu.encoder.inter_search import \
+                bi_mc_planes_cells
+            r0, r1 = ref_b
+            mcj = bi_mc_planes_cells(
+                tuple(j(p) for p in r0), tuple(j(p) for p in r1),
+                jnp.asarray(fd.mv8.astype(np.int32)),
+                jnp.asarray(fd.mv8_l1.astype(np.int32)),
+                jnp.asarray(fd.dir8.astype(np.int32)),
+                params.bitdepth)
+        else:
+            from kvazaar_tpu.encoder.inter_search import mc_planes_cells
+            mcj = mc_planes_cells(j(ref[0]), j(ref[1]), j(ref[2]),
+                                  jnp.asarray(fd.mv8.astype(np.int32)),
+                                  params.bitdepth)
+        mc = tuple(None if p is None else np.asarray(p) for p in mcj)
+
+    def recon_block(pi, x0, y0, s, mode, k_cu, my_lu, inter=False):
+        if inter:
+            plane = planes[pi]
+            pred = mc[pi][y0:y0 + s, x0:x0 + s].astype(np.int64)
+            lv = coeffs[pi][y0:y0 + s, x0:x0 + s]
+            if params.transquant_bypass:
+                res = lv.astype(np.int64)
+            else:
+                res = _np_inv_residual(
+                    lv, s, qps[pi], params.bitdepth,
+                    None if _sl_var is None
+                    else _sl_var.m(s, False, pi))
+            plane[y0:y0 + s, x0:x0 + s] = np.clip(pred + res, 0, maxv)
+            return
+        return recon_block_intra(pi, x0, y0, s, mode, k_cu, my_lu)
+
+    def recon_block_intra(pi, x0, y0, s, mode, k_cu, my_lu):
         plane = planes[pi]
         scale = 1 if pi == 0 else 2
         ph, pw = plane.shape
@@ -932,18 +1083,21 @@ def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
     lu = 0
     cu_ctr = 0
     for k, (_key, lx0, ly0, ls) in enumerate(cus):
+        cu_inter = bool(has_inter and inter8[ly0 // 8, lx0 // 8])
         for ux, uy, us in luma_units_of_cu[k]:
             recon_block(0, ux, uy, us,
-                        int(fd.mode4[uy // 4, ux // 4]), k, lu)
+                        int(fd.mode4[uy // 4, ux // 4]), k, lu,
+                        inter=cu_inter)
             lu += 1
         if chroma:
             # DM chroma mode = luma mode of the PU covering the CU
             # origin (8.4.3); NxN CUs still carry one 4x4 chroma TB.
             mode = int(fd.mode4[ly0 // 4, lx0 // 4])
             base = cu_ctr
-            for j, (ux, uy, us) in enumerate(chroma_units_of_cu[k]):
+            for j_, (ux, uy, us) in enumerate(chroma_units_of_cu[k]):
                 for pi in (1, 2):
-                    recon_block(pi, ux, uy, us, mode, k, base + j)
+                    recon_block(pi, ux, uy, us, mode, k, base + j_,
+                                inter=cu_inter)
             cu_ctr += len(chroma_units_of_cu[k])
         else:
             cu_ctr += len(chroma_units_of_cu[k])
@@ -951,7 +1105,41 @@ def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
     rec_y = planes[0]
     rec_cb = planes[1] if chroma else None
     rec_cr = planes[2] if chroma else None
-    if params.deblock_enabled:
+    if params.deblock_enabled and has_inter:
+        from kvazaar_tpu.encoder.quadtree import (var_bs_maps,
+                                                  var_edge_masks)
+        from kvazaar_tpu.ops.deblock import deblock_frame
+        ev, eh = var_edge_masks(sizes8 * 8)
+        # Per-TB luma cbf on the cell grid (TB = min(CU, 32), 8.7.2.4).
+        cbf8 = np.zeros((h8, w8), bool)
+        for (_key, x0, y0, s) in cus:
+            tb = min(s, 32)
+            for ty in range(y0, y0 + s, tb):
+                for tx in range(x0, x0 + s, tb):
+                    if fd.coeff_y[ty:ty + tb, tx:tx + tb].any():
+                        cbf8[ty // 8:(ty + tb) // 8,
+                             tx // 8:(tx + tb) // 8] = True
+        is_b = ref_b is not None
+        bs_v, bs_h = var_bs_maps(
+            jnp.asarray(inter8), jnp.asarray(cbf8),
+            jnp.asarray(fd.mv8.astype(np.int32)), jnp.asarray(ev),
+            jnp.asarray(eh),
+            mv1_cells=(jnp.asarray(fd.mv8_l1.astype(np.int32))
+                       if is_b else None),
+            dirs8=(jnp.asarray(fd.dir8.astype(np.int32))
+                   if is_b else None))
+        dy, dcb, dcr = deblock_frame(
+            jnp.asarray(rec_y.astype(np.int32)),
+            None if rec_cb is None else jnp.asarray(
+                rec_cb.astype(np.int32)),
+            None if rec_cr is None else jnp.asarray(
+                rec_cr.astype(np.int32)),
+            qp, 8, params.bitdepth, params.deblock_beta_offset_div2,
+            params.deblock_tc_offset_div2, bs_v=bs_v, bs_h=bs_h)
+        rec_y, rec_cb, rec_cr = (np.asarray(dy),
+                                 None if dcb is None else np.asarray(dcb),
+                                 None if dcr is None else np.asarray(dcr))
+    elif params.deblock_enabled:
         from kvazaar_tpu.ops.deblock import deblock_frame
         # TU boundaries filter too: a 64 CU's forced 32x32 TUs (8.7.2).
         c = np.minimum(sizes8.astype(np.int32), 4)

@@ -41,12 +41,14 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="interlaced input: encode as field pictures")
     ap.add_argument("--input-fps", default=None,
                     help="framerate as float or num/denom")
-    ap.add_argument("-p", "--period", type=int, default=1,
+    ap.add_argument("-p", "--period", type=int, default=None,
                     help="intra period: 1=all-intra, N=IDR every N, "
-                         "0=first frame only (low-delay IPPP)")
-    ap.add_argument("--gop", default="0",
+                         "0=first frame only (default: the preset's "
+                         "structure, else all-intra)")
+    ap.add_argument("--gop", default=None,
                     help="GOP structure: 0 (IPPP), 4/8 (B pyramid), "
-                         "or lp-g#d#t# low-delay (src/cfg.c:885)")
+                         "or lp-g#d#t# low-delay (src/cfg.c:885); "
+                         "default: the preset's structure")
     ap.add_argument("--bitrate", type=int, default=0,
                     help="target bits/s (0 = fixed QP)")
     ap.add_argument("--no-lcu-rc", action="store_true",
@@ -136,12 +138,17 @@ def main(argv=None) -> int:
     w, h = (int(v) for v in args.input_res.split("x"))
     cfg = config_from_preset(args.preset, width=w, height=h, qp=args.qp,
                              input_bitdepth=args.bitdepth,
-                             intra_period=args.period,
                              bitrate=args.bitrate,
                              hash=args.hash,
                              chroma_format=420
                              if args.input_format == "P420" else 400)
-    cfg.set("gop", args.gop)
+    # CLI structure flags override the preset's GOP/period only when
+    # given (the reference replays presets through the same parser and
+    # later flags win, src/cfg.c:386,982).
+    if args.gop is not None:
+        cfg.set("gop", args.gop)
+    if args.period is not None:
+        cfg.intra_period = args.period
     if args.input_fps:
         if "/" in args.input_fps:
             num, den = args.input_fps.split("/")

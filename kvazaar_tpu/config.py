@@ -44,12 +44,16 @@ class Config:
     rd: int = 1                # RDO depth (0 = pure-SATD mode argmin,
                                # 1 = +MPM-aware bit re-rank), like --rd
 
-    # Partitioning (device-friendly knobs; see encoder/intra_frame.py).
+    # Partitioning (device-friendly knobs; see encoder/frame_encoder.py).
     # pu_depth ranges as in the reference's --pu-depth-intra/inter.
+    # inter 0 = follow the intra range (resolved in validate()); P/B
+    # frames run the variable quadtree when either range is
+    # non-degenerate (single-ref-per-list structures; multi-ref/TMVP/
+    # SMP inter frames keep a fixed grid — documented degradation).
     intra_min_cu: int = 32
     intra_max_cu: int = 32
-    inter_min_cu: int = 16
-    inter_max_cu: int = 32
+    inter_min_cu: int = 0
+    inter_max_cu: int = 0
 
     # Motion estimation.
     me_range: int = 16         # full-search window radius (TPU: exhaustive)
@@ -176,6 +180,7 @@ class Config:
                 or self.transform_skip):
             return False
         if (self.intra_min_cu != self.intra_max_cu
+                or self.inter_min_cu != self.inter_max_cu
                 or self.intra_max_cu == 4):
             return False
         if (self.tiles_x, self.tiles_y) != (1, 1):
@@ -202,6 +207,31 @@ class Config:
                     "intra cu sizes must be in {4,8,16,32,64}")
         if self.intra_min_cu > self.intra_max_cu:
             raise ValueError("intra_min_cu > intra_max_cu")
+        # Inter CU range: 0 = follow intra (clamped to the inter-legal
+        # [8, 64]; the reference's --pu-depth-inter semantics).
+        if self.inter_min_cu == 0:
+            self.inter_min_cu = max(self.intra_min_cu, 8)
+        if self.inter_max_cu == 0:
+            self.inter_max_cu = max(self.intra_max_cu, 8)
+        for v in (self.inter_min_cu, self.inter_max_cu):
+            if v not in (8, 16, 32, 64):
+                raise ValueError("inter cu sizes must be in "
+                                 "{8,16,32,64}")
+        if self.inter_min_cu > self.inter_max_cu:
+            raise ValueError("inter_min_cu > inter_max_cu")
+        # The shared quadtree needs every level of the union range
+        # covered by at least one tool.
+        lo = min(self.intra_min_cu, self.inter_min_cu)
+        hi = max(self.intra_max_cu, self.inter_max_cu)
+        s = max(lo, 8)
+        while s <= hi:
+            if not (self.intra_min_cu <= s <= self.intra_max_cu
+                    or self.inter_min_cu <= s <= self.inter_max_cu):
+                raise ValueError(
+                    f"CU size {s} is in neither the intra nor the "
+                    "inter range (the shared quadtree needs "
+                    "contiguous coverage)")
+            s *= 2
         if self.intra_max_cu == 64 and self.intra_min_cu == 64:
             raise ValueError("64x64 CUs require the variable quadtree "
                              "(intra_min_cu < 64)")
@@ -258,18 +288,22 @@ class Config:
         if self.gop_len not in (0, 1, 4, 8):
             raise ValueError("gop_len must be 0/1 (low delay) or 4/8 "
                              "(hierarchical B pyramid)")
+        if self.intra_period == 1:
+            # All-intra coding overrides any GOP structure (the
+            # reference's -p 1 makes every picture an IDR regardless
+            # of --gop).
+            self.gop_len = 0
+            self.lp_gop = None
         if self.gop_len > 1 and self.intra_period not in (0,):
             raise ValueError("hierarchical GOPs currently require "
                              "--period 0 (single leading IDR)")
-        if self.gop_len > 1 and self.intra_min_cu != self.intra_max_cu:
-            raise ValueError("hierarchical GOPs require a fixed intra "
-                             "CU size for now")
         if self.mesh_tiles != 1:
             raise ValueError("tile sharding is not implemented yet")
         if not (1 <= self.tiles_x <= 16 and 1 <= self.tiles_y <= 16):
             raise ValueError("tiles must be 1..16 per axis")
         if (self.tiles_x, self.tiles_y) != (1, 1):
-            if self.intra_min_cu != self.intra_max_cu:
+            if (self.intra_min_cu != self.intra_max_cu
+                    or self.inter_min_cu != self.inter_max_cu):
                 raise ValueError("tiles require a fixed CU size for "
                                  "now")
             ctus_x = -(-self.width // 64)
@@ -301,7 +335,8 @@ class Config:
             # Explicit per-CTU QP requests: reject what the traced-QP
             # path cannot honor (LCU RC instead degrades to frame-level
             # RC on these structures — see cu_qp_delta_active).
-            if self.intra_min_cu != self.intra_max_cu:
+            if (self.intra_min_cu != self.intra_max_cu
+                    or self.inter_min_cu != self.inter_max_cu):
                 raise ValueError("ROI/AQ require a fixed CU size for "
                                  "now")
             if self.intra_max_cu == 4:
@@ -337,6 +372,7 @@ class Config:
                 raise ValueError("SMP with B pyramids is not "
                                  "implemented (P slices only)")
             if (self.intra_min_cu != self.intra_max_cu
+                    or self.inter_min_cu != self.inter_max_cu
                     or self.intra_max_cu < 16):
                 raise ValueError("SMP requires a fixed CU size >= 16")
             if (self.tiles_x, self.tiles_y) != (1, 1):
@@ -458,28 +494,66 @@ class Config:
 
 
 PRESETS = {
-    # Reference preset ladder (README.md:290-315) mapped onto the tools
-    # that are actually implemented — every knob a preset sets is real
-    # (validate() enforces it).  The ladder widens as tools land.
+    # Reference preset ladder (src/cfg.c:386, 23 options per preset)
+    # mapped onto the implemented tools — every knob a preset sets is
+    # real (validate() enforces it).  Each preset is a full coherent
+    # operating point: GOP structure, refs, bipred, CU ranges, RDO
+    # depth, sao/rdoq/signhide, ME.  Deliberate deviations from the
+    # reference ladder, documented:
+    #  - ultrafast..veryfast keep a FIXED 16 intra grid (the Pallas
+    #    fused wavefront path; reference uses 16-8) — speed-first.
+    #  - rd levels: the reference's rd0+early-termination ladder maps
+    #    to our rd1 (SATD + MPM re-rank) from faster up; rd2 (true
+    #    roundtrip re-rank) from slow up.
+    #  - multi-ref applies to low-delay structures; B pyramids run one
+    #    ref per list (ref kept at 1 with --gop 8).
+    #  - veryslow/placebo skip SMP/AMP/tskip (fixed-grid-only tools)
+    #    in favor of full variable trees.
+    # pu-depth mapping: depth d = CU size 64>>d; intra "1-4" clamps to
+    # min CU 8 (4x4 NxN is the dedicated all-intra operating point).
     "ultrafast": dict(rd=0, signhide=False, sao=False, me_range=16,
-                      me_subpel=True, intra_max_cu=16, intra_min_cu=16),
+                      me_subpel=True, intra_max_cu=16, intra_min_cu=16,
+                      inter_min_cu=8, inter_max_cu=16,
+                      lp_gop=(4, 4, 1), ref_frames=1, bipred=False),
     "superfast": dict(rd=0, signhide=False, sao=True, me_range=16,
-                      intra_max_cu=16, intra_min_cu=16),
-    "veryfast": dict(rd=0, signhide=True, sao=True, me_range=16,
-                     intra_max_cu=16, intra_min_cu=16),
-    "faster": dict(rd=1, signhide=True, sao=True, me_range=16,
-                   intra_max_cu=16, intra_min_cu=16),
-    "fast": dict(rd=1, signhide=True, sao=True, me_range=16),
-    "medium": dict(rd=1, rdoq=True, signhide=True, sao=True,
-                   me_range=16, intra_min_cu=8),
-    "slow": dict(rd=2, rdoq=True, signhide=True, sao=True,
-                 me_range=32, intra_min_cu=8),
+                      intra_max_cu=16, intra_min_cu=16,
+                      inter_min_cu=8, inter_max_cu=16,
+                      lp_gop=(4, 4, 1), ref_frames=1, bipred=False),
+    "veryfast": dict(rd=0, signhide=False, sao=True, me_range=16,
+                     intra_max_cu=16, intra_min_cu=16,
+                     inter_min_cu=8, inter_max_cu=32,
+                     lp_gop=(4, 4, 1), ref_frames=1, bipred=False),
+    "faster": dict(rd=1, signhide=False, sao=True, me_range=16,
+                   intra_max_cu=16, intra_min_cu=8,
+                   inter_min_cu=8, inter_max_cu=32,
+                   lp_gop=(4, 4, 1), ref_frames=1, bipred=False),
+    "fast": dict(rd=1, signhide=False, sao=True, me_range=16,
+                 intra_min_cu=8, intra_max_cu=32,
+                 inter_min_cu=8, inter_max_cu=32,
+                 lp_gop=(4, 4, 1), ref_frames=2, bipred=False),
+    "medium": dict(rd=1, rdoq=True, signhide=False, sao=True,
+                   me_range=16, intra_min_cu=8, intra_max_cu=32,
+                   inter_min_cu=8, inter_max_cu=64,
+                   gop_len=8, intra_period=0, ref_frames=1),
+    "slow": dict(rd=2, rdoq=True, signhide=False, sao=True,
+                 me_range=32, intra_min_cu=8, intra_max_cu=32,
+                 inter_min_cu=8, inter_max_cu=64,
+                 gop_len=8, intra_period=0, ref_frames=1, bipred=True),
     "slower": dict(rd=2, rdoq=True, signhide=True, sao=True,
-                   me_range=32, intra_min_cu=8, intra_max_cu=64),
+                   me_range=32, intra_min_cu=8, intra_max_cu=64,
+                   inter_min_cu=8, inter_max_cu=64,
+                   gop_len=8, intra_period=0, ref_frames=1,
+                   bipred=True),
     "veryslow": dict(rd=2, rdoq=True, signhide=True, sao=True,
-                     me_range=32, intra_min_cu=8, intra_max_cu=64),
+                     me_range=32, intra_min_cu=8, intra_max_cu=64,
+                     inter_min_cu=8, inter_max_cu=64,
+                     gop_len=8, intra_period=0, ref_frames=1,
+                     bipred=True),
     "placebo": dict(rd=2, rdoq=True, signhide=True, sao=True,
-                    me_range=64, intra_min_cu=8, intra_max_cu=64),
+                    me_range=64, intra_min_cu=8, intra_max_cu=64,
+                    inter_min_cu=8, inter_max_cu=64,
+                    gop_len=8, intra_period=0, ref_frames=1,
+                    bipred=True),
 }
 
 

@@ -648,6 +648,9 @@ class PFrameMixin:
                        ref_poc: int = 0, qp_ctu=None):
         """Plain IPPP P frame against the DPB via the fused path.
         qp_ctu: optional (Cy, Cx) per-CTU QP (LCU rate control)."""
+        if self._var_inter_active and qp_ctu is None:
+            return self.encode_frame_var_p(y, cb, cr, poc=poc,
+                                           ref_poc=ref_poc)
         handle = self.submit_p(y, cb, cr, [(ref_poc, self._dpb)],
                                qp_ctu=qp_ctu)
         res, recs = self.finalize_p_downloaded(
@@ -655,6 +658,440 @@ class PFrameMixin:
             qp_ctu=qp_ctu)
         self._dpb = recs
         return res
+
+    # ---- Variable-CU quadtree P/B frames (encoder/quadtree.py
+    # search_quadtree_p/_b + the data-driven wavefront recon with MC
+    # prediction for inter CUs) — the inter half of the reference's
+    # recursive search_cu (src/search.c:424-757). ----
+
+    @property
+    def _var_inter_active(self) -> bool:
+        """P/B frames run the variable quadtree when either tool's CU
+        range is non-degenerate, or a degenerate inter size differs
+        from the fixed working grid (single-ref-per-list structures;
+        the multi-ref/TMVP/SMP paths keep the fixed grid — a
+        documented degradation, not a no-op: the ranges still shape
+        I-frames and single-ref streams)."""
+        cfg = self.cfg
+        fixed_cu = min(max(cfg.intra_max_cu, 8), 32)
+        return ((cfg.intra_min_cu != cfg.intra_max_cu
+                 or cfg.inter_min_cu != cfg.inter_max_cu
+                 or cfg.inter_max_cu != fixed_cu)
+                and not cfg.smp and cfg.ref_frames == 1
+                and cfg.lp_gop is None and not cfg.tmvp)
+
+    def _var_rngs(self):
+        return ((self.cfg.intra_min_cu, self.cfg.intra_max_cu),
+                (self.cfg.inter_min_cu, self.cfg.inter_max_cu))
+
+    def _var_p_search(self):
+        if not hasattr(self, "_qt_search_p"):
+            from kvazaar_tpu.encoder.quadtree import search_quadtree_p
+            intra_rng, inter_rng = self._var_rngs()
+
+            def s(yp, ref_y):
+                return search_quadtree_p(
+                    yp, ref_y.astype(jnp.int32), self.coded_w,
+                    self.coded_h, self.lambda_satd, self.cfg.me_range,
+                    self.bitdepth, intra_rng, inter_rng,
+                    self.cfg.rd >= 1, subpel=self.cfg.me_subpel)
+
+            self._qt_search_p = jax.jit(s)
+        return self._qt_search_p
+
+    def _var_b_search(self):
+        if not hasattr(self, "_qt_search_b"):
+            from kvazaar_tpu.encoder.quadtree import search_quadtree_b
+            intra_rng, inter_rng = self._var_rngs()
+
+            def s(yp, r0, r1):
+                return search_quadtree_b(
+                    yp, r0.astype(jnp.int32), r1.astype(jnp.int32),
+                    self.coded_w, self.coded_h, self.lambda_satd,
+                    self.cfg.me_range, self.bitdepth, intra_rng,
+                    inter_rng, self.cfg.rd >= 1,
+                    subpel=self.cfg.me_subpel,
+                    bipred=self.cfg.bipred)
+
+            self._qt_search_b = jax.jit(s)
+        return self._qt_search_b
+
+    @functools.lru_cache(maxsize=8)
+    def _var_recon_inter_fn(self, n_steps: int, bi: bool):
+        """Fused MC + wavefront recon + deblock for a variable P/B
+        tree.  refs enter as device planes; the schedule (incl.
+        mv_cells / edge masks) is traced data."""
+        from kvazaar_tpu.encoder.quadtree import (reconstruct_frame_var,
+                                                  var_bs_maps)
+
+        def run(sched, ref0, ref1):
+            from kvazaar_tpu.encoder.inter_search import (
+                bi_mc_planes_cells, mc_planes_cells)
+            if bi:
+                mc = bi_mc_planes_cells(
+                    tuple(None if p is None else p.astype(jnp.int32)
+                          for p in ref0),
+                    tuple(None if p is None else p.astype(jnp.int32)
+                          for p in ref1),
+                    sched["mv_cells"], sched["mv1_cells"],
+                    sched["dirs8"], self.bitdepth)
+            else:
+                mc = mc_planes_cells(
+                    ref0[0].astype(jnp.int32),
+                    None if ref0[1] is None else
+                    ref0[1].astype(jnp.int32),
+                    None if ref0[2] is None else
+                    ref0[2].astype(jnp.int32),
+                    sched["mv_cells"], self.bitdepth)
+            rec_y, rec_cb, rec_cr, levels, cbf8 = reconstruct_frame_var(
+                sched, self.cfg.qp, self.qp_c, self.coded_w,
+                self.coded_h, self.chroma, self.bitdepth,
+                self.cfg.lossless, self.cfg.signhide,
+                rdoq=self.cfg.rdoq, lam=qp_to_lambda(self.cfg.qp),
+                scaling=self.scaling, mc_planes=mc)
+            if self.cfg.deblock:
+                bs_v, bs_h = var_bs_maps(
+                    sched["inter8"], cbf8, sched["mv_cells"],
+                    sched["edge_v"], sched["edge_h"],
+                    mv1_cells=sched.get("mv1_cells") if bi else None,
+                    dirs8=sched.get("dirs8") if bi else None)
+                dy, dcb, dcr = deblock_frame(
+                    rec_y, rec_cb, rec_cr, self.cfg.qp, 8,
+                    self.bitdepth, bs_v=bs_v, bs_h=bs_h)
+            else:
+                dy, dcb, dcr = rec_y, rec_cb, rec_cr
+            rdt = jnp.uint8 if self.bitdepth <= 8 else jnp.uint16
+            dy = dy.astype(rdt)
+            if dcb is not None:
+                dcb, dcr = dcb.astype(rdt), dcr.astype(rdt)
+            lv_flat = jnp.concatenate(
+                [lv.reshape(-1) for lv in levels["y"]]
+                + ([lv.reshape(-1) for lv in levels["cb"]]
+                   + [lv.reshape(-1) for lv in levels["cr"]]
+                   if self.chroma else []))
+            return dy, dcb, dcr, lv_flat.astype(jnp.int16)
+
+        return jax.jit(run)
+
+    def _var_inter_plan(self, size8, mode_maps, imaps, mvs,
+                        extra_grids=()):
+        """Host planning shared by var P/B: patch 64-CU intra modes
+        onto the 32 grid, expand decisions to cells, build the
+        schedule + edge masks.  Returns (vp, sched_size8, inter8,
+        mv_cells, extras, mode_maps)."""
+        from kvazaar_tpu.encoder.quadtree import (build_cell_fields,
+                                                  var_edge_masks)
+        from kvazaar_tpu.encoder.var_schedule import build_var_plan
+        mode_maps = {k: np.asarray(v) for k, v in mode_maps.items()}
+        sched_size8 = np.minimum(size8, 32).astype(size8.dtype)
+        if 64 in mode_maps and (size8 == 64).any():
+            m32 = mode_maps[32].copy()
+            up = np.kron(mode_maps[64], np.ones((2, 2),
+                                                m32.dtype))
+            mask32 = size8[::4, ::4] == 64
+            region = m32[:up.shape[0], :up.shape[1]]
+            m32[:up.shape[0], :up.shape[1]] = np.where(
+                mask32[:up.shape[0], :up.shape[1]], up, region)
+            mode_maps = dict(mode_maps)
+            mode_maps[32] = m32
+        fields = build_cell_fields(size8, imaps, mvs, extra_grids)
+        inter8, mv_cells = fields[0], fields[1]
+        vp = build_var_plan(sched_size8, mode_maps, self.coded_w,
+                            self.coded_h, self.chroma,
+                            inter8_map=inter8)
+        return (vp, sched_size8, inter8, mv_cells, fields[2:],
+                mode_maps)
+
+    def _var_inter_sched(self, vp, yp, cbp, crp, size8, inter8,
+                         mv_cells):
+        """Schedule arrays for a var inter frame: the intra var arrays
+        + per-class inter masks / cell maps + frame-level motion and
+        edge tensors."""
+        from kvazaar_tpu.encoder.quadtree import var_edge_masks
+        sched, lv_shapes = self._var_sched_arrays(vp, yp, cbp, crp,
+                                                  size8)
+        for s, cs in vp.luma.items():
+            sched["luma"][s]["inter"] = jnp.asarray(cs.inter)
+            sched["luma"][s]["cell8"] = jnp.asarray(cs.cell8)
+        if self.chroma:
+            for s, cs in vp.chroma.items():
+                sched["chroma"][s]["inter"] = jnp.asarray(cs.inter)
+        ev, eh = var_edge_masks(size8)
+        sched["edge_v"] = jnp.asarray(ev)
+        sched["edge_h"] = jnp.asarray(eh)
+        sched["inter8"] = jnp.asarray(inter8)
+        sched["mv_cells"] = jnp.asarray(mv_cells)
+        del sched["bs_v"], sched["bs_h"]
+        return sched, lv_shapes
+
+    def _merge_amvp_var(self, size8, inter8, mv8):
+        """Decode-order merge/AMVP signalling for variable 2Nx2N inter
+        CUs (cell-granularity candidate rules, 6.4.2/8.5.3.2; z keys at
+        cell granularity linearize any tree)."""
+        from kvazaar_tpu.encoder.inter_cands import (amvp_pair_pu_at,
+                                                     merge_list_pu_at)
+        from kvazaar_tpu.encoder.var_schedule import _enumerate_cus
+        h8, w8 = inter8.shape
+        merge8 = np.full((h8, w8), -1, np.int32)
+        mvp8 = np.zeros((h8, w8), np.uint8)
+        mvd8 = np.zeros((h8, w8, 2), np.int32)
+        for (x0, y0, s) in _enumerate_cus(size8):
+            cy8, cx8 = y0 // 8, x0 // 8
+            if not inter8[cy8, cx8]:
+                continue
+            cells = s // 8
+            mine = (int(mv8[cy8, cx8, 0]), int(mv8[cy8, cx8, 1]))
+            mlist = merge_list_pu_at(inter8, mv8, cy8, cx8, cells,
+                                     cells, 0, 0, 1,
+                                     cu_yx=(cy8, cx8))
+            if mine in mlist:
+                merge8[cy8, cx8] = mlist.index(mine)
+                continue
+            pair = amvp_pair_pu_at(inter8, mv8, cy8, cx8, cells,
+                                   cells, 0, 0, 1, cu_yx=(cy8, cx8))
+            d0 = abs(mine[0] - pair[0][0]) + abs(mine[1] - pair[0][1])
+            d1 = abs(mine[0] - pair[1][0]) + abs(mine[1] - pair[1][1])
+            i = 1 if d1 < d0 else 0
+            mvp8[cy8, cx8] = i
+            mvd8[cy8, cx8] = (mine[0] - pair[i][0],
+                              mine[1] - pair[i][1])
+        return merge8, mvp8, mvd8
+
+    def _merge_amvp_var_b(self, size8, inter8, dirs8, mv08, mv18,
+                          poc, ref_poc):
+        """B-slice variant: full-motion merge candidates + per-list
+        AMVP (8.5.3.2.3/.6) at cell granularity."""
+        from kvazaar_tpu.encoder.inter_cands import (
+            amvp_pair_b_pu_at, merge_list_b_pu_at)
+        from kvazaar_tpu.encoder.var_schedule import _enumerate_cus
+        h8, w8 = inter8.shape
+        merge8 = np.full((h8, w8), -1, np.int32)
+        mvp8 = np.zeros((h8, w8), np.uint8)
+        mvd8 = np.zeros((h8, w8, 2), np.int32)
+        mvp8_l1 = np.zeros((h8, w8), np.uint8)
+        mvd8_l1 = np.zeros((h8, w8, 2), np.int32)
+        for (x0, y0, s) in _enumerate_cus(size8):
+            cy8, cx8 = y0 // 8, x0 // 8
+            if not inter8[cy8, cx8]:
+                continue
+            cells = s // 8
+            d = int(dirs8[cy8, cx8])
+            m0 = ((int(mv08[cy8, cx8, 0]), int(mv08[cy8, cx8, 1]))
+                  if d != 1 else (0, 0))
+            m1 = ((int(mv18[cy8, cx8, 0]), int(mv18[cy8, cx8, 1]))
+                  if d != 0 else (0, 0))
+            mine = (d, m0, m1)
+            mlist = merge_list_b_pu_at(inter8, dirs8, mv08, mv18,
+                                       cy8, cx8, cells, ref_poc)
+            if mine in mlist:
+                merge8[cy8, cx8] = mlist.index(mine)
+                continue
+            if d != 1:
+                pair = amvp_pair_b_pu_at(inter8, dirs8, mv08, mv18,
+                                         cy8, cx8, cells, 0, poc,
+                                         ref_poc)
+                d0_ = sum(abs(m0[k] - pair[0][k]) for k in range(2))
+                d1_ = sum(abs(m0[k] - pair[1][k]) for k in range(2))
+                i = 1 if d1_ < d0_ else 0
+                mvp8[cy8, cx8] = i
+                mvd8[cy8, cx8] = (m0[0] - pair[i][0],
+                                  m0[1] - pair[i][1])
+            if d != 0:
+                pair = amvp_pair_b_pu_at(inter8, dirs8, mv08, mv18,
+                                         cy8, cx8, cells, 1, poc,
+                                         ref_poc)
+                d0_ = sum(abs(m1[k] - pair[0][k]) for k in range(2))
+                d1_ = sum(abs(m1[k] - pair[1][k]) for k in range(2))
+                i = 1 if d1_ < d0_ else 0
+                mvp8_l1[cy8, cx8] = i
+                mvd8_l1[cy8, cx8] = (m1[0] - pair[i][0],
+                                     m1[1] - pair[i][1])
+        return merge8, mvp8, mvd8, mvp8_l1, mvd8_l1
+
+    def _var_skip8(self, fd, size8, inter8, merge8):
+        """cu_skip_flag per CU: 2Nx2N merge CUs with no coded
+        coefficients in any plane (cell-filled)."""
+        from kvazaar_tpu.encoder.var_schedule import _enumerate_cus
+        h8, w8 = inter8.shape
+        skip8 = np.zeros((h8, w8), np.uint8)
+        for (x0, y0, s) in _enumerate_cus(size8):
+            cy8, cx8 = y0 // 8, x0 // 8
+            if not inter8[cy8, cx8] or merge8[cy8, cx8] < 0:
+                continue
+            cz = not fd.coeff_y[y0:y0 + s, x0:x0 + s].any()
+            if cz and self.chroma:
+                cz = (not fd.coeff_cb[y0 // 2:(y0 + s) // 2,
+                                      x0 // 2:(x0 + s) // 2].any()
+                      and not fd.coeff_cr[y0 // 2:(y0 + s) // 2,
+                                          x0 // 2:(x0 + s) // 2].any())
+            if cz:
+                c = s // 8
+                skip8[cy8:cy8 + c, cx8:cx8 + c] = 1
+        return skip8
+
+    def encode_frame_var_p(self, y, cb=None, cr=None, poc: int = 1,
+                           ref_poc: int = 0):
+        """Variable-quadtree P frame: per-size dense ME + intra search,
+        bottom-up tree argmin, MC-aware wavefront reconstruction,
+        per-CU merge/AMVP signalling (reference inter quadtree:
+        src/search.c:424 + src/search_inter.c:1588)."""
+        from kvazaar_tpu.encoder.quadtree import choose_tree
+        yp = pad_to_multiple(np.asarray(y, np.int32), max(self.cu, 8))
+        cbp = crp = None
+        if self.chroma:
+            cbp = pad_to_multiple(np.asarray(cb, np.int32),
+                                  max(self.cu, 8) // 2)
+            crp = pad_to_multiple(np.asarray(cr, np.int32),
+                                  max(self.cu, 8) // 2)
+        refs = self._dpb
+        costs, modes_d, mvs_d, imaps_d = self._var_p_search()(
+            jnp.asarray(yp), refs[0])
+        # Inter costs already carry their mv/mode rate (lambda*bits in
+        # the search); the flat residual charge covers split/pred-mode/
+        # CBF signalling only — far below the intra path's 300
+        # (measured: 300 flattens P trees to the max CU everywhere).
+        size8 = choose_tree(costs, self.coded_w, self.coded_h,
+                            self.lambda_satd, percu_bits=60.0,
+                            split_bits=2.0)
+        imaps = {k: np.asarray(v) for k, v in imaps_d.items()}
+        mvs = {k: np.asarray(v) for k, v in mvs_d.items()}
+        (vp, sched_size8, inter8, mv_cells, _extras,
+         mode_maps) = self._var_inter_plan(size8, modes_d, imaps, mvs)
+        sched, lv_shapes = self._var_inter_sched(
+            vp, yp, cbp, crp, size8, inter8, mv_cells)
+        dy, dcb, dcr, lv_flat = self._var_recon_inter_fn(
+            vp.n_steps, False)(sched, refs, refs)
+        sao = None
+        if self.cfg.sao:
+            (ry, rcb, rcr), sao_list = self._sao_stage(
+                (yp[None],
+                 None if cbp is None else cbp[None],
+                 None if crp is None else crp[None]),
+                (dy[None],
+                 None if dcb is None else dcb[None],
+                 None if dcr is None else dcr[None]))
+            sao = sao_list[0]
+            dy = ry[0]
+            if self.chroma:
+                dcb, dcr = rcb[0], rcr[0]
+        self._dpb = (dy, dcb, dcr)
+        fd = self._var_frame_data(vp, size8, mode_maps,
+                                  np.asarray(lv_flat), lv_shapes,
+                                  sched_size8=sched_size8)
+        fd.inter8[:] = inter8.astype(np.uint8)
+        fd.mv8[:] = mv_cells
+        merge8, mvp8, mvd8 = self._merge_amvp_var(size8, inter8,
+                                                  mv_cells)
+        fd.merge8[:] = np.clip(merge8, -1, 4).astype(np.int8)
+        fd.mvp8[:] = mvp8
+        fd.mvd8[:] = mvd8
+        fd.skip8[:] = self._var_skip8(fd, size8, inter8, merge8)
+        if sao is not None:
+            fd.sao_merge[:] = sao["merge"]
+            fd.sao_type[:] = sao["type"]
+            fd.sao_eo[:] = sao["eo"]
+            fd.sao_bp[:] = sao["bp"]
+            fd.sao_off[:] = sao["off"]
+        rec_y = np.asarray(dy)
+        rec_cb = np.asarray(dcb) if self.chroma else None
+        rec_cr = np.asarray(dcr) if self.chroma else None
+        nal = self._serialize_p(fd, poc, poc - ref_poc)
+        if self.cfg.hash in ("md5", "checksum"):
+            from kvazaar_tpu.bitstream.headers import \
+                write_picture_hash_sei
+            nal += write_picture_hash_sei((rec_y, rec_cb, rec_cr),
+                                          self.bitdepth,
+                                          kind=self.cfg.hash)
+        return FrameResult(nals=nal, recon_y=rec_y, recon_cb=rec_cb,
+                           recon_cr=rec_cr, frame_data=fd,
+                           bits=len(nal) * 8)
+
+    def encode_frame_var_b(self, y, cb, cr, poc: int, ref0, ref1):
+        """Variable-quadtree B frame (one reference per list)."""
+        from kvazaar_tpu.encoder.quadtree import choose_tree
+        yp = pad_to_multiple(np.asarray(y, np.int32), max(self.cu, 8))
+        cbp = crp = None
+        if self.chroma:
+            cbp = pad_to_multiple(np.asarray(cb, np.int32),
+                                  max(self.cu, 8) // 2)
+            crp = pad_to_multiple(np.asarray(cr, np.int32),
+                                  max(self.cu, 8) // 2)
+        poc0, r0 = ref0
+        poc1, r1 = ref1
+        costs, modes_d, mv0_d, mv1_d, dirs_d, imaps_d = \
+            self._var_b_search()(jnp.asarray(yp), r0[0], r1[0])
+        size8 = choose_tree(costs, self.coded_w, self.coded_h,
+                            self.lambda_satd, percu_bits=60.0,
+                            split_bits=2.0)
+        imaps = {k: np.asarray(v) for k, v in imaps_d.items()}
+        mv0s = {k: np.asarray(v) for k, v in mv0_d.items()}
+        mv1s = {k: np.asarray(v) for k, v in mv1_d.items()}
+        dirss = {k: np.asarray(v) for k, v in dirs_d.items()}
+        (vp, sched_size8, inter8, mv0_cells, extras,
+         mode_maps) = self._var_inter_plan(size8, modes_d, imaps,
+                                           mv0s, (mv1s, dirss))
+        mv1_cells, dirs8 = extras
+        # Effective per-list fields (zero for unused lists — the form
+        # candidates and the decoder reconstruct).
+        emv0 = np.where((dirs8 != 1)[..., None] & inter8[..., None],
+                        mv0_cells, 0)
+        emv1 = np.where((dirs8 != 0)[..., None] & inter8[..., None],
+                        mv1_cells, 0)
+        sched, lv_shapes = self._var_inter_sched(
+            vp, yp, cbp, crp, size8, inter8, emv0)
+        sched["mv1_cells"] = jnp.asarray(emv1)
+        sched["dirs8"] = jnp.asarray(np.where(inter8, dirs8, 0)
+                                     .astype(np.int32))
+        dy, dcb, dcr, lv_flat = self._var_recon_inter_fn(
+            vp.n_steps, True)(sched, r0, r1)
+        sao = None
+        if self.cfg.sao:
+            (ry, rcb, rcr), sao_list = self._sao_stage(
+                (yp[None],
+                 None if cbp is None else cbp[None],
+                 None if crp is None else crp[None]),
+                (dy[None],
+                 None if dcb is None else dcb[None],
+                 None if dcr is None else dcr[None]))
+            sao = sao_list[0]
+            dy = ry[0]
+            if self.chroma:
+                dcb, dcr = rcb[0], rcr[0]
+        fd = self._var_frame_data(vp, size8, mode_maps,
+                                  np.asarray(lv_flat), lv_shapes,
+                                  sched_size8=sched_size8)
+        fd.inter8[:] = inter8.astype(np.uint8)
+        fd.mv8[:] = emv0
+        fd.mv8_l1[:] = emv1
+        fd.dir8[:] = np.where(inter8, dirs8, 0).astype(np.uint8)
+        merge8, mvp8, mvd8, mvp8_l1, mvd8_l1 = self._merge_amvp_var_b(
+            size8, inter8, dirs8, emv0, emv1, poc, (poc0, poc1))
+        fd.merge8[:] = np.clip(merge8, -1, 4).astype(np.int8)
+        fd.mvp8[:] = mvp8
+        fd.mvd8[:] = mvd8
+        fd.mvp8_l1[:] = mvp8_l1
+        fd.mvd8_l1[:] = mvd8_l1
+        fd.skip8[:] = self._var_skip8(fd, size8, inter8, merge8)
+        if sao is not None:
+            fd.sao_merge[:] = sao["merge"]
+            fd.sao_type[:] = sao["type"]
+            fd.sao_eo[:] = sao["eo"]
+            fd.sao_bp[:] = sao["bp"]
+            fd.sao_off[:] = sao["off"]
+        rec_y = np.asarray(dy)
+        rec_cb = np.asarray(dcb) if self.chroma else None
+        rec_cr = np.asarray(dcr) if self.chroma else None
+        nal = self._serialize_b(fd, poc, poc - poc0, poc1 - poc)
+        if self.cfg.hash in ("md5", "checksum"):
+            from kvazaar_tpu.bitstream.headers import \
+                write_picture_hash_sei
+            nal += write_picture_hash_sei((rec_y, rec_cb, rec_cr),
+                                          self.bitdepth,
+                                          kind=self.cfg.hash)
+        res = FrameResult(nals=nal, recon_y=rec_y, recon_cb=rec_cb,
+                          recon_cr=rec_cr, frame_data=fd,
+                          bits=len(nal) * 8)
+        return res, (dy, dcb, dcr)
 
     def _assemble_p_frame_data_smp(self, modes, inter_map, part, mv8,
                                    merge8, mvp8, mvd8, lv_y, lv_cb,
@@ -838,6 +1275,8 @@ class PFrameMixin:
                        slice_qp: int = None):
         """ref0/ref1: (ref_poc, (y, cb, cr) device planes), past and
         future references."""
+        if self._var_inter_active:
+            return self.encode_frame_var_b(y, cb, cr, poc, ref0, ref1)
         from kvazaar_tpu.encoder.inter_cands import amvp_pair_b_at
         s = self.cu
         yp = jnp.asarray(pad_to_multiple(np.asarray(y, np.int32), s))

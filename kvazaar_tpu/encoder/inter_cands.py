@@ -599,6 +599,137 @@ def amvp_pair_pu_at(inter8, mv8, by8: int, bx8: int, ph8: int,
     return out
 
 
+def _pu_nbr_b(inter8, dirs8, mv08, mv18, ny: int, nx: int, cur_key):
+    """Full motion (dir, mv0, mv1) of the PU covering cell (ny, nx)
+    for B-slice candidate derivation at cell granularity (cu_cells=1
+    z keys linearize any variable tree), or None."""
+    h8, w8 = inter8.shape
+    if ny < 0 or nx < 0 or ny >= h8 or nx >= w8:
+        return None
+    if _cu_decode_key(ny, nx, 1) >= cur_key:
+        return None
+    if not inter8[ny, nx]:
+        return None
+    d = int(dirs8[ny, nx])
+    m0 = ((int(mv08[ny, nx, 0]), int(mv08[ny, nx, 1]))
+          if d != 1 else (0, 0))
+    m1 = ((int(mv18[ny, nx, 0]), int(mv18[ny, nx, 1]))
+          if d != 0 else (0, 0))
+    return (d, m0, m1)
+
+
+def merge_list_b_pu_at(inter8, dirs8, mv08, mv18, by8: int, bx8: int,
+                       cells: int, ref_poc: tuple):
+    """B merge list for a 2Nx2N PU at cell rect (by8, bx8, cells) of a
+    variable tree — the cell-granularity form of merge_list_b_at
+    (8.5.3.2.3/.4/.5, one reference per list, TMVP off).  Shared by the
+    encoder's signalling decision and the oracle decoder."""
+    key = _cu_decode_key(by8, bx8, 1)
+    a1 = _pu_nbr_b(inter8, dirs8, mv08, mv18, by8 + cells - 1,
+                   bx8 - 1, key)
+    b1 = _pu_nbr_b(inter8, dirs8, mv08, mv18, by8 - 1,
+                   bx8 + cells - 1, key)
+    b0 = _pu_nbr_b(inter8, dirs8, mv08, mv18, by8 - 1, bx8 + cells,
+                   key)
+    a0 = _pu_nbr_b(inter8, dirs8, mv08, mv18, by8 + cells, bx8 - 1,
+                   key)
+    b2 = _pu_nbr_b(inter8, dirs8, mv08, mv18, by8 - 1, bx8 - 1, key)
+    out = []
+    if a1 is not None:
+        out.append(a1)
+    if b1 is not None and b1 != a1:
+        out.append(b1)
+    if b0 is not None and b0 != b1:
+        out.append(b0)
+    if a0 is not None and a0 != a1:
+        out.append(a0)
+    if len(out) < 4 and b2 is not None and b2 != a1 and b2 != b1:
+        out.append(b2)
+    n_orig = len(out)
+    if n_orig >= 2:
+        for (i0, i1) in _COMB_ORDER[:n_orig * (n_orig - 1)]:
+            if len(out) >= MAX_MERGE_CANDS:
+                break
+            if i0 >= n_orig or i1 >= n_orig:
+                continue
+            d0, m00, _ = out[i0]
+            d1, _, m11 = out[i1]
+            if d0 == 1 or d1 == 0:
+                continue
+            if ref_poc[0] != ref_poc[1] or m00 != m11:
+                out.append((2, m00, m11))
+    while len(out) < MAX_MERGE_CANDS:
+        out.append((2, (0, 0), (0, 0)))
+    return out
+
+
+def amvp_pair_b_pu_at(inter8, dirs8, mv08, mv18, by8: int, bx8: int,
+                      cells: int, lst: int, poc: int, ref_poc: tuple):
+    """AMVP pair for one 2Nx2N PU of a B slice in a variable tree,
+    target list `lst` — the cell-granularity form of amvp_pair_b_at
+    (8.5.3.2.6/.7, one reference per list, TMVP off)."""
+    key = _cu_decode_key(by8, bx8, 1)
+    tgt_poc = ref_poc[lst]
+    mvs = (mv08, mv18)
+
+    def nbr(ny, nx):
+        n = _pu_nbr_b(inter8, dirs8, mv08, mv18, ny, nx, key)
+        if n is None:
+            return None
+        d = n[0]
+        uses = [l for l in (lst, 1 - lst) if (d == 2 or d == l)]
+        return [(l, (int(mvs[l][ny, nx, 0]), int(mvs[l][ny, nx, 1])))
+                for l in uses]
+
+    a_positions = ((by8 + cells, bx8 - 1), (by8 + cells - 1, bx8 - 1))
+    b_positions = ((by8 - 1, bx8 + cells), (by8 - 1, bx8 + cells - 1),
+                   (by8 - 1, bx8 - 1))
+
+    def same_ref(positions):
+        for (ny, nx) in positions:
+            n = nbr(ny, nx)
+            if n is None:
+                continue
+            for (l, v) in n:
+                if ref_poc[l] == tgt_poc:
+                    return v
+        return None
+
+    def scaled(positions):
+        for (ny, nx) in positions:
+            n = nbr(ny, nx)
+            if n is None:
+                continue
+            for (l, v) in n:
+                td = poc - ref_poc[l]
+                tb = poc - tgt_poc
+                if td == 0:
+                    continue
+                return v if td == tb else _mv_scale(v, tb, td)
+        return None
+
+    a_pu_present = any(nbr(ny, nx) is not None
+                       for (ny, nx) in a_positions)
+    a = same_ref(a_positions)
+    if a is None and a_pu_present:
+        a = scaled(a_positions)
+    b = same_ref(b_positions)
+    if not a_pu_present:
+        if a is None:
+            a = b
+            b = scaled(b_positions)
+            if b == a:
+                b = None
+    out = []
+    if a is not None:
+        out.append(a)
+    if b is not None and (a is None or b != a):
+        out.append(b)
+    while len(out) < 2:
+        out.append((0, 0))
+    return out
+
+
 def pu_cell_rects(by8: int, bx8: int, cells: int, part: int):
     """PU rectangles in 8-cells (y, x, h, w), decode order, for a CU
     at (by8, bx8).  part: HEVC PartMode (0, 1=2NxN, 2=Nx2N,

@@ -262,6 +262,50 @@ def mc_planes_cells(ref_y, ref_cb, ref_cr, mv_cells, bitdepth: int = 8):
 
 
 
+def bi_mc_planes_cells(ref0, ref1, mv0_cells, mv1_cells, dirs8,
+                       bitdepth: int = 8):
+    """B-frame prediction planes driven by 8x8-cell motion fields —
+    the cell form of bi_mc_planes for variable trees.  ref0/ref1:
+    (y, cb, cr) planes; mv0/mv1_cells: (h8, w8, 2) qpel; dirs8:
+    (h8, w8) 0=L0/1=L1/2=BI."""
+    from kvazaar_tpu.ops.inter import (bi_average, mc_chroma_hp,
+                                       uni_round)
+    h8, w8 = dirs8.shape
+    n = h8 * w8
+    ys, xs = np.mgrid[0:h8, 0:w8]
+    x0s = jnp.asarray((xs * 8).reshape(-1))
+    y0s = jnp.asarray((ys * 8).reshape(-1))
+    mv0 = mv0_cells.reshape(n, 2)
+    mv1 = mv1_cells.reshape(n, 2)
+
+    def to_plane(blocks, size, h, w):
+        g = blocks.reshape(h8, w8, size, size).transpose(0, 2, 1, 3)
+        return g.reshape(h, w)
+
+    def sel(h0, h1, size):
+        d = jnp.kron(dirs8, jnp.ones((size, size), dirs8.dtype))
+        return jnp.where(d == 0, uni_round(h0, bitdepth),
+                         jnp.where(d == 1, uni_round(h1, bitdepth),
+                                   bi_average(h0, h1, bitdepth)))
+
+    hp0_y = to_plane(_luma_hp_blocks(ref0[0], x0s, y0s, mv0, 8,
+                                     bitdepth), 8, h8 * 8, w8 * 8)
+    hp1_y = to_plane(_luma_hp_blocks(ref1[0], x0s, y0s, mv1, 8,
+                                     bitdepth), 8, h8 * 8, w8 * 8)
+    out_y = sel(hp0_y, hp1_y, 8)
+    if ref0[1] is None:
+        return out_y, None, None
+    hp0_cb = to_plane(mc_chroma_hp(ref0[1], x0s // 2, y0s // 2, mv0,
+                                   4, bitdepth), 4, h8 * 4, w8 * 4)
+    hp1_cb = to_plane(mc_chroma_hp(ref1[1], x0s // 2, y0s // 2, mv1,
+                                   4, bitdepth), 4, h8 * 4, w8 * 4)
+    hp0_cr = to_plane(mc_chroma_hp(ref0[2], x0s // 2, y0s // 2, mv0,
+                                   4, bitdepth), 4, h8 * 4, w8 * 4)
+    hp1_cr = to_plane(mc_chroma_hp(ref1[2], x0s // 2, y0s // 2, mv1,
+                                   4, bitdepth), 4, h8 * 4, w8 * 4)
+    return out_y, sel(hp0_cb, hp1_cb, 4), sel(hp0_cr, hp1_cr, 4)
+
+
 def search_inter_frame_smp(cur, ref, plan: IntraFramePlan,
                            lambda_satd: float, me_range: int,
                            bitdepth: int = 8, subpel: bool = True,

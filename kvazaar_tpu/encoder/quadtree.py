@@ -152,6 +152,310 @@ def choose_tree(costs: dict, width: int, height: int,
 
 
 # ---------------------------------------------------------------------
+# Inter (P/B) quadtree search: dense ME at every candidate CU size +
+# per-size intra-vs-inter argmin; the tree choice reuses choose_tree on
+# the combined costs (reference: search_cu tries inter then intra per
+# depth, src/search.c:424-757 + kvz_search_cu_inter
+# src/search_inter.c:1588).
+# ---------------------------------------------------------------------
+
+def _inf_grid(width, height, s):
+    return jnp.full((height // s, width // s), jnp.inf, jnp.float32)
+
+
+def _plan64(width: int, height: int):
+    """Lightweight 64-grid geometry over the 64-aligned crop
+    (boundary CTUs take inferred splits, so 64 CUs never reach them)."""
+    import types
+    w64, h64 = (width // 64) * 64, (height // 64) * 64
+    return types.SimpleNamespace(cu_size=64, blocks_y=h64 // 64,
+                                 blocks_x=w64 // 64, width=w64,
+                                 height=h64), w64, h64
+
+
+def search_quadtree_p(y, ref_y, width: int, height: int,
+                      lambda_satd: float, me_range: int,
+                      bitdepth: int = 8, intra_rng=(8, 32),
+                      inter_rng=(8, 32), two_pass: bool = True,
+                      subpel: bool = True):
+    """Device search for a P variable tree.  Returns per-size dicts
+    (keys may include 64): costs (combined min of intra/inter),
+    modes (intra winners), mvs (qpel, (H/s, W/s, 2)), inter_maps
+    (bool).  Sizes outside a tool's [min, max] range take +inf for
+    that tool (the reference's --pu-depth-intra/inter semantics,
+    src/cfg.c)."""
+    from kvazaar_tpu.encoder.inter_search import search_inter_frame
+    from kvazaar_tpu.encoder.intra_search import (modes64_from_satd32,
+                                                  search_frame_modes)
+    sizes = [s for s in SIZES
+             if (intra_rng[0] <= s <= intra_rng[1]
+                 or inter_rng[0] <= s <= inter_rng[1])]
+    want64 = intra_rng[1] >= 64 or inter_rng[1] >= 64
+    costs, modes, mvs, imaps = {}, {}, {}, {}
+    icost64 = modes64 = None
+    for s in sizes:
+        plan = make_intra_plan(width, height, s, chroma=False)
+        if intra_rng[0] <= s <= intra_rng[1]:
+            if s == 32 and want64 and intra_rng[1] >= 64:
+                m, ic, satd32 = search_frame_modes(
+                    y, plan, lambda_satd, bitdepth, two_pass,
+                    return_satd=True)
+                modes64, icost64 = modes64_from_satd32(
+                    satd32, lambda_satd, two_pass)
+            else:
+                m, ic = search_frame_modes(y, plan, lambda_satd,
+                                           bitdepth, two_pass)
+        else:
+            m = jnp.zeros((height // s, width // s), jnp.int32)
+            ic = _inf_grid(width, height, s)
+        if inter_rng[0] <= s <= inter_rng[1]:
+            mv, mc = search_inter_frame(y, ref_y, plan, lambda_satd,
+                                        me_range, bitdepth,
+                                        subpel=subpel)
+        else:
+            mv = jnp.zeros((height // s, width // s, 2), jnp.int32)
+            mc = _inf_grid(width, height, s)
+        imap = mc <= ic * 1.02
+        costs[s] = jnp.minimum(mc, ic)
+        modes[s] = m
+        mvs[s] = jnp.where(imap[..., None], mv, 0).astype(jnp.int32)
+        imaps[s] = imap
+    if want64 and (width // 64) and (height // 64):
+        plan64, w64, h64 = _plan64(width, height)
+        ic64 = (icost64 if icost64 is not None
+                else jnp.full((h64 // 64, w64 // 64), jnp.inf,
+                              jnp.float32)[:, :])
+        if modes64 is None:
+            modes64 = jnp.zeros((h64 // 64, w64 // 64), jnp.int32)
+        ic64 = ic64[:h64 // 64, :w64 // 64]
+        if inter_rng[1] >= 64:
+            mv64, mc64 = search_inter_frame(
+                y[:h64, :w64], ref_y[:h64, :w64], plan64, lambda_satd,
+                me_range, bitdepth, subpel=subpel)
+        else:
+            mv64 = jnp.zeros((h64 // 64, w64 // 64, 2), jnp.int32)
+            mc64 = jnp.full((h64 // 64, w64 // 64), jnp.inf,
+                            jnp.float32)
+        imap64 = mc64 <= ic64 * 1.02
+        costs[64] = jnp.minimum(mc64, ic64)
+        modes[64] = modes64
+        mvs[64] = jnp.where(imap64[..., None], mv64,
+                            0).astype(jnp.int32)
+        imaps[64] = imap64
+    return costs, modes, mvs, imaps
+
+
+def search_quadtree_b(y, r0_y, r1_y, width: int, height: int,
+                      lambda_satd: float, me_range: int,
+                      bitdepth: int = 8, intra_rng=(8, 32),
+                      inter_rng=(8, 32), two_pass: bool = True,
+                      subpel: bool = True, bipred: bool = True):
+    """Device search for a B variable tree: per size, L0/L1 ME + a
+    bi-pred SATD check; combined cost vs intra.  Returns (costs,
+    modes, mv0s, mv1s, dirss, inter_maps) per-size dicts."""
+    from kvazaar_tpu.encoder.inter_search import (_mv_bits_est,
+                                                  _mv_pred_grid,
+                                                  search_inter_frame)
+    from kvazaar_tpu.encoder.intra_search import (modes64_from_satd32,
+                                                  satd8_batch,
+                                                  search_frame_modes)
+    from kvazaar_tpu.ops.inter import bi_average, mc_luma_hp
+    sizes = [s for s in SIZES
+             if (intra_rng[0] <= s <= intra_rng[1]
+                 or inter_rng[0] <= s <= inter_rng[1])]
+    want64 = intra_rng[1] >= 64 or inter_rng[1] >= 64
+    out_c, out_m, out_mv0, out_mv1, out_d, out_i = ({}, {}, {}, {},
+                                                    {}, {})
+
+    def inter_at(cur, r0, r1, plan):
+        mv0, c0 = search_inter_frame(cur, r0, plan, lambda_satd,
+                                     me_range, bitdepth, subpel=subpel)
+        mv1, c1 = search_inter_frame(cur, r1, plan, lambda_satd,
+                                     me_range, bitdepth, subpel=subpel)
+        s = plan.cu_size
+        by, bx = plan.blocks_y, plan.blocks_x
+        n = by * bx
+        ys_, xs_ = np.mgrid[0:by, 0:bx]
+        x0s = jnp.asarray((xs_ * s).reshape(-1))
+        y0s = jnp.asarray((ys_ * s).reshape(-1))
+        hp0 = mc_luma_hp(r0, x0s, y0s, mv0.reshape(n, 2), s, bitdepth)
+        hp1 = mc_luma_hp(r1, x0s, y0s, mv1.reshape(n, 2), s, bitdepth)
+        bi = bi_average(hp0, hp1, bitdepth)
+        cb = cur.reshape(by, s, bx, s).transpose(0, 2, 1, 3)
+        cb = cb.reshape(n, s, s).astype(jnp.int32)
+        satd_bi = satd8_batch(bi - cb).reshape(by, bx)
+        p0 = _mv_pred_grid(mv0)
+        p1 = _mv_pred_grid(mv1)
+        rate = (_mv_bits_est(mv0[..., 0] - p0[..., 0])
+                + _mv_bits_est(mv0[..., 1] - p0[..., 1])
+                + _mv_bits_est(mv1[..., 0] - p1[..., 0])
+                + _mv_bits_est(mv1[..., 1] - p1[..., 1]))
+        cbi = satd_bi.astype(jnp.float32) + lambda_satd * rate
+        if not bipred:
+            cbi = jnp.full_like(cbi, jnp.inf)
+        cc = jnp.stack([c0, c1, cbi])
+        dirs = jnp.argmin(cc, axis=0).astype(jnp.int32)
+        return mv0, mv1, dirs, jnp.min(cc, axis=0)
+
+    modes64 = icost64 = None
+    for s in sizes:
+        plan = make_intra_plan(width, height, s, chroma=False)
+        if intra_rng[0] <= s <= intra_rng[1]:
+            if s == 32 and want64 and intra_rng[1] >= 64:
+                m, ic, satd32 = search_frame_modes(
+                    y, plan, lambda_satd, bitdepth, two_pass,
+                    return_satd=True)
+                modes64, icost64 = modes64_from_satd32(
+                    satd32, lambda_satd, two_pass)
+            else:
+                m, ic = search_frame_modes(y, plan, lambda_satd,
+                                           bitdepth, two_pass)
+        else:
+            m = jnp.zeros((height // s, width // s), jnp.int32)
+            ic = _inf_grid(width, height, s)
+        if inter_rng[0] <= s <= inter_rng[1]:
+            mv0, mv1, dirs, mc = inter_at(y, r0_y, r1_y, plan)
+        else:
+            z = jnp.zeros((height // s, width // s, 2), jnp.int32)
+            mv0 = mv1 = z
+            dirs = jnp.zeros((height // s, width // s), jnp.int32)
+            mc = _inf_grid(width, height, s)
+        imap = mc <= ic * 1.02
+        out_c[s] = jnp.minimum(mc, ic)
+        out_m[s] = m
+        out_mv0[s] = jnp.where(imap[..., None], mv0,
+                               0).astype(jnp.int32)
+        out_mv1[s] = jnp.where(imap[..., None], mv1,
+                               0).astype(jnp.int32)
+        out_d[s] = jnp.where(imap, dirs, 0)
+        out_i[s] = imap
+    if want64 and (width // 64) and (height // 64):
+        plan64, w64, h64 = _plan64(width, height)
+        if modes64 is None:
+            modes64 = jnp.zeros((h64 // 64, w64 // 64), jnp.int32)
+            icost64 = jnp.full((h64 // 64, w64 // 64), jnp.inf,
+                               jnp.float32)
+        ic64 = icost64[:h64 // 64, :w64 // 64]
+        if inter_rng[1] >= 64:
+            mv0, mv1, dirs, mc64 = inter_at(
+                y[:h64, :w64], r0_y[:h64, :w64], r1_y[:h64, :w64],
+                plan64)
+        else:
+            z = jnp.zeros((h64 // 64, w64 // 64, 2), jnp.int32)
+            mv0 = mv1 = z
+            dirs = jnp.zeros((h64 // 64, w64 // 64), jnp.int32)
+            mc64 = jnp.full((h64 // 64, w64 // 64), jnp.inf,
+                            jnp.float32)
+        imap64 = mc64 <= ic64 * 1.02
+        out_c[64] = jnp.minimum(mc64, ic64)
+        out_m[64] = modes64
+        out_mv0[64] = jnp.where(imap64[..., None], mv0,
+                                0).astype(jnp.int32)
+        out_mv1[64] = jnp.where(imap64[..., None], mv1,
+                                0).astype(jnp.int32)
+        out_d[64] = jnp.where(imap64, dirs, 0)
+        out_i[64] = imap64
+    return out_c, out_m, out_mv0, out_mv1, out_d, out_i
+
+
+def build_cell_fields(size8: np.ndarray, imaps: dict, mv_grids: dict,
+                      extra_grids: tuple = ()):
+    """Expand per-size CU decisions onto the 8x8-cell grid following
+    the chosen tree: inter8 (h8, w8) bool, mv_cells (h8, w8, 2) int32,
+    plus one expanded grid per entry of extra_grids (each a dict
+    size -> (H/s, W/s[, 2]) array).  Owner lookups are at CU origins
+    (cells are z-aligned)."""
+    h8, w8 = size8.shape
+    inter8 = np.zeros((h8, w8), bool)
+    mv_cells = np.zeros((h8, w8, 2), np.int32)
+    extras = []
+    for g in extra_grids:
+        sample = next(iter(g.values()))
+        shape = (h8, w8) + sample.shape[2:]
+        extras.append(np.zeros(shape, sample.dtype))
+    for s in sorted(imaps.keys()):
+        c = s // 8
+        sel = size8 == s                      # cell-filled owner mask
+        if not sel.any():
+            continue
+        oy = (np.arange(h8) // c)
+        ox = (np.arange(w8) // c)
+
+        # Per-size grids may be cropped (64 level): pad with zeros.
+        def up(grid):
+            g = np.asarray(grid)
+            gy, gx = g.shape[0], g.shape[1]
+            out = np.zeros((h8,) + (w8,) + g.shape[2:], g.dtype)
+            yy = np.minimum(oy, gy - 1)
+            xx = np.minimum(ox, gx - 1)
+            filled = g[np.ix_(yy, xx)]
+            valid = ((oy < gy)[:, None] & (ox < gx)[None, :])
+            out[valid] = filled[valid]
+            return out
+        im = up(imaps[s]).astype(bool)
+        inter8 = np.where(sel, im, inter8)
+        mvu = up(mv_grids[s])
+        mv_cells = np.where(sel[..., None] & im[..., None], mvu,
+                            mv_cells)
+        for i, g in enumerate(extra_grids):
+            gu = up(g[s])
+            if gu.ndim == 3:
+                extras[i] = np.where(sel[..., None] & im[..., None],
+                                     gu, extras[i])
+            else:
+                extras[i] = np.where(sel & im, gu, extras[i])
+    return (inter8, mv_cells) + tuple(extras)
+
+
+def var_edge_masks(size8: np.ndarray):
+    """TU-boundary masks on the 8-cell grid for a variable tree:
+    edge_v[y, x] = the LEFT edge of cell (y, x) is a TU boundary
+    (64 CUs count their forced 32x32 TB edges, 8.7.2)."""
+    c = np.minimum((size8 // 8).astype(np.int32), 4)
+    x8 = np.arange(size8.shape[1])[None, :]
+    y8 = np.arange(size8.shape[0])[:, None]
+    return (x8 % c == 0), (y8 % c == 0)
+
+
+def var_bs_maps(inter8, cbf8, mv_cells, edge_v, edge_h,
+                mv1_cells=None, dirs8=None):
+    """Deblock boundary strengths for a variable P/B tree on the
+    8-cell grid (8.7.2.4): bs 2 when either side is intra (at a
+    boundary), else 1 on cbf / MV-difference / direction mismatch.
+    All inputs traced device arrays; PU edges coincide with CU edges
+    (2Nx2N only)."""
+    intra8 = ~inter8
+
+    def edge(sl_a, sl_b, mask):
+        a_i, b_i = intra8[sl_a], intra8[sl_b]
+        cbf = cbf8[sl_a] | cbf8[sl_b]
+        mvd = jnp.any(jnp.abs(mv_cells[sl_a] - mv_cells[sl_b]) >= 4,
+                      axis=-1)
+        if mv1_cells is not None:
+            d_a, d_b = dirs8[sl_a], dirs8[sl_b]
+            dif = d_a != d_b
+            d1 = jnp.any(jnp.abs(mv1_cells[sl_a] - mv1_cells[sl_b])
+                         >= 4, axis=-1)
+            use0 = d_a != 1
+            use1 = d_a != 0
+            mvd = dif | (use0 & mvd) | (use1 & d1)
+        bs = jnp.where(a_i | b_i, 2,
+                       jnp.where(cbf | mvd, 1, 0)).astype(jnp.int32)
+        return jnp.where(mask, bs, 0)
+
+    h8, w8 = inter8.shape
+    bs_v = jnp.zeros((h8, w8), jnp.int32)
+    bs_h = jnp.zeros((h8, w8), jnp.int32)
+    bs_v = bs_v.at[:, 1:].set(edge(
+        (slice(None), slice(0, w8 - 1)), (slice(None), slice(1, w8)),
+        edge_v[:, 1:]))
+    bs_h = bs_h.at[1:, :].set(edge(
+        (slice(0, h8 - 1), slice(None)), (slice(1, h8), slice(None)),
+        edge_h[1:, :]))
+    return bs_v, bs_h
+
+
+# ---------------------------------------------------------------------
 # Data-driven reconstruction (single frame; schedule tensors are traced
 # inputs, so one compiled program per n_steps bucket serves all trees).
 # ---------------------------------------------------------------------
@@ -162,20 +466,30 @@ def _class_pass(hbuf, vbuf, xs_c, s: int, qp: int, bitdepth: int,
                 scaling_tab=None):
     """One wavefront step for one CU-size class.  hbuf/vbuf: flat edge
     buffers (+1 trash); xs_c: per-step slices of (origs (K,S,S), modes
-    (K,), noref (K,), idx_h (K,R), idx_v, sel_h, wr_h (K,S), wr_v)."""
+    (K,), noref (K,), idx_h (K,R), idx_v, sel_h, wr_h (K,S), wr_v
+    [, inter (K,), mc (K,S,S)]) — the optional tail carries P/B inter
+    flags + motion-compensated prediction (no wavefront dependency;
+    inter blocks still write their recon edges for intra neighbors)."""
     from kvazaar_tpu.encoder.intra_recon import (_predict_select,
                                                  _scan_sel,
                                                  _tu_roundtrip)
-    origs, modes, noref, idx_h, idx_v, sel_h, wr_h, wr_v = xs_c
+    origs, modes, noref, idx_h, idx_v, sel_h, wr_h, wr_v = xs_c[:8]
+    inter_k = mc = None
+    if len(xs_c) > 8:
+        inter_k, mc = xs_c[8], xs_c[9]
     k, r = idx_h.shape
     refs = jnp.where(sel_h, hbuf[idx_h], vbuf[idx_v])
     refs = jnp.where(noref[:, None], 1 << (bitdepth - 1), refs)
     pred = _predict_select(refs, modes, s, luma, bitdepth)
+    intra_flag = True
+    if inter_k is not None:
+        pred = jnp.where(inter_k[:, None, None], mc, pred)
+        intra_flag = ~inter_k
     # Min luma CU is 8 here, so the DST-VII 4x4 intra-luma path never
     # arises; 4x4 chroma TBs use the DCT as the spec requires.
-    scan_sel = _scan_sel(modes, s, luma) if signhide else None
+    scan_sel = _scan_sel(modes, s, luma, inter_k) if signhide else None
     levels, rec, _ = _tu_roundtrip(origs.astype(jnp.int32), pred, s, qp,
-                                bitdepth, True, lossless, scan_sel,
+                                bitdepth, intra_flag, lossless, scan_sel,
                                 rdoq, lam, scaling_tab)
     hbuf = hbuf.at[wr_h.reshape(-1)].set(
         rec[:, -1, :].reshape(-1).astype(hbuf.dtype))
@@ -188,15 +502,22 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
                           height: int, chroma: bool, bitdepth: int = 8,
                           lossless: bool = False,
                           signhide: bool = False, rdoq: bool = False,
-                          lam: float = 0.0, scaling=None):
+                          lam: float = 0.0, scaling=None,
+                          mc_planes=None):
     """sched: jnp-ified VarPlan tensors — {'luma': {size: {arrays}},
     'chroma': {size: {arrays incl. origs_cb/origs_cr}}} (see
     var_schedule.ClassSched; 'origs' carry the source pixels, gathered
     host-side through the same pixel maps).
 
-    Returns (rec_y (H, W), rec_cb, rec_cr, levels: dict) — recon
-    assembled on device via the per-class pixel scatter maps; levels
-    per class as (steps, K, S, S) int16 in schedule order."""
+    mc_planes: optional (mc_y (H, W), mc_cb, mc_cr) device MC
+    prediction planes for P/B variable trees — gathered per class
+    through the same pix maps; class dicts then carry 'inter' masks.
+
+    Returns (rec_y (H, W), rec_cb, rec_cr, levels: dict[, cbf8]) —
+    recon assembled on device via the per-class pixel scatter maps;
+    levels per class as (steps, K, S, S) int16 in schedule order;
+    with mc_planes, also the (H/8, W/8) bool luma per-TB cbf grid
+    (deblock boundary strengths)."""
     lh_y = (height // 8) * width
     lv_y = (width // 8) * height
     carry0 = [jnp.zeros(lh_y + 1, jnp.int32),
@@ -210,16 +531,32 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
 
     lsizes = sorted(sched["luma"].keys())
     csizes = sorted(sched["chroma"].keys()) if chroma else []
+    inter = mc_planes is not None
 
-    def xs_of(cs, okey):
-        return (cs[okey], cs["modes"], cs["noref"], cs["idx_h"],
+    def mc_gather(cs, plane):
+        """(steps, K, S, S) MC prediction via the class pixel map (pad
+        slots read the trailing trash element)."""
+        st, k = cs["modes"].shape
+        ssz = int(np.sqrt(cs["pix"].shape[-1]))
+        flat = jnp.concatenate([plane.reshape(-1).astype(jnp.int32),
+                                jnp.zeros(1, jnp.int32)])
+        return flat[cs["pix"]].reshape(st, k, ssz, ssz)
+
+    def xs_of(cs, okey, mc_plane=None):
+        base = (cs[okey], cs["modes"], cs["noref"], cs["idx_h"],
                 cs["idx_v"], cs["sel_h"], cs["wr_h"], cs["wr_v"])
+        if inter:
+            base += (cs["inter"], mc_gather(cs, mc_plane))
+        return base
 
-    xs = tuple(xs_of(sched["luma"][s], "origs") for s in lsizes)
+    xs = tuple(xs_of(sched["luma"][s], "origs",
+                     mc_planes[0] if inter else None) for s in lsizes)
     if chroma:
-        xs += tuple(xs_of(sched["chroma"][s], "origs_cb")
+        xs += tuple(xs_of(sched["chroma"][s], "origs_cb",
+                          mc_planes[1] if inter else None)
                     for s in csizes)
-        xs += tuple(xs_of(sched["chroma"][s], "origs_cr")
+        xs += tuple(xs_of(sched["chroma"][s], "origs_cr",
+                          mc_planes[2] if inter else None)
                     for s in csizes)
 
     def tab(size, comp, qq):
@@ -278,4 +615,20 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
         levels["cb"] = [outs[len(lsizes) + j][0] for j in range(nc)]
         levels["cr"] = [outs[len(lsizes) + nc + j][0]
                         for j in range(nc)]
-    return rec_y, rec_cb, rec_cr, levels
+    if not inter:
+        return rec_y, rec_cb, rec_cr, levels
+    # Per-TB luma cbf on the 8x8-cell grid (deblock bs=1 rule needs
+    # it; 8.7.2.4 reads the LUMA TB cbf): per-slot any(level != 0)
+    # scattered through the class cell maps (pad slots hit the trash).
+    h8w8 = (height // 8) * (width // 8)
+    cbf_flat = jnp.zeros(h8w8 + 1, jnp.int32)
+    for i, s in enumerate(lsizes):
+        cs = sched["luma"][s]
+        lv = outs[i][0]                              # (steps, K, S, S)
+        cbf = jnp.any(lv != 0, axis=(-1, -2)).astype(jnp.int32)
+        c2 = cs["cell8"].shape[-1]
+        up = jnp.broadcast_to(cbf[:, :, None], cbf.shape + (c2,))
+        cbf_flat = cbf_flat.at[cs["cell8"].reshape(-1)].max(
+            up.reshape(-1))
+    cbf8 = cbf_flat[:h8w8].reshape(height // 8, width // 8) != 0
+    return rec_y, rec_cb, rec_cr, levels, cbf8

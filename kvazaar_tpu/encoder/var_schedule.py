@@ -45,6 +45,12 @@ class ClassSched:
     pix: np.ndarray           # (steps, K, S*S) int32 into W*H (+trash)
     x0: np.ndarray            # (steps, K) int32 CU origin (this plane)
     y0: np.ndarray            # (steps, K) int32
+    # Inter support (P/B variable trees): per-slot inter flag and, for
+    # luma classes, the slot's 8x8-cell indices into the flat
+    # (H/8)*(W/8) grid (+trash) — the scatter map for device-computed
+    # per-TB cbf (deblock boundary strengths need it).
+    inter: np.ndarray = None  # (steps, K) bool
+    cell8: np.ndarray = None  # (steps, K, c*c) int32 into h8*w8 (+trash)
 
 
 @dataclasses.dataclass
@@ -84,9 +90,13 @@ def _ref_coords(x0: int, y0: int, s: int):
 
 def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
                    height: int, chroma: bool, step_bucket: int = 32,
-                   caps: dict | None = None) -> VarPlan:
+                   caps: dict | None = None,
+                   inter8_map: np.ndarray | None = None) -> VarPlan:
     """size8: (H/8, W/8) chosen CU size per cell; mode_maps:
-    size -> (H/s, W/s) luma mode grids."""
+    size -> (H/s, W/s) luma mode grids; inter8_map: optional (H/8, W/8)
+    bool — CU-filled inter flags for P/B variable trees (inter CUs take
+    the MC prediction instead of the wavefront intra path but still
+    write their recon edges for intra neighbors)."""
     h8, w8 = size8.shape
     cus = _enumerate_cus(size8)
     n_cu = len(cus)
@@ -139,6 +149,7 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
         kcap = caps[size_luma]
         lh = (plane_h // gran) * plane_w
         lv = (plane_w // gran) * plane_h
+        c8 = size_luma // 8
         cs = ClassSched(
             size=s,
             valid=np.zeros((n_steps, kcap), bool),
@@ -153,6 +164,9 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
                         np.int32),
             x0=np.zeros((n_steps, kcap), np.int32),
             y0=np.zeros((n_steps, kcap), np.int32),
+            inter=np.zeros((n_steps, kcap), bool),
+            cell8=(np.full((n_steps, kcap, c8 * c8), h8 * w8, np.int32)
+                   if scale == 1 else None),
         )
         yy, xx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
         block_pix = (yy * plane_w + xx).ravel()
@@ -181,6 +195,14 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
                 mode_grid[ly0 // size_luma, lx0 // size_luma])
             cs.x0[st, slot] = x0
             cs.y0[st, slot] = y0
+            if inter8_map is not None:
+                cs.inter[st, slot] = bool(
+                    inter8_map[ly0 // 8, lx0 // 8])
+            if scale == 1:
+                cyy, cxx = np.meshgrid(np.arange(c8), np.arange(c8),
+                                       indexing="ij")
+                cs.cell8[st, slot] = ((ly0 // 8 + cyy) * w8
+                                      + lx0 // 8 + cxx).ravel()
             if avail.any():
                 cs.noref[st, slot] = False
                 first = int(np.argmax(avail))
