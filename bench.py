@@ -1,16 +1,24 @@
-"""Benchmark: all-intra 832x480 QP22 encode fps (BASELINE.json config #1).
+"""Benchmark: all-intra 832x480 QP22 encode fps (BASELINE.json config #1)
+plus the north-star-shaped extras.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-vs_baseline compares against the reference kvazaar CLI compiled from
-/root/reference with generic (no-asm) strategies and run on THIS host's
-CPU with all cores (--preset ultrafast -p 1 -q 22): measured 44.68 fps on
-the 4-core driver box (see BENCH_NOTES.md).  If the reference binary can
-be built at bench time, it is re-measured live for an honest same-host
-ratio; otherwise the recorded constant is used.
+- vs_baseline compares against the reference kvazaar CLI compiled from
+  /root/reference with generic (no-asm) strategies, run on THIS host's
+  CPU with all cores (--preset ultrafast -p 1 -q 22), median of 5 runs.
+- intra_1080p_fps / ippp_1080p_fps: the same operating point at
+  1920x1080 (the north star's resolution) + the reference's 1080p fps.
+- conformance: one benched stream per run is decoded by the in-repo
+  oracle (bitstream/decoder.py) and must reconstruct bit-exactly —
+  this exercises the real TPU Pallas wavefront kernel end-to-end.
+- bd_rate_intra_vs_ref_medium_pct: Bjontegaard delta-rate of OUR
+  medium all-intra operating point vs the reference's
+  `--preset medium -p 1` over four QPs (negative = we need fewer bits
+  at equal PSNR).  Skippable with KVZ_BENCH_BD=0.
 """
 
 import json
+import math
 import os
 import subprocess
 import sys
@@ -41,86 +49,97 @@ def synth_clip(n, w, h, seed=0):
     return frames
 
 
-def measure_reference_fps() -> float:
-    """Best-effort live baseline: build + run the reference CLI."""
-    try:
-        import glob
-        ref = "/root/reference/src"
-        if not os.path.isdir(ref):
-            return REF_FPS_RECORDED
-        exe = os.path.join(tempfile.gettempdir(), "kvazaar_ref_bench")
-        if not os.path.exists(exe):
-            srcs = (glob.glob(f"{ref}/*.c")
-                    + glob.glob(f"{ref}/strategies/*.c")
-                    + glob.glob(f"{ref}/strategies/*/*.c")
-                    + [f"{ref}/extras/libmd5.c"])
-            r = subprocess.run(
-                ["gcc", "-O2", "-pthread", "-DNDEBUG", f"-I{ref}",
-                 f"-I{ref}/extras"] + srcs + ["-lm", "-lpthread",
-                                             "-o", exe],
-                capture_output=True, timeout=300)
-            if r.returncode != 0:
-                return REF_FPS_RECORDED
-        yuv = os.path.join(tempfile.gettempdir(), "bench_in.yuv")
-        if not os.path.exists(yuv):
-            with open(yuv, "wb") as f:
-                for y, cb, cr in synth_clip(20, W, H):
-                    f.write(y.tobytes())
-                    f.write(cb.tobytes())
-                    f.write(cr.tobytes())
-        fps = []
-        for _ in range(3):
-            out = subprocess.run(
-                [exe, "-i", yuv, "--input-res", f"{W}x{H}", "-o",
-                 "/dev/null", "--preset", "ultrafast", "-p", "1",
-                 "-q", str(QP)],
-                capture_output=True, text=True, timeout=300)
-            for line in out.stderr.splitlines():
-                if line.strip().startswith("FPS:"):
-                    fps.append(float(line.split(":")[1]))
-        if fps:
-            return sorted(fps)[len(fps) // 2]   # median of 3
-    except Exception:
-        pass
-    return REF_FPS_RECORDED
+def _write_yuv(path, frames):
+    with open(path, "wb") as f:
+        for y, cb, cr in frames:
+            f.write(y.tobytes())
+            f.write(cb.tobytes())
+            f.write(cr.tobytes())
 
 
-def main():
-    from kvazaar_tpu.api import Encoder
+def build_reference():
+    """Build the reference CLI once (generic strategies, -O2)."""
+    import glob
+    ref = "/root/reference/src"
+    if not os.path.isdir(ref):
+        return None
+    exe = os.path.join(tempfile.gettempdir(), "kvazaar_ref_bench")
+    if os.path.exists(exe):
+        return exe
+    srcs = (glob.glob(f"{ref}/*.c")
+            + glob.glob(f"{ref}/strategies/*.c")
+            + glob.glob(f"{ref}/strategies/*/*.c")
+            + [f"{ref}/extras/libmd5.c"])
+    r = subprocess.run(
+        ["gcc", "-O2", "-pthread", "-DNDEBUG", f"-I{ref}",
+         f"-I{ref}/extras"] + srcs + ["-lm", "-lpthread", "-o", exe],
+        capture_output=True, timeout=600)
+    return exe if r.returncode == 0 else None
+
+
+def run_reference(exe, yuv, w, h, args, timeout=600):
+    """Run the reference CLI; returns (fps, bits, psnr_y) or None."""
+    out_path = os.path.join(tempfile.gettempdir(), "ref_out.hevc")
+    out = subprocess.run(
+        [exe, "-i", yuv, "--input-res", f"{w}x{h}", "-o", out_path]
+        + args, capture_output=True, text=True, timeout=timeout)
+    if out.returncode != 0:
+        return None
+    fps = bits = psnr = None
+    for line in out.stderr.splitlines():
+        t = line.strip()
+        if t.startswith("FPS:"):
+            fps = float(t.split(":")[1])
+        # " Processed N frames, B bits AVG PSNR Y y U u V v"
+        toks = t.split()
+        if "PSNR" in toks:
+            i = toks.index("PSNR")
+            if len(toks) > i + 2 and toks[i + 1] == "Y":
+                psnr = float(toks[i + 2])
+    if os.path.exists(out_path):
+        bits = os.path.getsize(out_path) * 8
+    return fps, bits, psnr
+
+
+def measure_reference_fps(exe, yuv, w, h, qp, reps=5):
+    fps = []
+    for _ in range(reps):
+        r = run_reference(exe, yuv, w, h,
+                          ["--preset", "ultrafast", "-p", "1",
+                           "-q", str(qp)])
+        if r and r[0]:
+            fps.append(r[0])
+    return sorted(fps)[len(fps) // 2] if fps else None
+
+
+def measure_intra_fps(frames, w, h, qp, reps=6):
+    """Pipelined batched all-intra fps (our ultrafast speed point:
+    fixed 16 grid = the fused Pallas wavefront path)."""
     from kvazaar_tpu.config import Config
-    from kvazaar_tpu.encoder.frame_encoder import psnr
-
-    frames = synth_clip(FRAMES, W, H)
-    cfg = Config(width=W, height=H, qp=QP, intra_max_cu=16,
-                 intra_min_cu=16)
-    enc = Encoder(cfg)
-    ife = enc._intra
-    # Warmup / compile (batched path).
-    ife.encode_frames(frames)
-    total_bits = 0
-    psnr_y = 0.0
-    reps = 6
-    npix = W * H
-    # Three-stage pipeline: device compute (async dispatch), tunnel
-    # download (dedicated thread), host CABAC (thread pool inside
-    # finalize) all overlap.
+    from kvazaar_tpu.encoder.frame_encoder import IntraFrameEncoder
     import queue as _q
     import threading
+    cfg = Config(width=w, height=h, qp=qp, intra_max_cu=16,
+                 intra_min_cu=16, intra_period=1)
+    ife = IntraFrameEncoder(cfg)
+    ife.encode_frames(frames)          # warmup/compile
+    total_bits = 0
+    psnr_y = 0.0
+    npix = w * h
     dlq: "_q.Queue" = _q.Queue(maxsize=2)
     outq: "_q.Queue" = _q.Queue()
 
     def downloader():
         while True:
-            h = dlq.get()
-            if h is None:
+            hd = dlq.get()
+            if hd is None:
                 break
-            outq.put(ife.download_frames(h))
+            outq.put(ife.download_frames(hd))
 
     t0 = time.time()
     th = threading.Thread(target=downloader)
     th.start()
-    done = 0
-    submitted = 0
+    done = submitted = 0
     while done < reps:
         while submitted < reps and submitted - done < 2:
             dlq.put(ife.submit_frames(frames))
@@ -129,43 +148,40 @@ def main():
         done += 1
         for res in results:
             total_bits += res.bits
-            # PSNR from the device-computed SSE (no pixel transfer).
-            import math
             psnr_y += 10.0 * math.log10(255.0 * 255.0 * npix
                                         / max(res.sse[0], 1e-9))
     dlq.put(None)
     th.join()
     dt = time.time() - t0
-    fps = FRAMES * reps / dt
-    total_bits //= reps
-    psnr_y /= reps
-
-    ippp_fps = measure_ippp_fps(frames)
-
-    ref_fps = measure_reference_fps()
-    print(json.dumps({
-        "metric": "all_intra_832x480_qp22_fps",
-        "value": round(fps, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / ref_fps, 4),
-        "psnr_y_db": round(psnr_y / FRAMES, 3),
-        "bits_per_frame": total_bits // FRAMES,
-        "ref_fps": ref_fps,
-        "ippp_fps": round(ippp_fps, 3),
-    }))
+    return (len(frames) * reps / dt, total_bits // (reps * len(frames)),
+            psnr_y / (reps * len(frames)), ife)
 
 
-def measure_ippp_fps(frames) -> float:
-    """Low-delay IPPP (period 0) through the pipelined public API
-    (Encoder.encode_stream): device compute / tunnel download / host
-    CABAC overlapped.  Timed after a 6-frame warmup so remote-compile
-    cost is excluded."""
+def verify_conformance(ife, frames):
+    """Decode one benched stream through the oracle; encoder recon
+    must equal decoded recon bit-for-bit (gates the TPU Pallas path)."""
+    from kvazaar_tpu.bitstream.decoder import decode_stream
+    res = ife.finalize_frames(ife.submit_frames(frames[:2]))
+    stream = ife.headers() + b"".join(r.nals for r in res)
+    dec = decode_stream(stream, ife.params)
+    if len(dec) != len(res):
+        return f"MISMATCH:frames {len(dec)} != {len(res)}"
+    for k, ((dy, dcb, dcr), _fd) in enumerate(dec):
+        r = res[k]
+        if not (np.array_equal(dy, r.recon_y)
+                and np.array_equal(dcb, r.recon_cb)
+                and np.array_equal(dcr, r.recon_cr)):
+            return f"MISMATCH:frame {k}"
+    return "bit-exact"
+
+
+def measure_ippp_fps(frames, w, h, qp, warm=6, timed=40):
+    """Low-delay IPPP through the pipelined public API."""
     from kvazaar_tpu.api import Encoder
     from kvazaar_tpu.config import Config
-    cfg = Config(width=W, height=H, qp=QP, intra_period=0,
+    cfg = Config(width=w, height=h, qp=qp, intra_period=0,
                  intra_max_cu=16, intra_min_cu=16)
     enc = Encoder(cfg)
-    warm, timed = 6, 40
 
     def src():
         for i in range(warm + timed):
@@ -178,6 +194,121 @@ def measure_ippp_fps(frames) -> float:
         if done == warm:
             t0 = time.time()
     return (done - warm) / max(time.time() - t0, 1e-9)
+
+
+def bd_rate(rate_a, psnr_a, rate_b, psnr_b):
+    """Bjontegaard delta-rate of B vs A (negative: B cheaper at equal
+    quality).  Cubic fit of log-rate over PSNR, integrated over the
+    overlapping PSNR range."""
+    la, lb = np.log10(rate_a), np.log10(rate_b)
+    pa = np.polyfit(psnr_a, la, 3)
+    pb = np.polyfit(psnr_b, lb, 3)
+    lo = max(min(psnr_a), min(psnr_b))
+    hi = min(max(psnr_a), max(psnr_b))
+    ia = np.polyint(pa)
+    ib = np.polyint(pb)
+    va = (np.polyval(ia, hi) - np.polyval(ia, lo)) / (hi - lo)
+    vb = (np.polyval(ib, hi) - np.polyval(ib, lo)) / (hi - lo)
+    return (10 ** (vb - va) - 1) * 100.0
+
+
+def measure_bd_rate_intra(exe, seed=1, w=416, h=240, n=6,
+                          qps=(22, 27, 32, 37)):
+    """BD-rate of OUR medium all-intra point vs the reference's
+    `--preset medium -p 1` (variable 8..32 trees + rd1 + RDOQ + SAO on
+    our side)."""
+    from kvazaar_tpu.api import Encoder
+    from kvazaar_tpu.config import config_from_preset
+    clip = synth_clip(n, w, h, seed=seed)
+    yuv = os.path.join(tempfile.gettempdir(), f"bd_{w}x{h}.yuv")
+    if not os.path.exists(yuv):
+        _write_yuv(yuv, clip)
+    ours_r, ours_p, ref_r, ref_p = [], [], [], []
+    for qp in qps:
+        cfg = config_from_preset("medium", width=w, height=h, qp=qp,
+                                 intra_period=1)
+        enc = Encoder(cfg)
+        bits = 0
+        psnr = 0.0
+        for f in clip:
+            (chunks, info, _rec), = enc.encode(*f)
+            bits += len(chunks) * 8
+            psnr += info.psnr_y
+        ours_r.append(bits / n)
+        ours_p.append(psnr / n)
+        rr = run_reference(exe, yuv, w, h,
+                           ["--preset", "medium", "-p", "1",
+                            "-q", str(qp)])
+        if rr is None or rr[1] is None or rr[2] is None:
+            return None
+        ref_r.append(rr[1] / n)
+        ref_p.append(rr[2])
+    return round(bd_rate(ref_r, ref_p, ours_r, ours_p), 2)
+
+
+def main():
+    t_start = time.time()
+    out = {}
+    frames = synth_clip(FRAMES, W, H)
+    exe = build_reference()
+    yuv = os.path.join(tempfile.gettempdir(), "bench_in.yuv")
+    if not os.path.exists(yuv):
+        _write_yuv(yuv, synth_clip(20, W, H))
+
+    fps, bits, psnr_y, ife = measure_intra_fps(frames, W, H, QP)
+    out["metric"] = "all_intra_832x480_qp22_fps"
+    out["value"] = round(fps, 3)
+    out["unit"] = "frames/s"
+    out["psnr_y_db"] = round(psnr_y, 3)
+    out["bits_per_frame"] = int(bits)
+
+    try:
+        out["conformance"] = verify_conformance(ife, frames)
+    except Exception as e:
+        out["conformance"] = f"ERROR:{type(e).__name__}"
+
+    ref_fps = (measure_reference_fps(exe, yuv, W, H, QP)
+               if exe else None) or REF_FPS_RECORDED
+    out["ref_fps"] = round(ref_fps, 3)
+    out["vs_baseline"] = round(fps / ref_fps, 4)
+
+    try:
+        out["ippp_fps"] = round(measure_ippp_fps(frames, W, H, QP), 3)
+    except Exception as e:
+        out["ippp_fps"] = f"ERROR:{type(e).__name__}"
+
+    # ---- 1080p (the north-star resolution) ----
+    try:
+        w2, h2 = 1920, 1080
+        frames2 = synth_clip(4, w2, h2, seed=2)
+        fps2, _b2, _p2, _ife2 = measure_intra_fps(frames2, w2, h2, QP,
+                                                  reps=4)
+        out["intra_1080p_fps"] = round(fps2, 3)
+        yuv2 = os.path.join(tempfile.gettempdir(), "bench_1080.yuv")
+        if not os.path.exists(yuv2):
+            _write_yuv(yuv2, synth_clip(12, w2, h2, seed=2))
+        if exe:
+            r2 = measure_reference_fps(exe, yuv2, w2, h2, QP, reps=3)
+            if r2:
+                out["ref_1080p_fps"] = round(r2, 3)
+                out["vs_baseline_1080p"] = round(fps2 / r2, 4)
+        out["ippp_1080p_fps"] = round(
+            measure_ippp_fps(frames2, w2, h2, QP, warm=4, timed=16), 3)
+    except Exception as e:
+        out["intra_1080p_fps"] = f"ERROR:{type(e).__name__}"
+
+    # ---- BD-rate vs reference medium (all-intra) ----
+    if os.environ.get("KVZ_BENCH_BD", "1") != "0" and exe:
+        try:
+            bd = measure_bd_rate_intra(exe)
+            if bd is not None:
+                out["bd_rate_intra_vs_ref_medium_pct"] = bd
+        except Exception as e:
+            out["bd_rate_intra_vs_ref_medium_pct"] = \
+                f"ERROR:{type(e).__name__}"
+
+    out["bench_seconds"] = round(time.time() - t_start, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -298,7 +298,38 @@ class Config:
             raise ValueError("hierarchical GOPs currently require "
                              "--period 0 (single leading IDR)")
         if self.mesh_tiles != 1:
-            raise ValueError("tile sharding is not implemented yet")
+            # Multi-device end-to-end encode: tile-row bands sharded
+            # over a device mesh, one spliced bitstream (all-intra,
+            # fixed CU; the band compute is zero-communication, the
+            # loop filter halo-exchanges over ICI).
+            if not 2 <= self.mesh_tiles <= 16:
+                raise ValueError("mesh_tiles must be 1..16")
+            if self.intra_period != 1:
+                raise ValueError("mesh_tiles requires all-intra coding "
+                                 "(--period 1) for now")
+            if (self.intra_min_cu != self.intra_max_cu
+                    or self.intra_max_cu == 4):
+                raise ValueError("mesh_tiles requires a fixed CU size")
+            if self.tiles_y not in (1, self.mesh_tiles):
+                raise ValueError("tiles_y must equal mesh_tiles (each "
+                                 "band is a tile row)")
+            self.tiles_y = self.mesh_tiles
+            if self.height % (64 * self.mesh_tiles):
+                raise ValueError("frame height must split into whole "
+                                 "64-pixel CTU-row bands per device")
+            for flag, name in ((self.sao, "sao"),
+                               (self.bitrate > 0, "rate control"),
+                               (self.crypto is not None, "crypto"),
+                               (self.lossless, "lossless"),
+                               (self.transform_skip, "transform_skip"),
+                               (self.scaling_list != "off",
+                                "scaling lists"),
+                               (self.slices != "none", "slices"),
+                               (self.roi is not None or self.aq > 0,
+                                "ROI/AQ")):
+                if flag:
+                    raise ValueError(
+                        f"mesh_tiles with {name} is not implemented")
         if not (1 <= self.tiles_x <= 16 and 1 <= self.tiles_y <= 16):
             raise ValueError("tiles must be 1..16 per axis")
         if (self.tiles_x, self.tiles_y) != (1, 1):

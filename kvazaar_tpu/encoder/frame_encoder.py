@@ -1839,11 +1839,67 @@ class IntraFrameEncoder(PFrameMixin):
         qp_ctu: optional (Cy, Cx) int32 per-CTU QP map (LCU rate
         control / ROI / AQ); routes through the traced-QP program +
         cu_qp_delta syntax."""
+        if self.cfg.mesh_tiles > 1:
+            return self.encode_frame_mesh(y, cb, cr)
         if qp_ctu is not None:
             return self.encode_frame_qp(y, cb, cr, qp_ctu)
         if self.cfg.intra_min_cu < self.cfg.intra_max_cu:
             return self.encode_frame_var(y, cb, cr)
         return self.finalize_frames(self.submit_frames([(y, cb, cr)]))[0]
+
+    def encode_frame_mesh(self, y, cb=None, cr=None) -> FrameResult:
+        """Multi-device end-to-end encode: the frame's tile-row bands
+        are sharded over a (mesh_tiles,) device mesh — per-band search
+        + wavefront recon with zero communication (tiles cut every
+        dependency) and a ppermute halo-exchanged deblocking filter —
+        then per-tile CABAC substreams splice into ONE bitstream,
+        byte-identical to the single-device (tiles_x, mesh_tiles)
+        encode (the TPU form of the reference's tile threads +
+        kvz_bitstream_move, src/encoderstate.c:860-965)."""
+        if not hasattr(self, "_mesh_prog"):
+            from jax.sharding import Mesh
+            from kvazaar_tpu.parallel.sharding import \
+                encode_frame_bands_sharded
+            n = self.cfg.mesh_tiles
+            devs = jax.devices()
+            if len(devs) < n:
+                raise RuntimeError(
+                    f"mesh_tiles={n} needs {n} devices; "
+                    f"{len(devs)} visible")
+            mesh = Mesh(np.array(devs[:n]), ("bands",))
+
+            def prog(yp, cbp, crp):
+                return encode_frame_bands_sharded(
+                    yp, cbp, crp, self.cfg.qp, self.qp_c,
+                    self.lambda_satd, mesh, self.cu,
+                    tiles_x=self.cfg.tiles_x, bitdepth=self.bitdepth,
+                    two_pass=self.cfg.rd >= 1,
+                    signhide=self.cfg.signhide, rdoq=self.cfg.rdoq,
+                    lam=qp_to_lambda(self.cfg.qp),
+                    deblock=self.cfg.deblock)
+
+            self._mesh_prog = jax.jit(prog)
+        sdt = np.uint8 if self.bitdepth <= 8 else np.uint16
+        yp = jnp.asarray(pad_to_multiple(np.asarray(y, sdt), self.cu))
+        cbp = crp = None
+        if self.chroma:
+            cbp = jnp.asarray(pad_to_multiple(np.asarray(cb, sdt),
+                                              self.cu // 2))
+            crp = jnp.asarray(pad_to_multiple(np.asarray(cr, sdt),
+                                              self.cu // 2))
+        (modes, lv_y, lv_cb, lv_cr, rec_y, rec_cb,
+         rec_cr) = self._mesh_prog(yp, cbp, crp)
+        self._dpb = (rec_y, rec_cb, rec_cr)
+        return self._host_finalize(
+            np.asarray(modes),
+            np.asarray(lv_y).astype(np.int32),
+            None if lv_cb is None else np.asarray(lv_cb).astype(
+                np.int32),
+            None if lv_cr is None else np.asarray(lv_cr).astype(
+                np.int32),
+            np.asarray(rec_y),
+            None if rec_cb is None else np.asarray(rec_cb),
+            None if rec_cr is None else np.asarray(rec_cr))
 
     def _device_encode_qp_impl(self, ys, cbs, crs, qp_ctu):
         """Traced-QP variant of _device_encode_impl (single or batched

@@ -119,6 +119,80 @@ def deblock_frame_sharded(rec_y, rec_cb, rec_cr, qp: int, cu_size: int,
     return y, cb, cr
 
 
+def encode_frame_bands_sharded(y, cb, cr, qp: int, qp_c: int,
+                               lambda_satd: float, mesh: Mesh,
+                               cu: int, tiles_x: int = 1,
+                               bitdepth: int = 8,
+                               two_pass: bool = True,
+                               signhide: bool = False,
+                               rdoq: bool = False, lam: float = 0.0,
+                               deblock: bool = True,
+                               axis: str = "bands"):
+    """Full multi-device all-intra frame encode: the frame's TILE-ROW
+    bands are sharded over the mesh (tiles cut every prediction/entropy
+    dependency, so search + wavefront recon are zero-communication per
+    band), then the deblocking filter crosses band boundaries via the
+    ppermute halo exchange (loop_filter_across_tiles on, 8.7.2).
+
+    Returns (modes (By, Bx), lv_y (Nb, S, S) raster blocks, lv_cb,
+    lv_cr, rec_y (H, W), rec_cb, rec_cr) — bit-identical to the
+    single-device encode with a (tiles_x, n_devices) tile plan; the
+    caller serializes per-tile substreams into one bitstream (the
+    exchange set of the reference, src/encoderstate.h:170-186, plus
+    its bitstream splice kvz_bitstream_move)."""
+    from jax import shard_map
+
+    from kvazaar_tpu.encoder.geometry import make_intra_plan
+    from kvazaar_tpu.encoder.intra_recon import reconstruct_frames
+    from kvazaar_tpu.encoder.intra_search import search_frame_modes
+    n = mesh.shape[axis]
+    h, w = y.shape
+    assert h % (n * 64) == 0, "bands must be whole CTU rows"
+    chroma = cb is not None
+    band_plan = make_intra_plan(w, h // n, cu, chroma,
+                                tiles=(tiles_x, 1))
+
+    def band(yb, cbb, crb):
+        yb = yb.astype(jnp.int32)
+        modes, _cost = search_frame_modes(yb, band_plan, lambda_satd,
+                                          bitdepth, two_pass=two_pass)
+        out = reconstruct_frames(
+            yb[None],
+            None if cbb is None else cbb.astype(jnp.int32)[None],
+            None if crb is None else crb.astype(jnp.int32)[None],
+            modes[None], band_plan, qp, qp_c, bitdepth,
+            signhide=signhide, rdoq=rdoq, lam=lam)
+        rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr = out
+        if chroma:
+            return (modes, lv_y[0], lv_cb[0], lv_cr[0], rec_y[0],
+                    rec_cb[0], rec_cr[0])
+        return modes, lv_y[0], rec_y[0]
+
+    sy = P(axis, None)
+    sb = P(axis, None, None)      # raster block tensors
+    if chroma:
+        outs = shard_map(band, mesh=mesh, in_specs=(sy, sy, sy),
+                         out_specs=(sy, sb, sb, sb, sy, sy, sy),
+                         check_vma=False)(y, cb, cr)
+        modes, lv_y, lv_cb, lv_cr, rec_y, rec_cb, rec_cr = outs
+    else:
+        modes, lv_y, rec_y = shard_map(
+            lambda yb: band(yb, None, None), mesh=mesh,
+            in_specs=(sy,), out_specs=(sy, sb, sy),
+            check_vma=False)(y)
+        lv_cb = lv_cr = rec_cb = rec_cr = None
+    if deblock:
+        rec_y, rec_cb, rec_cr = deblock_frame_sharded(
+            rec_y, rec_cb, rec_cr, qp, cu, mesh, axis=axis,
+            bitdepth=bitdepth)
+    rdt = jnp.uint8 if bitdepth <= 8 else jnp.uint16
+    rec_y = rec_y.astype(rdt)
+    if chroma:
+        rec_cb = rec_cb.astype(rdt)
+        rec_cr = rec_cr.astype(rdt)
+    return modes, lv_y, lv_cb, lv_cr, rec_y, rec_cb, rec_cr
+
+
 def intra_encode_tiles_sharded(y, qp: int, lambda_satd: float,
                                mesh: Mesh, axis: str = "rows",
                                bitdepth: int = 8):
