@@ -112,46 +112,61 @@ def measure_reference_fps(exe, yuv, w, h, qp, reps=5):
     return sorted(fps)[len(fps) // 2] if fps else None
 
 
-def measure_intra_fps(frames, w, h, qp, reps=6):
+def measure_intra_fps(frames, w, h, qp, reps=6, ife=None):
     """Pipelined batched all-intra fps (our ultrafast speed point:
-    fixed 16 grid = the fused Pallas wavefront path)."""
+    fixed 16 grid = the fused Pallas wavefront path).  Three stages
+    overlap: device dispatch+H2D (main thread), tunnel download +
+    unpack (2 workers), host CABAC (encoder pool)."""
     from kvazaar_tpu.config import Config
     from kvazaar_tpu.encoder.frame_encoder import IntraFrameEncoder
     import queue as _q
     import threading
-    cfg = Config(width=w, height=h, qp=qp, intra_max_cu=16,
-                 intra_min_cu=16, intra_period=1)
-    ife = IntraFrameEncoder(cfg)
+    if ife is None:
+        cfg = Config(width=w, height=h, qp=qp, intra_max_cu=16,
+                     intra_min_cu=16, intra_period=1)
+        ife = IntraFrameEncoder(cfg)
     ife.encode_frames(frames)          # warmup/compile
     total_bits = 0
     psnr_y = 0.0
     npix = w * h
-    dlq: "_q.Queue" = _q.Queue(maxsize=2)
+    depth = 3
+    dlq: "_q.Queue" = _q.Queue(maxsize=depth)
     outq: "_q.Queue" = _q.Queue()
 
     def downloader():
         while True:
-            hd = dlq.get()
-            if hd is None:
+            item = dlq.get()
+            if item is None:
                 break
-            outq.put(ife.download_frames(hd))
+            seq, hd = item
+            outq.put((seq, ife.download_frames(hd)))
 
     t0 = time.time()
-    th = threading.Thread(target=downloader)
-    th.start()
+    ths = [threading.Thread(target=downloader) for _ in range(2)]
+    for th in ths:
+        th.start()
     done = submitted = 0
+    reorder = {}
+    seq_next = 0
     while done < reps:
-        while submitted < reps and submitted - done < 2:
-            dlq.put(ife.submit_frames(frames))
+        while submitted < reps and submitted - done < depth:
+            dlq.put((submitted, ife.submit_frames(frames)))
             submitted += 1
-        results = ife.finalize_downloaded(outq.get(), need_recon=False)
+        while seq_next not in reorder:
+            seq, dl = outq.get()
+            reorder[seq] = dl
+        results = ife.finalize_downloaded(reorder.pop(seq_next),
+                                          need_recon=False)
+        seq_next += 1
         done += 1
         for res in results:
             total_bits += res.bits
             psnr_y += 10.0 * math.log10(255.0 * 255.0 * npix
                                         / max(res.sse[0], 1e-9))
-    dlq.put(None)
-    th.join()
+    for _ in ths:
+        dlq.put(None)
+    for th in ths:
+        th.join()
     dt = time.time() - t0
     return (len(frames) * reps / dt, total_bits // (reps * len(frames)),
             psnr_y / (reps * len(frames)), ife)

@@ -298,7 +298,13 @@ class PFrameMixin:
                         rec_cr = dcr.astype(rdt)
 
                 def sse(a, b):
-                    d = a.astype(jnp.float32) - b.astype(jnp.float32)
+                    # Conformance window only (padding would inflate
+                    # PSNR).
+                    f = a.shape[0] * 2 // self.coded_h
+                    hh = self.cfg.height * f // 2
+                    ww = self.cfg.width * f // 2
+                    d = (a[:hh, :ww].astype(jnp.float32)
+                         - b[:hh, :ww].astype(jnp.float32))
                     return jnp.sum(d * d)
 
                 sses = jnp.stack(
@@ -321,60 +327,55 @@ class PFrameMixin:
                         yp, cbp, crp, ry, rcb, rcr))
         return self._p_fused_cache[key]
 
+    def _p_lv_sizes(self):
+        s = self.cu
+        nb = self.plan.blocks_y * self.plan.blocks_x
+        lv_sizes = [nb * s * s]
+        if self.chroma:
+            lv_sizes += [nb * (s // 2) ** 2] * 2
+        return s, nb, lv_sizes
+
     def _p_pack(self, lv_y, lv_cb, lv_cr, modes, inter_map, ref_sel,
                 mv, sses, part=None, mv_pu=None):
-        """One transfer buffer: [lv i8 ...][modes u8][inter u8]
-        [ref u8][mv i16 | part u8 + mv_pu i16][meta: overflow i32,
-        sse f32 x3]."""
+        """One transfer buffer (ops/xfer.py): [nibbles][escape records]
+        [modes u8][inter u8][ref u8][mv i16 | part u8 + mv_pu i16]
+        [meta: esc i32, sse f32 x3]."""
+        from kvazaar_tpu.ops.xfer import pack_levels
         u8 = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint8)
-        parts = []
-        overflow = jnp.int32(0)
-        for lv in (lv_y, lv_cb, lv_cr):
-            if lv is None:
-                continue
-            l16 = lv.astype(jnp.int16).reshape(-1)
-            overflow = overflow + jnp.sum(
-                (jnp.abs(l16) > 127).astype(jnp.int32))
-            parts.append(u8(jnp.clip(l16, -127, 127).astype(jnp.int8)))
-        parts.append(modes.astype(jnp.uint8).reshape(-1))
-        parts.append(inter_map.astype(jnp.uint8).reshape(-1))
-        parts.append(ref_sel.astype(jnp.uint8).reshape(-1))
+        lvs = [lv.astype(jnp.int16).reshape(-1)
+               for lv in (lv_y, lv_cb, lv_cr) if lv is not None]
+        nib, esc, esc_count = pack_levels(jnp.concatenate(lvs),
+                                          self.cfg.qp)
+        parts = [nib, esc, modes.astype(jnp.uint8).reshape(-1),
+                 inter_map.astype(jnp.uint8).reshape(-1),
+                 ref_sel.astype(jnp.uint8).reshape(-1)]
         if part is not None:
             parts.append(part.astype(jnp.uint8).reshape(-1))
             parts.append(u8(mv_pu.astype(jnp.int16)).reshape(-1))
         else:
             parts.append(u8(mv.astype(jnp.int16)).reshape(-1))
-        parts.append(u8(overflow[None]).reshape(-1))
+        parts.append(u8(esc_count[None]).reshape(-1))
         parts.append(u8(sses).reshape(-1))
         return jnp.concatenate(parts)
 
-    def _p_unpack(self, buf: np.ndarray):
-        s = self.cu
-        nb = self.plan.blocks_y * self.plan.blocks_x
+    def _p_unpack(self, buf: np.ndarray, dense):
+        from kvazaar_tpu.ops import xfer
+        s, nb, lv_sizes = self._p_lv_sizes()
         by, bx = self.plan.blocks_y, self.plan.blocks_x
         smp = self.cfg.smp
-        sizes = [nb * s * s]
-        if self.chroma:
-            sizes += [nb * (s // 2) ** 2] * 2
+        total = sum(lv_sizes)
+        cap = xfer.esc_capacity(total, self.cfg.qp)
+        sizes = [(total + 1) // 2, cap * 8]
         sizes += [nb, nb, nb]
         sizes += [nb, nb * 8] if smp else [nb * 4]
         sizes += [4, 12]
         offs = np.cumsum([0] + sizes)
-        out_lv = []
-        k = 0
-        for _ in range(3 if self.chroma else 1):
-            size = s if k == 0 else s // 2
-            out_lv.append(buf[offs[k]:offs[k + 1]].view(np.int8)
-                          .astype(np.int32).reshape(nb, size, size))
-            k += 1
-        while len(out_lv) < 3:
-            out_lv.append(None)
-        modes = buf[offs[k]:offs[k + 1]].reshape(by, bx)
-        inter_map = buf[offs[k + 1]:offs[k + 2]].reshape(by,
-                                                        bx).astype(bool)
-        ref_sel = buf[offs[k + 2]:offs[k + 3]].reshape(
-            by, bx).astype(np.int32)
-        k += 3
+        nib = buf[offs[0]:offs[1]]
+        escb = buf[offs[1]:offs[2]]
+        modes = buf[offs[2]:offs[3]].reshape(by, bx)
+        inter_map = buf[offs[3]:offs[4]].reshape(by, bx).astype(bool)
+        ref_sel = buf[offs[4]:offs[5]].reshape(by, bx).astype(np.int32)
+        k = 5
         part = None
         mv_pu = None
         if smp:
@@ -388,11 +389,25 @@ class PFrameMixin:
             mv = buf[offs[k]:offs[k + 1]].copy().view(np.int16) \
                 .astype(np.int32).reshape(by, bx, 2)
             k += 1
-        overflow = int(buf[offs[k]:offs[k + 1]].copy()
-                       .view(np.int32)[0])
+        esc_count = int(buf[offs[k]:offs[k + 1]].copy()
+                        .view(np.int32)[0])
         sses = buf[offs[k + 1]:].copy().view(np.float32)
-        return (out_lv, modes, inter_map, ref_sel, mv, overflow, sses,
-                part, mv_pu)
+        if esc_count > cap:
+            out_lv = [None if d is None else
+                      np.asarray(d).astype(np.int32) for d in dense]
+        else:
+            flat = xfer.unpack_levels(nib, escb, esc_count, total)
+            loffs = np.cumsum([0] + lv_sizes)
+            out_lv = []
+            for k2 in range(3 if self.chroma else 1):
+                size = s if k2 == 0 else s // 2
+                out_lv.append(
+                    flat[loffs[k2]:loffs[k2 + 1]].astype(np.int32)
+                    .reshape(nb, size, size))
+            while len(out_lv) < 3:
+                out_lv.append(None)
+        return (out_lv, modes, inter_map, ref_sel, mv, sses, part,
+                mv_pu)
 
     def submit_p(self, y, cb, cr, refs, qp_ctu=None):
         """Dispatch the fused P program (async).  refs: [(ref_poc,
@@ -423,10 +438,11 @@ class PFrameMixin:
         return packed, dense, recs
 
     def download_p(self, handle):
-        """The one device->host transfer (GIL released; call from a
-        worker thread to overlap the next frame's device compute)."""
+        """The ONE device->host transfer + host unpack (GIL released;
+        call from a worker thread to overlap the next frame's device
+        compute)."""
         packed, dense, recs = handle
-        return np.asarray(packed), dense, recs
+        return self._p_unpack(np.asarray(packed), dense), recs
 
     def finalize_p_downloaded(self, downloaded, poc: int, ref_pocs,
                               retained=(), tctx=None,
@@ -438,14 +454,8 @@ class PFrameMixin:
         derivation (the encode_p_frame_multi contract) even with one
         active reference; False = the plain IPPP single-ref stream
         shape."""
-        packed_np, dense, recs = downloaded
-        (lv_y, lv_cb, lv_cr), modes, inter_map, ref_sel, mv, \
-            overflow, sses, part, mv_pu = self._p_unpack(packed_np)
-        if overflow > 0:
-            lv_y = np.asarray(dense[0]).astype(np.int32)
-            if self.chroma:
-                lv_cb = np.asarray(dense[1]).astype(np.int32)
-                lv_cr = np.asarray(dense[2]).astype(np.int32)
+        ((lv_y, lv_cb, lv_cr), modes, inter_map, ref_sel, mv, sses,
+         part, mv_pu), recs = downloaded
         nref = len(ref_pocs)
         if self.cfg.smp:
             mv8, merge8, mvp8, mvd8 = self._merge_amvp_smp(
@@ -1678,13 +1688,35 @@ class IntraFrameEncoder(PFrameMixin):
         enc.set_crypto_iv(self._crypto_seq)
         self._crypto_seq += 1
 
-    def _device_encode_impl(self, ys, cbs, crs):
-        """Batched device program: (B, H, W) sources in, packed uint8
-        transfer buffer + on-device recon/dense-levels out."""
-        ys = ys.astype(jnp.int32)
-        if cbs is not None:
-            cbs = cbs.astype(jnp.int32)
-            crs = crs.astype(jnp.int32)
+    def _split_sources(self, buf):
+        """Inverse of the host-side single-buffer concat: (B, bytes)
+        uint8 -> (ys, cbs, crs) int32 planes (bitcast for >8-bit)."""
+        b = buf.shape[0]
+        s = max(self.cu, 8)
+        h, w = self.coded_h, self.coded_w
+        hc = -(-h // 2 // (s // 2)) * (s // 2) if self.chroma else 0
+        wc = -(-w // 2 // (s // 2)) * (s // 2) if self.chroma else 0
+        unit = 2 if self.bitdepth > 8 else 1
+
+        def take(off, n, hh, ww):
+            part = jax.lax.slice(buf, (0, off), (b, off + n * unit))
+            if unit == 2:
+                part = jax.lax.bitcast_convert_type(
+                    part.reshape(b, n, 2), jnp.uint16)
+            return part.reshape(b, hh, ww).astype(jnp.int32)
+
+        ys = take(0, h * w, h, w)
+        cbs = crs = None
+        if self.chroma:
+            cbs = take(h * w * unit, hc * wc, hc, wc)
+            crs = take((h * w + hc * wc) * unit, hc * wc, hc, wc)
+        return ys, cbs, crs
+
+    def _device_encode_impl(self, buf):
+        """Batched device program: ONE (B, bytes) uint8 source buffer
+        in, (head, payload) compacted transfer buffers + on-device
+        recon/dense-levels out (see ops/xfer.py for the link model)."""
+        ys, cbs, crs = self._split_sources(buf)
         modes = jax.vmap(
             lambda y: search_frame_modes(
                 y, self.plan, self.lambda_satd, self.bitdepth,
@@ -1746,9 +1778,16 @@ class IntraFrameEncoder(PFrameMixin):
                 rec_cr = dcr.astype(rdt)
 
         # Distortion on-device: 3 scalars/frame ride the packed buffer
-        # instead of full reconstruction planes.
+        # instead of full reconstruction planes.  Measured over the
+        # conformance window only — padded rows/columns reconstruct
+        # near-perfectly and would inflate PSNR.
+        tw, th = self.cfg.width, self.cfg.height
+
         def sse(a, b):
-            d = a.astype(jnp.float32) - b.astype(jnp.float32)
+            f = a.shape[1] * 2 // self.coded_h     # 2=luma, 1=chroma
+            hh, ww = th * f // 2, tw * f // 2
+            d = (a[:, :hh, :ww].astype(jnp.float32)
+                 - b[:, :hh, :ww].astype(jnp.float32))
             return jnp.sum(d * d, axis=(1, 2))
 
         sses = jnp.stack(
@@ -1759,37 +1798,12 @@ class IntraFrameEncoder(PFrameMixin):
              jnp.zeros(ys.shape[0], jnp.float32)], axis=1)  # (B, 3)
         packed = self._pack_outputs(lv_y, lv_cb, lv_cr, modes, sses,
                                     ts_y)
-        dense = (lv_y, lv_cb, lv_cr)
+        dense = tuple(None if lv is None else lv.astype(jnp.int16)
+                      for lv in (lv_y, lv_cb, lv_cr))
         return packed, dense, (rec_y, rec_cb, rec_cr)
 
-    def _pack_outputs(self, lv_y, lv_cb, lv_cr, modes, sses,
-                      ts_y=None):
-        """Concatenate everything the host needs per frame into one 1-D
-        uint8 buffer: [lv_y i8][lv_cb i8][lv_cr i8][modes u8][tskip u8]
-        [meta] with meta = (overflow_count i32, sse_y/cb/cr f32)."""
-        b = lv_y.shape[0]
-        u8 = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint8)
-        parts = []
-        overflow = jnp.zeros(b, jnp.int32)
-        for lv in (lv_y, lv_cb, lv_cr):
-            if lv is None:
-                continue
-            l16 = lv.astype(jnp.int16).reshape(b, -1)
-            overflow = overflow + jnp.sum(
-                (jnp.abs(l16) > 127).astype(jnp.int32), axis=1)
-            parts.append(u8(jnp.clip(l16, -127, 127).astype(jnp.int8)))
-        parts.append(modes.astype(jnp.uint8).reshape(b, -1))
-        if ts_y is not None:
-            parts.append(ts_y.astype(jnp.uint8).reshape(b, -1))
-        meta = jnp.concatenate(
-            [u8(overflow[:, None]).reshape(b, 4),
-             u8(sses).reshape(b, 12)], axis=1)
-        parts.append(meta)
-        return jnp.concatenate(parts, axis=1).reshape(-1)
-
-    def _unpack_outputs(self, buf: np.ndarray, nframes: int):
-        """Host-side inverse of _pack_outputs: per-frame int32 level
-        blocks (None where the plane is absent), modes, overflow, sse."""
+    def _level_sizes(self, nframes: int):
+        """Per-frame byte layout of the flat level buffer + head."""
         s = self.cu
         nb = self.plan.blocks_y * self.plan.blocks_x
         cs = s // 2
@@ -1798,40 +1812,75 @@ class IntraFrameEncoder(PFrameMixin):
             cs = 4                       # one 4x4 chroma TB per 8x8 CU
             nbc = (self.plan_c.blocks_y * self.plan_c.blocks_x
                    if self.plan_c else 0)
-        sizes = [nb * s * s]
+        lv_sizes = [nb * s * s]
         if self.chroma:
-            sizes += [nbc * cs * cs] * 2
-        sizes += [nb]
+            lv_sizes += [nbc * cs * cs] * 2
+        return s, nb, cs, nbc, lv_sizes
+
+    def _pack_outputs(self, lv_y, lv_cb, lv_cr, modes, sses,
+                      ts_y=None):
+        """One transfer buffer (see ops/xfer.py): [nibbles][escape
+        records][modes u8][tskip u8][meta: esc i32, sse (B,3) f32]."""
+        from kvazaar_tpu.ops.xfer import pack_levels
+        b = modes.shape[0]
+        u8 = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint8)
+        lvs = [lv.astype(jnp.int16).reshape(b, -1)
+               for lv in (lv_y, lv_cb, lv_cr) if lv is not None]
+        flat = jnp.concatenate(lvs, axis=1).reshape(-1)
+        nib, esc, esc_count = pack_levels(flat, self.cfg.qp)
+        parts = [nib, esc, modes.astype(jnp.uint8).reshape(-1)]
+        if ts_y is not None:
+            parts.append(ts_y.astype(jnp.uint8).reshape(-1))
+        parts.append(u8(esc_count[None]).reshape(-1))
+        parts.append(u8(sses).reshape(-1))
+        return jnp.concatenate(parts)
+
+    def _unpack_batch(self, buf: np.ndarray, nframes: int):
+        """Parse the packed buffer -> (levels_flat | None, modes, ts_y,
+        esc_over, sses); levels_flat is None when the escape capacity
+        overflowed (caller uses the dense fallback)."""
+        from kvazaar_tpu.ops import xfer
+        s, nb, cs, nbc, lv_sizes = self._level_sizes(nframes)
+        total = nframes * sum(lv_sizes)
+        cap = xfer.esc_capacity(total, self.cfg.qp)
         has_ts = self.cfg.transform_skip and s == 4
-        if has_ts:
-            sizes += [nb]
-        sizes += [16]
-        buf = buf.reshape(nframes, sum(sizes))
+        sizes = [(total + 1) // 2, cap * 8, nframes * nb] \
+            + ([nframes * nb] if has_ts else []) + [4, nframes * 12]
         offs = np.cumsum([0] + sizes)
+        nib = buf[offs[0]:offs[1]]
+        esc = buf[offs[1]:offs[2]]
+        modes = buf[offs[2]:offs[3]].reshape(
+            nframes, self.plan.blocks_y, self.plan.blocks_x)
+        k = 3
+        ts_y = None
+        if has_ts:
+            ts_y = buf[offs[3]:offs[4]].reshape(
+                nframes, self.plan.blocks_y, self.plan.blocks_x)
+            k = 4
+        esc_count = int(buf[offs[k]:offs[k + 1]].copy()
+                        .view(np.int32)[0])
+        sses = buf[offs[k + 1]:].copy().view(np.float32).reshape(
+            nframes, 3)
+        flat = None
+        if esc_count <= cap:
+            flat = xfer.unpack_levels(nib, esc, esc_count, total)
+        return flat, modes, ts_y, sses
+
+    def _levels_from_flat(self, flat: np.ndarray, nframes: int):
+        """Flat per-batch level bytes -> per-plane (B, n, s, s) views."""
+        s, nb, cs, nbc, lv_sizes = self._level_sizes(nframes)
+        buf = flat.reshape(nframes, sum(lv_sizes))
+        offs = np.cumsum([0] + lv_sizes)
         out_lv = []
         k = 0
         for _ in range(3 if self.chroma else 1):
             size, n = (s, nb) if k == 0 else (cs, nbc)
-            # Stay int8: the native plane assembler widens during its
-            # copy; a python-level astype here costs ~9 ms/frame of
-            # GIL-held time on the finalize path.
-            out_lv.append(buf[:, offs[k]:offs[k + 1]].view(np.int8)
-                          .reshape(nframes, n, size, size))
+            out_lv.append(buf[:, offs[k]:offs[k + 1]].reshape(
+                nframes, n, size, size))
             k += 1
         while len(out_lv) < 3:
             out_lv.append(None)
-        modes = buf[:, offs[k]:offs[k + 1]].reshape(
-            nframes, self.plan.blocks_y, self.plan.blocks_x)
-        k += 1
-        ts_y = None
-        if has_ts:
-            ts_y = buf[:, offs[k]:offs[k + 1]].reshape(
-                nframes, self.plan.blocks_y, self.plan.blocks_x)
-            k += 1
-        meta = buf[:, offs[k]:]
-        overflow = meta[:, :4].copy().view(np.int32)[:, 0]
-        sses = meta[:, 4:16].copy().view(np.float32)
-        return out_lv, modes, overflow, sses, ts_y
+        return out_lv
 
     def encode_frame(self, y: np.ndarray, cb=None, cr=None,
                      qp_ctu=None) -> FrameResult:
@@ -2442,24 +2491,33 @@ class IntraFrameEncoder(PFrameMixin):
                            recon_cr=rec_cr, frame_data=fd,
                            bits=len(nal) * 8)
 
-    def submit_frames(self, frames):
-        """Queue the device program for a batch (async dispatch); pair
-        with finalize_frames.  Queuing batch N+1 before finalizing batch
-        N overlaps device compute with the previous batch's transfer +
-        host CABAC."""
+    def host_pack_sources(self, frames):
+        """(y, cb, cr) list -> ONE (B, bytes) uint8 upload buffer (the
+        tunnel charges per transfer call) + the padded host planes."""
         s = max(self.cu, 8)     # coded sizes are multiples of min CU 8
         sdt = np.uint8 if self.bitdepth <= 8 else np.uint16
         ys = np.stack([pad_to_multiple(np.asarray(f[0], sdt), s)
                        for f in frames])
+        b = len(frames)
+        parts = [ys.reshape(b, -1).view(np.uint8)]
         cbs = crs = None
         if self.chroma:
             cbs = np.stack([pad_to_multiple(np.asarray(f[1], sdt),
                                             s // 2) for f in frames])
             crs = np.stack([pad_to_multiple(np.asarray(f[2], sdt),
                                             s // 2) for f in frames])
+            parts += [cbs.reshape(b, -1).view(np.uint8),
+                      crs.reshape(b, -1).view(np.uint8)]
+        return np.concatenate(parts, axis=1), (ys, cbs, crs)
+
+    def submit_frames(self, frames):
+        """Queue the device program for a batch (async dispatch); pair
+        with finalize_frames.  Queuing batch N+1 before finalizing batch
+        N overlaps device compute with the previous batch's transfer +
+        host CABAC."""
+        buf, (ys, cbs, crs) = self.host_pack_sources(frames)
         srcs = (ys, cbs, crs) if self.cfg.sao else None
-        return (len(frames), self._device_encode_batch(ys, cbs, crs),
-                srcs)
+        return (len(frames), self._device_encode_batch(buf), srcs)
 
     def encode_frames(self, frames) -> list[FrameResult]:
         """Encode a batch of frames through one batched device program;
@@ -2473,11 +2531,20 @@ class IntraFrameEncoder(PFrameMixin):
 
     def download_frames(self, handle):
         """Stage 2 of the pipeline: the ONE device->host transfer for a
-        submitted batch.  Safe to call from a worker thread (releases
-        the GIL while the tunnel moves bytes); pass the result to
-        finalize_downloaded."""
+        submitted batch + host-side unpack.  Safe to call from a worker
+        thread (releases the GIL while the tunnel moves bytes); pass
+        the result to finalize_downloaded."""
         nframes, (packed, dense, recs), srcs = handle
-        return nframes, np.asarray(packed), dense, recs, srcs
+        flat, modes, ts_y, sses = self._unpack_batch(
+            np.asarray(packed), nframes)
+        if flat is None:
+            # Rare very-low-QP/high-energy fallback: exact int16
+            # levels for the whole batch.
+            out_lv = [None if d is None else
+                      np.asarray(d).astype(np.int32) for d in dense]
+        else:
+            out_lv = self._levels_from_flat(flat, nframes)
+        return nframes, (out_lv, modes, ts_y, sses), recs, srcs
 
     def finalize_frames(self, handle,
                         need_recon: bool = True) -> list[FrameResult]:
@@ -2487,19 +2554,11 @@ class IntraFrameEncoder(PFrameMixin):
     def finalize_downloaded(self, downloaded,
                             need_recon: bool = True) -> list[FrameResult]:
         import concurrent.futures as cf
-        nframes, packed_np, dense, recs, srcs = downloaded
-        # Levels+modes+meta came in one packed transfer; recon planes
+        nframes, unpacked, recs, srcs = downloaded
+        # Levels+modes+meta came compacted (ops/xfer.py); recon planes
         # only when the caller needs pixels (hash SEI / --debug /
         # PSNR-from-recon).
-        (lv_y, lv_cb, lv_cr), modes, overflow, sses, ts_y = \
-            self._unpack_outputs(packed_np, nframes)
-        if np.any(overflow > 0):
-            # Rare low-QP/high-energy fallback: some |level| > 127 —
-            # fetch the exact int16 tensors for the whole batch.
-            lv_y = np.asarray(dense[0]).astype(np.int32)
-            if self.chroma:
-                lv_cb = np.asarray(dense[1]).astype(np.int32)
-                lv_cr = np.asarray(dense[2]).astype(np.int32)
+        (lv_y, lv_cb, lv_cr), modes, ts_y, sses = unpacked
         sao_list = [None] * nframes
         if self.cfg.sao:
             recs, sao_list = self._sao_stage(srcs, recs)
