@@ -28,7 +28,7 @@ import time
 import numpy as np
 
 W, H, FRAMES, QP = 832, 480, 8, 22
-REF_FPS_RECORDED = 44.68
+REF_FPS_RECORDED = 48.3     # median-of-5, this box, 2026-08-19
 
 
 def synth_clip(n, w, h, seed=0):
@@ -261,6 +261,49 @@ def measure_bd_rate_intra(exe, seed=1, w=416, h=240, n=6,
     return round(bd_rate(ref_r, ref_p, ours_r, ours_p), 2)
 
 
+def measure_device_resident_fps(ife, frames, reps=10):
+    """Throughput with sources pre-staged in device HBM: what the
+    encoder does per chip when input arrives over a production path
+    (DMA/ICI) instead of this deployment's host tunnel.  Downloads +
+    host CABAC still included."""
+    import jax
+    import queue as _q
+    import threading
+    buf, _planes = ife.host_pack_sources(frames)
+    dbuf = jax.device_put(buf)
+    dbuf.block_until_ready()
+    dlq: "_q.Queue" = _q.Queue(maxsize=3)
+    outq: "_q.Queue" = _q.Queue()
+
+    def downloader():
+        while True:
+            hd = dlq.get()
+            if hd is None:
+                break
+            outq.put(ife.download_frames(hd))
+
+    ife.finalize_frames((len(frames),
+                         ife._device_encode_batch(dbuf), None),
+                        need_recon=False)   # warm
+    t0 = time.time()
+    ths = [threading.Thread(target=downloader) for _ in range(2)]
+    for th in ths:
+        th.start()
+    done = submitted = 0
+    while done < reps:
+        while submitted < reps and submitted - done < 3:
+            dlq.put((len(frames), ife._device_encode_batch(dbuf),
+                     None))
+            submitted += 1
+        ife.finalize_downloaded(outq.get(), need_recon=False)
+        done += 1
+    for _ in ths:
+        dlq.put(None)
+    for th in ths:
+        th.join()
+    return len(frames) * reps / (time.time() - t0)
+
+
 def main():
     t_start = time.time()
     out = {}
@@ -270,10 +313,22 @@ def main():
     if not os.path.exists(yuv):
         _write_yuv(yuv, synth_clip(20, W, H))
 
-    fps, bits, psnr_y, ife = measure_intra_fps(frames, W, H, QP)
+    # Reference first (CPU-only), then ours (TPU + host CABAC): never
+    # overlap the two on this 4-core box.
+    ref_fps = (measure_reference_fps(exe, yuv, W, H, QP)
+               if exe else None) or REF_FPS_RECORDED
+
+    trials = []
+    ife = None
+    for _ in range(3):
+        fps, bits, psnr_y, ife = measure_intra_fps(frames, W, H, QP,
+                                                   ife=ife)
+        trials.append(fps)
+    trials.sort()
     out["metric"] = "all_intra_832x480_qp22_fps"
-    out["value"] = round(fps, 3)
+    out["value"] = round(trials[1], 3)          # median of 3
     out["unit"] = "frames/s"
+    out["fps_trials"] = [round(t, 2) for t in trials]
     out["psnr_y_db"] = round(psnr_y, 3)
     out["bits_per_frame"] = int(bits)
 
@@ -282,10 +337,14 @@ def main():
     except Exception as e:
         out["conformance"] = f"ERROR:{type(e).__name__}"
 
-    ref_fps = (measure_reference_fps(exe, yuv, W, H, QP)
-               if exe else None) or REF_FPS_RECORDED
     out["ref_fps"] = round(ref_fps, 3)
-    out["vs_baseline"] = round(fps / ref_fps, 4)
+    out["vs_baseline"] = round(out["value"] / ref_fps, 4)
+
+    try:
+        out["device_resident_fps"] = round(
+            measure_device_resident_fps(ife, frames), 3)
+    except Exception as e:
+        out["device_resident_fps"] = f"ERROR:{type(e).__name__}"
 
     try:
         out["ippp_fps"] = round(measure_ippp_fps(frames, W, H, QP), 3)

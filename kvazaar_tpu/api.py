@@ -195,7 +195,7 @@ class Encoder:
             res = enc.encode_frame(y, cb, cr)
             if lam is not None:
                 self._rc.update(len(res.nals) * 8, lam)
-            out = [self._emit(res, 0, (y, cb, cr))]
+            out = [self._emit(res, 0, (y, cb, cr), qp=enc.cfg.qp)]
             self._dpb_map[0] = enc._dpb
             self._poc = 1
             return out
@@ -218,7 +218,8 @@ class Encoder:
                 if lam is not None:
                     self._rc.update(len(res.nals) * 8, lam)
                 self._dpb_map[poc] = ife._dpb
-                out.append(self._emit(res, poc, self._pending[i]))
+                out.append(self._emit(res, poc, self._pending[i],
+                                      qp=ife.cfg.qp))
         else:
             for (off, l0, l1) in GOP_TABLES[self._gop]:
                 poc = base + off
@@ -237,7 +238,7 @@ class Encoder:
                     self._dpb_map[poc] = recs
                 if lam is not None:
                     self._rc.update(len(res.nals) * 8, lam)
-                out.append(self._emit(res, poc, src))
+                out.append(self._emit(res, poc, src, qp=ife.cfg.qp))
             self._base_poc = base + self._gop
             # Keep only the refs the next GOP can use.
             self._dpb_map = {p: v for p, v in self._dpb_map.items()
@@ -246,7 +247,7 @@ class Encoder:
         self._poc = self._base_poc + len(self._pending) + 1
         return out
 
-    def _emit(self, res, poc, src):
+    def _emit(self, res, poc, src, qp=None):
         chunks = self._au_prefix(SLICE_I if poc == 0 else 0)
         y, cb, cr = src
         h, w = y.shape
@@ -262,7 +263,7 @@ class Encoder:
                        self.cfg.input_bitdepth)
         is_idr = poc == 0
         info = FrameInfo(
-            poc=poc, qp=self.cfg.qp,
+            poc=poc, qp=self.cfg.qp if qp is None else qp,
             nal_type=NAL_IDR_W_RADL if is_idr else 1,
             slice_type=SLICE_I if is_idr else 1,
             bits=len(res.nals) * 8,
@@ -523,41 +524,74 @@ class Encoder:
         # slice restarts CABAC contexts; the DPB is device-side state
         # threaded through submissions on the main thread).
         n_workers = self.cfg.owf or 3
-        dlq: "_q.Queue" = _q.Queue(maxsize=n_workers + 1)
+        dlq: "_q.Queue" = _q.Queue(maxsize=n_workers + 2)
+        finq: "_q.Queue" = _q.Queue()
         outq: "_q.Queue" = _q.Queue()
 
-        def worker():
+        def downloader():
+            # ONE download thread so consecutive P frames in flight
+            # can share a single device->host transfer call
+            # (download_p_many) — the ~30 ms per-call tunnel charge
+            # dominates the per-frame low-delay path.
             while True:
                 item = dlq.get()
                 if item is None:
                     return
-                seq, kind, handle, metas = item
+                t0 = _time.monotonic()
                 try:
-                    t0 = _time.monotonic()
+                    seq, kind, handle, metas = item
                     if kind == "i":
                         dl = ife.download_frames(handle)
-                        t1 = _time.monotonic()
+                        finq.put((seq, "i", dl, metas))
+                    else:
+                        batch = [item]
+                        while len(batch) < 4:
+                            try:
+                                nxt = dlq.get_nowait()
+                            except _q.Empty:
+                                break
+                            if nxt is None or nxt[1] != "p":
+                                dlq.put(nxt)   # reorder-safe: only
+                                break          # tail sentinel / "i"
+                            batch.append(nxt)
+                        dls = ife.download_p_many(
+                            [it[2] for it in batch])
+                        for it, dl in zip(batch, dls):
+                            finq.put((it[0], "p", dl, it[3]))
+                except BaseException as e:
+                    outq.put((item[0], None, item[3], e))
+                with _stats_lock:
+                    self.stats["download_s"] += _time.monotonic() - t0
+
+        def finalizer():
+            while True:
+                item = finq.get()
+                if item is None:
+                    return
+                seq, kind, dl, metas = item
+                try:
+                    t1 = _time.monotonic()
+                    if kind == "i":
                         res = ife.finalize_downloaded(
                             dl, need_recon=want_pixels)
                     else:
                         (poc, rel, shape), = metas
-                        dl = ife.download_p(handle)
-                        t1 = _time.monotonic()
                         r0, _recs = ife.finalize_p_downloaded(
                             dl, poc=rel, ref_pocs=[rel - 1],
                             multi=False, need_recon=want_pixels)
                         res = [r0]
-                    t2 = _time.monotonic()
                     with _stats_lock:
-                        self.stats["download_s"] += t1 - t0
-                        self.stats["finalize_s"] += t2 - t1
+                        self.stats["finalize_s"] += \
+                            _time.monotonic() - t1
                         self.stats["frames"] += len(metas)
                     outq.put((seq, res, metas, None))
                 except BaseException as e:   # surface on main thread
                     outq.put((seq, None, metas, e))
 
-        workers = [threading.Thread(target=worker)
+        dl_th = threading.Thread(target=downloader)
+        fin_ths = [threading.Thread(target=finalizer)
                    for _ in range(n_workers)]
+        workers = [dl_th] + fin_ths
         for th in workers:
             th.start()
         period = self.cfg.intra_period
@@ -651,9 +685,11 @@ class Encoder:
                 # encode() call expects it.
                 ife._dpb = dpb
         finally:
-            for _ in workers:
-                dlq.put(None)
-            for th in workers:
+            dlq.put(None)
+            dl_th.join()
+            for _ in fin_ths:
+                finq.put(None)
+            for th in fin_ths:
                 th.join()
 
     def feed(self, y=None, cb=None, cr=None):

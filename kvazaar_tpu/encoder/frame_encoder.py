@@ -444,6 +444,24 @@ class PFrameMixin:
         packed, dense, recs = handle
         return self._p_unpack(np.asarray(packed), dense), recs
 
+    def download_p_many(self, handles):
+        """Fetch several submitted P frames in ONE device->host
+        transfer: a cached jitted stack of their packed buffers, then
+        per-frame unpacks.  The tunnel charges ~30 ms per transfer
+        CALL, which dominates the per-frame low-delay path — amortize
+        it across the frames already in flight."""
+        if len(handles) == 1:
+            return [self.download_p(handles[0])]
+        k = len(handles)
+        if not hasattr(self, "_stack_cache"):
+            self._stack_cache = {}
+        if k not in self._stack_cache:
+            self._stack_cache[k] = jax.jit(
+                lambda *bufs: jnp.stack(bufs))
+        big = np.asarray(self._stack_cache[k](*[h[0] for h in handles]))
+        return [(self._p_unpack(big[i], h[1]), h[2])
+                for i, h in enumerate(handles)]
+
     def finalize_p_downloaded(self, downloaded, poc: int, ref_pocs,
                               retained=(), tctx=None,
                               need_recon: bool = True,
