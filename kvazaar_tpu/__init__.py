@@ -26,6 +26,26 @@ _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                        _os.path.expanduser("~/.cache/kvazaar_tpu_xla"))
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
+# The fused wavefront kernel's VMEM working set (edge-state scratch is
+# (blocks+1, 128) int32 x2 after lane padding, plus the 35-mode
+# prediction temporaries) exceeds XLA's default 16 MB scoped-vmem
+# budget at 1080p+.  v5e has 128 MB of VMEM; raise the scoped budget.
+# Passed as per-jit compiler options (XLA_FLAGS can't carry TPU-only
+# flags here: the client-side CPU XLA rejects unknown flags at
+# startup, while compiler options ride the compile request).
+TPU_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "24576"}
+
+
+def tpu_jit(fun, **kw):
+    """jax.jit with the encoder's TPU compiler options (no-op off-TPU:
+    the CPU backend ignores unknown TPU options at compile time would
+    error, so options are only attached when a TPU backend is live)."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        kw.setdefault("compiler_options", TPU_COMPILER_OPTIONS)
+    return jax.jit(fun, **kw)
+
 
 def enable_compile_cache() -> None:
     """Explicitly enable the persistent compile cache (the env var is

@@ -695,6 +695,15 @@ def reconstruct_parsed(fd: FrameData, params: StreamParams, qp: int):
     plan = make_intra_plan(params.width, params.height, s, chroma,
                            tiles=params.tiles)
     modes = fd.mode4[::s // 4, ::s // 4].astype(np.int32)
+    cmodes = None
+    if chroma and fd.cmode4 is not None:
+        # Explicit chroma modes (--rd 3): parsed actual modes; equal to
+        # the luma modes for all-DM streams (pass None then so the
+        # traced program is unchanged).
+        cm = fd.cmode4[::s // 8, ::s // 8].astype(np.int32)
+        cm = np.where(cm == 255, modes, cm)
+        if not np.array_equal(cm, modes):
+            cmodes = jnp.asarray(cm)
 
     lv_y = _blocks_by_step(fd.coeff_y, plan.luma, plan)
     lv_cb = lv_cr = None
@@ -710,7 +719,7 @@ def reconstruct_parsed(fd: FrameData, params: StreamParams, qp: int):
                             jnp.asarray(modes),
                             lossless=params.transquant_bypass,
                             scaling=_scaling_from_params(params),
-                            qp_map=qp_blk)
+                            qp_map=qp_blk, cmodes=cmodes)
     rec_y, rec_cb, rec_cr = out[0], out[1], out[2]
     if params.deblock_enabled:
         from kvazaar_tpu.ops.deblock import deblock_frame
@@ -1090,9 +1099,15 @@ def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
                         inter=cu_inter)
             lu += 1
         if chroma:
-            # DM chroma mode = luma mode of the PU covering the CU
-            # origin (8.4.3); NxN CUs still carry one 4x4 chroma TB.
+            # Chroma mode: explicit (parsed intra_chroma_pred_mode,
+            # --rd 3) when cmode4 carries one, else DM = luma mode of
+            # the PU covering the CU origin (8.4.3); NxN CUs still
+            # carry one 4x4 chroma TB.
             mode = int(fd.mode4[ly0 // 4, lx0 // 4])
+            if not cu_inter and fd.cmode4 is not None:
+                cm = int(fd.cmode4[ly0 // 8, lx0 // 8])
+                if cm != 255:
+                    mode = cm
             base = cu_ctr
             for j_, (ux, uy, us) in enumerate(chroma_units_of_cu[k]):
                 for pi in (1, 2):
@@ -1196,7 +1211,7 @@ def _plane_step_from_levels(recon_flat, gidx, noref, scatter, levels,
 def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
                        lv_cr, modes, is_inter=None, mc_y=None,
                        mc_cb=None, mc_cr=None, lossless=False,
-                       scaling=None, qp_map=None):
+                       scaling=None, qp_map=None, cmodes=None):
     tab_y = tab_cb = tab_cr = None
     if scaling is not None:
         def _tabs(size, comp, qq):
@@ -1211,6 +1226,8 @@ def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
     h, w = plan.height, plan.width
     slot_ids = jnp.asarray(np.maximum(plan.block_of_slot, 0))
     modes_steps = modes.reshape(-1)[slot_ids]
+    cmodes_steps = (modes_steps if cmodes is None
+                    else cmodes.reshape(-1)[slot_ids])
     has_qp = qp_map is not None
     qp_steps = qpc_steps = None
     if has_qp:
@@ -1253,21 +1270,21 @@ def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
         if chroma:
             ry, rcb, rcr = carry
             if inter:
-                (gy, ny, scy, ly, gc, nc, scc, lcb, lcr, m, it, my,
+                (gy, ny, scy, ly, gc, nc, scc, lcb, lcr, m, cm, it, my,
                  mcb, mcr) = xs
             else:
-                gy, ny, scy, ly, gc, nc, scc, lcb, lcr, m = xs
+                gy, ny, scy, ly, gc, nc, scc, lcb, lcr, m, cm = xs
                 it = my = mcb = mcr = None
             ry = _plane_step_from_levels(ry, gy, ny, scy, ly, m, s, qp,
                                          bitdepth, True, it, my,
                                          lossless, tab_y, qp_step=qt)
-            rcb = _plane_step_from_levels(rcb, gc, nc, scc, lcb, m, sc2,
-                                          qp_c, bitdepth, False, it,
-                                          mcb, lossless, tab_cb,
+            rcb = _plane_step_from_levels(rcb, gc, nc, scc, lcb, cm,
+                                          sc2, qp_c, bitdepth, False,
+                                          it, mcb, lossless, tab_cb,
                                           qp_step=qct)
-            rcr = _plane_step_from_levels(rcr, gc, nc, scc, lcr, m, sc2,
-                                          qp_c, bitdepth, False, it,
-                                          mcr, lossless, tab_cr,
+            rcr = _plane_step_from_levels(rcr, gc, nc, scc, lcr, cm,
+                                          sc2, qp_c, bitdepth, False,
+                                          it, mcr, lossless, tab_cr,
                                           qp_step=qct)
             return (ry, rcb, rcr), None
         (ry,) = carry
@@ -1283,7 +1300,7 @@ def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
 
     if chroma:
         xs = (g_y, n_y, sc_y, lv_y, g_c, n_c, sc_c, lv_cb, lv_cr,
-              modes_steps)
+              modes_steps, cmodes_steps)
         if inter:
             xs = xs + (inter_steps, mcy_steps, mccb_steps, mccr_steps)
         carry0 = (rec_y0, rec_c0, rec_c0)
@@ -1304,9 +1321,9 @@ def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
 
 def _decode_recon_jit(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
                       lv_cr, modes, lossless=False, scaling=None,
-                      qp_map=None):
+                      qp_map=None, cmodes=None):
     # jit keyed on the static arguments via closure; plans are cached.
     return _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth,
                               lv_y, lv_cb, lv_cr, modes,
                               lossless=lossless, scaling=scaling,
-                              qp_map=qp_map)
+                              qp_map=qp_map, cmodes=cmodes)

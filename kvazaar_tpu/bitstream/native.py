@@ -45,13 +45,13 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
-        ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib.ktpu_encode_slice_data_wpp.restype = ctypes.c_int64
     lib.ktpu_encode_slice_data_wpp.argtypes = \
-        lib.ktpu_encode_slice_data.argtypes[:-3] + [
+        lib.ktpu_encode_slice_data.argtypes[:-4] + [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
-            ctypes.c_void_p, ctypes.c_void_p]
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.ktpu_assemble_plane_i8.restype = None
     lib.ktpu_assemble_plane_i8.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -78,8 +78,11 @@ def _frame_args(params, fd):
         ccr = np.ascontiguousarray(fd.coeff_cr, np.int32)
     else:
         ccb = ccr = None
+    cmode4 = None
+    if fd.cmode4 is not None and (fd.cmode4 != 255).any():
+        cmode4 = np.ascontiguousarray(fd.cmode4, np.uint8)
     # Hold references so buffers outlive the call.
-    return depth8, mode4, cy, ccb, ccr, chroma
+    return depth8, mode4, cy, ccb, ccr, chroma, cmode4
 
 
 def _sao_blob(params, fd):
@@ -110,7 +113,8 @@ def encode_slice_data_native(params, fd, qp: int) -> bytes:
     """Native equivalent of SliceDataEncoder.encode_slice_data + final
     alignment; returns the CABAC slice-data bytes."""
     lib = get_lib()
-    depth8, mode4, cy, ccb, ccr, chroma = _frame_args(params, fd)
+    depth8, mode4, cy, ccb, ccr, chroma, cmode4 = _frame_args(params,
+                                                               fd)
     cap = cy.nbytes * 2 + 65536
     out = np.empty(cap, np.uint8)
     sao = _sao_blob(params, fd)
@@ -123,7 +127,8 @@ def encode_slice_data_native(params, fd, qp: int) -> bytes:
         None if ccr is None else ccr.ctypes.data,
         out.ctypes.data, cap, 1 if params.sign_hiding else 0,
         None if sao is None else sao.ctypes.data,
-        None if qpc is None else qpc.ctypes.data)
+        None if qpc is None else qpc.ctypes.data,
+        None if cmode4 is None else cmode4.ctypes.data)
     if n < 0:
         raise RuntimeError("native slice buffer overflow")
     if qpc is not None:
@@ -151,7 +156,8 @@ def encode_slice_data_native_wpp(params, fd, qp: int,
     reference's WPP thread parallelism, src/encoderstate.c:776-830,
     applied to the host finalize stage)."""
     lib = get_lib()
-    depth8, mode4, cy, ccb, ccr, chroma = _frame_args(params, fd)
+    depth8, mode4, cy, ccb, ccr, chroma, cmode4 = _frame_args(params,
+                                                               fd)
     cap = cy.nbytes * 2 + 65536
     out = np.empty(cap, np.uint8)
     rows = params.height_in_ctus
@@ -168,7 +174,8 @@ def encode_slice_data_native_wpp(params, fd, qp: int,
         (1 if params.sign_hiding else 0) | (int(nthreads) << 8),
         None if sao is None else sao.ctypes.data,
         None if (qpc := _qp_ctu_arr(params, fd)) is None
-        else qpc.ctypes.data)
+        else qpc.ctypes.data,
+        None if cmode4 is None else cmode4.ctypes.data)
     if n < 0:
         raise RuntimeError("native slice buffer overflow")
     if qpc is not None:
@@ -198,9 +205,11 @@ def encode_slice_data_native_p(params, fd, qp: int, wpp: bool,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p,
         ]
         lib._p_configured = True
-    depth8, mode4, cy, ccb, ccr, chroma = _frame_args(params, fd)
+    depth8, mode4, cy, ccb, ccr, chroma, cmode4 = _frame_args(params,
+                                                              fd)
     inter8 = np.ascontiguousarray(fd.inter8, np.uint8)
     skip8 = np.ascontiguousarray(fd.skip8, np.uint8)
     merge8 = np.ascontiguousarray(fd.merge8, np.int8)
@@ -243,7 +252,8 @@ def encode_slice_data_native_p(params, fd, qp: int, wpp: bool,
         else part8.ctypes.data,
         1 if getattr(params, "amp", False) else 0,
         None if (qpc := _qp_ctu_arr(params, fd)) is None
-        else qpc.ctypes.data)
+        else qpc.ctypes.data,
+        None if cmode4 is None else cmode4.ctypes.data)
     if n < 0:
         raise RuntimeError("native slice buffer overflow")
     if qpc is not None:

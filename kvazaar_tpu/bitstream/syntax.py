@@ -87,6 +87,10 @@ class FrameData:
     # src/search_inter.c:1627).  Motion fields hold per-PU values at
     # each PU's marker cell and are region-filled for derivation.
     part8: np.ndarray = None       # (H/8, W/8) uint8
+    # Explicit chroma prediction mode per 8x8 cell (--rd 3 chroma-mode
+    # RDO; reference kvz_search_cu_intra_chroma src/search_intra.c:736).
+    # 255 = DM (chroma shares the luma mode) — the default everywhere.
+    cmode4: np.ndarray = None      # (H/8, W/8) uint8
 
     @staticmethod
     def empty(width: int, height: int, chroma: bool = True) -> "FrameData":
@@ -120,6 +124,7 @@ class FrameData:
             tskip_cb=np.zeros(g8, dtype=np.uint8),
             tskip_cr=np.zeros(g8, dtype=np.uint8),
             part8=np.zeros(g8, dtype=np.uint8),
+            cmode4=np.full(g8, 255, dtype=np.uint8),
         )
 
 
@@ -346,6 +351,14 @@ class _SliceSyntaxBase:
         eff = self._qg_qp if self._qg_coded else self._qp_pred
         self.d.qp_ctu[cyi, cxi] = eff
         self._qp_pred = eff
+
+    def _chroma_mode_of(self, x0, y0) -> int:
+        """Effective chroma prediction mode of the CU covering luma
+        position (x0, y0): cmode4 when explicit (--rd 3), else DM =
+        the luma mode of the first PU (8.4.3)."""
+        cm = 255 if self.d.cmode4 is None else \
+            int(self.d.cmode4[y0 >> 3, x0 >> 3])
+        return int(self.d.mode4[y0 >> 2, x0 >> 2]) if cm == 255 else cm
 
 
 class SliceDataEncoder(_SliceSyntaxBase):
@@ -838,8 +851,20 @@ class SliceDataEncoder(_SliceSyntaxBase):
                         rem -= 1
                 self.c.encode_bypass_bins(rem, 5)
         if self.chroma:
-            # Derived (DM) chroma mode only, a single context bin = 0.
-            self.c.encode_bin(self.ctx("chroma_pred_mode", 0), 0)
+            # intra_chroma_pred_mode (9.3.3.8): DM = one context bin 0;
+            # explicit = context bin 1 + 2-bit FL bypass index into the
+            # Table 8-3 list (luma-dup entry replaced by angular-34).
+            luma_mode = int(self.d.mode4[y0 >> 2, x0 >> 2])
+            cm = self._chroma_mode_of(x0, y0)
+            if cm == luma_mode:
+                self.c.encode_bin(self.ctx("chroma_pred_mode", 0), 0)
+            else:
+                lst = [34 if m == luma_mode else m
+                       for m in (0, 26, 10, 1)]
+                idx = lst.index(cm)
+                self.c.encode_bin(self.ctx("chroma_pred_mode", 0), 1)
+                self.c.encode_bypass((idx >> 1) & 1)
+                self.c.encode_bypass(idx & 1)
         self.transform_tree(x0, y0, log2_size, 0)
 
     def transform_tree(self, x0, y0, log2_size, tr_depth) -> None:
@@ -949,7 +974,8 @@ class SliceDataEncoder(_SliceSyntaxBase):
         if self._is_inter_cu(lx0, ly0):
             scan_idx = SCAN_DIAG       # mode-dependent scan is intra-only
         else:
-            mode = int(self.d.mode4[ly0 >> 2, lx0 >> 2])  # chroma: DM
+            mode = (self._chroma_mode_of(lx0, ly0) if chroma
+                    else int(self.d.mode4[ly0 >> 2, lx0 >> 2]))
             scan_idx = intra_scan_idx(mode, log2_size, chroma)
         scan = coeff_scan(log2_size, scan_idx)
         levels = block[scan[:, 1], scan[:, 0]]       # scan-ordered
@@ -1543,9 +1569,20 @@ class SliceDataDecoder(_SliceSyntaxBase):
             self.d.mode4[py >> 2:(py >> 2) + n4,
                          px >> 2:(px >> 2) + n4] = mode
         if self.chroma:
-            dm = self.c.decode_bin(self.ctx("chroma_pred_mode", 0))
-            if dm != 0:
-                raise NotImplementedError("non-DM chroma not in v1 subset")
+            explicit = self.c.decode_bin(self.ctx("chroma_pred_mode", 0))
+            luma_mode = int(self.d.mode4[y0 >> 2, x0 >> 2])
+            if explicit:
+                idx = (self.c.decode_bypass() << 1) \
+                    | self.c.decode_bypass()
+                lst = [34 if m == luma_mode else m
+                       for m in (0, 26, 10, 1)]
+                cmode = lst[idx]
+            else:
+                cmode = luma_mode            # DM (8.4.3: PU0's mode)
+            if self.d.cmode4 is not None:
+                n8 = max(1 << (log2_size - 3), 1)
+                self.d.cmode4[y0 >> 3:(y0 >> 3) + n8,
+                              x0 >> 3:(x0 >> 3) + n8] = cmode
         self.transform_tree(x0, y0, log2_size, 0)
 
     def transform_tree(self, x0, y0, log2_size, tr_depth) -> None:
@@ -1647,7 +1684,8 @@ class SliceDataDecoder(_SliceSyntaxBase):
         if self._is_inter_cu(lx0, ly0):
             scan_idx = SCAN_DIAG
         else:
-            mode = int(self.d.mode4[ly0 >> 2, lx0 >> 2])
+            mode = (self._chroma_mode_of(lx0, ly0) if chroma
+                    else int(self.d.mode4[ly0 >> 2, lx0 >> 2]))
             scan_idx = intra_scan_idx(mode, log2_size, chroma)
         scan = coeff_scan(log2_size, scan_idx)
         inv = _inv_coeff_scan(log2_size, scan_idx)

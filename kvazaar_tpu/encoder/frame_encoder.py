@@ -14,6 +14,8 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+from kvazaar_tpu import tpu_jit
 import numpy as np
 
 from kvazaar_tpu.bitstream.bits import BitWriter, nal_unit
@@ -80,8 +82,8 @@ class PFrameMixin:
 
     def _setup_p(self):
         self.lambda_me = self.lambda_satd
-        self._device_search_b = jax.jit(self._search_b_impl)
-        self._device_recon_b = jax.jit(self._recon_b_impl)
+        self._device_search_b = tpu_jit(self._search_b_impl)
+        self._device_recon_b = tpu_jit(self._recon_b_impl)
         self._p_fused_cache = {}   # R -> fused jit
 
     # ---- Fused single-dispatch P path.  The device->host tunnel costs
@@ -320,9 +322,9 @@ class PFrameMixin:
                         (rec_y, rec_cb, rec_cr))
 
             if with_qp:
-                self._p_fused_cache[key] = jax.jit(fused)
+                self._p_fused_cache[key] = tpu_jit(fused)
             else:
-                self._p_fused_cache[key] = jax.jit(
+                self._p_fused_cache[key] = tpu_jit(
                     lambda yp, cbp, crp, ry, rcb, rcr: fused(
                         yp, cbp, crp, ry, rcb, rcr))
         return self._p_fused_cache[key]
@@ -724,7 +726,7 @@ class PFrameMixin:
                     self.bitdepth, intra_rng, inter_rng,
                     self.cfg.rd >= 1, subpel=self.cfg.me_subpel)
 
-            self._qt_search_p = jax.jit(s)
+            self._qt_search_p = tpu_jit(s)
         return self._qt_search_p
 
     def _var_b_search(self):
@@ -741,7 +743,7 @@ class PFrameMixin:
                     subpel=self.cfg.me_subpel,
                     bipred=self.cfg.bipred)
 
-            self._qt_search_b = jax.jit(s)
+            self._qt_search_b = tpu_jit(s)
         return self._qt_search_b
 
     @functools.lru_cache(maxsize=8)
@@ -799,7 +801,7 @@ class PFrameMixin:
                    if self.chroma else []))
             return dy, dcb, dcr, lv_flat.astype(jnp.int16)
 
-        return jax.jit(run)
+        return tpu_jit(run)
 
     def _var_inter_plan(self, size8, mode_maps, imaps, mvs,
                         extra_grids=()):
@@ -1682,7 +1684,7 @@ class IntraFrameEncoder(PFrameMixin):
         # ~25 ns/byte, so both call count and volume are first-class
         # design targets (int8 levels; dense int16 kept on device as a
         # rare low-QP overflow fallback).
-        self._device_encode_batch = jax.jit(self._device_encode_impl)
+        self._device_encode_batch = tpu_jit(self._device_encode_impl)
         # Per-picture selective-encryption nonce (stream order; crypto
         # configs run the sequential emission path so this counter
         # matches the decoder's picture count).
@@ -1741,7 +1743,7 @@ class IntraFrameEncoder(PFrameMixin):
                 self.cfg.rd >= 1, rdo=self.cfg.rd >= 2,
                 qp=self.cfg.qp,
                 lam_rd=qp_to_lambda(self.cfg.qp))[0])(ys)
-        ts_y = None
+        ts_y = cmodes = None
         if self.cu == 4:
             # Split planes: luma on the 4x4 plan, chroma (one 4x4 TB
             # per 8x8 CU, DM mode of PU0) on the 8x8 plan.
@@ -1767,12 +1769,23 @@ class IntraFrameEncoder(PFrameMixin):
                         lam=qp_to_lambda(self.cfg.qp),
                         scaling=self.scaling)
         else:
+            if self.cfg.rd >= 3 and self.chroma:
+                # --rd 3: explicit chroma-mode RDO (open-loop roundtrip
+                # over the 5 Table 8-3 candidates per CU).
+                from kvazaar_tpu.encoder.intra_search import \
+                    search_chroma_modes
+                cmodes = jax.vmap(
+                    lambda cb_, cr_, m_: search_chroma_modes(
+                        cb_, cr_, m_, self.plan, self.qp_c,
+                        qp_to_lambda(self.cfg.qp),
+                        self.bitdepth))(cbs, crs, modes)
             (rec_y, lv_y, rec_cb, lv_cb, rec_cr,
              lv_cr) = reconstruct_frames(
                 ys, cbs, crs, modes, self.plan, self.cfg.qp, self.qp_c,
                 self.bitdepth, lossless=self.cfg.lossless,
                 signhide=self.cfg.signhide, rdoq=self.cfg.rdoq,
-                lam=qp_to_lambda(self.cfg.qp), scaling=self.scaling)
+                lam=qp_to_lambda(self.cfg.qp), scaling=self.scaling,
+                cmodes=cmodes)
         if self.cfg.deblock:
             # In-loop filter as a batched post-pass: intra prediction
             # reads unfiltered samples (spec 8.4.4.2.1), so deblocking
@@ -1815,7 +1828,7 @@ class IntraFrameEncoder(PFrameMixin):
              sse(rec_cr, crs) if crs is not None else
              jnp.zeros(ys.shape[0], jnp.float32)], axis=1)  # (B, 3)
         packed = self._pack_outputs(lv_y, lv_cb, lv_cr, modes, sses,
-                                    ts_y)
+                                    ts_y, cmodes)
         dense = tuple(None if lv is None else lv.astype(jnp.int16)
                       for lv in (lv_y, lv_cb, lv_cr))
         return packed, dense, (rec_y, rec_cb, rec_cr)
@@ -1836,9 +1849,10 @@ class IntraFrameEncoder(PFrameMixin):
         return s, nb, cs, nbc, lv_sizes
 
     def _pack_outputs(self, lv_y, lv_cb, lv_cr, modes, sses,
-                      ts_y=None):
+                      ts_y=None, cmodes=None):
         """One transfer buffer (see ops/xfer.py): [nibbles][escape
-        records][modes u8][tskip u8][meta: esc i32, sse (B,3) f32]."""
+        records][modes u8][tskip u8][cmodes u8][meta: esc i32,
+        sse (B,3) f32]."""
         from kvazaar_tpu.ops.xfer import pack_levels
         b = modes.shape[0]
         u8 = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint8)
@@ -1849,21 +1863,25 @@ class IntraFrameEncoder(PFrameMixin):
         parts = [nib, esc, modes.astype(jnp.uint8).reshape(-1)]
         if ts_y is not None:
             parts.append(ts_y.astype(jnp.uint8).reshape(-1))
+        if cmodes is not None:
+            parts.append(cmodes.astype(jnp.uint8).reshape(-1))
         parts.append(u8(esc_count[None]).reshape(-1))
         parts.append(u8(sses).reshape(-1))
         return jnp.concatenate(parts)
 
     def _unpack_batch(self, buf: np.ndarray, nframes: int):
         """Parse the packed buffer -> (levels_flat | None, modes, ts_y,
-        esc_over, sses); levels_flat is None when the escape capacity
+        cmodes, sses); levels_flat is None when the escape capacity
         overflowed (caller uses the dense fallback)."""
         from kvazaar_tpu.ops import xfer
         s, nb, cs, nbc, lv_sizes = self._level_sizes(nframes)
         total = nframes * sum(lv_sizes)
         cap = xfer.esc_capacity(total, self.cfg.qp)
         has_ts = self.cfg.transform_skip and s == 4
+        has_cm = self.cfg.rd >= 3 and self.chroma and s > 4
         sizes = [(total + 1) // 2, cap * 8, nframes * nb] \
-            + ([nframes * nb] if has_ts else []) + [4, nframes * 12]
+            + ([nframes * nb] if has_ts else []) \
+            + ([nframes * nb] if has_cm else []) + [4, nframes * 12]
         offs = np.cumsum([0] + sizes)
         nib = buf[offs[0]:offs[1]]
         esc = buf[offs[1]:offs[2]]
@@ -1872,9 +1890,14 @@ class IntraFrameEncoder(PFrameMixin):
         k = 3
         ts_y = None
         if has_ts:
-            ts_y = buf[offs[3]:offs[4]].reshape(
+            ts_y = buf[offs[k]:offs[k + 1]].reshape(
                 nframes, self.plan.blocks_y, self.plan.blocks_x)
-            k = 4
+            k += 1
+        cmodes = None
+        if has_cm:
+            cmodes = buf[offs[k]:offs[k + 1]].reshape(
+                nframes, self.plan.blocks_y, self.plan.blocks_x)
+            k += 1
         esc_count = int(buf[offs[k]:offs[k + 1]].copy()
                         .view(np.int32)[0])
         sses = buf[offs[k + 1]:].copy().view(np.float32).reshape(
@@ -1882,7 +1905,7 @@ class IntraFrameEncoder(PFrameMixin):
         flat = None
         if esc_count <= cap:
             flat = xfer.unpack_levels(nib, esc, esc_count, total)
-        return flat, modes, ts_y, sses
+        return flat, modes, ts_y, cmodes, sses
 
     def _levels_from_flat(self, flat: np.ndarray, nframes: int):
         """Flat per-batch level bytes -> per-plane (B, n, s, s) views."""
@@ -1945,7 +1968,7 @@ class IntraFrameEncoder(PFrameMixin):
                     lam=qp_to_lambda(self.cfg.qp),
                     deblock=self.cfg.deblock)
 
-            self._mesh_prog = jax.jit(prog)
+            self._mesh_prog = tpu_jit(prog)
         sdt = np.uint8 if self.bitdepth <= 8 else np.uint16
         yp = jnp.asarray(pad_to_multiple(np.asarray(y, sdt), self.cu))
         cbp = crp = None
@@ -1983,6 +2006,15 @@ class IntraFrameEncoder(PFrameMixin):
                 self.cfg.rd >= 1, rdo=self.cfg.rd >= 2,
                 qp=self.cfg.qp,
                 lam_rd=qp_to_lambda(self.cfg.qp))[0])(ys)
+        cmodes = None
+        if self.cfg.rd >= 3 and self.chroma:
+            from kvazaar_tpu.encoder.intra_search import \
+                search_chroma_modes
+            cmodes = jax.vmap(
+                lambda cb_, cr_, m_: search_chroma_modes(
+                    cb_, cr_, m_, self.plan, self.qp_c,
+                    qp_to_lambda(self.cfg.qp),
+                    self.bitdepth))(cbs, crs, modes)
         qp_blk = self._qp_blk_of(qp_ctu)
         (rec_y, lv_y, rec_cb, lv_cb, rec_cr,
          lv_cr) = reconstruct_frames(
@@ -1990,7 +2022,7 @@ class IntraFrameEncoder(PFrameMixin):
             self.bitdepth, lossless=self.cfg.lossless,
             signhide=self.cfg.signhide, rdoq=self.cfg.rdoq,
             lam=qp_to_lambda(self.cfg.qp), scaling=self.scaling,
-            qp_map=qp_blk)
+            qp_map=qp_blk, cmodes=cmodes)
         eff = self._effective_qp_ctu(
             qp_ctu, self._cbf_ctu_of(lv_y, lv_cb, lv_cr))
         if self.cfg.deblock:
@@ -2009,7 +2041,8 @@ class IntraFrameEncoder(PFrameMixin):
                         a, None, None, self.cfg.qp, dcu, self.bitdepth,
                         qp_map=q)[0])(rec_y, dqp_blk)
             rec_y = dy.astype(rdt)
-        return modes, (lv_y, lv_cb, lv_cr), (rec_y, rec_cb, rec_cr)
+        return modes, cmodes, (lv_y, lv_cb, lv_cr), (rec_y, rec_cb,
+                                                     rec_cr)
 
     def encode_frame_qp(self, y, cb=None, cr=None,
                         qp_ctu=None) -> FrameResult:
@@ -2017,7 +2050,7 @@ class IntraFrameEncoder(PFrameMixin):
         operating point, reference kvz_set_lcu_lambda_and_qp
         src/rate_control.c:278 + per-LCU allocation :259)."""
         if not hasattr(self, "_device_encode_qp"):
-            self._device_encode_qp = jax.jit(self._device_encode_qp_impl)
+            self._device_encode_qp = tpu_jit(self._device_encode_qp_impl)
         s = max(self.cu, 8)
         sdt = np.uint8 if self.bitdepth <= 8 else np.uint16
         ys = pad_to_multiple(np.asarray(y, sdt), s)[None]
@@ -2026,8 +2059,8 @@ class IntraFrameEncoder(PFrameMixin):
             cbs = pad_to_multiple(np.asarray(cb, sdt), s // 2)[None]
             crs = pad_to_multiple(np.asarray(cr, sdt), s // 2)[None]
         qarr = np.asarray(qp_ctu, np.int32)[None]
-        modes, lvs, recs = self._device_encode_qp(ys, cbs, crs,
-                                                  jnp.asarray(qarr))
+        modes, cmodes, lvs, recs = self._device_encode_qp(
+            ys, cbs, crs, jnp.asarray(qarr))
         sao = None
         if self.cfg.sao:
             recs, sao_list = self._sao_stage((ys, cbs, crs), recs)
@@ -2043,7 +2076,8 @@ class IntraFrameEncoder(PFrameMixin):
             None if not self.chroma else np.asarray(lvs[1][0], np.int32),
             None if not self.chroma else np.asarray(lvs[2][0], np.int32),
             rec_y, rec_cb, rec_cr, sao=sao,
-            qp_ctu=np.asarray(qp_ctu, np.int32))
+            qp_ctu=np.asarray(qp_ctu, np.int32),
+            cmodes=None if cmodes is None else np.asarray(cmodes[0]))
 
     # ---- SAO stage (ops/sao.py): runs after deblock on the device
     # recon; params chosen on host from device statistics. ----
@@ -2083,7 +2117,7 @@ class IntraFrameEncoder(PFrameMixin):
                                                      off)
                 return ay, acb, acr
 
-            self._sao_jit = (jax.jit(stats), jax.jit(apply))
+            self._sao_jit = (tpu_jit(stats), tpu_jit(apply))
         return self._sao_jit
 
     def _sao_stage(self, srcs, recs):
@@ -2166,7 +2200,7 @@ class IntraFrameEncoder(PFrameMixin):
                    if self.chroma else []))
             return dy, dcb, dcr, lv_flat.astype(jnp.int16)
 
-        return jax.jit(run)
+        return tpu_jit(run)
 
     def _var_search_fn(self):
         if not hasattr(self, "_qt_search"):
@@ -2180,7 +2214,7 @@ class IntraFrameEncoder(PFrameMixin):
                     rdo=self.cfg.rd >= 2, qp=self.cfg.qp,
                     lam_rd=qp_to_lambda(self.cfg.qp))
 
-            self._qt_search = jax.jit(s)
+            self._qt_search = tpu_jit(s)
         return self._qt_search
 
     def encode_frame_var(self, y, cb=None, cr=None) -> FrameResult:
@@ -2414,11 +2448,16 @@ class IntraFrameEncoder(PFrameMixin):
 
     def _host_finalize(self, modes, lv_y, lv_cb, lv_cr, rec_y, rec_cb,
                        rec_cr, sao=None, ts_y=None,
-                       qp_ctu=None) -> FrameResult:
+                       qp_ctu=None, cmodes=None) -> FrameResult:
         s = self.cu
         fd = FrameData.empty(self.coded_w, self.coded_h, self.chroma)
         if qp_ctu is not None:
             fd.qp_ctu = np.asarray(qp_ctu, np.int32).copy()
+        if cmodes is not None:
+            # --rd 3 explicit chroma modes, CU grid -> 8-cell grid.
+            fd.cmode4[:] = np.kron(
+                np.asarray(cmodes, np.uint8),
+                np.ones((s // 8, s // 8), np.uint8))
         if s == 4:
             fd.depth8[:] = 3               # 8x8 CUs, PART_NxN
             fd.nxn8[:] = 1
@@ -2553,7 +2592,7 @@ class IntraFrameEncoder(PFrameMixin):
         thread (releases the GIL while the tunnel moves bytes); pass
         the result to finalize_downloaded."""
         nframes, (packed, dense, recs), srcs = handle
-        flat, modes, ts_y, sses = self._unpack_batch(
+        flat, modes, ts_y, cmodes, sses = self._unpack_batch(
             np.asarray(packed), nframes)
         if flat is None:
             # Rare very-low-QP/high-energy fallback: exact int16
@@ -2562,7 +2601,7 @@ class IntraFrameEncoder(PFrameMixin):
                       np.asarray(d).astype(np.int32) for d in dense]
         else:
             out_lv = self._levels_from_flat(flat, nframes)
-        return nframes, (out_lv, modes, ts_y, sses), recs, srcs
+        return nframes, (out_lv, modes, ts_y, cmodes, sses), recs, srcs
 
     def finalize_frames(self, handle,
                         need_recon: bool = True) -> list[FrameResult]:
@@ -2576,7 +2615,7 @@ class IntraFrameEncoder(PFrameMixin):
         # Levels+modes+meta came compacted (ops/xfer.py); recon planes
         # only when the caller needs pixels (hash SEI / --debug /
         # PSNR-from-recon).
-        (lv_y, lv_cb, lv_cr), modes, ts_y, sses = unpacked
+        (lv_y, lv_cb, lv_cr), modes, ts_y, cmodes, sses = unpacked
         sao_list = [None] * nframes
         if self.cfg.sao:
             recs, sao_list = self._sao_stage(srcs, recs)
@@ -2602,7 +2641,9 @@ class IntraFrameEncoder(PFrameMixin):
                 rec_cb[i] if (self.chroma and rec_cb is not None) else None,
                 rec_cr[i] if (self.chroma and rec_cr is not None) else None,
                 sao_list[i],
-                ts_y[i] if ts_y is not None else None))
+                ts_y[i] if ts_y is not None else None,
+                None,
+                cmodes[i] if cmodes is not None else None))
         out = [f.result() for f in futs]
         for i, r in enumerate(out):
             r.sse = tuple(float(s) for s in sses[i])

@@ -277,13 +277,15 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
                        is_inter=None, mc_y=None, mc_cb=None, mc_cr=None,
                        lossless=False, signhide=False, rdoq=False,
                        lam=0.0, scaling=None, tskip=False,
-                       qp_map=None):
+                       qp_map=None, cmodes=None):
     """Batched wavefront over all planes.
 
     ys: (B, H, W) int32; cbs/crs: (B, H/2, W/2) or None;
     modes: (B, By, Bx) int32.
     P frames additionally pass is_inter (B, By, Bx) bool and full-frame
     MC prediction planes mc_y (B, H, W) (+ chroma).
+    cmodes: optional (B, By, Bx) int32 explicit chroma prediction modes
+    (--rd 3 chroma-mode RDO); None = DM (chroma shares the luma mode).
     Returns (recon_y, levels_y, recon_cb, levels_cb, recon_cr,
     levels_cr); recon as (B, H, W) uint8/16, levels as
     (B, steps, slots, S, S) int16.
@@ -304,6 +306,8 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
 
     oy = to_steps(ys.astype(jnp.int32), s)
     modes_steps = modes.reshape(b, -1).T[slot_ids]   # (steps, slots, B)
+    cmodes_steps = (modes_steps if cmodes is None
+                    else cmodes.reshape(b, -1).T[slot_ids])
     has_qp = qp_map is not None
     qp_steps = qpc_steps = None
     if has_qp:
@@ -361,7 +365,7 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
         if chroma:
             # cb and cr share geometry/modes/QP: one kernel, 2B batch.
             oc = jnp.concatenate([ocb, ocr], axis=2)
-            mc2 = jnp.concatenate([modes_steps, modes_steps], axis=2)
+            mc2 = jnp.concatenate([cmodes_steps, cmodes_steps], axis=2)
             ii_fm2 = mc_fm2 = None
             if inter:
                 ii2 = jnp.concatenate([ii, ii], axis=2)
@@ -397,22 +401,22 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
         if chroma:
             if inter:
                 (hy, vy, hcb, vcb, hcr, vcr) = carry
-                (bx_t, by_t, av_t, va_t, o_y, o_cb, o_cr, m, ii_t,
+                (bx_t, by_t, av_t, va_t, o_y, o_cb, o_cr, m, cm, ii_t,
                  my_t, mcb_t, mcr_t) = xs
             else:
                 (hy, vy, hcb, vcb, hcr, vcr) = carry
-                bx_t, by_t, av_t, va_t, o_y, o_cb, o_cr, m = xs
+                bx_t, by_t, av_t, va_t, o_y, o_cb, o_cr, m, cm = xs
                 ii_t = my_t = mcb_t = mcr_t = None
             hy, vy, lv_y, r_y, ts_y = _plane_pass(
                 hy, vy, bx_t, by_t, av_t, va_t, o_y, m, s, qp,
                 bitdepth, True, ii_t, my_t, lossless, signhide, rdoq,
                 lam, tab_y, tskip, qp_step=qp_t)
             hcb, vcb, lv_cb, r_cb, _ = _plane_pass(
-                hcb, vcb, bx_t, by_t, av_t, va_t, o_cb, m, s2, qp_c,
+                hcb, vcb, bx_t, by_t, av_t, va_t, o_cb, cm, s2, qp_c,
                 bitdepth, False, ii_t, mcb_t, lossless, signhide,
                 rdoq, lam, tab_cb, qp_step=qpc_t)
             hcr, vcr, lv_cr, r_cr, _ = _plane_pass(
-                hcr, vcr, bx_t, by_t, av_t, va_t, o_cr, m, s2, qp_c,
+                hcr, vcr, bx_t, by_t, av_t, va_t, o_cr, cm, s2, qp_c,
                 bitdepth, False, ii_t, mcr_t, lossless, signhide,
                 rdoq, lam, tab_cr, qp_step=qpc_t)
             return (hy, vy, hcb, vcb, hcr, vcr), \
@@ -431,7 +435,8 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
         return (hy, vy), (lv_y, r_y, ts_y)
 
     if chroma:
-        xs = (bxs, bys, avail, valid, oy, ocb, ocr, modes_steps)
+        xs = (bxs, bys, avail, valid, oy, ocb, ocr, modes_steps,
+              cmodes_steps)
         if inter:
             xs = xs + (ii, my, mcb, mcr)
         carry0 = (hb_y0, vb_y0, hb_c0, vb_c0, hb_c0, vb_c0)

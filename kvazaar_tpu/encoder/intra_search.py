@@ -237,6 +237,83 @@ def rd_cost_given_modes(frame, plan: IntraFramePlan, modes, qp: int,
     return cost.reshape(by, bx)
 
 
+CHROMA_CAND_BASE = (0, 26, 10, 1)   # Table 8-3 modeList order
+
+
+def chroma_cand_table(luma_modes):
+    """(...,) luma modes -> (..., 4) actual chroma modes selectable by
+    intra_chroma_pred_mode 0..3 (8.4.3 Table 8-3: the list entry equal
+    to IntraPredModeY is replaced by angular-34); index 4 (DM) is the
+    luma mode itself."""
+    base = jnp.asarray(CHROMA_CAND_BASE, jnp.int32)
+    cand = jnp.broadcast_to(base, luma_modes.shape + (4,))
+    return jnp.where(cand == luma_modes[..., None].astype(jnp.int32),
+                     34, cand)
+
+
+def search_chroma_modes(cbp, crp, luma_modes, plan: IntraFramePlan,
+                        qp_c: int, lam_rd: float, bitdepth: int = 8):
+    """--rd 3 chroma-mode RDO: for every CU evaluate the four Table 8-3
+    list candidates plus DM with a TRUE transform+quant roundtrip on
+    BOTH chroma planes; argmin of SSD + lambda*(coeff rate + signalling
+    bits).  Open-loop source-pixel refs like the luma search — the
+    wavefront recon then honors exact dependencies.
+
+    The TPU recast of kvz_search_cu_intra_chroma
+    (src/search_intra.c:736): all CUs x 5 candidates in one batch
+    instead of the reference's per-CU recursion.
+
+    cbp/crp: (H/2, W/2) int32 source chroma planes (coded size).
+    luma_modes: (By, Bx) int32 chosen luma modes.
+    Returns (By, Bx) int32 actual chroma prediction modes."""
+    from kvazaar_tpu.ops.quant import dequantize, quantize
+    from kvazaar_tpu.ops.rate import tb_rate_bits
+    from kvazaar_tpu.ops.transform import (forward_transform,
+                                           inverse_transform)
+    maps = plan.chroma
+    s2 = maps.size
+    by, bx = plan.blocks_y, plan.blocks_x
+    n = by * bx
+    steps = plan.step_of_block.ravel()
+    slots = plan.slot_of_block.ravel()
+    gidx = jnp.asarray(maps.gather_idx[steps, slots])       # (N, R)
+    noref = jnp.asarray(maps.no_refs[steps, slots])         # (N,)
+    lm = luma_modes.reshape(-1).astype(jnp.int32)           # (N,)
+    cand = jnp.concatenate(
+        [chroma_cand_table(lm), lm[:, None]], axis=1)       # (N, 5)
+
+    def plane_costs(plane):
+        flat_ext = jnp.concatenate([plane.reshape(-1),
+                                    jnp.zeros((1,), plane.dtype)])
+        refs = flat_ext[gidx]
+        refs = jnp.where(noref[:, None], 1 << (bitdepth - 1), refs)
+        preds = predict_all_modes(refs.astype(jnp.int32), s2,
+                                  luma=False, bitdepth=bitdepth)
+        sel = jnp.take_along_axis(
+            preds, cand[:, :, None, None], axis=1)          # (N,5,S,S)
+        orig = plane.reshape(by, s2, bx, s2).transpose(0, 2, 1, 3)
+        orig = orig.reshape(n, 1, s2, s2).astype(jnp.int32)
+        resid = (orig - sel).reshape(n * 5, s2, s2)
+        coeff = forward_transform(resid, s2, bitdepth)
+        levels = quantize(coeff, qp_c, s2, bitdepth, intra=True)
+        dq = dequantize(levels, qp_c, s2, bitdepth)
+        rrec = inverse_transform(dq, s2, bitdepth)
+        err = (rrec - resid).astype(jnp.float32)
+        ssd = jnp.sum(err * err, axis=(-2, -1)).reshape(n, 5)
+        rate = tb_rate_bits(levels).reshape(n, 5)
+        return ssd + lam_rd * rate
+
+    cost = plane_costs(cbp) + plane_costs(crp)
+    # intra_chroma_pred_mode bits (9.3.3.8): DM = 1 ctx bin, explicit
+    # = 1 ctx bin + 2 bypass.
+    sig = jnp.asarray([3.0, 3.0, 3.0, 3.0, 1.0])
+    cost = cost + lam_rd * sig[None, :]
+    pick = jnp.argmin(cost, axis=1)                         # (N,)
+    cmode = jnp.take_along_axis(cand, pick[:, None],
+                                axis=1)[:, 0].astype(jnp.int32)
+    return cmode.reshape(by, bx)
+
+
 def modes64_from_satd32(satd32, lambda_satd: float,
                         two_pass: bool = True):
     """Best single-mode 64x64 CU from the four 32x32 TBs' per-mode

@@ -408,6 +408,9 @@ struct FrameParams {
   int nref_l0 = 1;
   const uint8_t *part8 = nullptr;    // PartMode at CU marker cells
   int amp = 0;                       // amp_enabled (binarization)
+  // Explicit chroma prediction mode per 8x8 cell (--rd 3); 255 or
+  // null = DM (chroma shares the luma mode).
+  const uint8_t *cmode4 = nullptr;   // (h/8, w/8)
   int32_t *qp_ctu = nullptr;         // (Cy, Cx) per-CTU QP (in/out)
   int dqp = 0;                       // cu_qp_delta_enabled
   // SAO per CTU, 20 int8 each: [merge, type_l, type_c, eo_l, eo_c,
@@ -473,6 +476,15 @@ struct Serializer {
   }
   int mode_at(int x, int y) const {
     return p.mode4[(y >> 2) * (p.width >> 2) + (x >> 2)];
+  }
+  // Effective chroma prediction mode of the CU covering luma (x, y):
+  // cmode4 when explicit (--rd 3), else DM (8.4.3).
+  int chroma_mode_at(int x, int y) const {
+    if (p.cmode4) {
+      int cm = p.cmode4[(y >> 3) * (p.width >> 3) + (x >> 3)];
+      if (cm != 255) return cm;
+    }
+    return mode_at(x, y);
   }
   const int32_t *plane(int cidx, int &stride) const {
     if (cidx == 0) { stride = p.width; return p.coeff_y; }
@@ -789,7 +801,25 @@ struct Serializer {
       for (int i = 2; i >= 0; i--) if (rem > sorted[i]) rem--;
       c.bypass_bins((uint32_t)rem, 5);
     }
-    if (p.chroma) c.bin(ctx.chroma_pred_mode[0], 0);   // DM
+    if (p.chroma) {
+      // intra_chroma_pred_mode (9.3.3.8): DM = ctx bin 0; explicit =
+      // ctx bin 1 + 2-bit FL index into the Table 8-3 list (the
+      // luma-dup entry replaced by angular-34).
+      int cm = chroma_mode_at(x0, y0);
+      if (cm == mode) {
+        c.bin(ctx.chroma_pred_mode[0], 0);
+      } else {
+        static const int base[4] = {0, 26, 10, 1};
+        int idx = -1;
+        for (int i = 0; i < 4; i++) {
+          int cand = base[i] == mode ? 34 : base[i];
+          if (cand == cm) { idx = i; break; }
+        }
+        c.bin(ctx.chroma_pred_mode[0], 1);
+        c.bypass((idx >> 1) & 1);
+        c.bypass(idx & 1);
+      }
+    }
     transform_tree(x0, y0, log2_size, 0);
   }
 
@@ -935,7 +965,8 @@ struct Serializer {
     if (is_inter_cu(lx0, ly0)) {
       scan_idx = 0;                     // inter: always diagonal
     } else {
-      int mode = mode_at(lx0, ly0);
+      int mode = chroma ? chroma_mode_at(lx0, ly0)
+                        : mode_at(lx0, ly0);
       scan_idx = intra_scan_idx(mode, log2_size, chroma);
     }
     const auto &scan = g_scans.coeff[log2_size - 2][scan_idx];
@@ -1126,13 +1157,14 @@ int64_t ktpu_encode_slice_data(
     const int32_t *coeff_y, const int32_t *coeff_cb,
     const int32_t *coeff_cr,
     uint8_t *out, int64_t out_cap, int flags, const int8_t *sao,
-    int32_t *qp_ctu) {
+    int32_t *qp_ctu, const uint8_t *cmode4) {
   FrameParams fp{width, height, chroma, qp, log2_ctu, log2_min_cu,
                  log2_max_tu, depth8, mode4, coeff_y, coeff_cb, coeff_cr};
   fp.sign_hiding = flags & 1;
   fp.sao = sao;
   fp.qp_ctu = qp_ctu;
   fp.dqp = qp_ctu != nullptr;
+  fp.cmode4 = cmode4;
   Serializer s(fp);
   s.encode_slice();
   int64_t n = (int64_t)s.c.bytes.size();
@@ -1158,7 +1190,8 @@ int64_t ktpu_encode_slice_data_p(
     uint8_t *out, int64_t out_cap,
     int64_t *entry_sizes, int32_t *n_substreams, int flags,
     const int8_t *sao, const uint8_t *ref8, int nref_l0,
-    const uint8_t *part8, int amp, int32_t *qp_ctu) {
+    const uint8_t *part8, int amp, int32_t *qp_ctu,
+    const uint8_t *cmode4) {
   FrameParams fp{width, height, chroma, qp, log2_ctu, log2_min_cu,
                  log2_max_tu, depth8, mode4, coeff_y, coeff_cb,
                  coeff_cr, slice_type, 0, 0, inter8, skip8, merge8,
@@ -1171,6 +1204,7 @@ int64_t ktpu_encode_slice_data_p(
   fp.amp = amp;
   fp.qp_ctu = qp_ctu;
   fp.dqp = qp_ctu != nullptr;
+  fp.cmode4 = cmode4;
   if (wpp) {
     std::vector<uint8_t> bytes;
     std::vector<int64_t> sizes;
@@ -1203,13 +1237,14 @@ int64_t ktpu_encode_slice_data_wpp(
     const int32_t *coeff_cr,
     uint8_t *out, int64_t out_cap,
     int64_t *entry_sizes, int32_t *n_substreams, int flags,
-    const int8_t *sao, int32_t *qp_ctu) {
+    const int8_t *sao, int32_t *qp_ctu, const uint8_t *cmode4) {
   FrameParams fp{width, height, chroma, qp, log2_ctu, log2_min_cu,
                  log2_max_tu, depth8, mode4, coeff_y, coeff_cb, coeff_cr};
   fp.sign_hiding = flags & 1;
   fp.sao = sao;
   fp.qp_ctu = qp_ctu;
   fp.dqp = qp_ctu != nullptr;
+  fp.cmode4 = cmode4;
   std::vector<uint8_t> bytes;
   std::vector<int64_t> sizes;
   int nthreads = (flags >> 8) & 0xff;
