@@ -49,6 +49,41 @@ def synth_clip(n, w, h, seed=0):
     return frames
 
 
+def synth_clip_natural(n, w, h, seed=0):
+    """Video-like synthetic content for RD measurement: smooth
+    gradients, moving edges, and spatially-correlated texture (white
+    noise gives every encoder a degenerate RD curve — PSNR floors at
+    the noise level and BD-rate fits explode)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+
+    def blur(a):
+        k = np.array([1.0, 4, 6, 4, 1])
+        k /= k.sum()
+        a = np.apply_along_axis(
+            lambda r: np.convolve(r, k, mode="same"), 1, a)
+        return np.apply_along_axis(
+            lambda c: np.convolve(c, k, mode="same"), 0, a)
+
+    tex = blur(blur(rng.normal(0, 30, (h, w))))
+    texc = blur(rng.normal(0, 20, (h // 2, w // 2)))
+    frames = []
+    for i in range(n):
+        dx = 3.1 * i
+        dy_ = 1.7 * i
+        y = (120 + 55 * np.sin((xx + dx) / 37.0)
+             * np.cos((yy + dy_) / 29.0)
+             + 25 * ((((xx + 2 * dx) // 64) + ((yy + dy_) // 48)) % 2)
+             + np.roll(tex, (int(dy_), int(dx)), (0, 1)))
+        cb = (118 + 28 * np.sin((xx[::2, ::2] + dx) / 53.0)
+              + np.roll(texc, int(dx) // 2, 1))
+        cr = (132 + 24 * np.cos((yy[::2, ::2] + dy_) / 41.0)
+              + np.roll(texc, int(dy_) // 2, 0))
+        frames.append(tuple(np.clip(p, 0, 255).astype(np.uint8)
+                            for p in (y, cb, cr)))
+    return frames
+
+
 def _write_yuv(path, frames):
     with open(path, "wb") as f:
         for y, cb, cr in frames:
@@ -112,64 +147,79 @@ def measure_reference_fps(exe, yuv, w, h, qp, reps=5):
     return sorted(fps)[len(fps) // 2] if fps else None
 
 
+def _run_pipeline(ife, submit, frames_per_batch, reps, depth=3):
+    """Generic 3-stage pipeline: the main thread ONLY dispatches device
+    batches (submit()); download workers pull the packed transfer;
+    finalize workers run the CABAC stage.  Returns (elapsed_s, results
+    list).  Keeping the main thread free of download/finalize work is
+    worth ~2x: the tunnel round trips and the host CABAC otherwise
+    serialize against dispatch."""
+    import queue as _q
+    import threading
+    dlq: "_q.Queue" = _q.Queue(maxsize=depth)
+    finq: "_q.Queue" = _q.Queue(maxsize=depth)
+    outq: "_q.Queue" = _q.Queue()
+
+    def downloader():
+        while True:
+            hd = dlq.get()
+            if hd is None:
+                break
+            finq.put(ife.download_frames(hd))
+
+    def finalizer():
+        while True:
+            dl = finq.get()
+            if dl is None:
+                break
+            outq.put(ife.finalize_downloaded(dl, need_recon=False))
+
+    dls = [threading.Thread(target=downloader) for _ in range(2)]
+    fins = [threading.Thread(target=finalizer) for _ in range(2)]
+    t0 = time.time()
+    for th in dls + fins:
+        th.start()
+    results = []
+    done = submitted = 0
+    while done < reps:
+        while submitted < reps and submitted - done < depth:
+            dlq.put(submit())
+            submitted += 1
+        results.extend(outq.get())
+        done += 1
+    dt = time.time() - t0
+    for _ in dls:
+        dlq.put(None)
+    for th in dls:
+        th.join()
+    for _ in fins:
+        finq.put(None)
+    for th in fins:
+        th.join()
+    return dt, results
+
+
 def measure_intra_fps(frames, w, h, qp, reps=6, ife=None):
     """Pipelined batched all-intra fps (our ultrafast speed point:
     fixed 16 grid = the fused Pallas wavefront path).  Three stages
     overlap: device dispatch+H2D (main thread), tunnel download +
-    unpack (2 workers), host CABAC (encoder pool)."""
+    unpack (2 workers), host CABAC (2 finalize workers + pool)."""
     from kvazaar_tpu.config import Config
     from kvazaar_tpu.encoder.frame_encoder import IntraFrameEncoder
-    import queue as _q
-    import threading
     if ife is None:
         cfg = Config(width=w, height=h, qp=qp, intra_max_cu=16,
                      intra_min_cu=16, intra_period=1)
         ife = IntraFrameEncoder(cfg)
     ife.encode_frames(frames)          # warmup/compile
-    total_bits = 0
-    psnr_y = 0.0
     npix = w * h
-    depth = 3
-    dlq: "_q.Queue" = _q.Queue(maxsize=depth)
-    outq: "_q.Queue" = _q.Queue()
-
-    def downloader():
-        while True:
-            item = dlq.get()
-            if item is None:
-                break
-            seq, hd = item
-            outq.put((seq, ife.download_frames(hd)))
-
-    t0 = time.time()
-    ths = [threading.Thread(target=downloader) for _ in range(2)]
-    for th in ths:
-        th.start()
-    done = submitted = 0
-    reorder = {}
-    seq_next = 0
-    while done < reps:
-        while submitted < reps and submitted - done < depth:
-            dlq.put((submitted, ife.submit_frames(frames)))
-            submitted += 1
-        while seq_next not in reorder:
-            seq, dl = outq.get()
-            reorder[seq] = dl
-        results = ife.finalize_downloaded(reorder.pop(seq_next),
-                                          need_recon=False)
-        seq_next += 1
-        done += 1
-        for res in results:
-            total_bits += res.bits
-            psnr_y += 10.0 * math.log10(255.0 * 255.0 * npix
-                                        / max(res.sse[0], 1e-9))
-    for _ in ths:
-        dlq.put(None)
-    for th in ths:
-        th.join()
-    dt = time.time() - t0
-    return (len(frames) * reps / dt, total_bits // (reps * len(frames)),
-            psnr_y / (reps * len(frames)), ife)
+    dt, results = _run_pipeline(
+        ife, lambda: ife.submit_frames(frames), len(frames), reps)
+    total_bits = sum(r.bits for r in results)
+    psnr_y = sum(10.0 * math.log10(255.0 * 255.0 * npix
+                                   / max(r.sse[0], 1e-9))
+                 for r in results)
+    nf = reps * len(frames)
+    return (nf / dt, total_bits // nf, psnr_y / nf, ife)
 
 
 def verify_conformance(ife, frames):
@@ -231,11 +281,11 @@ def measure_bd_rate_intra(exe, seed=1, w=416, h=240, n=6,
                           qps=(22, 27, 32, 37)):
     """BD-rate of OUR medium all-intra point vs the reference's
     `--preset medium -p 1` (variable 8..32 trees + rd1 + RDOQ + SAO on
-    our side)."""
+    our side), on video-like structured content."""
     from kvazaar_tpu.api import Encoder
     from kvazaar_tpu.config import config_from_preset
-    clip = synth_clip(n, w, h, seed=seed)
-    yuv = os.path.join(tempfile.gettempdir(), f"bd_{w}x{h}.yuv")
+    clip = synth_clip_natural(n, w, h, seed=seed)
+    yuv = os.path.join(tempfile.gettempdir(), f"bdn_{w}x{h}.yuv")
     if not os.path.exists(yuv):
         _write_yuv(yuv, clip)
     ours_r, ours_p, ref_r, ref_p = [], [], [], []
@@ -267,41 +317,78 @@ def measure_device_resident_fps(ife, frames, reps=10):
     (DMA/ICI) instead of this deployment's host tunnel.  Downloads +
     host CABAC still included."""
     import jax
-    import queue as _q
-    import threading
     buf, _planes = ife.host_pack_sources(frames)
     dbuf = jax.device_put(buf)
     dbuf.block_until_ready()
-    dlq: "_q.Queue" = _q.Queue(maxsize=3)
-    outq: "_q.Queue" = _q.Queue()
-
-    def downloader():
-        while True:
-            hd = dlq.get()
-            if hd is None:
-                break
-            outq.put(ife.download_frames(hd))
-
-    ife.finalize_frames((len(frames),
-                         ife._device_encode_batch(dbuf), None),
+    nf = len(frames)
+    ife.finalize_frames((nf, ife._device_encode_batch(dbuf), None),
                         need_recon=False)   # warm
+    dt, _results = _run_pipeline(
+        ife, lambda: (nf, ife._device_encode_batch(dbuf), None),
+        nf, reps)
+    return nf * reps / dt
+
+
+def measure_link_mbps():
+    """Measured axon-tunnel link model: fresh-content H2D and D2H
+    MB/s.  The e2e fps at fast operating points is LINK-capped in this
+    deployment: sources stream host->device at the H2D rate (a
+    production ingest path — DMA/ICI — would not pay this; see
+    device_resident_fps)."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    n = int(4e6)
+    fn = jax.jit(lambda x: x.astype(jnp.int32).sum())
+    np.asarray(fn(jax.device_put(rng.integers(0, 255, n, np.uint8))))
+    bufs = [rng.integers(0, 255, n, dtype=np.uint8) for _ in range(4)]
     t0 = time.time()
-    ths = [threading.Thread(target=downloader) for _ in range(2)]
-    for th in ths:
-        th.start()
-    done = submitted = 0
-    while done < reps:
-        while submitted < reps and submitted - done < 3:
-            dlq.put((len(frames), ife._device_encode_batch(dbuf),
-                     None))
-            submitted += 1
-        ife.finalize_downloaded(outq.get(), need_recon=False)
+    outs = [fn(jax.device_put(b)) for b in bufs]
+    for o in outs:
+        np.asarray(o)
+    h2d = 4 * n / (time.time() - t0) / 1e6
+    d = jax.device_put(rng.integers(0, 255, n, np.uint8))
+    np.asarray(d)
+    t0 = time.time()
+    for _ in range(4):
+        np.asarray(d)
+    d2h = 4 * n / (time.time() - t0) / 1e6
+    return round(h2d, 1), round(d2h, 1)
+
+
+def measure_preset_fps_ours(preset, w, h, qp, warm=4, timed=12,
+                            seed=4, **cfg_over):
+    """Our fps at a full preset operating point (GOP structure, var
+    trees, rd level, rdoq/sao as the preset defines) through the
+    public API."""
+    from kvazaar_tpu.api import Encoder
+    from kvazaar_tpu.config import config_from_preset
+    clip = synth_clip_natural(8, w, h, seed=seed)
+    cfg = config_from_preset(preset, width=w, height=h, qp=qp,
+                             **cfg_over)
+    enc = Encoder(cfg)
+    done = 0
+    t0 = None
+    for i in range(warm + timed):
+        for _out in enc.encode(*clip[i % len(clip)]):
+            pass
         done += 1
-    for _ in ths:
-        dlq.put(None)
-    for th in ths:
-        th.join()
-    return len(frames) * reps / (time.time() - t0)
+        if done == warm:
+            t0 = time.time()
+    for _out in enc.flush():
+        pass
+    return timed / max(time.time() - t0, 1e-9)
+
+
+def measure_preset_fps_ref(exe, preset, w, h, qp, n=10, seed=4,
+                           timeout=1800):
+    yuv = os.path.join(tempfile.gettempdir(), f"vs_{w}x{h}.yuv")
+    if not os.path.exists(yuv):
+        _write_yuv(yuv, synth_clip_natural(n, w, h, seed=seed))
+    r = run_reference(exe, yuv, w, h,
+                      ["--preset", preset, "-q", str(qp)],
+                      timeout=timeout)
+    return r[0] if r else None
 
 
 def main():
@@ -380,6 +467,32 @@ def main():
         except Exception as e:
             out["bd_rate_intra_vs_ref_medium_pct"] = \
                 f"ERROR:{type(e).__name__}"
+
+    # ---- North star: veryslow fps, ours vs reference (the
+    # BASELINE.md target is >= 10x reference veryslow 1080p/chip) ----
+    if os.environ.get("KVZ_BENCH_VERYSLOW", "1") != "0":
+        try:
+            vw, vh = 1920, 1080
+            if exe:
+                rv = measure_preset_fps_ref(exe, "veryslow", vw, vh, 27,
+                                            n=6)
+                if rv:
+                    out["ref_veryslow_1080p_fps"] = round(rv, 3)
+            ov = measure_preset_fps_ours("veryslow", vw, vh, 27,
+                                         warm=2, timed=8)
+            out["veryslow_1080p_fps"] = round(ov, 3)
+            if out.get("ref_veryslow_1080p_fps"):
+                out["vs_ref_veryslow_1080p"] = round(
+                    ov / out["ref_veryslow_1080p_fps"], 2)
+        except Exception as e:
+            out["veryslow_1080p_fps"] = f"ERROR:{type(e).__name__}"
+
+    try:
+        h2d, d2h = measure_link_mbps()
+        out["link_h2d_mbps"] = h2d
+        out["link_d2h_mbps"] = d2h
+    except Exception:
+        pass
 
     out["bench_seconds"] = round(time.time() - t_start, 1)
     print(json.dumps(out))

@@ -346,15 +346,12 @@ class Config:
         if self.rd >= 2 and self.intra_max_cu == 4:
             raise ValueError("--rd 2 with the 4x4 intra operating "
                              "point is not implemented")
-        if self.rd >= 3:
+        if self.rd >= 3 and self.mesh_tiles != 1:
             # rd 3 adds explicit chroma-mode RDO (the reference's
-            # rdo >= 3 chroma search, src/search_intra.c:736).
-            if self.intra_min_cu != self.intra_max_cu:
-                raise ValueError("--rd 3 chroma-mode RDO with variable "
-                                 "CU trees is not implemented yet")
-            if self.mesh_tiles != 1:
-                raise ValueError("--rd 3 with mesh_tiles is not "
-                                 "implemented")
+            # rdo >= 3 chroma search, src/search_intra.c:736); the
+            # sharded mesh program doesn't carry it yet.
+            raise ValueError("--rd 3 with mesh_tiles is not "
+                             "implemented")
         if self.rdoq and self.lossless:
             raise ValueError("RDOQ is meaningless with --lossless")
         if self.scaling_list not in ("off", "default", "custom"):

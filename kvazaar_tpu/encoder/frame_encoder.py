@@ -2255,8 +2255,13 @@ class IntraFrameEncoder(PFrameMixin):
                 mask32[:up.shape[0], :up.shape[1]], up, region)
             mode_maps = dict(mode_maps)
             mode_maps[32] = m32
+        cmode_maps = None
+        if self.cfg.rd >= 3 and self.chroma:
+            cmode_maps = self._var_chroma_modes(mode_maps, size8, cbp,
+                                                crp)
         vp = build_var_plan(sched_size8, mode_maps, self.coded_w,
-                            self.coded_h, self.chroma)
+                            self.coded_h, self.chroma,
+                            cmode_maps=cmode_maps)
 
         sched, lv_shapes = self._var_sched_arrays(vp, yp, cbp, crp,
                                                   size8)
@@ -2281,7 +2286,8 @@ class IntraFrameEncoder(PFrameMixin):
         rec_cr = np.asarray(dcr) if self.chroma else None
 
         fd = self._var_frame_data(vp, size8, mode_maps, lv_np,
-                                  lv_shapes, sched_size8=sched_size8)
+                                  lv_shapes, sched_size8=sched_size8,
+                                  cmode_maps=cmode_maps)
         if sao is not None:
             fd.sao_merge[:] = sao["merge"]
             fd.sao_type[:] = sao["type"]
@@ -2289,6 +2295,39 @@ class IntraFrameEncoder(PFrameMixin):
             fd.sao_bp[:] = sao["bp"]
             fd.sao_off[:] = sao["off"]
         return self._var_serialize(fd, rec_y, rec_cb, rec_cr)
+
+    def _var_chroma_modes(self, mode_maps, size8, cbp, crp):
+        """--rd 3 over variable trees: per-size-class chroma-mode RDO
+        (search_chroma_modes on each size's fixed grid), with 64-CU
+        quadrant agreement — a 64 CU signals ONE intra_chroma_pred_mode
+        but is scheduled as four 32 entries, so its 2x2 quadrant group
+        must share the top-left's choice."""
+        from kvazaar_tpu.encoder.intra_search import search_chroma_modes
+        if not hasattr(self, "_cm_search"):
+            self._cm_search = {}
+        cmode_maps = {}
+        cbj, crj = jnp.asarray(cbp), jnp.asarray(crp)
+        for s_ in sorted(mode_maps.keys()):
+            if s_ > 32:
+                continue
+            if s_ not in self._cm_search:
+                plan_s = make_intra_plan(self.coded_w, self.coded_h,
+                                         s_, chroma=True)
+                self._cm_search[s_] = tpu_jit(
+                    lambda cb_, cr_, m_, _p=plan_s:
+                    search_chroma_modes(cb_, cr_, m_, _p, self.qp_c,
+                                        qp_to_lambda(self.cfg.qp),
+                                        self.bitdepth))
+            cmode_maps[s_] = np.asarray(self._cm_search[s_](
+                cbj, crj, jnp.asarray(mode_maps[s_])))
+        if 32 in cmode_maps and (size8 == 64).any():
+            cm = cmode_maps[32]
+            tl = np.kron(cm[0::2, 0::2], np.ones((2, 2), cm.dtype))
+            mask = np.kron((size8[::4, ::4] == 64),
+                           np.ones((2, 2), bool))
+            h_, w_ = cm.shape
+            cmode_maps[32] = np.where(mask[:h_, :w_], tl[:h_, :w_], cm)
+        return cmode_maps
 
     def _var_sched_arrays(self, vp, yp, cbp, crp, size8):
         """jnp-ify the VarPlan + gather per-class origs + deblock BS
@@ -2350,7 +2389,7 @@ class IntraFrameEncoder(PFrameMixin):
         return sched, lv_shapes
 
     def _var_frame_data(self, vp, size8, mode_maps, lv_np, lv_shapes,
-                        sched_size8=None):
+                        sched_size8=None, cmode_maps=None):
         """Host assembly: depth/mode grids + coefficient planes from
         the packed level buffer.  sched_size8: the recon-schedule size
         grid (64 CUs appear as four 32 entries carrying the CU mode)."""
@@ -2370,6 +2409,14 @@ class IntraFrameEncoder(PFrameMixin):
             mode4 = np.where(size4 == s, up[:size4.shape[0],
                                             :size4.shape[1]], mode4)
         fd.mode4[:] = mode4
+        if cmode_maps is not None:
+            cm8 = np.full(fd.cmode4.shape, 255, np.uint8)
+            for s, grid in cmode_maps.items():
+                up = np.kron(grid.astype(np.uint8),
+                             np.ones((s // 8, s // 8), np.uint8))
+                cm8 = np.where(sched_size8 == s,
+                               up[:cm8.shape[0], :cm8.shape[1]], cm8)
+            fd.cmode4[:] = cm8
 
         planes = {"y": fd.coeff_y}
         if self.chroma:

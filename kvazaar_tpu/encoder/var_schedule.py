@@ -91,12 +91,15 @@ def _ref_coords(x0: int, y0: int, s: int):
 def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
                    height: int, chroma: bool, step_bucket: int = 32,
                    caps: dict | None = None,
-                   inter8_map: np.ndarray | None = None) -> VarPlan:
+                   inter8_map: np.ndarray | None = None,
+                   cmode_maps: dict | None = None) -> VarPlan:
     """size8: (H/8, W/8) chosen CU size per cell; mode_maps:
     size -> (H/s, W/s) luma mode grids; inter8_map: optional (H/8, W/8)
     bool — CU-filled inter flags for P/B variable trees (inter CUs take
     the MC prediction instead of the wavefront intra path but still
-    write their recon edges for intra neighbors)."""
+    write their recon edges for intra neighbors); cmode_maps: optional
+    size -> (H/s, W/s) EXPLICIT chroma mode grids (--rd 3), else
+    chroma classes predict with the DM (luma) mode."""
     h8, w8 = size8.shape
     cus = _enumerate_cus(size8)
     n_cu = len(cus)
@@ -171,6 +174,9 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
         yy, xx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
         block_pix = (yy * plane_w + xx).ravel()
         mode_grid = mode_maps.get(size_luma)
+        if scale == 2 and cmode_maps is not None \
+                and size_luma in cmode_maps:
+            mode_grid = cmode_maps[size_luma]
         for (k, st, slot, lx0, ly0, ls, lxs, lys, avail,
              corner_on_h) in recs:
             if ls != size_luma:

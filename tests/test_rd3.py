@@ -113,6 +113,19 @@ def test_rd3_cu8_bitexact():
     _encode_decode(cfg, frames)
 
 
+def test_rd3_var_tree_bitexact():
+    """rd 3 over the variable quadtree (8..64 incl. a 64 CU level):
+    per-size chroma-mode RDO with 64-CU quadrant agreement."""
+    frames = _chroma_rich(1, 128, 128, seed=7)
+    cfg = Config(width=128, height=128, qp=30, intra_period=1,
+                 intra_min_cu=8, intra_max_cu=64, rd=3,
+                 rdoq=True).validate()
+    res, dec = _encode_decode(cfg, frames)
+    (_rec, dfd) = dec[0]
+    lm8 = dfd.mode4[::2, ::2]
+    assert (dfd.cmode4 != lm8).any(), "var rd3 never chose non-DM"
+
+
 def test_rd3_with_rdoq_sao():
     frames = _chroma_rich(1, 64, 64)
     cfg = Config(width=64, height=64, qp=32, intra_period=1,
