@@ -28,7 +28,11 @@ import time
 import numpy as np
 
 W, H, FRAMES, QP = 832, 480, 8, 22
-REF_FPS_RECORDED = 48.3     # median-of-5, this box, 2026-08-19
+REF_FPS_RECORDED = 60.0     # natural clip, this box, 2026-08-19
+# The headline clip is video-like (synth_clip_natural): BASELINE.md
+# config #1 names BQMall, a natural sequence.  White-noise synthetics
+# distort everything — bits/frame 8x too high, PSNR floors, and a
+# degenerate RD curve (see measure_bd_rate_intra).
 
 
 def synth_clip(n, w, h, seed=0):
@@ -394,11 +398,11 @@ def measure_preset_fps_ref(exe, preset, w, h, qp, n=10, seed=4,
 def main():
     t_start = time.time()
     out = {}
-    frames = synth_clip(FRAMES, W, H)
+    frames = synth_clip_natural(FRAMES, W, H)
     exe = build_reference()
-    yuv = os.path.join(tempfile.gettempdir(), "bench_in.yuv")
+    yuv = os.path.join(tempfile.gettempdir(), "bench_nat.yuv")
     if not os.path.exists(yuv):
-        _write_yuv(yuv, synth_clip(20, W, H))
+        _write_yuv(yuv, synth_clip_natural(20, W, H))
 
     # Reference first (CPU-only), then ours (TPU + host CABAC): never
     # overlap the two on this 4-core box.
@@ -441,13 +445,13 @@ def main():
     # ---- 1080p (the north-star resolution) ----
     try:
         w2, h2 = 1920, 1080
-        frames2 = synth_clip(4, w2, h2, seed=2)
+        frames2 = synth_clip_natural(4, w2, h2, seed=2)
         fps2, _b2, _p2, _ife2 = measure_intra_fps(frames2, w2, h2, QP,
                                                   reps=4)
         out["intra_1080p_fps"] = round(fps2, 3)
-        yuv2 = os.path.join(tempfile.gettempdir(), "bench_1080.yuv")
+        yuv2 = os.path.join(tempfile.gettempdir(), "bench_nat1080.yuv")
         if not os.path.exists(yuv2):
-            _write_yuv(yuv2, synth_clip(12, w2, h2, seed=2))
+            _write_yuv(yuv2, synth_clip_natural(12, w2, h2, seed=2))
         if exe:
             r2 = measure_reference_fps(exe, yuv2, w2, h2, QP, reps=3)
             if r2:

@@ -52,6 +52,9 @@ class Encoder:
         self.cfg = cfg.validate()
         from kvazaar_tpu.checkpoint import Checkpointer
         self._ckpt = Checkpointer()
+        # Stream-order picture count for the selective-encryption
+        # nonce (shared across per-QP encoder instances under RC).
+        self._crypto_pics = 0
         # Interlaced sources: the internal encoder codes half-height
         # FIELD pictures (the reference's field adapter,
         # src/kvazaar.c:294); encode() splits each frame into fields.
@@ -106,7 +109,9 @@ class Encoder:
 
     def _encoder_for_qp(self, qp: int) -> "IntraFrameEncoder":
         """Per-QP compiled encoder (QP is static in the device
-        programs); DPB handed over on switch."""
+        programs); DPB handed over on switch.  The selective-encryption
+        nonce counter is stream-global: sync it into whichever instance
+        encodes next (decoder counts pictures in stream order)."""
         if qp not in self._encoders:
             import dataclasses as dc
             cfg2 = dc.replace(self.cfg, qp=qp)
@@ -118,6 +123,8 @@ class Encoder:
         enc = self._encoders[qp]
         enc._dpb = self._intra._dpb if self._intra is not enc else \
             enc._dpb
+        if self.cfg.crypto is not None:
+            enc._crypto_seq = self._crypto_pics
         return enc
 
     def headers(self) -> bytes:
@@ -248,6 +255,8 @@ class Encoder:
         return out
 
     def _emit(self, res, poc, src, qp=None):
+        if self.cfg.crypto is not None:
+            self._crypto_pics += 1
         chunks = self._au_prefix(SLICE_I if poc == 0 else 0)
         y, cb, cr = src
         h, w = y.shape

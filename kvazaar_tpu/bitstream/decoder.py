@@ -719,7 +719,9 @@ def reconstruct_parsed(fd: FrameData, params: StreamParams, qp: int):
                             jnp.asarray(modes),
                             lossless=params.transquant_bypass,
                             scaling=_scaling_from_params(params),
-                            qp_map=qp_blk, cmodes=cmodes)
+                            qp_map=qp_blk, cmodes=cmodes,
+                            rdpcm=params.transquant_bypass
+                            and params.implicit_rdpcm)
     rec_y, rec_cb, rec_cr = out[0], out[1], out[2]
     if params.deblock_enabled:
         from kvazaar_tpu.ops.deblock import deblock_frame
@@ -1184,15 +1186,25 @@ def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
 def _plane_step_from_levels(recon_flat, gidx, noref, scatter, levels,
                             modes, size, qp, bitdepth, luma,
                             inter=None, mc=None, lossless=False,
-                            scaling_tab=None, qp_step=None):
+                            scaling_tab=None, qp_step=None,
+                            rdpcm=False):
     refs = recon_flat[gidx]
     refs = jnp.where(noref[:, None], 1 << (bitdepth - 1), refs)
     pred = predict_modes(refs.astype(jnp.int32), modes, size, luma=luma,
-                         bitdepth=bitdepth)
+                         bitdepth=bitdepth,
+                         fixups=not (rdpcm and luma))
     if inter is not None:
         pred = jnp.where(inter[:, None, None], mc, pred)
     if lossless:
         res = levels.astype(jnp.int32)
+        if rdpcm:
+            # Inverse implicit RDPCM: cumsum along the prediction
+            # direction for hor/ver intra TBs (8.4.4.3-equivalent of
+            # the reference's rdpcm(), src/transform.c:99).
+            m = modes[:, None, None]
+            res = jnp.where(
+                m == 10, jnp.cumsum(res, axis=-1),
+                jnp.where(m == 26, jnp.cumsum(res, axis=-2), res))
     else:
         dqc = None
         intra_m = None
@@ -1211,7 +1223,8 @@ def _plane_step_from_levels(recon_flat, gidx, noref, scatter, levels,
 def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
                        lv_cr, modes, is_inter=None, mc_y=None,
                        mc_cb=None, mc_cr=None, lossless=False,
-                       scaling=None, qp_map=None, cmodes=None):
+                       scaling=None, qp_map=None, cmodes=None,
+                       rdpcm=False):
     tab_y = tab_cb = tab_cr = None
     if scaling is not None:
         def _tabs(size, comp, qq):
@@ -1277,15 +1290,16 @@ def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
                 it = my = mcb = mcr = None
             ry = _plane_step_from_levels(ry, gy, ny, scy, ly, m, s, qp,
                                          bitdepth, True, it, my,
-                                         lossless, tab_y, qp_step=qt)
+                                         lossless, tab_y, qp_step=qt,
+                                         rdpcm=rdpcm)
             rcb = _plane_step_from_levels(rcb, gc, nc, scc, lcb, cm,
                                           sc2, qp_c, bitdepth, False,
                                           it, mcb, lossless, tab_cb,
-                                          qp_step=qct)
+                                          qp_step=qct, rdpcm=rdpcm)
             rcr = _plane_step_from_levels(rcr, gc, nc, scc, lcr, cm,
                                           sc2, qp_c, bitdepth, False,
                                           it, mcr, lossless, tab_cr,
-                                          qp_step=qct)
+                                          qp_step=qct, rdpcm=rdpcm)
             return (ry, rcb, rcr), None
         (ry,) = carry
         if inter:
@@ -1295,7 +1309,7 @@ def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
             it = my = None
         ry = _plane_step_from_levels(ry, gy, ny, scy, ly, m, s, qp,
                                      bitdepth, True, it, my, lossless,
-                                     tab_y, qp_step=qt)
+                                     tab_y, qp_step=qt, rdpcm=rdpcm)
         return (ry,), None
 
     if chroma:
@@ -1321,9 +1335,10 @@ def _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
 
 def _decode_recon_jit(plan, s, chroma, qp, qp_c, bitdepth, lv_y, lv_cb,
                       lv_cr, modes, lossless=False, scaling=None,
-                      qp_map=None, cmodes=None):
+                      qp_map=None, cmodes=None, rdpcm=False):
     # jit keyed on the static arguments via closure; plans are cached.
     return _decode_recon_impl(plan, s, chroma, qp, qp_c, bitdepth,
                               lv_y, lv_cb, lv_cr, modes,
                               lossless=lossless, scaling=scaling,
-                              qp_map=qp_map, cmodes=cmodes)
+                              qp_map=qp_map, cmodes=cmodes,
+                              rdpcm=rdpcm)

@@ -39,6 +39,11 @@ class StreamParams:
     sign_hiding: bool = False
     transform_skip: bool = False
     transquant_bypass: bool = False
+    # Implicit residual DPCM for hor/ver intra TBs under transquant
+    # bypass (HEVC RExt; reference --implicit-rdpcm, rdpcm() at
+    # /root/reference/src/transform.c:99 + SPS extension at
+    # src/encoder_state-bitstream.c:304).
+    implicit_rdpcm: bool = False
     # cu_qp_delta_enabled_flag with diff_cu_qp_delta_depth = 0 (QG =
     # CTU): per-CTU QP for LCU rate control / ROI maps (reference
     # src/rate_control.c:278, src/encoder.c:127-170).
@@ -226,7 +231,25 @@ def write_sps(p: StreamParams) -> bytes:
     w.u(1 if p.strong_intra_smoothing else 0, 1)
     w.u(1, 1)               # vui_parameters_present_flag
     _write_vui(w, p)
-    w.u(0, 1)               # sps_extension_present_flag
+    if p.implicit_rdpcm and p.transquant_bypass:
+        # SPS range extension carrying implicit_rdpcm_enabled_flag
+        # (7.3.2.2.2; reference src/encoder_state-bitstream.c:304).
+        w.u(1, 1)           # sps_extension_present_flag
+        w.u(1, 1)           # sps_range_extension_flag
+        w.u(0, 1)           # sps_multilayer_extension_flag
+        w.u(0, 1)           # sps_3d_extension_flag
+        w.u(0, 5)           # sps_extension_5bits
+        w.u(0, 1)           # transform_skip_rotation_enabled_flag
+        w.u(0, 1)           # transform_skip_context_enabled_flag
+        w.u(1, 1)           # implicit_rdpcm_enabled_flag
+        w.u(0, 1)           # explicit_rdpcm_enabled_flag
+        w.u(0, 1)           # extended_precision_processing_flag
+        w.u(0, 1)           # intra_smoothing_disabled_flag
+        w.u(0, 1)           # high_precision_offsets_enabled_flag
+        w.u(0, 1)           # persistent_rice_adaptation_enabled_flag
+        w.u(0, 1)           # cabac_bypass_alignment_enabled_flag
+    else:
+        w.u(0, 1)           # sps_extension_present_flag
     w.rbsp_trailing_bits()
     return nal_unit(w.get_bytes(), NAL_SPS)
 

@@ -41,6 +41,9 @@ class Config:
     signhide: bool = False
     transform_skip: bool = False
     lossless: bool = False
+    # Implicit residual DPCM for hor/ver intra TBs under transquant
+    # bypass (reference --implicit-rdpcm, src/transform.c:362).
+    implicit_rdpcm: bool = False
     rd: int = 1                # RDO depth (0 = pure-SATD mode argmin,
                                # 1 = +MPM-aware bit re-rank), like --rd
 
@@ -354,15 +357,20 @@ class Config:
                              "implemented")
         if self.rdoq and self.lossless:
             raise ValueError("RDOQ is meaningless with --lossless")
+        if self.implicit_rdpcm:
+            # Matches the reference's check (src/cfg.c:1521).
+            if not self.lossless:
+                raise ValueError("--implicit-rdpcm requires --lossless")
+            if self.intra_min_cu != self.intra_max_cu \
+                    or self.intra_max_cu == 4:
+                raise ValueError("implicit RDPCM with variable trees / "
+                                 "4x4 NxN is not implemented yet")
         if self.scaling_list not in ("off", "default", "custom"):
             raise ValueError("scaling_list must be off/default/custom")
         if self.scaling_list == "custom" and not self.cqmfile:
             raise ValueError("custom scaling lists need --cqmfile")
         if self.cqmfile and self.scaling_list != "custom":
             self.scaling_list = "custom"
-        if self.scaling_list != "off" and self.rdoq:
-            raise ValueError("RDOQ with scaling lists (per-position "
-                             "err scale) is not implemented yet")
         if self.scaling_list != "off" and self.lossless:
             raise ValueError("scaling lists are meaningless with "
                              "--lossless")
@@ -450,11 +458,6 @@ class Config:
         if self.me not in ("full", "hexbs", "tz", "dia", "full8",
                           "full16", "full32", "full64"):
             raise ValueError(f"unknown --me algorithm: {self.me}")
-        if self.crypto is not None and self.bitrate > 0:
-            raise ValueError("--crypto with rate control is not "
-                             "implemented (per-QP encoder instances "
-                             "would desynchronize the per-picture "
-                             "nonce counter)")
         if self.source_scan_type:
             if self.height % (4 if self.chroma_format == 420 else 2):
                 raise ValueError("interlaced coding needs frame height "

@@ -840,12 +840,6 @@ class PFrameMixin:
         from kvazaar_tpu.encoder.quadtree import var_edge_masks
         sched, lv_shapes = self._var_sched_arrays(vp, yp, cbp, crp,
                                                   size8)
-        for s, cs in vp.luma.items():
-            sched["luma"][s]["inter"] = jnp.asarray(cs.inter)
-            sched["luma"][s]["cell8"] = jnp.asarray(cs.cell8)
-        if self.chroma:
-            for s, cs in vp.chroma.items():
-                sched["chroma"][s]["inter"] = jnp.asarray(cs.inter)
         ev, eh = var_edge_masks(size8)
         sched["edge_v"] = jnp.asarray(ev)
         sched["edge_h"] = jnp.asarray(eh)
@@ -1645,6 +1639,7 @@ class IntraFrameEncoder(PFrameMixin):
             deblock_enabled=cfg.deblock,
             sao_enabled=cfg.sao,
             transquant_bypass=cfg.lossless,
+            implicit_rdpcm=cfg.implicit_rdpcm,
             transform_skip=cfg.transform_skip,
             cu_qp_delta=cfg.cu_qp_delta_active,
             slices=cfg.slices,
@@ -1737,6 +1732,58 @@ class IntraFrameEncoder(PFrameMixin):
         in, (head, payload) compacted transfer buffers + on-device
         recon/dense-levels out (see ops/xfer.py for the link model)."""
         ys, cbs, crs = self._split_sources(buf)
+        return self._encode_from_planes(ys, cbs, crs)
+
+    def _src_plane_shapes(self, b: int):
+        """Batch-stacked (rows, width) per plane for the delta pack."""
+        s = max(self.cu, 8)
+        h, w = self.coded_h, self.coded_w
+        shapes = [(b * h, w)]
+        if self.chroma:
+            hc = -(-h // 2 // (s // 2)) * (s // 2)
+            wc = -(-w // 2 // (s // 2)) * (s // 2)
+            shapes += [(b * hc, wc)] * 2
+        return shapes
+
+    def _device_encode_packed_impl(self, buf, b: int):
+        """Delta-packed source variant (ops/xfer.py source pack): the
+        H2D tunnel measures ~20 MB/s for fresh bytes in this
+        deployment, so natural content uploads ~1.6x faster packed."""
+        from kvazaar_tpu.ops.xfer import unpack_source_device
+        shapes = self._src_plane_shapes(b)
+        total = sum(r * w for r, w in shapes)
+        planes = unpack_source_device(buf, total, shapes)
+        h, w = self.coded_h, self.coded_w
+        ys = planes[0].reshape(b, h, w)
+        cbs = crs = None
+        if self.chroma:
+            rc, wc = shapes[1]
+            cbs = planes[1].reshape(b, rc // b, wc)
+            crs = planes[2].reshape(b, rc // b, wc)
+        return self._encode_from_planes(ys, cbs, crs)
+
+    def _pack_sources_delta(self, frames):
+        """Host side of the packed upload; None -> raw fallback."""
+        from kvazaar_tpu.ops.xfer import pack_source_host
+        s = max(self.cu, 8)
+        ys = np.stack([pad_to_multiple(np.asarray(f[0], np.uint8), s)
+                       for f in frames])
+        b = len(frames)
+        planes = [ys.reshape(-1, ys.shape[2])]
+        cbs = crs = None
+        if self.chroma:
+            cbs = np.stack([pad_to_multiple(np.asarray(f[1], np.uint8),
+                                            s // 2) for f in frames])
+            crs = np.stack([pad_to_multiple(np.asarray(f[2], np.uint8),
+                                            s // 2) for f in frames])
+            planes += [cbs.reshape(-1, cbs.shape[2]),
+                       crs.reshape(-1, crs.shape[2])]
+        buf = pack_source_host(planes)
+        if buf is None:
+            return None
+        return buf, (ys, cbs, crs)
+
+    def _encode_from_planes(self, ys, cbs, crs):
         modes = jax.vmap(
             lambda y: search_frame_modes(
                 y, self.plan, self.lambda_satd, self.bitdepth,
@@ -1785,7 +1832,7 @@ class IntraFrameEncoder(PFrameMixin):
                 self.bitdepth, lossless=self.cfg.lossless,
                 signhide=self.cfg.signhide, rdoq=self.cfg.rdoq,
                 lam=qp_to_lambda(self.cfg.qp), scaling=self.scaling,
-                cmodes=cmodes)
+                cmodes=cmodes, rdpcm=self.cfg.implicit_rdpcm)
         if self.cfg.deblock:
             # In-loop filter as a batched post-pass: intra prediction
             # reads unfiltered samples (spec 8.4.4.2.1), so deblocking
@@ -2329,47 +2376,75 @@ class IntraFrameEncoder(PFrameMixin):
             cmode_maps[32] = np.where(mask[:h_, :w_], tl[:h_, :w_], cm)
         return cmode_maps
 
-    def _var_sched_arrays(self, vp, yp, cbp, crp, size8):
-        """jnp-ify the VarPlan + gather per-class origs + deblock BS
-        maps.  Returns (sched dict, level shapes in pack order)."""
-        def cls_arrays(cs, plane, extra_origs=None):
-            d = dict(
-                modes=jnp.asarray(cs.modes),
-                noref=jnp.asarray(cs.noref),
-                idx_h=jnp.asarray(cs.idx_h),
-                idx_v=jnp.asarray(cs.idx_v),
-                sel_h=jnp.asarray(cs.sel_h),
-                wr_h=jnp.asarray(cs.wr_h),
-                wr_v=jnp.asarray(cs.wr_v),
-                pix=jnp.asarray(cs.pix),
-            )
-            st, k = cs.valid.shape
-            ssz = cs.size
-            if plane is not None:
-                flat = np.concatenate([plane.reshape(-1),
-                                       np.zeros(1, plane.dtype)])
-                d["origs"] = jnp.asarray(
-                    flat[cs.pix].reshape(st, k, ssz, ssz))
-            if extra_origs is not None:
-                for name, pl in extra_origs:
-                    flat = np.concatenate([pl.reshape(-1),
-                                           np.zeros(1, pl.dtype)])
-                    d[name] = jnp.asarray(
-                        flat[cs.pix].reshape(st, k, ssz, ssz))
-            return d
+    @functools.lru_cache(maxsize=16)
+    def _var_unpack_fn(self, meta):
+        """Jitted blob -> sched-pytree unpack (one H2D transfer + one
+        dispatch per frame instead of ~50 small array uploads — the
+        tunnel charges per CALL)."""
+        def unpack(blob):
+            out = {}
+            off = 0
+            for path, dt, shape in meta:
+                dt = np.dtype(dt)
+                n = int(np.prod(shape)) * dt.itemsize
+                seg = jax.lax.slice(blob, (off,), (off + n,))
+                off += n
+                if dt.itemsize > 1:
+                    arr = jax.lax.bitcast_convert_type(
+                        seg.reshape(-1, dt.itemsize),
+                        dt).reshape(shape)
+                else:
+                    arr = seg.reshape(shape)
+                    if dt == np.bool_:
+                        arr = arr != 0
+                d = out
+                for k in path[:-1]:
+                    d = d.setdefault(k, {})
+                d[path[-1]] = arr
+            return out
 
-        sched = {"luma": {}, "chroma": {}}
+        return tpu_jit(unpack)
+
+    def _var_sched_arrays(self, vp, yp, cbp, crp, size8):
+        """Upload the var schedule as ONE packed buffer and unpack it
+        on device into the sched dict.  Returns (sched dict, level
+        shapes in pack order).
+
+        Only compact per-slot metadata + the source planes travel; the
+        big gather maps (pix, wr_h/wr_v, idx_h/idx_v/sel_h, cell8) and
+        the origs are DERIVED ON DEVICE from (x0, y0, valid, avail) —
+        the tunnel's ~20 MB/s H2D + ~10 ms/call made the old
+        full-schedule upload (~30 MB, ~50 calls/frame) the var path's
+        bottleneck."""
+        sdt = np.uint8 if self.bitdepth <= 8 else np.uint16
+        fields = []     # (path, np array) in a fixed order
+
+        def cls_fields(pl, s, cs):
+            fields.extend([
+                ((pl, s, "modes"), cs.modes.astype(np.int32)),
+                ((pl, s, "avail"), cs.avail.astype(np.uint8)),
+                ((pl, s, "corner_h"), cs.corner_h.astype(np.bool_)),
+                ((pl, s, "x0"), cs.x0.astype(np.int32)),
+                ((pl, s, "y0"), cs.y0.astype(np.int32)),
+                ((pl, s, "valid"), cs.valid.astype(np.bool_)),
+            ])
+            if cs.inter is not None and self._var_inter_active:
+                fields.append(((pl, s, "inter"),
+                               cs.inter.astype(np.bool_)))
+
         lv_shapes = []
         for s in sorted(vp.luma.keys()):
             cs = vp.luma[s]
-            sched["luma"][s] = cls_arrays(cs, yp)
+            cls_fields("luma", s, cs)
             lv_shapes.append(("y", s, cs.valid.shape[0],
                              cs.valid.shape[1]))
         if self.chroma:
             for s in sorted(vp.chroma.keys()):
-                cs = vp.chroma[s]
-                sched["chroma"][s] = cls_arrays(
-                    cs, None, [("origs_cb", cbp), ("origs_cr", crp)])
+                cls_fields("chroma", s, vp.chroma[s])
+        fields.append((("plane_y",), np.asarray(yp, sdt)))
+        if self.chroma:
+            fields.append((("plane_cb",), np.asarray(cbp, sdt)))
+            fields.append((("plane_cr",), np.asarray(crp, sdt)))
         if self.chroma:
             for pl in ("cb", "cr"):
                 for s in sorted(vp.chroma.keys()):
@@ -2382,10 +2457,17 @@ class IntraFrameEncoder(PFrameMixin):
         c = np.minimum((size8 // 8).astype(np.int32), 4)
         x8 = np.arange(size8.shape[1])[None, :]
         y8 = np.arange(size8.shape[0])[:, None]
-        sched["bs_v"] = jnp.asarray(
-            np.where(x8 % c == 0, 2, 0).astype(np.int32))
-        sched["bs_h"] = jnp.asarray(
-            np.where(y8 % c == 0, 2, 0).astype(np.int32))
+        fields.append((("bs_v",),
+                       np.where(x8 % c == 0, 2, 0).astype(np.int32)))
+        fields.append((("bs_h",),
+                       np.where(y8 % c == 0, 2, 0).astype(np.int32)))
+
+        blob = np.concatenate(
+            [np.ascontiguousarray(a).view(np.uint8).reshape(-1)
+             for _p, a in fields])
+        meta = tuple((p, a.dtype.str, a.shape) for p, a in fields)
+        sched = self._var_unpack_fn(meta)(blob)
+        sched.setdefault("chroma", {})
         return sched, lv_shapes
 
     def _var_frame_data(self, vp, size8, mode_maps, lv_np, lv_shapes,
@@ -2618,10 +2700,25 @@ class IntraFrameEncoder(PFrameMixin):
         """Queue the device program for a batch (async dispatch); pair
         with finalize_frames.  Queuing batch N+1 before finalizing batch
         N overlaps device compute with the previous batch's transfer +
-        host CABAC."""
+        host CABAC.  8-bit sources take the delta-packed upload when
+        the content fits its escape budget (~1.6x fewer H2D bytes on
+        natural video; ops/xfer.py source pack)."""
+        b = len(frames)
+        if self.bitdepth == 8:
+            pk = self._pack_sources_delta(frames)
+            if pk is not None:
+                buf, (ys, cbs, crs) = pk
+                srcs = (ys, cbs, crs) if self.cfg.sao else None
+                if not hasattr(self, "_packed_fns"):
+                    self._packed_fns = {}
+                if b not in self._packed_fns:
+                    self._packed_fns[b] = tpu_jit(
+                        lambda x, _b=b:
+                        self._device_encode_packed_impl(x, _b))
+                return (b, self._packed_fns[b](buf), srcs)
         buf, (ys, cbs, crs) = self.host_pack_sources(frames)
         srcs = (ys, cbs, crs) if self.cfg.sao else None
-        return (len(frames), self._device_encode_batch(buf), srcs)
+        return (b, self._device_encode_batch(buf), srcs)
 
     def encode_frames(self, frames) -> list[FrameResult]:
         """Encode a batch of frames through one batched device program;

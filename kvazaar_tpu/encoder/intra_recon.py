@@ -126,11 +126,12 @@ def build_refs_edges(hbuf, vbuf, bx, by, avail, s, bitdepth):
     return jnp.concatenate(out, axis=-1)
 
 
-def _predict_select(refs, modes, s, luma, bitdepth):
+def _predict_select(refs, modes, s, luma, bitdepth, fixups=True):
     """All-mode prediction then per-item mode select.  refs: (N, R),
     modes: (N,) → (N, S, S).  The all-modes einsum is MXU-batched; the
     per-item weight gather it replaces was the measured scan bottleneck."""
-    preds = predict_all_modes(refs, s, luma=luma, bitdepth=bitdepth)
+    preds = predict_all_modes(refs, s, luma=luma, bitdepth=bitdepth,
+                              fixups=fixups)
     sel = jnp.take_along_axis(
         preds, modes[:, None, None, None].astype(jnp.int32), axis=1)
     return sel[:, 0]
@@ -138,7 +139,8 @@ def _predict_select(refs, modes, s, luma, bitdepth):
 
 def _tu_roundtrip(orig, pred, s, qp, bitdepth, intra=True,
                   lossless=False, scan_sel=None, rdoq=False,
-                  lam=0.0, scaling_tab=None, dst=False, tskip=False):
+                  lam=0.0, scaling_tab=None, dst=False, tskip=False,
+                  rdpcm_modes=None):
     """scaling_tab: (qc_intra, qc_inter, dqc_intra, dqc_inter) (N, N)
     per-position multiplier tables for this size/component/qp%6 when a
     scaling list is active (ops/scaling.py).  dst: DST-VII (4x4 intra
@@ -150,13 +152,33 @@ def _tu_roundtrip(orig, pred, s, qp, bitdepth, intra=True,
     if lossless:
         # transquant bypass (cu_transquant_bypass_flag): the residual
         # itself is the coded level array; reconstruction is exact.
-        return resid.astype(jnp.int16), orig.astype(jnp.int32), None
+        lv = resid
+        if rdpcm_modes is not None:
+            # Implicit RDPCM (reference rdpcm(),
+            # src/transform.c:99-114): hor/ver intra TBs code the
+            # residual as a DPCM along the prediction direction.
+            # Reconstruction is unchanged (exactly invertible).
+            dx = jnp.concatenate(
+                [resid[..., :, :1],
+                 resid[..., :, 1:] - resid[..., :, :-1]], axis=-1)
+            dy_ = jnp.concatenate(
+                [resid[..., :1, :],
+                 resid[..., 1:, :] - resid[..., :-1, :]], axis=-2)
+            m = rdpcm_modes[:, None, None]
+            lv = jnp.where(m == 10, dx, jnp.where(m == 26, dy_, resid))
+        return lv.astype(jnp.int16), orig.astype(jnp.int32), None
 
     def roundtrip(coeff, inverse):
         if rdoq:
             from kvazaar_tpu.ops.quant import quantize_rdoq
+            qc_r = dqc_r = None
+            if scaling_tab is not None:
+                qc_r = (jnp.asarray(scaling_tab[0]),
+                        jnp.asarray(scaling_tab[1]))
+                dqc_r = (jnp.asarray(scaling_tab[2]),
+                         jnp.asarray(scaling_tab[3]))
             levels = quantize_rdoq(coeff, qp, s, bitdepth, intra=intra,
-                                   lam=lam)
+                                   lam=lam, qc=qc_r, dqc=dqc_r)
         else:
             qc = None if scaling_tab is None else                 (jnp.asarray(scaling_tab[0]),
                  jnp.asarray(scaling_tab[1]))
@@ -213,7 +235,8 @@ def _scan_sel(modes, s, luma, is_inter=None):
 def _plane_pass(hbuf, vbuf, bxs, bys, avail, valid, origs, modes, s, qp,
                 bitdepth, luma, is_inter=None, mc_pred=None,
                 lossless=False, signhide=False, rdoq=False, lam=0.0,
-                scaling_tab=None, tskip=False, qp_step=None):
+                scaling_tab=None, tskip=False, qp_step=None,
+                rdpcm=False):
     """One wavefront step for one plane over all slots.
 
     hbuf: (B, By, W); vbuf: (B, Bx, H) — edge state only (the carry is
@@ -233,7 +256,8 @@ def _plane_pass(hbuf, vbuf, bxs, bys, avail, valid, origs, modes, s, qp,
     refs = jnp.stack(refs)                       # (slots, B, R)
     flat_refs = refs.reshape(n_slots * b, -1)
     flat_modes = modes.reshape(n_slots * b)
-    pred = _predict_select(flat_refs, flat_modes, s, luma, bitdepth)
+    pred = _predict_select(flat_refs, flat_modes, s, luma, bitdepth,
+                           fixups=not (rdpcm and luma))
     intra_flag = True
     flat_inter = None
     if is_inter is not None:
@@ -248,10 +272,15 @@ def _plane_pass(hbuf, vbuf, bxs, bys, avail, valid, origs, modes, s, qp,
     dst = luma and s == 4 and is_inter is None
     qp_eff = qp if qp_step is None else \
         qp_step.reshape(n_slots * b).astype(jnp.int32)
+    rdpcm_modes = None
+    if rdpcm:
+        rdpcm_modes = flat_modes
+        if flat_inter is not None:
+            rdpcm_modes = jnp.where(flat_inter, -1, rdpcm_modes)
     levels, rec, ts = _tu_roundtrip(
         origs.reshape(n_slots * b, s, s), pred, s, qp_eff, bitdepth,
         intra_flag, lossless, scan_sel, rdoq, lam, scaling_tab,
-        dst=dst, tskip=tskip and s == 4)
+        dst=dst, tskip=tskip and s == 4, rdpcm_modes=rdpcm_modes)
     ts = (jnp.zeros((n_slots, b), jnp.int32) if ts is None
           else ts.reshape(n_slots, b))
     rec = rec.reshape(n_slots, b, s, s)
@@ -277,7 +306,7 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
                        is_inter=None, mc_y=None, mc_cb=None, mc_cr=None,
                        lossless=False, signhide=False, rdoq=False,
                        lam=0.0, scaling=None, tskip=False,
-                       qp_map=None, cmodes=None):
+                       qp_map=None, cmodes=None, rdpcm=False):
     """Batched wavefront over all planes.
 
     ys: (B, H, W) int32; cbs/crs: (B, H/2, W/2) or None;
@@ -410,15 +439,15 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
             hy, vy, lv_y, r_y, ts_y = _plane_pass(
                 hy, vy, bx_t, by_t, av_t, va_t, o_y, m, s, qp,
                 bitdepth, True, ii_t, my_t, lossless, signhide, rdoq,
-                lam, tab_y, tskip, qp_step=qp_t)
+                lam, tab_y, tskip, qp_step=qp_t, rdpcm=rdpcm)
             hcb, vcb, lv_cb, r_cb, _ = _plane_pass(
                 hcb, vcb, bx_t, by_t, av_t, va_t, o_cb, cm, s2, qp_c,
                 bitdepth, False, ii_t, mcb_t, lossless, signhide,
-                rdoq, lam, tab_cb, qp_step=qpc_t)
+                rdoq, lam, tab_cb, qp_step=qpc_t, rdpcm=rdpcm)
             hcr, vcr, lv_cr, r_cr, _ = _plane_pass(
                 hcr, vcr, bx_t, by_t, av_t, va_t, o_cr, cm, s2, qp_c,
                 bitdepth, False, ii_t, mcr_t, lossless, signhide,
-                rdoq, lam, tab_cr, qp_step=qpc_t)
+                rdoq, lam, tab_cr, qp_step=qpc_t, rdpcm=rdpcm)
             return (hy, vy, hcb, vcb, hcr, vcr), \
                 (lv_y, lv_cb, lv_cr, r_y, r_cb, r_cr, ts_y)
         if inter:
@@ -431,7 +460,7 @@ def reconstruct_frames(ys, cbs, crs, modes, plan: IntraFramePlan,
         hy, vy, lv_y, r_y, ts_y = _plane_pass(
             hy, vy, bx_t, by_t, av_t, va_t, o_y, m, s, qp, bitdepth,
             True, ii_t, my_t, lossless, signhide, rdoq, lam, tab_y,
-            tskip, qp_step=qp_t)
+            tskip, qp_step=qp_t, rdpcm=rdpcm)
         return (hy, vy), (lv_y, r_y, ts_y)
 
     if chroma:

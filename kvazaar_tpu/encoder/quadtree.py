@@ -533,14 +533,103 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
     csizes = sorted(sched["chroma"].keys()) if chroma else []
     inter = mc_planes is not None
 
+    def _flat_ext(plane):
+        return jnp.concatenate([plane.reshape(-1).astype(jnp.int32),
+                                jnp.zeros(1, jnp.int32)])
+
+    def derive(cs, s, plane_w, plane_h, gran, plane, extra=()):
+        """Derive the big gather maps on device from the compact
+        (x0, y0, valid, avail, corner_h) upload: ref-routing indices
+        (idx_h/idx_v/sel_h with 8.4.4.2.2 substitution), pix (block
+        pixel map), wr_h/wr_v (edge writes), origs (source gather),
+        cell8 (luma 8-cell map) — the host used to upload these
+        (~32 MB/frame through a ~20 MB/s tunnel)."""
+        d = dict(cs)
+        x0 = cs["x0"].astype(jnp.int32)
+        y0 = cs["y0"].astype(jnp.int32)
+        valid = cs["valid"]
+        # Ref-sample coords in spec order (var_schedule._ref_coords).
+        r = 4 * s + 1
+        i_r = jnp.arange(r, dtype=jnp.int32)
+        xs_r = jnp.where(i_r <= 2 * s, x0[..., None] - 1,
+                         x0[..., None] + (i_r - (2 * s + 1)))
+        ys_r = jnp.where(i_r <= 2 * s,
+                         y0[..., None] + 2 * s - 1 - i_r,
+                         y0[..., None] - 1)
+        av = cs["avail"] != 0
+        d["noref"] = ~jnp.any(av, axis=-1)
+        # Substitution fill: each sample takes the nearest available
+        # sample at or before it in spec order (8.4.4.2.2).
+        sub = jax.lax.cummax(jnp.where(av, i_r, -1), axis=2)
+        first = jnp.argmax(av, axis=-1).astype(jnp.int32)
+        sub = jnp.where(sub < 0, first[..., None], sub)
+        sxs = jnp.take_along_axis(xs_r, sub, axis=-1)
+        sys_ = jnp.take_along_axis(ys_r, sub, axis=-1)
+        # Routing (see var_schedule make_class): top-arm samples live
+        # on their owner's bottom row (hbuf); left-arm samples on its
+        # right column (vbuf); the above-left corner routes by the
+        # per-CU owner check (corner_h).
+        lh_t = (plane_h // gran) * plane_w
+        lv_t = (plane_w // gran) * plane_h
+        on_h = (sys_ == y0[..., None] - 1) \
+            & ((sxs >= x0[..., None]) | cs["corner_h"][..., None])
+        d["idx_h"] = jnp.where(on_h & valid[..., None],
+                               (sys_ // gran) * plane_w + sxs, 0)
+        d["idx_v"] = jnp.where(on_h | ~valid[..., None], lv_t,
+                               (sxs // gran) * plane_h + sys_)
+        d["sel_h"] = on_h | ~valid[..., None]
+        yy, xx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+        off = jnp.asarray((yy * plane_w + xx).ravel().astype(np.int32))
+        trash = plane_w * plane_h
+        d["pix"] = jnp.where(valid[..., None],
+                             (y0 * plane_w + x0)[..., None] + off,
+                             trash)
+        ar = jnp.arange(s, dtype=jnp.int32)
+        lh = (plane_h // gran) * plane_w
+        lv_ = (plane_w // gran) * plane_h
+        d["wr_h"] = jnp.where(
+            valid[..., None],
+            (((y0 + s - 1) // gran) * plane_w + x0)[..., None] + ar, lh)
+        d["wr_v"] = jnp.where(
+            valid[..., None],
+            (((x0 + s - 1) // gran) * plane_h + y0)[..., None] + ar,
+            lv_)
+        st, k = x0.shape
+        if plane is not None:
+            d["origs"] = _flat_ext(plane)[d["pix"]].reshape(st, k, s,
+                                                            s)
+        for name, pl in extra:
+            d[name] = _flat_ext(pl)[d["pix"]].reshape(st, k, s, s)
+        if "inter" in cs and plane_w == width:
+            c8 = s // 8
+            w8, h8 = width // 8, height // 8
+            cyy, cxx = np.meshgrid(np.arange(c8), np.arange(c8),
+                                   indexing="ij")
+            coff = jnp.asarray((cyy * w8 + cxx).ravel()
+                               .astype(np.int32))
+            cb8 = (y0 // 8) * w8 + x0 // 8
+            d["cell8"] = jnp.where(valid[..., None],
+                                   cb8[..., None] + coff, w8 * h8)
+        return d
+
+    sched = dict(sched)
+    sched["luma"] = {
+        s: derive(sched["luma"][s], s, width, height, 8,
+                  sched["plane_y"]) for s in lsizes}
+    if chroma:
+        sched["chroma"] = {
+            s: derive(sched["chroma"][s], s, width // 2, height // 2,
+                      4, None,
+                      extra=[("origs_cb", sched["plane_cb"]),
+                             ("origs_cr", sched["plane_cr"])])
+            for s in csizes}
+
     def mc_gather(cs, plane):
         """(steps, K, S, S) MC prediction via the class pixel map (pad
         slots read the trailing trash element)."""
         st, k = cs["modes"].shape
         ssz = int(np.sqrt(cs["pix"].shape[-1]))
-        flat = jnp.concatenate([plane.reshape(-1).astype(jnp.int32),
-                                jnp.zeros(1, jnp.int32)])
-        return flat[cs["pix"]].reshape(st, k, ssz, ssz)
+        return _flat_ext(plane)[cs["pix"]].reshape(st, k, ssz, ssz)
 
     def xs_of(cs, okey, mc_plane=None):
         base = (cs[okey], cs["modes"], cs["noref"], cs["idx_h"],

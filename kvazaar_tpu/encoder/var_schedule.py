@@ -51,6 +51,12 @@ class ClassSched:
     # per-TB cbf (deblock boundary strengths need it).
     inter: np.ndarray = None  # (steps, K) bool
     cell8: np.ndarray = None  # (steps, K, c*c) int32 into h8*w8 (+trash)
+    # Compact upload form: per-ref-sample availability + the above-left
+    # corner routing bit — the recon derives idx_h/idx_v/sel_h/noref
+    # from these on device (uploading the derived maps cost ~7 MB/frame
+    # through the ~20 MB/s tunnel).
+    avail: np.ndarray = None     # (steps, K, R) uint8
+    corner_h: np.ndarray = None  # (steps, K) bool
 
 
 @dataclasses.dataclass
@@ -142,7 +148,15 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
                      corner_on_h))
 
     n_steps = int(step_of.max()) + 1 if n_cu else 1
-    n_steps = -(-n_steps // step_bucket) * step_bucket
+    # Quantize to a coarse 1.5x ladder: every distinct n_steps is a
+    # separate compiled recon program (XLA static shapes; 20-200 s per
+    # compile through the remote-compile service) — per-frame content
+    # variation must NOT trigger per-frame recompiles.  Padding cost is
+    # bounded at +50% scan steps, amortized by the tiny per-step cost.
+    b = max(step_bucket, 128)
+    while b < n_steps:
+        b = -(-(b * 3 // 2) // 64) * 64
+    n_steps = b
 
     def make_class(size_luma: int, plane_w: int, plane_h: int,
                    gran: int, scale: int):
@@ -170,6 +184,8 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
             inter=np.zeros((n_steps, kcap), bool),
             cell8=(np.full((n_steps, kcap, c8 * c8), h8 * w8, np.int32)
                    if scale == 1 else None),
+            avail=np.zeros((n_steps, kcap, r), np.uint8),
+            corner_h=np.zeros((n_steps, kcap), bool),
         )
         yy, xx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
         block_pix = (yy * plane_w + xx).ravel()
@@ -197,6 +213,8 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
                 av = inside & (order[yc, xc] < k)
                 avail = av
             cs.valid[st, slot] = True
+            cs.avail[st, slot] = avail.astype(np.uint8)
+            cs.corner_h[st, slot] = corner_on_h
             cs.modes[st, slot] = int(
                 mode_grid[ly0 // size_luma, lx0 // size_luma])
             cs.x0[st, slot] = x0

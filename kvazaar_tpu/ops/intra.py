@@ -206,7 +206,8 @@ def _clip_pix(x, bitdepth):
 
 
 def predict_all_modes(refs, n: int, luma: bool = True, bitdepth: int = 8,
-                      strong_smoothing: bool = False):
+                      strong_smoothing: bool = False,
+                      fixups: bool = True):
     """Predict all 35 modes for a batch of blocks.
 
     refs: (B, 4N+1) int32 substituted reference vectors (unfiltered).
@@ -224,6 +225,10 @@ def predict_all_modes(refs, n: int, luma: bool = True, bitdepth: int = 8,
     raw = einsum_exact("mpr,br->bmp", w, refs2, 1 << bitdepth)
     pred = (raw + (1 << (shifts - 1))[None, :, None]) >> shifts[None, :, None]
     pred = pred.reshape(pred.shape[0], 35, n, n)
+    if not fixups:
+        # Lossless + implicit RDPCM disables the luma boundary filters
+        # (reference filter_boundary, src/intra.c:621).
+        return pred
     return _apply_fixups(pred, refs, n, luma, bitdepth)
 
 
@@ -263,7 +268,7 @@ def _apply_fixups(pred, refs, n, luma, bitdepth):
 
 
 def predict_modes(refs, modes, n: int, luma: bool = True, bitdepth: int = 8,
-                  strong_smoothing: bool = False):
+                  strong_smoothing: bool = False, fixups: bool = True):
     """Predict one chosen mode per block.
 
     refs: (B, 4N+1) int32; modes: (B,) int32. Returns (B, N, N) int32.
@@ -282,7 +287,7 @@ def predict_modes(refs, modes, n: int, luma: bool = True, bitdepth: int = 8,
     raw = einsum_exact("bpr,br->bp", wsel, refs2, 1 << bitdepth)
     pred = (raw + (1 << (ssel - 1))[:, None]) >> ssel[:, None]
     pred = pred.reshape(pred.shape[0], n, n)
-    if not luma or n >= 32:
+    if not luma or n >= 32 or not fixups:
         return pred
     # Apply the same fixups, selected per block by mode.
     top, left, corner = _boundary_pieces(refs, n)

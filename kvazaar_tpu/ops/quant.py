@@ -146,7 +146,7 @@ def dequantize(level, qp: int, size: int, bitdepth: int = 8,
 
 
 def quantize_rdoq(coeff, qp: int, size: int, bitdepth: int = 8,
-                  intra=True, lam: float = 1.0):
+                  intra=True, lam: float = 1.0, qc=None, dqc=None):
     """Rate-distortion optimized quantization, fully vectorized.
 
     The reference's RDOQ (kvz_rdoq, src/rdo.c:548-884) walks
@@ -178,6 +178,21 @@ def quantize_rdoq(coeff, qp: int, size: int, bitdepth: int = 8,
                                                           bitdepth)
         inv_m = inv_scale << (qp // 6)
         rnd_half = 1 << (qbits - 1)
+    def _sel(tab):
+        # (intra, inter) per-position (N, N) tables, like quantize().
+        if isinstance(tab, tuple):
+            if isinstance(intra, bool):
+                return tab[0] if intra else tab[1]
+            return jnp.where(intra[..., None, None], tab[0], tab[1])
+        return tab
+
+    dq_sh = None
+    if qc is not None:
+        # Scaling-list path (per-position forward scale + inverse m,
+        # same integer schedules as quantize/dequantize).
+        scale = _sel(qc)
+        inv_m = _sel(dqc)
+        dq_sh = inv_shift - qp // 6
     c = coeff.astype(jnp.int32)
     ac = jnp.abs(c)
     # Round-half level and its lower neighbor.
@@ -188,7 +203,13 @@ def quantize_rdoq(coeff, qp: int, size: int, bitdepth: int = 8,
     inv_gain = 1.0 / float(4 ** (15 - bitdepth - log2n))
 
     def dq(l):
-        d = (l * inv_m + (1 << (inv_shift - 5))) >> (inv_shift - 4)
+        if dq_sh is not None:
+            if dq_sh > 0:
+                d = (l * inv_m + (1 << (dq_sh - 1))) >> dq_sh
+            else:
+                d = jnp.clip(l * inv_m, -32768, 32767) << (-dq_sh)
+        else:
+            d = (l * inv_m + (1 << (inv_shift - 5))) >> (inv_shift - 4)
         return jnp.clip(d, -32768, 32767)
 
     def dist(l):

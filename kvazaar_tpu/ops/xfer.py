@@ -73,6 +73,111 @@ def pack_levels(levels_i16_flat, qp: int):
     return nib_b, u8(esc_rec[:cap]).reshape(-1), esc_count
 
 
+# ---- Source (host->device) delta packing --------------------------
+#
+# The tunnel's H2D bandwidth for fresh content measures ~20 MB/s on
+# this deployment — raw 4:2:0 sources are then the e2e bottleneck at
+# fast operating points (1080p: 3.1 MB/frame = 155 ms).  Pack sources
+# as per-row horizontal deltas: 4-bit nibbles for |d| <= 7 (covers
+# >95% of natural content) + a gap-chained escape list ((u16 gap,
+# i16 delta) records; row starts are escapes carrying the raw pixel).
+# Escape overflow (noise-like content) falls back to the raw upload.
+
+SRC_ESC_DIV = 24
+
+
+def src_esc_capacity(total: int) -> int:
+    return max(total // SRC_ESC_DIV, 4096)
+
+
+def pack_source_host(planes) -> np.ndarray | None:
+    """Host pack of 8-bit source planes for upload.
+
+    planes: list of 2-D uint8 arrays (rows, W_p), one per plane with
+    the batch stacked into rows.  Returns ONE uint8 buffer
+    [nibbles][gaps u16][vals i16] or None when the escape capacity
+    would overflow (caller uploads raw)."""
+    parts = []
+    for p in planes:
+        d = p.astype(np.int16)
+        d[:, 1:] -= p[:, :-1].astype(np.int16)
+        parts.append(d.reshape(-1))
+    d = np.concatenate(parts)
+    t = d.shape[0]
+    cap = src_esc_capacity(t)
+    esc_mask = (d < -8) | (d > 7)
+    esc_mask[0] = True                 # anchor: position 0 is always
+    pos = np.flatnonzero(esc_mask)     # an escape (first row start)
+    if pos.size > cap:
+        return None
+    gaps64 = np.diff(pos, prepend=-1)
+    if (gaps64 > 65535).any():
+        # Very flat content: split long gaps with no-op dummies (the
+        # dummy rewrites the clipped nibble value at its position).
+        ppos, pval = [], []
+        prev = -1
+        for p_ in pos:
+            while p_ - prev > 65535:
+                prev += 65535
+                ppos.append(prev)
+                pval.append(int(np.clip(d[prev], -8, 7)))
+            ppos.append(int(p_))
+            pval.append(int(d[p_]))
+            prev = int(p_)
+        if len(ppos) > cap:
+            return None
+        pos = np.asarray(ppos, np.int64)
+        vals = np.asarray(pval, np.int16)
+        gaps64 = np.diff(pos, prepend=-1)
+    else:
+        vals = d[pos]
+    n = pos.size
+    gaps = np.zeros(cap, np.uint16)
+    vals_out = np.zeros(cap, np.int16)
+    gaps[:n] = gaps64.astype(np.uint16)
+    # Trailing pads: gap 0 re-writes the last escape's value (no-op).
+    vals_out[:n] = vals
+    if n < cap:
+        vals_out[n:] = vals[-1] if n else 0
+    c4 = np.clip(d, -8, 7)
+    nib = (c4 & 15).astype(np.uint8)
+    if t % 2:
+        nib = np.concatenate([nib, np.zeros(1, np.uint8)])
+    nib_b = nib[0::2] | (nib[1::2] << 4)
+    return np.concatenate([nib_b, gaps.view(np.uint8),
+                           vals_out.view(np.uint8)])
+
+
+def unpack_source_device(buf, total: int, plane_shapes):
+    """Device-side inverse of pack_source_host (traced).
+
+    buf: (bytes,) uint8; plane_shapes: tuple of (rows, width) per
+    plane.  Returns a list of (rows, width) int32 planes."""
+    cap = src_esc_capacity(total)
+    nbytes = (total + 1) // 2
+    nib = buf[:nbytes]
+    gaps = jax.lax.bitcast_convert_type(
+        buf[nbytes:nbytes + 2 * cap].reshape(cap, 2), jnp.uint16
+    ).reshape(cap).astype(jnp.int32)
+    vals = jax.lax.bitcast_convert_type(
+        buf[nbytes + 2 * cap:nbytes + 4 * cap].reshape(cap, 2),
+        jnp.int16).reshape(cap)
+    lo = ((nib & 15) ^ 8).astype(jnp.int16) - 8
+    hi = ((nib >> 4) ^ 8).astype(jnp.int16) - 8
+    d = jnp.stack([lo, hi], axis=1).reshape(-1)[:total]
+    pos = jnp.cumsum(gaps) - 1
+    d = d.at[pos].set(vals)
+    out = []
+    off = 0
+    for rows, w in plane_shapes:
+        n = rows * w
+        out.append(jnp.cumsum(
+            jax.lax.slice(d, (off,), (off + n,)).reshape(rows, w)
+            .astype(jnp.int32), axis=1))
+        off += n
+    return out
+
+
 def unpack_levels(nib: np.ndarray, esc: np.ndarray, esc_count: int,
                   total: int) -> np.ndarray:
     """Host inverse of pack_levels -> flat levels.  int8 when every

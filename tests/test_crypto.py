@@ -90,3 +90,35 @@ def test_crypto_per_picture_nonce():
                            enc.params)
     np.testing.assert_array_equal(frames[0][0][0], r0.recon_y)
     np.testing.assert_array_equal(frames[1][0][0], r1.recon_y)
+
+
+def test_crypto_with_rate_control():
+    """--crypto x --bitrate: the per-picture nonce counter is
+    stream-global across the per-QP encoder instances frame-level RC
+    spawns (the reference accepts the combination freely)."""
+    from kvazaar_tpu.api import Encoder
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:64, 0:96]
+    frames = []
+    for i in range(4):
+        y = np.clip(120 + 50 * np.sin(xx / 9.0 + i)
+                    + rng.normal(0, 4, (64, 96)), 0,
+                    255).astype(np.uint8)
+        cb = np.full((32, 48), 110, np.uint8)
+        cr = np.full((32, 48), 140, np.uint8)
+        frames.append((y, cb, cr))
+    cfg = Config(width=96, height=64, qp=30, intra_period=1,
+                 intra_max_cu=16, intra_min_cu=16,
+                 crypto="s3cret", bitrate=64000).validate()
+    enc = Encoder(cfg)
+    stream = b""
+    res = []
+    for f in frames:
+        for chunks, info, rec in enc.encode(*f):
+            stream += chunks
+            res.append(rec)
+    dec = decode_stream(stream, enc._intra.params)
+    assert len(dec) == len(res)
+    for k, ((dy, dcb, dcr), _fd) in enumerate(dec):
+        np.testing.assert_array_equal(dy[:64, :96], res[k][0],
+                                      err_msg=f"frame {k}")

@@ -128,3 +128,38 @@ def test_md5_picture_hash_sei():
     except Exception:
         raised = True
     assert raised, "tampered stream must fail decode or hash check"
+
+
+def test_implicit_rdpcm_lossless():
+    """--implicit-rdpcm: hor/ver intra TBs DPCM their bypass residual
+    (reference rdpcm(), src/transform.c:99; SPS range extension,
+    src/encoder_state-bitstream.c:304).  Still bit-exact to input, and
+    the SPS + coefficients must differ from plain lossless."""
+    yy, xx = np.mgrid[0:64, 0:64]
+    # Strong horizontal+vertical gradients so modes 10/26 win often.
+    y = ((xx * 3 + yy // 8) % 256).astype(np.uint8)
+    cb = ((xx[::2, ::2] * 2) % 256).astype(np.uint8)
+    cr = ((yy[::2, ::2] * 2) % 256).astype(np.uint8)
+    base = dict(width=64, height=64, qp=27, intra_max_cu=16,
+                intra_min_cu=16, lossless=True)
+    cfg = Config(**base, implicit_rdpcm=True).validate()
+    enc = IntraFrameEncoder(cfg)
+    res = enc.encode_frame(y, cb, cr)
+    np.testing.assert_array_equal(res.recon_y, y)
+    frames = decode_stream(enc.headers() + res.nals, enc.params)
+    (ry, rcb, rcr), fd = frames[0]
+    np.testing.assert_array_equal(ry, y)
+    np.testing.assert_array_equal(rcb, cb)
+    np.testing.assert_array_equal(rcr, cr)
+    assert (fd.mode4 == 10).any() or (fd.mode4 == 26).any(), \
+        "no hor/ver modes chosen; test content broken"
+    enc0 = IntraFrameEncoder(Config(**base).validate())
+    res0 = enc0.encode_frame(y, cb, cr)
+    assert enc.headers() != enc0.headers()        # SPS REXT bits
+    assert res.nals != res0.nals                  # DPCM'd residuals
+
+
+def test_implicit_rdpcm_requires_lossless():
+    with pytest.raises(ValueError):
+        Config(width=64, height=64, qp=27, intra_max_cu=16,
+               intra_min_cu=16, implicit_rdpcm=True).validate()

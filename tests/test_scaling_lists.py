@@ -137,3 +137,28 @@ def test_variable_cu_with_default_lists():
     assert len(dec) == n
     for k, ((dy, _cb, _cr), _fd) in enumerate(dec):
         np.testing.assert_array_equal(dy[:h, :w], res[k][1][0])
+
+
+def test_rdoq_with_default_lists_e2e_bit_exact():
+    """RDOQ x scaling lists (per-position forward scale + inverse m in
+    the RDOQ candidate costs) — the reference accepts the combination
+    freely (kvz_rdoq uses the scaling-list err_scale, src/rdo.c:588)."""
+    w, h, n = 64, 64, 2
+    frames = _clip(n, w, h)
+    cfg = Config(width=w, height=h, qp=30, intra_max_cu=16,
+                 intra_min_cu=16, intra_period=1, rdoq=True,
+                 scaling_list="default").validate()
+    enc, stream, res = _encode(cfg, frames)
+    dec = decode_stream(stream, enc.params if hasattr(enc, "params")
+                        else enc._intra.params)
+    assert len(dec) == n
+    for k, ((dy, dcb, dcr), _fd) in enumerate(dec):
+        info, rec = res[k]
+        np.testing.assert_array_equal(dy[:h, :w], rec[0])
+        np.testing.assert_array_equal(dcb[:h // 2, :w // 2], rec[1])
+        np.testing.assert_array_equal(dcr[:h // 2, :w // 2], rec[2])
+    # And it must differ from the no-scaling RDOQ stream.
+    cfg2 = Config(width=w, height=h, qp=30, intra_max_cu=16,
+                  intra_min_cu=16, intra_period=1, rdoq=True).validate()
+    _, stream2, _ = _encode(cfg2, frames)
+    assert stream != stream2
