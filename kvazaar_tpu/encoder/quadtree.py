@@ -522,12 +522,21 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
     lv_y = (width // 8) * height
     carry0 = [jnp.zeros(lh_y + 1, jnp.int32),
               jnp.zeros(lv_y + 1, jnp.int32)]
+    # cb and cr share geometry/modes/QP: one merged class pass per
+    # size over a [cb | trash | cr | trash] edge-buffer pair halves
+    # the chroma pass count per scan step.  Per-component scaling
+    # lists need distinct quant tables per half -> split passes.
+    merge_c = chroma and scaling is None
     if chroma:
         wc, hc = width // 2, height // 2
         lh_c = (hc // 4) * wc
         lv_c = (wc // 4) * hc
-        carry0 += [jnp.zeros(lh_c + 1, jnp.int32),
-                   jnp.zeros(lv_c + 1, jnp.int32)] * 2
+        if merge_c:
+            carry0 += [jnp.zeros(2 * (lh_c + 1), jnp.int32),
+                       jnp.zeros(2 * (lv_c + 1), jnp.int32)]
+        else:
+            carry0 += [jnp.zeros(lh_c + 1, jnp.int32),
+                       jnp.zeros(lv_c + 1, jnp.int32)] * 2
 
     lsizes = sorted(sched["luma"].keys())
     csizes = sorted(sched["chroma"].keys()) if chroma else []
@@ -638,9 +647,33 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
             base += (cs["inter"], mc_gather(cs, mc_plane))
         return base
 
+    def xs_of_c2(cs):
+        """Merged cb+cr slots (K -> 2K) with cr indices offset into
+        the second half of the shared edge buffers."""
+        dup = lambda a: jnp.concatenate([a, a], axis=1)
+        o2 = jnp.concatenate([cs["origs_cb"], cs["origs_cr"]], axis=1)
+        idx_h2 = jnp.concatenate(
+            [cs["idx_h"], cs["idx_h"] + (lh_c + 1)], axis=1)
+        idx_v2 = jnp.concatenate(
+            [cs["idx_v"], cs["idx_v"] + (lv_c + 1)], axis=1)
+        wr_h2 = jnp.concatenate(
+            [cs["wr_h"], cs["wr_h"] + (lh_c + 1)], axis=1)
+        wr_v2 = jnp.concatenate(
+            [cs["wr_v"], cs["wr_v"] + (lv_c + 1)], axis=1)
+        base = (o2, dup(cs["modes"]), dup(cs["noref"]), idx_h2,
+                idx_v2, dup(cs["sel_h"]), wr_h2, wr_v2)
+        if inter:
+            base += (dup(cs["inter"]),
+                     jnp.concatenate([mc_gather(cs, mc_planes[1]),
+                                      mc_gather(cs, mc_planes[2])],
+                                     axis=1))
+        return base
+
     xs = tuple(xs_of(sched["luma"][s], "origs",
                      mc_planes[0] if inter else None) for s in lsizes)
-    if chroma:
+    if merge_c:
+        xs += tuple(xs_of_c2(sched["chroma"][s]) for s in csizes)
+    elif chroma:
         xs += tuple(xs_of(sched["chroma"][s], "origs_cb",
                           mc_planes[1] if inter else None)
                     for s in csizes)
@@ -665,7 +698,16 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
                 signhide, rdoq, lam, tab(s, 0, qp))
             outs.append((lv, rec))
         new_carry = [hy, vy]
-        if chroma:
+        if merge_c:
+            hc2, vc2 = carry[2], carry[3]
+            for j, s in enumerate(csizes):
+                hc2, vc2, lv, rec = _class_pass(
+                    hc2, vc2, xs_t[len(lsizes) + j], s, qp_c,
+                    bitdepth, False, lossless, signhide, rdoq, lam,
+                    None)
+                outs.append((lv, rec))
+            new_carry += [hc2, vc2]
+        elif chroma:
             bufs = list(carry[2:])
             for p in range(2):              # cb then cr
                 hb, vb = bufs[2 * p], bufs[2 * p + 1]
@@ -695,7 +737,29 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
         .reshape(height, width)
     rec_cb = rec_cr = None
     levels = {"y": [outs[i][0] for i in range(len(lsizes))]}
-    if chroma:
+    if merge_c:
+        nc = len(csizes)
+        kof = {s: sched["chroma"][s]["modes"].shape[1]
+               for s in csizes}
+
+        def assemble_half(half):
+            flat = jnp.zeros(wc * hc + 1, jnp.int32)
+            for j, s in enumerate(csizes):
+                k = kof[s]
+                rec = outs[len(lsizes) + j][1][
+                    :, half * k:(half + 1) * k]
+                pix = sched["chroma"][s]["pix"]
+                flat = flat.at[pix.reshape(-1)].set(
+                    rec.reshape(-1).astype(jnp.int32))
+            return flat[:wc * hc].reshape(hc, wc)
+
+        rec_cb = assemble_half(0)
+        rec_cr = assemble_half(1)
+        levels["cb"] = [outs[len(lsizes) + j][0][:, :kof[s]]
+                        for j, s in enumerate(csizes)]
+        levels["cr"] = [outs[len(lsizes) + j][0][:, kof[s]:]
+                        for j, s in enumerate(csizes)]
+    elif chroma:
         nc = len(csizes)
         rec_cb = assemble(wc * hc, sched["chroma"], csizes,
                           len(lsizes)).reshape(hc, wc)
