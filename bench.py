@@ -360,17 +360,22 @@ def measure_link_mbps():
     return round(h2d, 1), round(d2h, 1)
 
 
-def measure_preset_fps_ours(preset, w, h, qp, warm=4, timed=12,
+def measure_preset_fps_ours(preset, w, h, qp, warm=None, timed=8,
                             seed=4, **cfg_over):
     """Our fps at a full preset operating point (GOP structure, var
     trees, rd level, rdoq/sao as the preset defines) through the
-    public API."""
+    public API.  The warmup is ONE full pass over the clip: the var
+    path compiles one recon program per content-dependent n_steps
+    bucket, so warm frames must cover the same trees the timed pass
+    re-encodes (frames repeat)."""
     from kvazaar_tpu.api import Encoder
     from kvazaar_tpu.config import config_from_preset
     clip = synth_clip_natural(8, w, h, seed=seed)
     cfg = config_from_preset(preset, width=w, height=h, qp=qp,
                              **cfg_over)
     enc = Encoder(cfg)
+    if warm is None:
+        warm = len(clip)
     done = 0
     t0 = None
     for i in range(warm + timed):

@@ -105,47 +105,72 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
     the MC prediction instead of the wavefront intra path but still
     write their recon edges for intra neighbors); cmode_maps: optional
     size -> (H/s, W/s) EXPLICIT chroma mode grids (--rd 3), else
-    chroma classes predict with the DM (luma) mode."""
+    chroma classes predict with the DM (luma) mode.
+
+    Planning is batched numpy per size class; only the wavefront step
+    assignment (a dependency-chain DP) iterates CUs, and its body is
+    three array ops (1080p trees plan in ~0.2 s, was ~1.2 s)."""
     h8, w8 = size8.shape
     cus = _enumerate_cus(size8)
     n_cu = len(cus)
 
-    # Decode-order index per cell + step assignment.
+    # Decode-order index per cell.
     order = np.zeros((h8, w8), np.int32)
     for k, (x0, y0, s) in enumerate(cus):
         c = s // 8
         order[y0 // 8:(y0 + s) // 8, x0 // 8:(x0 + s) // 8] = k
 
     caps = caps or {8: 16, 16: 8, 32: 4}
-    step_of = np.zeros(n_cu, np.int32)
-    counts: dict = {}
-    recs = []   # (cu_idx, step, slot, x0, y0, s, xs, ys, avail)
-    cell_step = np.full((h8, w8), -1, np.int32)
-    for k, (x0, y0, s) in enumerate(cus):
-        xs, ys = _ref_coords(x0, y0, s)
+    cu_x = np.fromiter((c[0] for c in cus), np.int32, n_cu)
+    cu_y = np.fromiter((c[1] for c in cus), np.int32, n_cu)
+    cu_s = np.fromiter((c[2] for c in cus), np.int32, n_cu)
+    by_size = {s: np.flatnonzero(cu_s == s) for s in SIZES}
+
+    # Batched luma ref availability + owner CU ids per size class
+    # (H.265 6.4.1 at cell granularity; cell_step>=0 in the old form
+    # was redundant with order<k — decode order assigns monotonically).
+    avail_of, owners_of = {}, {}
+    for s, idxs in by_size.items():
+        if not len(idxs):
+            continue
+        i = np.arange(4 * s + 1)
+        xs = np.where(i <= 2 * s, cu_x[idxs, None] - 1,
+                      cu_x[idxs, None] + (i - (2 * s + 1)))
+        ys = np.where(i <= 2 * s, cu_y[idxs, None] + 2 * s - 1 - i,
+                      cu_y[idxs, None] - 1)
         inside = (xs >= 0) & (ys >= 0) & (xs < width) & (ys < height)
-        xc = np.clip(xs, 0, width - 1) // 8
-        yc = np.clip(ys, 0, height - 1) // 8
-        avail = inside & (order[yc, xc] < k) & (cell_step[yc, xc] >= 0)
-        dep = cell_step[yc[avail], xc[avail]]
-        st = (int(dep.max()) + 1) if dep.size else 0
+        own = order[np.clip(ys, 0, height - 1) // 8,
+                    np.clip(xs, 0, width - 1) // 8]
+        av = inside & (own < idxs[:, None])
+        avail_of[s] = av
+        owners_of[s] = np.where(av, own, -1)
+
+    # Above-left corner routing bit (vectorized; see derive()).
+    osz = size8[np.clip(cu_y - 1, 0, None) // 8,
+                np.clip(cu_x - 1, 0, None) // 8].astype(np.int32)
+    corner_h_all = np.where(
+        (cu_x > 0) & (cu_y > 0),
+        ((cu_y - 1) // np.maximum(osz, 1) * osz + osz) == cu_y, True)
+
+    # Sequential wavefront step assignment (dependency DP + per-size
+    # slot capacities).
+    pos_in_class = np.zeros(n_cu, np.int64)
+    for s, idxs in by_size.items():
+        pos_in_class[idxs] = np.arange(len(idxs))
+    step_of = np.zeros(n_cu, np.int32)
+    slot_of = np.zeros(n_cu, np.int32)
+    counts: dict = {}
+    for k in range(n_cu):
+        s = int(cu_s[k])
+        row = owners_of[s][pos_in_class[k]]
+        ow = row[row >= 0]
+        st = int(step_of[ow].max()) + 1 if ow.size else 0
         while counts.get((st, s), 0) >= caps[s]:
             st += 1
         slot = counts.get((st, s), 0)
         counts[(st, s)] = slot + 1
         step_of[k] = st
-        c = s // 8
-        cell_step[y0 // 8:(y0 + s) // 8, x0 // 8:(x0 + s) // 8] = st
-        # The above-left corner's owner may cross our top boundary
-        # (legal for CUs left of us): decide per-CU whether the corner
-        # sample lives on the owner's bottom row (hbuf) or right
-        # column (vbuf).
-        corner_on_h = True
-        if x0 > 0 and y0 > 0:
-            osz = int(size8[(y0 - 1) // 8, (x0 - 1) // 8])
-            corner_on_h = ((y0 - 1) // osz * osz + osz == y0)
-        recs.append((k, st, slot, x0, y0, s, xs, ys, avail,
-                     corner_on_h))
+        slot_of[k] = slot
 
     n_steps = int(step_of.max()) + 1 if n_cu else 1
     # Quantize to a coarse 1.5x ladder: every distinct n_steps is a
@@ -160,101 +185,68 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
 
     def make_class(size_luma: int, plane_w: int, plane_h: int,
                    gran: int, scale: int):
-        """One ClassSched for luma (scale=1) or chroma (scale=2)."""
+        """One ClassSched for luma (scale=1) or chroma (scale=2).
+        Only the compact upload fields (+ pix, which the host levels
+        scatter needs) are built — idx/sel/wr/cell8/noref are derived
+        on device from (x0, y0, valid, avail, corner_h)."""
         s = size_luma // scale
         r = 4 * s + 1
         kcap = caps[size_luma]
-        lh = (plane_h // gran) * plane_w
-        lv = (plane_w // gran) * plane_h
-        c8 = size_luma // 8
         cs = ClassSched(
             size=s,
             valid=np.zeros((n_steps, kcap), bool),
             modes=np.zeros((n_steps, kcap), np.int32),
-            noref=np.ones((n_steps, kcap), bool),
-            idx_h=np.full((n_steps, kcap, r), lh, np.int32),
-            idx_v=np.full((n_steps, kcap, r), lv, np.int32),
-            sel_h=np.ones((n_steps, kcap, r), bool),
-            wr_h=np.full((n_steps, kcap, s), lh, np.int32),
-            wr_v=np.full((n_steps, kcap, s), lv, np.int32),
+            noref=None, idx_h=None, idx_v=None, sel_h=None,
+            wr_h=None, wr_v=None,
             pix=np.full((n_steps, kcap, s * s), plane_w * plane_h,
                         np.int32),
             x0=np.zeros((n_steps, kcap), np.int32),
             y0=np.zeros((n_steps, kcap), np.int32),
             inter=np.zeros((n_steps, kcap), bool),
-            cell8=(np.full((n_steps, kcap, c8 * c8), h8 * w8, np.int32)
-                   if scale == 1 else None),
+            cell8=None,
             avail=np.zeros((n_steps, kcap, r), np.uint8),
             corner_h=np.zeros((n_steps, kcap), bool),
         )
-        yy, xx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
-        block_pix = (yy * plane_w + xx).ravel()
+        idxs = by_size.get(size_luma, np.empty(0, np.int64))
+        if not len(idxs):
+            return cs
+        st = step_of[idxs]
+        sl = slot_of[idxs]
+        lx0 = cu_x[idxs]
+        ly0 = cu_y[idxs]
+        x0 = lx0 // scale
+        y0 = ly0 // scale
+        if scale == 1:
+            av = avail_of[size_luma]
+        else:
+            # Chroma availability at chroma granularity mirrors the
+            # luma cells (chroma shares the tree).
+            i = np.arange(r)
+            xs = np.where(i <= 2 * s, x0[:, None] - 1,
+                          x0[:, None] + (i - (2 * s + 1)))
+            ys = np.where(i <= 2 * s, y0[:, None] + 2 * s - 1 - i,
+                          y0[:, None] - 1)
+            inside = ((xs >= 0) & (ys >= 0) & (xs < plane_w)
+                      & (ys < plane_h))
+            own = order[np.clip(ys * scale, 0, height - 1) // 8,
+                        np.clip(xs * scale, 0, width - 1) // 8]
+            av = inside & (own < idxs[:, None])
         mode_grid = mode_maps.get(size_luma)
         if scale == 2 and cmode_maps is not None \
                 and size_luma in cmode_maps:
             mode_grid = cmode_maps[size_luma]
-        for (k, st, slot, lx0, ly0, ls, lxs, lys, avail,
-             corner_on_h) in recs:
-            if ls != size_luma:
-                continue
-            x0, y0 = lx0 // scale, ly0 // scale
-            # Scale the spec ref coords (chroma shares the tree).
-            if scale == 1:
-                xs, ys = lxs, lys
-            else:
-                xs, ys = _ref_coords(x0, y0, s)
-                av = np.zeros(r, bool)
-                av[:] = False
-                # availability at chroma granularity mirrors luma cells
-                inside = ((xs >= 0) & (ys >= 0) & (xs < plane_w)
-                          & (ys < plane_h))
-                xc = np.clip(xs * scale, 0, width - 1) // 8
-                yc = np.clip(ys * scale, 0, height - 1) // 8
-                av = inside & (order[yc, xc] < k)
-                avail = av
-            cs.valid[st, slot] = True
-            cs.avail[st, slot] = avail.astype(np.uint8)
-            cs.corner_h[st, slot] = corner_on_h
-            cs.modes[st, slot] = int(
-                mode_grid[ly0 // size_luma, lx0 // size_luma])
-            cs.x0[st, slot] = x0
-            cs.y0[st, slot] = y0
-            if inter8_map is not None:
-                cs.inter[st, slot] = bool(
-                    inter8_map[ly0 // 8, lx0 // 8])
-            if scale == 1:
-                cyy, cxx = np.meshgrid(np.arange(c8), np.arange(c8),
-                                       indexing="ij")
-                cs.cell8[st, slot] = ((ly0 // 8 + cyy) * w8
-                                      + lx0 // 8 + cxx).ravel()
-            if avail.any():
-                cs.noref[st, slot] = False
-                first = int(np.argmax(avail))
-                sub = np.where(avail, np.arange(r), -1)
-                np.maximum.accumulate(sub, out=sub)
-                sub[sub < 0] = first
-                sxs, sys_ = xs[sub], ys[sub]
-                # Route by region semantics: an available top/above-
-                # right sample is always its owner's BOTTOM row (an
-                # available owner cannot cross our top boundary) ->
-                # hbuf; an available left-arm sample is its owner's
-                # RIGHT column -> vbuf; the above-left corner's owner
-                # may cross y0, so it routes by the per-CU owner check.
-                # (mod-8 tests are wrong: a left-arm sample can sit at
-                # y%8==7 inside a taller neighbor.)
-                on_h = (sys_ == (y0 - 1)) & ((sxs >= x0) | corner_on_h)
-                cs.idx_h[st, slot] = np.where(
-                    on_h, (sys_ // gran) * plane_w + sxs, 0)
-                cs.idx_v[st, slot] = np.where(
-                    on_h, lv, (sxs // gran) * plane_h + sys_)
-                cs.sel_h[st, slot] = on_h
-                bad = ~on_h & (sxs != (x0 - 1))
-                assert not bad.any(), "ref sample not on an edge"
-            cs.wr_h[st, slot] = ((y0 + s - 1) // gran) * plane_w \
-                + x0 + np.arange(s)
-            cs.wr_v[st, slot] = ((x0 + s - 1) // gran) * plane_h \
-                + y0 + np.arange(s)
-            cs.pix[st, slot] = y0 * plane_w + x0 + block_pix
+        yy, xx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+        block_pix = (yy * plane_w + xx).ravel()
+        cs.valid[st, sl] = True
+        cs.avail[st, sl] = av.astype(np.uint8)
+        cs.corner_h[st, sl] = corner_h_all[idxs]
+        cs.modes[st, sl] = mode_grid[ly0 // size_luma,
+                                     lx0 // size_luma]
+        cs.x0[st, sl] = x0
+        cs.y0[st, sl] = y0
+        if inter8_map is not None:
+            cs.inter[st, sl] = inter8_map[ly0 // 8, lx0 // 8]
+        cs.pix[st, sl] = (y0 * plane_w + x0)[:, None] + block_pix
         return cs
 
     luma = {}
