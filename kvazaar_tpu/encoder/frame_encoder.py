@@ -32,6 +32,7 @@ _NATIVE_OK = native.available()
 from kvazaar_tpu.config import Config
 from kvazaar_tpu.constants import (NAL_IDR_W_RADL, NAL_TRAIL_R, SLICE_I, SLICE_P)
 from kvazaar_tpu.encoder.geometry import make_intra_plan
+from kvazaar_tpu.profiler import phase
 from kvazaar_tpu.ops.deblock import deblock_frame
 from kvazaar_tpu.encoder.inter_cands import (amvp_candidates,
                                              merge_candidates)
@@ -52,6 +53,45 @@ def qp_to_lambda(qp: int) -> float:
     """I-frame lambda, the reference's model (src/rate_control.c:176
     family): lambda = 0.57 * 2^((qp-12)/3)."""
     return 0.57 * 2.0 ** ((qp - 12) / 3.0)
+
+
+def _pack_device_tree(tree):
+    """ONE-download packing of a pytree of device arrays: flatten into
+    a single int32 vector (f32 leaves bitcast, bool/narrow leaves
+    widened).  The axon tunnel charges ~10-30 ms PER transfer call;
+    a var search returns ~20 per-size grids, so fetching them
+    individually costs ~0.5 s/frame — one packed vector costs one
+    round trip (xfer.py rule: one buffer per direction)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    spec = (treedef, [(tuple(x.shape), str(x.dtype)) for x in leaves])
+    flat = []
+    for x in leaves:
+        if x.dtype == jnp.float32:
+            x = jax.lax.bitcast_convert_type(x, jnp.int32)
+        else:
+            x = x.astype(jnp.int32)
+        flat.append(x.reshape(-1))
+    return jnp.concatenate(flat), spec
+
+
+def _unpack_host_tree(buf, spec):
+    """Host inverse of _pack_device_tree (one np.asarray download)."""
+    treedef, shapes = spec
+    buf = np.asarray(buf)
+    out = []
+    off = 0
+    for shape, dt in shapes:
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        a = buf[off:off + n].reshape(shape)
+        off += n
+        if dt == "float32":
+            a = a.view(np.float32)
+        elif dt == "bool":
+            a = a != 0
+        elif dt != "int32":
+            a = a.astype(np.dtype(dt))
+        out.append(a)
+    return jax.tree.unflatten(treedef, out)
 
 
 def pad_to_multiple(plane: np.ndarray, mult: int) -> np.ndarray:
@@ -720,11 +760,13 @@ class PFrameMixin:
             intra_rng, inter_rng = self._var_rngs()
 
             def s(yp, ref_y):
-                return search_quadtree_p(
+                outs = search_quadtree_p(
                     yp, ref_y.astype(jnp.int32), self.coded_w,
                     self.coded_h, self.lambda_satd, self.cfg.me_range,
                     self.bitdepth, intra_rng, inter_rng,
                     self.cfg.rd >= 1, subpel=self.cfg.me_subpel)
+                vec, self._qt_search_p_spec = _pack_device_tree(outs)
+                return vec
 
             self._qt_search_p = tpu_jit(s)
         return self._qt_search_p
@@ -735,13 +777,15 @@ class PFrameMixin:
             intra_rng, inter_rng = self._var_rngs()
 
             def s(yp, r0, r1):
-                return search_quadtree_b(
+                outs = search_quadtree_b(
                     yp, r0.astype(jnp.int32), r1.astype(jnp.int32),
                     self.coded_w, self.coded_h, self.lambda_satd,
                     self.cfg.me_range, self.bitdepth, intra_rng,
                     inter_rng, self.cfg.rd >= 1,
                     subpel=self.cfg.me_subpel,
                     bipred=self.cfg.bipred)
+                vec, self._qt_search_b_spec = _pack_device_tree(outs)
+                return vec
 
             self._qt_search_b = tpu_jit(s)
         return self._qt_search_b
@@ -968,8 +1012,10 @@ class PFrameMixin:
             crp = pad_to_multiple(np.asarray(cr, np.int32),
                                   max(self.cu, 8) // 2)
         refs = self._dpb
-        costs, modes_d, mvs_d, imaps_d = self._var_p_search()(
-            jnp.asarray(yp), refs[0])
+        with phase("varp.search"):
+            vec = self._var_p_search()(jnp.asarray(yp), refs[0])
+            costs, modes_d, mvs_d, imaps_d = _unpack_host_tree(
+                vec, self._qt_search_p_spec)
         # Inter costs already carry their mv/mode rate (lambda*bits in
         # the search); the flat residual charge covers split/pred-mode/
         # CBF signalling only — far below the intra path's 300
@@ -1042,34 +1088,39 @@ class PFrameMixin:
                                   max(self.cu, 8) // 2)
         poc0, r0 = ref0
         poc1, r1 = ref1
-        costs, modes_d, mv0_d, mv1_d, dirs_d, imaps_d = \
-            self._var_b_search()(jnp.asarray(yp), r0[0], r1[0])
-        size8 = choose_tree(costs, self.coded_w, self.coded_h,
-                            self.lambda_satd, percu_bits=60.0,
-                            split_bits=2.0)
-        imaps = {k: np.asarray(v) for k, v in imaps_d.items()}
-        mv0s = {k: np.asarray(v) for k, v in mv0_d.items()}
-        mv1s = {k: np.asarray(v) for k, v in mv1_d.items()}
-        dirss = {k: np.asarray(v) for k, v in dirs_d.items()}
-        (vp, sched_size8, inter8, mv0_cells, extras,
-         mode_maps) = self._var_inter_plan(size8, modes_d, imaps,
-                                           mv0s, (mv1s, dirss))
-        mv1_cells, dirs8 = extras
+        with phase("varb.search"):
+            vec = self._var_b_search()(jnp.asarray(yp), r0[0], r1[0])
+            (costs, modes_d, mv0_d, mv1_d, dirs_d,
+             imaps_d) = _unpack_host_tree(vec, self._qt_search_b_spec)
+        with phase("varb.tree"):
+            size8 = choose_tree(costs, self.coded_w, self.coded_h,
+                                self.lambda_satd, percu_bits=60.0,
+                                split_bits=2.0)
+        imaps, mv0s, mv1s, dirss = imaps_d, mv0_d, mv1_d, dirs_d
+        with phase("varb.plan"):
+            (vp, sched_size8, inter8, mv0_cells, extras,
+             mode_maps) = self._var_inter_plan(size8, modes_d, imaps,
+                                               mv0s, (mv1s, dirss))
+            mv1_cells, dirs8 = extras
         # Effective per-list fields (zero for unused lists — the form
         # candidates and the decoder reconstruct).
         emv0 = np.where((dirs8 != 1)[..., None] & inter8[..., None],
                         mv0_cells, 0)
         emv1 = np.where((dirs8 != 0)[..., None] & inter8[..., None],
                         mv1_cells, 0)
-        sched, lv_shapes = self._var_inter_sched(
-            vp, yp, cbp, crp, size8, inter8, emv0)
-        sched["mv1_cells"] = jnp.asarray(emv1)
-        sched["dirs8"] = jnp.asarray(np.where(inter8, dirs8, 0)
-                                     .astype(np.int32))
-        dy, dcb, dcr, lv_flat = self._var_recon_inter_fn(
-            vp.n_steps, True)(sched, r0, r1)
+        with phase("varb.sched"):
+            sched, lv_shapes = self._var_inter_sched(
+                vp, yp, cbp, crp, size8, inter8, emv0)
+            sched["mv1_cells"] = jnp.asarray(emv1)
+            sched["dirs8"] = jnp.asarray(np.where(inter8, dirs8, 0)
+                                         .astype(np.int32))
+        with phase("varb.recon"):
+            dy, dcb, dcr, lv_flat = self._var_recon_inter_fn(
+                vp.n_steps, True)(sched, r0, r1)
+            jax.block_until_ready(dy)
         sao = None
         if self.cfg.sao:
+          with phase("varb.sao"):
             (ry, rcb, rcr), sao_list = self._sao_stage(
                 (yp[None],
                  None if cbp is None else cbp[None],
@@ -1081,15 +1132,19 @@ class PFrameMixin:
             dy = ry[0]
             if self.chroma:
                 dcb, dcr = rcb[0], rcr[0]
-        fd = self._var_frame_data(vp, size8, mode_maps,
-                                  np.asarray(lv_flat), lv_shapes,
-                                  sched_size8=sched_size8)
+        with phase("varb.framedata"):
+            fd = self._var_frame_data(vp, size8, mode_maps,
+                                      np.asarray(lv_flat), lv_shapes,
+                                      sched_size8=sched_size8)
         fd.inter8[:] = inter8.astype(np.uint8)
         fd.mv8[:] = emv0
         fd.mv8_l1[:] = emv1
         fd.dir8[:] = np.where(inter8, dirs8, 0).astype(np.uint8)
-        merge8, mvp8, mvd8, mvp8_l1, mvd8_l1 = self._merge_amvp_var_b(
-            size8, inter8, dirs8, emv0, emv1, poc, (poc0, poc1))
+        with phase("varb.mergeamvp"):
+            merge8, mvp8, mvd8, mvp8_l1, mvd8_l1 = \
+                self._merge_amvp_var_b(
+                    size8, inter8, dirs8, emv0, emv1, poc,
+                    (poc0, poc1))
         fd.merge8[:] = np.clip(merge8, -1, 4).astype(np.int8)
         fd.mvp8[:] = mvp8
         fd.mvd8[:] = mvd8
@@ -1102,10 +1157,12 @@ class PFrameMixin:
             fd.sao_eo[:] = sao["eo"]
             fd.sao_bp[:] = sao["bp"]
             fd.sao_off[:] = sao["off"]
-        rec_y = np.asarray(dy)
-        rec_cb = np.asarray(dcb) if self.chroma else None
-        rec_cr = np.asarray(dcr) if self.chroma else None
-        nal = self._serialize_b(fd, poc, poc - poc0, poc1 - poc)
+        with phase("varb.recon_dl"):
+            rec_y = np.asarray(dy)
+            rec_cb = np.asarray(dcb) if self.chroma else None
+            rec_cr = np.asarray(dcr) if self.chroma else None
+        with phase("varb.serialize"):
+            nal = self._serialize_b(fd, poc, poc - poc0, poc1 - poc)
         if self.cfg.hash in ("md5", "checksum"):
             from kvazaar_tpu.bitstream.headers import \
                 write_picture_hash_sei
@@ -2254,12 +2311,14 @@ class IntraFrameEncoder(PFrameMixin):
             from kvazaar_tpu.encoder.quadtree import search_quadtree
 
             def s(yp):
-                return search_quadtree(
+                outs = search_quadtree(
                     yp, self.coded_w, self.coded_h, self.lambda_satd,
                     self.bitdepth, self.cfg.intra_min_cu,
                     self.cfg.intra_max_cu, self.cfg.rd >= 1,
                     rdo=self.cfg.rd >= 2, qp=self.cfg.qp,
                     lam_rd=qp_to_lambda(self.cfg.qp))
+                vec, self._qt_search_spec = _pack_device_tree(outs)
+                return vec
 
             self._qt_search = tpu_jit(s)
         return self._qt_search
@@ -2277,7 +2336,8 @@ class IntraFrameEncoder(PFrameMixin):
             cbp = pad_to_multiple(np.asarray(cb, np.int32), s // 2)
             crp = pad_to_multiple(np.asarray(cr, np.int32), s // 2)
         from kvazaar_tpu.encoder.quadtree import choose_tree
-        costs_d, modes_d = self._var_search_fn()(jnp.asarray(yp))
+        vec = self._var_search_fn()(jnp.asarray(yp))
+        costs_d, modes_d = _unpack_host_tree(vec, self._qt_search_spec)
         if self.cfg.rd >= 2:
             # rd-2 costs are true SSD + lambda*bits: structural bits
             # charge at the rate lambda with real magnitudes.

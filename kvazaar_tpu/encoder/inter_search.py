@@ -48,7 +48,7 @@ def _mv_pred_grid(mv_grid):
 
 def search_inter_frame(cur, ref, plan: IntraFramePlan, lambda_satd: float,
                        me_range: int, bitdepth: int = 8,
-                       subpel: bool = True):
+                       subpel: bool = True, sads=None):
     """cur/ref: (H, W) int32 (ref is the deblocked prior recon).
 
     Returns (mv (By, Bx, 2) int32 qpel, cost (By, Bx) f32 —
@@ -72,7 +72,8 @@ def search_inter_frame(cur, ref, plan: IntraFramePlan, lambda_satd: float,
     cur_blocks = cur.reshape(by, s, bx, s).transpose(0, 2, 1, 3)
     cur_blocks = cur_blocks.reshape(n, s, s).astype(jnp.int32)
 
-    sads = sad_surfaces(cur, ref, r, s, bitdepth)
+    if sads is None:
+        sads = sad_surfaces(cur, ref, r, s, bitdepth)
     sads = sads.reshape(n, 2 * r + 1, 2 * r + 1)    # (N, Ddy, Ddx)
 
     # Pass 1: pure-SAD integer winner.

@@ -187,12 +187,21 @@ def search_quadtree_p(y, ref_y, width: int, height: int,
     from kvazaar_tpu.encoder.inter_search import search_inter_frame
     from kvazaar_tpu.encoder.intra_search import (modes64_from_satd32,
                                                   search_frame_modes)
+    from kvazaar_tpu.ops.inter import sad_surfaces_multi
     sizes = [s for s in SIZES
              if (intra_rng[0] <= s <= intra_rng[1]
                  or inter_rng[0] <= s <= inter_rng[1])]
     want64 = intra_rng[1] >= 64 or inter_rng[1] >= 64
     costs, modes, mvs, imaps = {}, {}, {}, {}
     icost64 = modes64 = None
+    # One |diff| pass for the whole inter size ladder (SAD pyramid).
+    inter_sizes = [s for s in sizes
+                   if inter_rng[0] <= s <= inter_rng[1]]
+    if inter_rng[1] >= 64 and (width // 64) and (height // 64):
+        inter_sizes = inter_sizes + [64]
+    surfs = (sad_surfaces_multi(y, ref_y, me_range,
+                                tuple(inter_sizes), bitdepth)
+             if inter_sizes else {})
     for s in sizes:
         plan = make_intra_plan(width, height, s, chroma=False)
         if intra_rng[0] <= s <= intra_rng[1]:
@@ -211,7 +220,7 @@ def search_quadtree_p(y, ref_y, width: int, height: int,
         if inter_rng[0] <= s <= inter_rng[1]:
             mv, mc = search_inter_frame(y, ref_y, plan, lambda_satd,
                                         me_range, bitdepth,
-                                        subpel=subpel)
+                                        subpel=subpel, sads=surfs[s])
         else:
             mv = jnp.zeros((height // s, width // s, 2), jnp.int32)
             mc = _inf_grid(width, height, s)
@@ -231,7 +240,7 @@ def search_quadtree_p(y, ref_y, width: int, height: int,
         if inter_rng[1] >= 64:
             mv64, mc64 = search_inter_frame(
                 y[:h64, :w64], ref_y[:h64, :w64], plan64, lambda_satd,
-                me_range, bitdepth, subpel=subpel)
+                me_range, bitdepth, subpel=subpel, sads=surfs[64])
         else:
             mv64 = jnp.zeros((h64 // 64, w64 // 64, 2), jnp.int32)
             mc64 = jnp.full((h64 // 64, w64 // 64), jnp.inf,
@@ -259,19 +268,33 @@ def search_quadtree_b(y, r0_y, r1_y, width: int, height: int,
     from kvazaar_tpu.encoder.intra_search import (modes64_from_satd32,
                                                   satd8_batch,
                                                   search_frame_modes)
-    from kvazaar_tpu.ops.inter import bi_average, mc_luma_hp
+    from kvazaar_tpu.ops.inter import (bi_average, mc_luma_hp,
+                                       sad_surfaces_multi)
     sizes = [s for s in SIZES
              if (intra_rng[0] <= s <= intra_rng[1]
                  or inter_rng[0] <= s <= inter_rng[1])]
     want64 = intra_rng[1] >= 64 or inter_rng[1] >= 64
     out_c, out_m, out_mv0, out_mv1, out_d, out_i = ({}, {}, {}, {},
                                                     {}, {})
+    # One |diff| pass per reference list for the whole size ladder.
+    inter_sizes = [s for s in sizes
+                   if inter_rng[0] <= s <= inter_rng[1]]
+    if inter_rng[1] >= 64 and (width // 64) and (height // 64):
+        inter_sizes = inter_sizes + [64]
+    surfs0 = (sad_surfaces_multi(y, r0_y, me_range,
+                                 tuple(inter_sizes), bitdepth)
+              if inter_sizes else {})
+    surfs1 = (sad_surfaces_multi(y, r1_y, me_range,
+                                 tuple(inter_sizes), bitdepth)
+              if inter_sizes else {})
 
-    def inter_at(cur, r0, r1, plan):
+    def inter_at(cur, r0, r1, plan, sads0=None, sads1=None):
         mv0, c0 = search_inter_frame(cur, r0, plan, lambda_satd,
-                                     me_range, bitdepth, subpel=subpel)
+                                     me_range, bitdepth, subpel=subpel,
+                                     sads=sads0)
         mv1, c1 = search_inter_frame(cur, r1, plan, lambda_satd,
-                                     me_range, bitdepth, subpel=subpel)
+                                     me_range, bitdepth, subpel=subpel,
+                                     sads=sads1)
         s = plan.cu_size
         by, bx = plan.blocks_y, plan.blocks_x
         n = by * bx
@@ -314,7 +337,8 @@ def search_quadtree_b(y, r0_y, r1_y, width: int, height: int,
             m = jnp.zeros((height // s, width // s), jnp.int32)
             ic = _inf_grid(width, height, s)
         if inter_rng[0] <= s <= inter_rng[1]:
-            mv0, mv1, dirs, mc = inter_at(y, r0_y, r1_y, plan)
+            mv0, mv1, dirs, mc = inter_at(y, r0_y, r1_y, plan,
+                                          surfs0[s], surfs1[s])
         else:
             z = jnp.zeros((height // s, width // s, 2), jnp.int32)
             mv0 = mv1 = z
@@ -339,7 +363,7 @@ def search_quadtree_b(y, r0_y, r1_y, width: int, height: int,
         if inter_rng[1] >= 64:
             mv0, mv1, dirs, mc64 = inter_at(
                 y[:h64, :w64], r0_y[:h64, :w64], r1_y[:h64, :w64],
-                plan64)
+                plan64, surfs0[64], surfs1[64])
         else:
             z = jnp.zeros((h64 // 64, w64 // 64, 2), jnp.int32)
             mv0 = mv1 = z

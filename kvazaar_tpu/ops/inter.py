@@ -233,6 +233,61 @@ def sad_surfaces(cur_plane, ref_plane, radius: int, size: int,
     return jnp.transpose(sads, (2, 3, 0, 1))     # (By, Bx, Ddy, Ddx)
 
 
+def sad_surfaces_multi(cur_plane, ref_plane, radius: int, sizes,
+                       bitdepth: int = 8):
+    """Integer-pel SAD surfaces for SEVERAL block sizes in one plane
+    pass.  SAD is additive over sub-blocks, so the surface at the
+    smallest size is computed with the banded-matmul reduction and the
+    larger sizes are 2x2 block-sums of it at the same displacement —
+    the |diff| stage (the dominant cost of sad_surfaces) runs ONCE for
+    the whole size ladder instead of once per size (the reference
+    searches each depth independently, src/search.c:424; sharing the
+    SAD pyramid is the TPU/whole-frame restructuring).
+
+    Returns {size: (H//size, W//size, 2R+1, 2R+1) int32}.  Grids use
+    floor division: a plane not divisible by a larger size yields the
+    aligned-crop grid for that size, with SADs computed against the
+    full plane (real pixels beyond the crop instead of the edge
+    clamp — a search-quality detail, not a conformance one)."""
+    h, w = cur_plane.shape
+    r = radius
+    szs = sorted(set(int(s) for s in sizes))
+    base = szs[0]
+    cur = cur_plane.astype(jnp.int32)
+    pad = jnp.pad(ref_plane.astype(jnp.int32), r, mode="edge")
+    rowm, colm = _block_reduce_mats(h, w, base)
+    rowmj = jnp.asarray(rowm)
+    colmj = jnp.asarray(colm)
+    d_bound = (1 << bitdepth) - 1
+
+    def row_sads(dy):
+        rows = jax.lax.dynamic_slice(pad, (dy, 0), (h, w + 2 * r))
+        sl = jnp.stack([rows[:, k:k + w] for k in range(2 * r + 1)],
+                       axis=0)                   # (2R+1, H, W)
+        d = jnp.abs(sl - cur[None])
+        d = d.astype(jnp.uint8 if bitdepth <= 8 else jnp.int16)
+        colred = einsum_exact("wb,dhw->dhb", colmj, d, d_bound)
+        s_now = einsum_exact("yh,dhb->dyb", rowmj, colred,
+                             base * d_bound)     # (2R+1, By, Bx)
+        outs = []
+        sz_now = base
+        for s in szs:
+            while sz_now < s:
+                by2 = s_now.shape[1] // 2
+                bx2 = s_now.shape[2] // 2
+                s_now = (s_now[:, 0:2 * by2:2, 0:2 * bx2:2]
+                         + s_now[:, 1:2 * by2:2, 0:2 * bx2:2]
+                         + s_now[:, 0:2 * by2:2, 1:2 * bx2:2]
+                         + s_now[:, 1:2 * by2:2, 1:2 * bx2:2])
+                sz_now *= 2
+            outs.append(s_now)
+        return tuple(outs)
+
+    outs = jax.lax.map(row_sads, jnp.arange(2 * r + 1))
+    return {s: jnp.transpose(o, (2, 3, 0, 1))
+            for s, o in zip(szs, outs)}
+
+
 def refine_qpel_dense(cur_blocks, ref_plane, x0s, y0s, mv_int,
                       size: int, bitdepth: int = 8, ridx=None):
     """Dense quarter-pel refinement: SATD of ALL 49 subpel positions in

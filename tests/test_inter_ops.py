@@ -145,3 +145,36 @@ def test_cand_scalar_matches_vectorized():
             assert [tuple(v) for v in vec_m[y, x]] == sm, (y, x)
             sa = amvp_pair_at(inter_map, mv, plan.avail, y, x)
             assert [tuple(v) for v in vec_a[y, x]] == sa, (y, x)
+
+
+@pytest.mark.smoke
+def test_sad_surfaces_multi_matches_per_size():
+    """The pooled SAD pyramid is bit-identical to independent per-size
+    surfaces (SAD is additive over sub-blocks)."""
+    from kvazaar_tpu.ops.inter import sad_surfaces, sad_surfaces_multi
+    rng = np.random.default_rng(7)
+    h, w, r = 128, 192, 8
+    cur = jnp.asarray(rng.integers(0, 256, (h, w), np.int32))
+    ref = jnp.asarray(rng.integers(0, 256, (h, w), np.int32))
+    multi = sad_surfaces_multi(cur, ref, r, (8, 16, 32, 64))
+    for s in (8, 16, 32, 64):
+        single = sad_surfaces(cur, ref, r, s)
+        assert np.array_equal(np.asarray(multi[s]),
+                              np.asarray(single)), s
+
+
+@pytest.mark.smoke
+def test_sad_surfaces_multi_crop_grid():
+    """A plane not divisible by 64 yields the 64-aligned-crop grid."""
+    from kvazaar_tpu.ops.inter import sad_surfaces_multi
+    rng = np.random.default_rng(8)
+    h, w, r = 96, 160, 4      # 32-aligned, not 64-aligned
+    cur = jnp.asarray(rng.integers(0, 256, (h, w), np.int32))
+    ref = jnp.asarray(rng.integers(0, 256, (h, w), np.int32))
+    multi = sad_surfaces_multi(cur, ref, r, (8, 64))
+    assert multi[64].shape == (1, 2, 2 * r + 1, 2 * r + 1)
+    # Interior block (no edge-clamp difference): equals the brute sum
+    # of its 64 8x8 children at the same displacement.
+    s8 = np.asarray(multi[8])
+    agg = s8[:8, :8].sum(axis=(0, 1))
+    assert np.array_equal(np.asarray(multi[64])[0, 0], agg)
