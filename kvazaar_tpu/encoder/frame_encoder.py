@@ -894,108 +894,28 @@ class PFrameMixin:
 
     def _merge_amvp_var(self, size8, inter8, mv8):
         """Decode-order merge/AMVP signalling for variable 2Nx2N inter
-        CUs (cell-granularity candidate rules, 6.4.2/8.5.3.2; z keys at
-        cell granularity linearize any tree)."""
-        from kvazaar_tpu.encoder.inter_cands import (amvp_pair_pu_at,
-                                                     merge_list_pu_at)
-        from kvazaar_tpu.encoder.var_schedule import _enumerate_cus
-        h8, w8 = inter8.shape
-        merge8 = np.full((h8, w8), -1, np.int32)
-        mvp8 = np.zeros((h8, w8), np.uint8)
-        mvd8 = np.zeros((h8, w8, 2), np.int32)
-        for (x0, y0, s) in _enumerate_cus(size8):
-            cy8, cx8 = y0 // 8, x0 // 8
-            if not inter8[cy8, cx8]:
-                continue
-            cells = s // 8
-            mine = (int(mv8[cy8, cx8, 0]), int(mv8[cy8, cx8, 1]))
-            mlist = merge_list_pu_at(inter8, mv8, cy8, cx8, cells,
-                                     cells, 0, 0, 1,
-                                     cu_yx=(cy8, cx8))
-            if mine in mlist:
-                merge8[cy8, cx8] = mlist.index(mine)
-                continue
-            pair = amvp_pair_pu_at(inter8, mv8, cy8, cx8, cells,
-                                   cells, 0, 0, 1, cu_yx=(cy8, cx8))
-            d0 = abs(mine[0] - pair[0][0]) + abs(mine[1] - pair[0][1])
-            d1 = abs(mine[0] - pair[1][0]) + abs(mine[1] - pair[1][1])
-            i = 1 if d1 < d0 else 0
-            mvp8[cy8, cx8] = i
-            mvd8[cy8, cx8] = (mine[0] - pair[i][0],
-                              mine[1] - pair[i][1])
-        return merge8, mvp8, mvd8
+        CUs (cell-granularity candidate rules, 6.4.2/8.5.3.2) —
+        frame-wide vectorized (scalar oracle: merge_amvp_var_scalar,
+        equivalence-tested in tests/test_var_vec.py)."""
+        from kvazaar_tpu.encoder.inter_cands import merge_amvp_var_vec
+        return merge_amvp_var_vec(size8, inter8, mv8)
 
     def _merge_amvp_var_b(self, size8, inter8, dirs8, mv08, mv18,
                           poc, ref_poc):
         """B-slice variant: full-motion merge candidates + per-list
-        AMVP (8.5.3.2.3/.6) at cell granularity."""
-        from kvazaar_tpu.encoder.inter_cands import (
-            amvp_pair_b_pu_at, merge_list_b_pu_at)
-        from kvazaar_tpu.encoder.var_schedule import _enumerate_cus
-        h8, w8 = inter8.shape
-        merge8 = np.full((h8, w8), -1, np.int32)
-        mvp8 = np.zeros((h8, w8), np.uint8)
-        mvd8 = np.zeros((h8, w8, 2), np.int32)
-        mvp8_l1 = np.zeros((h8, w8), np.uint8)
-        mvd8_l1 = np.zeros((h8, w8, 2), np.int32)
-        for (x0, y0, s) in _enumerate_cus(size8):
-            cy8, cx8 = y0 // 8, x0 // 8
-            if not inter8[cy8, cx8]:
-                continue
-            cells = s // 8
-            d = int(dirs8[cy8, cx8])
-            m0 = ((int(mv08[cy8, cx8, 0]), int(mv08[cy8, cx8, 1]))
-                  if d != 1 else (0, 0))
-            m1 = ((int(mv18[cy8, cx8, 0]), int(mv18[cy8, cx8, 1]))
-                  if d != 0 else (0, 0))
-            mine = (d, m0, m1)
-            mlist = merge_list_b_pu_at(inter8, dirs8, mv08, mv18,
-                                       cy8, cx8, cells, ref_poc)
-            if mine in mlist:
-                merge8[cy8, cx8] = mlist.index(mine)
-                continue
-            if d != 1:
-                pair = amvp_pair_b_pu_at(inter8, dirs8, mv08, mv18,
-                                         cy8, cx8, cells, 0, poc,
-                                         ref_poc)
-                d0_ = sum(abs(m0[k] - pair[0][k]) for k in range(2))
-                d1_ = sum(abs(m0[k] - pair[1][k]) for k in range(2))
-                i = 1 if d1_ < d0_ else 0
-                mvp8[cy8, cx8] = i
-                mvd8[cy8, cx8] = (m0[0] - pair[i][0],
-                                  m0[1] - pair[i][1])
-            if d != 0:
-                pair = amvp_pair_b_pu_at(inter8, dirs8, mv08, mv18,
-                                         cy8, cx8, cells, 1, poc,
-                                         ref_poc)
-                d0_ = sum(abs(m1[k] - pair[0][k]) for k in range(2))
-                d1_ = sum(abs(m1[k] - pair[1][k]) for k in range(2))
-                i = 1 if d1_ < d0_ else 0
-                mvp8_l1[cy8, cx8] = i
-                mvd8_l1[cy8, cx8] = (m1[0] - pair[i][0],
-                                     m1[1] - pair[i][1])
-        return merge8, mvp8, mvd8, mvp8_l1, mvd8_l1
+        AMVP (8.5.3.2.3/.6) at cell granularity, vectorized."""
+        from kvazaar_tpu.encoder.inter_cands import \
+            merge_amvp_var_b_vec
+        return merge_amvp_var_b_vec(size8, inter8, dirs8, mv08, mv18,
+                                    poc, ref_poc)
 
     def _var_skip8(self, fd, size8, inter8, merge8):
         """cu_skip_flag per CU: 2Nx2N merge CUs with no coded
-        coefficients in any plane (cell-filled)."""
-        from kvazaar_tpu.encoder.var_schedule import _enumerate_cus
-        h8, w8 = inter8.shape
-        skip8 = np.zeros((h8, w8), np.uint8)
-        for (x0, y0, s) in _enumerate_cus(size8):
-            cy8, cx8 = y0 // 8, x0 // 8
-            if not inter8[cy8, cx8] or merge8[cy8, cx8] < 0:
-                continue
-            cz = not fd.coeff_y[y0:y0 + s, x0:x0 + s].any()
-            if cz and self.chroma:
-                cz = (not fd.coeff_cb[y0 // 2:(y0 + s) // 2,
-                                      x0 // 2:(x0 + s) // 2].any()
-                      and not fd.coeff_cr[y0 // 2:(y0 + s) // 2,
-                                          x0 // 2:(x0 + s) // 2].any())
-            if cz:
-                c = s // 8
-                skip8[cy8:cy8 + c, cx8:cx8 + c] = 1
-        return skip8
+        coefficients in any plane (cell-filled), vectorized."""
+        from kvazaar_tpu.encoder.inter_cands import var_skip8_vec
+        return var_skip8_vec(size8, inter8, merge8, fd.coeff_y,
+                             fd.coeff_cb if self.chroma else None,
+                             fd.coeff_cr if self.chroma else None)
 
     def encode_frame_var_p(self, y, cb=None, cr=None, poc: int = 1,
                            ref_poc: int = 0):

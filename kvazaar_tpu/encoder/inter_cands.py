@@ -730,6 +730,482 @@ def amvp_pair_b_pu_at(inter8, dirs8, mv08, mv18, by8: int, bx8: int,
     return out
 
 
+# ---------------------------------------------------------------------
+# Scalar per-CU reference models of the variable-tree 2Nx2N signalling
+# derivation (the decode-order loops the oracle decoder also follows).
+# The encoder's hot path uses the vectorized forms below; these stay as
+# the equivalence oracle (tests/test_var_vec.py).
+# ---------------------------------------------------------------------
+
+def merge_amvp_var_scalar(size8, inter8, mv8):
+    """Decode-order merge/AMVP signalling for variable 2Nx2N inter
+    CUs (cell-granularity candidate rules, 6.4.2/8.5.3.2; z keys at
+    cell granularity linearize any tree)."""
+    from kvazaar_tpu.encoder.var_schedule import _enumerate_cus
+    h8, w8 = inter8.shape
+    merge8 = np.full((h8, w8), -1, np.int32)
+    mvp8 = np.zeros((h8, w8), np.uint8)
+    mvd8 = np.zeros((h8, w8, 2), np.int32)
+    for (x0, y0, s) in _enumerate_cus(size8):
+        cy8, cx8 = y0 // 8, x0 // 8
+        if not inter8[cy8, cx8]:
+            continue
+        cells = s // 8
+        mine = (int(mv8[cy8, cx8, 0]), int(mv8[cy8, cx8, 1]))
+        mlist = merge_list_pu_at(inter8, mv8, cy8, cx8, cells,
+                                 cells, 0, 0, 1, cu_yx=(cy8, cx8))
+        if mine in mlist:
+            merge8[cy8, cx8] = mlist.index(mine)
+            continue
+        pair = amvp_pair_pu_at(inter8, mv8, cy8, cx8, cells,
+                               cells, 0, 0, 1, cu_yx=(cy8, cx8))
+        d0 = abs(mine[0] - pair[0][0]) + abs(mine[1] - pair[0][1])
+        d1 = abs(mine[0] - pair[1][0]) + abs(mine[1] - pair[1][1])
+        i = 1 if d1 < d0 else 0
+        mvp8[cy8, cx8] = i
+        mvd8[cy8, cx8] = (mine[0] - pair[i][0],
+                          mine[1] - pair[i][1])
+    return merge8, mvp8, mvd8
+
+
+def merge_amvp_var_b_scalar(size8, inter8, dirs8, mv08, mv18,
+                            poc, ref_poc):
+    """B-slice variant: full-motion merge candidates + per-list
+    AMVP (8.5.3.2.3/.6) at cell granularity."""
+    from kvazaar_tpu.encoder.var_schedule import _enumerate_cus
+    h8, w8 = inter8.shape
+    merge8 = np.full((h8, w8), -1, np.int32)
+    mvp8 = np.zeros((h8, w8), np.uint8)
+    mvd8 = np.zeros((h8, w8, 2), np.int32)
+    mvp8_l1 = np.zeros((h8, w8), np.uint8)
+    mvd8_l1 = np.zeros((h8, w8, 2), np.int32)
+    for (x0, y0, s) in _enumerate_cus(size8):
+        cy8, cx8 = y0 // 8, x0 // 8
+        if not inter8[cy8, cx8]:
+            continue
+        cells = s // 8
+        d = int(dirs8[cy8, cx8])
+        m0 = ((int(mv08[cy8, cx8, 0]), int(mv08[cy8, cx8, 1]))
+              if d != 1 else (0, 0))
+        m1 = ((int(mv18[cy8, cx8, 0]), int(mv18[cy8, cx8, 1]))
+              if d != 0 else (0, 0))
+        mine = (d, m0, m1)
+        mlist = merge_list_b_pu_at(inter8, dirs8, mv08, mv18,
+                                   cy8, cx8, cells, ref_poc)
+        if mine in mlist:
+            merge8[cy8, cx8] = mlist.index(mine)
+            continue
+        if d != 1:
+            pair = amvp_pair_b_pu_at(inter8, dirs8, mv08, mv18,
+                                     cy8, cx8, cells, 0, poc,
+                                     ref_poc)
+            d0_ = sum(abs(m0[k] - pair[0][k]) for k in range(2))
+            d1_ = sum(abs(m0[k] - pair[1][k]) for k in range(2))
+            i = 1 if d1_ < d0_ else 0
+            mvp8[cy8, cx8] = i
+            mvd8[cy8, cx8] = (m0[0] - pair[i][0],
+                              m0[1] - pair[i][1])
+        if d != 0:
+            pair = amvp_pair_b_pu_at(inter8, dirs8, mv08, mv18,
+                                     cy8, cx8, cells, 1, poc,
+                                     ref_poc)
+            d0_ = sum(abs(m1[k] - pair[0][k]) for k in range(2))
+            d1_ = sum(abs(m1[k] - pair[1][k]) for k in range(2))
+            i = 1 if d1_ < d0_ else 0
+            mvp8_l1[cy8, cx8] = i
+            mvd8_l1[cy8, cx8] = (m1[0] - pair[i][0],
+                                 m1[1] - pair[i][1])
+    return merge8, mvp8, mvd8, mvp8_l1, mvd8_l1
+
+
+def var_skip8_scalar(size8, inter8, merge8, coeff_y, coeff_cb=None,
+                     coeff_cr=None):
+    """cu_skip_flag per CU: 2Nx2N merge CUs with no coded
+    coefficients in any plane (cell-filled)."""
+    from kvazaar_tpu.encoder.var_schedule import _enumerate_cus
+    h8, w8 = inter8.shape
+    skip8 = np.zeros((h8, w8), np.uint8)
+    for (x0, y0, s) in _enumerate_cus(size8):
+        cy8, cx8 = y0 // 8, x0 // 8
+        if not inter8[cy8, cx8] or merge8[cy8, cx8] < 0:
+            continue
+        cz = not coeff_y[y0:y0 + s, x0:x0 + s].any()
+        if cz and coeff_cb is not None:
+            cz = (not coeff_cb[y0 // 2:(y0 + s) // 2,
+                               x0 // 2:(x0 + s) // 2].any()
+                  and not coeff_cr[y0 // 2:(y0 + s) // 2,
+                                   x0 // 2:(x0 + s) // 2].any())
+        if cz:
+            c = s // 8
+            skip8[cy8:cy8 + c, cx8:cx8 + c] = 1
+    return skip8
+
+
+# ---------------------------------------------------------------------
+# Vectorized (frame-wide numpy) forms of the variable-tree 2Nx2N
+# signalling derivation — bit-identical to the scalar loops above
+# (tested in tests/test_var_vec.py), but one array pass per frame
+# instead of thousands of per-CU Python iterations (the host planning
+# stage sits on the encode critical path).
+# ---------------------------------------------------------------------
+
+def zkey_grid(h8: int, w8: int) -> np.ndarray:
+    """Cell-granularity decode-order key: CTU raster index * 64 +
+    Morton z within the CTU.  Strictly increasing in decode order, and
+    Z[cell] < Z[cu_origin] exactly when the cell's CU is decoded before
+    the CU at that origin (matches _cu_decode_key lexicographic
+    tuples)."""
+    y = np.arange(h8, dtype=np.int64)[:, None]
+    x = np.arange(w8, dtype=np.int64)[None, :]
+    ctu = (y // 8) * ((w8 + 7) // 8) + (x // 8)
+    zy, zx = y % 8, x % 8
+    z = np.zeros((h8, w8), np.int64)
+    for b in range(3):
+        z |= ((zx >> b) & 1) << (2 * b)
+        z |= ((zy >> b) & 1) << (2 * b + 1)
+    return ctu * 64 + z
+
+
+def var_origin_maps(size8: np.ndarray):
+    """(oy, ox): per-cell origin coordinates of the CU covering it
+    (size8 is cell-filled, CUs are size-aligned)."""
+    h8, w8 = size8.shape
+    cm = size8.astype(np.int64) // 8
+    y = np.arange(h8, dtype=np.int64)[:, None]
+    x = np.arange(w8, dtype=np.int64)[None, :]
+    return (y // cm) * cm, (x // cm) * cm
+
+
+def _var_cu_arrays(size8: np.ndarray, inter8: np.ndarray):
+    """Arrays (cy, cx, cells) of the inter CU origins of a var tree."""
+    h8, w8 = size8.shape
+    cm = size8.astype(np.int64) // 8
+    y = np.arange(h8, dtype=np.int64)[:, None]
+    x = np.arange(w8, dtype=np.int64)[None, :]
+    sel = ((y % cm) == 0) & ((x % cm) == 0) & (inter8 != 0)
+    cy, cx = np.nonzero(sel)
+    return cy.astype(np.int64), cx.astype(np.int64), cm[cy, cx]
+
+
+def _nbr_field(Z, key, inter8, ny, nx, *fields):
+    """Vectorized neighbor fetch at cell (ny, nx) per CU: ok mask +
+    each requested field's values (zero-filled where not ok)."""
+    h8, w8 = inter8.shape
+    inb = (ny >= 0) & (nx >= 0) & (ny < h8) & (nx < w8)
+    nyc = np.clip(ny, 0, h8 - 1)
+    nxc = np.clip(nx, 0, w8 - 1)
+    ok = inb & (Z[nyc, nxc] < key) & (inter8[nyc, nxc] != 0)
+    out = []
+    for f in fields:
+        v = f[nyc, nxc].astype(np.int64)
+        v[~ok] = 0
+        out.append(v)
+    return (ok,) + tuple(out)
+
+
+def _neq2(a, b):
+    return (a != b).any(axis=-1)
+
+
+def merge_amvp_var_vec(size8: np.ndarray, inter8: np.ndarray,
+                       mv8: np.ndarray):
+    """Vectorized P-slice variable-tree merge/AMVP signalling:
+    per-CU equivalent of merge_list_pu_at + amvp_pair_pu_at at cell
+    granularity (cu_cells=1, cu_yx=origin).  Returns (merge8, mvp8,
+    mvd8) shaped like the frame cell grid."""
+    h8, w8 = inter8.shape
+    merge8 = np.full((h8, w8), -1, np.int32)
+    mvp8 = np.zeros((h8, w8), np.uint8)
+    mvd8 = np.zeros((h8, w8, 2), np.int32)
+    cy, cx, cells = _var_cu_arrays(size8, inter8)
+    n = cy.size
+    if n == 0:
+        return merge8, mvp8, mvd8
+    Z = zkey_grid(h8, w8)
+    key = Z[cy, cx]
+    mine = mv8[cy, cx].astype(np.int64)
+
+    def nbr(dy, dx):
+        return _nbr_field(Z, key, inter8, cy + dy, cx + dx, mv8)
+
+    a1ok, a1 = nbr(cells - 1, -1)
+    b1ok, b1 = nbr(-1, cells - 1)
+    b0ok, b0 = nbr(-1, cells)
+    a0ok, a0 = nbr(cells, -1)
+    b2ok, b2 = nbr(-1, -1)
+
+    use = np.zeros((n, 5), bool)
+    use[:, 0] = a1ok
+    use[:, 1] = b1ok & (~a1ok | _neq2(b1, a1))
+    use[:, 2] = b0ok & (~b1ok | _neq2(b0, b1))
+    use[:, 3] = a0ok & (~a1ok | _neq2(a0, a1))
+    n4 = use[:, :4].sum(axis=1)
+    use[:, 4] = (b2ok & (n4 < 4) & (~a1ok | _neq2(b2, a1))
+                 & (~b1ok | _neq2(b2, b1)))
+
+    cands = np.zeros((n, MAX_MERGE_CANDS, 2), np.int64)
+    src = np.stack([a1, b1, b0, a0, b2], axis=1)
+    slot = np.zeros(n, np.int64)
+    for k in range(5):
+        u = use[:, k]
+        idx = np.nonzero(u)[0]
+        cands[idx, slot[idx]] = src[idx, k]
+        slot[idx] += 1
+
+    midx = np.full(n, -1, np.int64)
+    for k in range(MAX_MERGE_CANDS - 1, -1, -1):
+        eq = (cands[:, k] == mine).all(axis=1)
+        midx = np.where(eq, k, midx)
+    merged = midx >= 0
+
+    # AMVP for the rest: A = below-left else left; B = above-right
+    # else above else above-left; slot1 only when both and different.
+    aok = a0ok | a1ok
+    a = np.where(a0ok[:, None], a0, a1)
+    bok = b0ok | b1ok | b2ok
+    b = np.where(b0ok[:, None], b0, np.where(b1ok[:, None], b1, b2))
+    p0 = np.where(aok[:, None], a, np.where(bok[:, None], b, 0))
+    second = aok & bok & _neq2(b, a)
+    p1 = np.where(second[:, None], b, 0)
+    d0 = np.abs(mine - p0).sum(axis=1)
+    d1 = np.abs(mine - p1).sum(axis=1)
+    pick1 = d1 < d0
+    pick = np.where(pick1[:, None], p1, p0)
+
+    merge8[cy[merged], cx[merged]] = midx[merged]
+    um = ~merged
+    mvp8[cy[um], cx[um]] = pick1[um].astype(np.uint8)
+    mvd8[cy[um], cx[um]] = (mine - pick)[um].astype(np.int32)
+    return merge8, mvp8, mvd8
+
+
+def _mv_scale_vec(v: np.ndarray, tb: int, td: int) -> np.ndarray:
+    """_mv_scale over (n, 2) arrays with scalar POC distances."""
+    td = max(-128, min(127, td))
+    tb = max(-128, min(127, tb))
+    q = 16384 + (abs(td) >> 1)
+    tx = (q // abs(td)) * (1 if td > 0 else -1)
+    dsf = max(-4096, min(4095, (tb * tx + 32) >> 6))
+    p = dsf * v
+    s = np.where(p >= 0, 1, -1)
+    return np.clip(s * ((np.abs(p) + 127) >> 8), -32768, 32767)
+
+
+def merge_amvp_var_b_vec(size8, inter8, dirs8, mv08, mv18, poc: int,
+                         ref_poc: tuple):
+    """Vectorized B-slice variable-tree merge/AMVP signalling:
+    per-CU equivalent of merge_list_b_pu_at + amvp_pair_b_pu_at.
+    dirs8/mv08/mv18 are the effective (unused-list-zeroed) fields.
+    Returns (merge8, mvp8, mvd8, mvp8_l1, mvd8_l1)."""
+    h8, w8 = inter8.shape
+    merge8 = np.full((h8, w8), -1, np.int32)
+    mvp8 = np.zeros((h8, w8), np.uint8)
+    mvd8 = np.zeros((h8, w8, 2), np.int32)
+    mvp8_l1 = np.zeros((h8, w8), np.uint8)
+    mvd8_l1 = np.zeros((h8, w8, 2), np.int32)
+    cy, cx, cells = _var_cu_arrays(size8, inter8)
+    n = cy.size
+    if n == 0:
+        return merge8, mvp8, mvd8, mvp8_l1, mvd8_l1
+    Z = zkey_grid(h8, w8)
+    key = Z[cy, cx]
+    md = dirs8[cy, cx].astype(np.int64)
+    mm0 = np.where((md != 1)[:, None], mv08[cy, cx].astype(np.int64), 0)
+    mm1 = np.where((md != 0)[:, None], mv18[cy, cx].astype(np.int64), 0)
+
+    def nbr(dy, dx):
+        ok, d, m0, m1 = _nbr_field(Z, key, inter8, cy + dy, cx + dx,
+                                   dirs8, mv08, mv18)
+        m0 = np.where((d != 1)[:, None], m0, 0)
+        m1 = np.where((d != 0)[:, None], m1, 0)
+        return ok, d, m0, m1
+
+    POS = {"a1": (cells - 1, -1), "b1": (-1, cells - 1),
+           "b0": (-1, cells), "a0": (cells, -1), "b2": (-1, -1)}
+    nb = {k: nbr(dy, dx) for k, (dy, dx) in POS.items()}
+
+    def neq(p, q):
+        okp, dp, p0, p1 = nb[p]
+        okq, dq, q0, q1 = nb[q]
+        return (~okq | (dp != dq) | _neq2(p0, q0) | _neq2(p1, q1))
+
+    use = np.zeros((n, 5), bool)
+    use[:, 0] = nb["a1"][0]
+    use[:, 1] = nb["b1"][0] & neq("b1", "a1")
+    use[:, 2] = nb["b0"][0] & neq("b0", "b1")
+    use[:, 3] = nb["a0"][0] & neq("a0", "a1")
+    n4 = use[:, :4].sum(axis=1)
+    use[:, 4] = (nb["b2"][0] & (n4 < 4) & neq("b2", "a1")
+                 & neq("b2", "b1"))
+
+    cd = np.full((n, MAX_MERGE_CANDS), 2, np.int64)
+    c0 = np.zeros((n, MAX_MERGE_CANDS, 2), np.int64)
+    c1 = np.zeros((n, MAX_MERGE_CANDS, 2), np.int64)
+    order = ["a1", "b1", "b0", "a0", "b2"]
+    slot = np.zeros(n, np.int64)
+    for k, name in enumerate(order):
+        u = use[:, k]
+        idx = np.nonzero(u)[0]
+        _ok, d, m0, m1 = nb[name]
+        cd[idx, slot[idx]] = d[idx]
+        c0[idx, slot[idx]] = m0[idx]
+        c1[idx, slot[idx]] = m1[idx]
+        slot[idx] += 1
+    ns = slot.copy()
+
+    # Combined bi-predictive candidates (Table 8-8); i0/i1 < ns always
+    # holds within the _COMB_ORDER[:ns*(ns-1)] prefix.
+    refs_differ = ref_poc[0] != ref_poc[1]
+    for t, (i0, i1) in enumerate(_COMB_ORDER):
+        can = (t < ns * (ns - 1)) & (slot < MAX_MERGE_CANDS)
+        if not can.any():
+            continue
+        d0 = cd[:, i0]
+        d1 = cd[:, i1]
+        valid = (can & (d0 != 1) & (d1 != 0)
+                 & (refs_differ | _neq2(c0[:, i0], c1[:, i1])))
+        idx = np.nonzero(valid)[0]
+        cd[idx, slot[idx]] = 2
+        c0[idx, slot[idx]] = c0[idx, i0]
+        c1[idx, slot[idx]] = c1[idx, i1]
+        slot[idx] += 1
+    # Zero-fill is the (2, 0, 0) initialization; but slots written by
+    # spatial candidates below `slot` are final either way.
+
+    midx = np.full(n, -1, np.int64)
+    for k in range(MAX_MERGE_CANDS - 1, -1, -1):
+        eq = ((cd[:, k] == md) & (c0[:, k] == mm0).all(axis=1)
+              & (c1[:, k] == mm1).all(axis=1))
+        midx = np.where(eq, k, midx)
+    merged = midx >= 0
+    merge8[cy[merged], cx[merged]] = midx[merged]
+
+    def amvp_list(lst: int):
+        """(pair0, pair1, ok-pattern) per CU for target list lst —
+        amvp_pair_b_pu_at vectorized."""
+        tgt_poc = ref_poc[lst]
+        mvs_all = (mv08, mv18)
+
+        def uses(name, lidx):
+            ok, d, _m0, _m1 = nb[name]
+            return ok & ((d == 2) | (d == lidx))
+
+        def raw(name, lidx):
+            dy, dx = POS[name]
+            ny = np.clip(cy + dy, 0, h8 - 1)
+            nx = np.clip(cx + dx, 0, w8 - 1)
+            return mvs_all[lidx][ny, nx].astype(np.int64)
+
+        a_names = ("a0", "a1")
+        b_names = ("b0b", "b1b", "b2")
+        # AMVP B-position names differ from merge: above-right, above,
+        # above-left = b0, b1, b2 in merge naming.
+        bmap = {"b0b": "b0", "b1b": "b1", "b2": "b2"}
+
+        def first_same_ref(names):
+            val = np.zeros((n, 2), np.int64)
+            found = np.zeros(n, bool)
+            for nm in names:
+                mm = bmap.get(nm, nm)
+                for lidx in (lst, 1 - lst):
+                    if ref_poc[lidx] != tgt_poc:
+                        continue
+                    v = uses(mm, lidx) & ~found
+                    val[v] = raw(mm, lidx)[v]
+                    found |= uses(mm, lidx)
+            return val, found
+
+        def first_scaled(names):
+            val = np.zeros((n, 2), np.int64)
+            found = np.zeros(n, bool)
+            for nm in names:
+                mm = bmap.get(nm, nm)
+                for lidx in (lst, 1 - lst):
+                    td = poc - ref_poc[lidx]
+                    tb = poc - tgt_poc
+                    if td == 0:
+                        continue
+                    r = raw(mm, lidx)
+                    sv = r if td == tb else _mv_scale_vec(r, tb, td)
+                    v = uses(mm, lidx) & ~found
+                    val[v] = sv[v]
+                    found |= uses(mm, lidx)
+            return val, found
+
+        a_present = nb["a0"][0] | nb["a1"][0]
+        a_val, a_found = first_same_ref(a_names)
+        as_val, as_found = first_scaled(a_names)
+        a_ok = a_found | (~a_found & a_present & as_found)
+        a_val = np.where(a_found[:, None], a_val, as_val)
+        b_val, b_found = first_same_ref(b_names)
+        bs_val, bs_found = first_scaled(b_names)
+        # isScaledFlag == 0 (no A-side PU): B takes A's slot, B is
+        # re-derived with scaling, dropped if equal to the new A.
+        npres = ~a_present
+        b_eq_bs = b_found & bs_found & ~_neq2(bs_val, b_val)
+        a_ok2 = np.where(npres, b_found, a_ok)
+        a_val2 = np.where(npres[:, None], b_val, a_val)
+        b_ok2 = np.where(npres, bs_found & ~b_eq_bs, b_found)
+        b_val2 = np.where(npres[:, None], bs_val, b_val)
+        p0 = np.where(a_ok2[:, None], a_val2,
+                      np.where(b_ok2[:, None], b_val2, 0))
+        second = a_ok2 & b_ok2 & _neq2(b_val2, a_val2)
+        p1 = np.where(second[:, None], b_val2, 0)
+        return p0, p1
+
+    um = ~merged
+    for lst, (mp8, md8, mmv) in ((0, (mvp8, mvd8, mm0)),
+                                 (1, (mvp8_l1, mvd8_l1, mm1))):
+        use_l = um & ((md != 1) if lst == 0 else (md != 0))
+        if not use_l.any():
+            continue
+        p0, p1 = amvp_list(lst)
+        d0 = np.abs(mmv - p0).sum(axis=1)
+        d1 = np.abs(mmv - p1).sum(axis=1)
+        pick1 = d1 < d0
+        pick = np.where(pick1[:, None], p1, p0)
+        sel = use_l
+        mp8[cy[sel], cx[sel]] = pick1[sel].astype(np.uint8)
+        md8[cy[sel], cx[sel]] = (mmv - pick)[sel].astype(np.int32)
+    return merge8, mvp8, mvd8, mvp8_l1, mvd8_l1
+
+
+def _integral(a: np.ndarray) -> np.ndarray:
+    out = np.zeros((a.shape[0] + 1, a.shape[1] + 1), np.int64)
+    np.cumsum(np.cumsum(a, 0, dtype=np.int64), 1, out=out[1:, 1:])
+    return out
+
+
+def var_skip8_vec(size8, inter8, merge8, coeff_y, coeff_cb=None,
+                  coeff_cr=None):
+    """Vectorized cu_skip_flag: 2Nx2N merge CUs whose coefficient
+    rects are all-zero in every plane (integral-image rect sums,
+    cell-filled via the origin gather)."""
+    h8, w8 = size8.shape
+    cy, cx, cells = _var_cu_arrays(size8, inter8)
+    if cy.size == 0:
+        return np.zeros((h8, w8), np.uint8)
+    cand = merge8[cy, cx] >= 0
+    Iy = _integral(np.asarray(coeff_y) != 0)
+
+    def rect_nz(I, y0, x0, s):
+        return (I[y0 + s, x0 + s] - I[y0, x0 + s] - I[y0 + s, x0]
+                + I[y0, x0])
+
+    y0, x0, s = cy * 8, cx * 8, cells * 8
+    zero = rect_nz(Iy, y0, x0, s) == 0
+    if coeff_cb is not None:
+        Icb = _integral(np.asarray(coeff_cb) != 0)
+        Icr = _integral(np.asarray(coeff_cr) != 0)
+        yc, xc, sc = cy * 4, cx * 4, cells * 4
+        zero &= (rect_nz(Icb, yc, xc, sc) == 0)
+        zero &= (rect_nz(Icr, yc, xc, sc) == 0)
+    q = np.zeros((h8, w8), bool)
+    q[cy, cx] = cand & zero
+    oy, ox = var_origin_maps(size8)
+    return q[oy, ox].astype(np.uint8)
+
+
 def pu_cell_rects(by8: int, bx8: int, cells: int, part: int):
     """PU rectangles in 8-cells (y, x, h, w), decode order, for a CU
     at (by8, bx8).  part: HEVC PartMode (0, 1=2NxN, 2=Nx2N,
