@@ -33,14 +33,18 @@ class FrameInfo:
 
 
 # Hierarchical GOP coding structures (the reference builds these in
-# kvz_config: --gop 8 B-pyramid, src/cfg.c:382 + layer lambdas
-# src/encoder.c:748).  Entries in CODING order:
-# (poc_offset from the previous anchor, L0 distance back, L1 distance
-# forward or None for the P anchor).
+# kvz_config: --gop 8 B-pyramid with per-position qp_offset/layer/
+# qp_factor, src/cfg.c:908-950 + layer lambdas src/encoder.c:748).
+# Entries in CODING order: (poc_offset from the previous anchor,
+# L0 distance back, L1 distance forward or None for the P anchor,
+# qp_offset, qp_factor).  The gop-4 pyramid is our extension (the
+# reference CLI accepts only 0/8/lp-*) with a 3-layer offset ladder.
 GOP_TABLES = {
-    4: [(4, 4, None), (2, 2, 2), (1, 1, 1), (3, 1, 1)],
-    8: [(8, 8, None), (4, 4, 4), (2, 2, 2), (1, 1, 1), (3, 1, 1),
-        (6, 2, 2), (5, 1, 1), (7, 1, 1)],
+    4: [(4, 4, None, 1, 0.442), (2, 2, 2, 2, 0.3536),
+        (1, 1, 1, 3, 0.68), (3, 1, 1, 3, 0.68)],
+    8: [(8, 8, None, 1, 0.442), (4, 4, 4, 2, 0.3536),
+        (2, 2, 2, 3, 0.3536), (1, 1, 1, 4, 0.68), (3, 1, 1, 4, 0.68),
+        (6, 2, 2, 3, 0.3536), (5, 1, 1, 4, 0.68), (7, 1, 1, 4, 0.68)],
 }
 
 
@@ -228,24 +232,45 @@ class Encoder:
                 out.append(self._emit(res, poc, self._pending[i],
                                       qp=ife.cfg.qp))
         else:
-            for (off, l0, l1) in GOP_TABLES[self._gop]:
+            for (off, l0, l1, qp_off, qp_fac) in GOP_TABLES[self._gop]:
                 poc = base + off
                 src = self._pending[off - 1]
                 ife, lam = self._rc_enc(False)
+                # Per-layer QP offsets + qp_factor lambdas (reference
+                # GOP-8 table, src/cfg.c:908-950).  The var path takes
+                # the frame QP as traced data (one compiled program
+                # serves all layers); fixed grids / scaling lists fall
+                # back to a per-QP compiled instance; RC sets its own
+                # frame QP and skips the structural offset.
+                frame_qp = None
+                fac = qp_fac
+                if lam is None and qp_off:
+                    want_qp = min(max(self.cfg.qp + qp_off, 0), 51)
+                    if (ife._var_inter_active
+                            and ife.scaling is None):
+                        frame_qp = want_qp
+                    else:
+                        ife = self._encoder_for_qp(want_qp)
                 if l1 is None:
                     ife._dpb = self._dpb_map[poc - l0]
                     res = ife.encode_p_frame(*src, poc=poc,
-                                             ref_poc=poc - l0)
+                                             ref_poc=poc - l0,
+                                             qp=frame_qp,
+                                             qp_factor=fac)
                     self._dpb_map[poc] = ife._dpb
                 else:
                     res, recs = ife.encode_b_frame(
                         *src, poc=poc,
                         ref0=(poc - l0, self._dpb_map[poc - l0]),
-                        ref1=(poc + l1, self._dpb_map[poc + l1]))
+                        ref1=(poc + l1, self._dpb_map[poc + l1]),
+                        qp=frame_qp, qp_factor=fac)
                     self._dpb_map[poc] = recs
                 if lam is not None:
                     self._rc.update(len(res.nals) * 8, lam)
-                out.append(self._emit(res, poc, src, qp=ife.cfg.qp))
+                out.append(self._emit(
+                    res, poc, src,
+                    qp=frame_qp if frame_qp is not None
+                    else ife.cfg.qp))
             self._base_poc = base + self._gop
             # Keep only the refs the next GOP can use.
             self._dpb_map = {p: v for p, v in self._dpb_map.items()

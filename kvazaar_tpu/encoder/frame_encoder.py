@@ -55,6 +55,32 @@ def qp_to_lambda(qp: int) -> float:
     return 0.57 * 2.0 ** ((qp - 12) / 3.0)
 
 
+def frame_lambda(qp: int, slice_type: int, gop_len: int = 0,
+                 intra_period: int = 0, qp_factor=None,
+                 keyframe: bool = False) -> float:
+    """Per-picture lambda — the reference's qp_to_lamba
+    (src/rate_control.c:176-207): 2^((qp-12)/3) scaled by the slice
+    kind (I: 0.57 with a refs-count reduction; GOP pictures: the gop
+    entry's qp_factor; plain P: 0.4624), then the non-keyframe boost
+    clip(2, 4, (qp-12)/6)."""
+    from kvazaar_tpu.constants import SLICE_I
+    period = gop_len if gop_len > 0 else intra_period
+    lam = 2.0 ** ((qp - 12) / 3.0)
+    if slice_type == SLICE_I:
+        lam *= 0.57
+        if period == 0:
+            lam *= 0.5
+        else:
+            lam *= 1.0 - min(max(0.05 * (period - 1), 0.0), 0.5)
+    elif gop_len > 0 and qp_factor is not None:
+        lam *= qp_factor
+    else:
+        lam *= 0.4624
+    if period > 0 and not keyframe:
+        lam *= min(max((qp - 12) / 6.0, 2.0), 4.0)
+    return lam
+
+
 def _pack_device_tree(tree):
     """ONE-download packing of a pytree of device arrays: flatten into
     a single int32 vector (f32 leaves bitcast, bool/narrow leaves
@@ -715,12 +741,15 @@ class PFrameMixin:
         return res, recs
 
     def encode_p_frame(self, y, cb=None, cr=None, poc: int = 1,
-                       ref_poc: int = 0, qp_ctu=None):
+                       ref_poc: int = 0, qp_ctu=None, qp=None,
+                       qp_factor=None):
         """Plain IPPP P frame against the DPB via the fused path.
-        qp_ctu: optional (Cy, Cx) per-CTU QP (LCU rate control)."""
+        qp_ctu: optional (Cy, Cx) per-CTU QP (LCU rate control);
+        qp/qp_factor: per-layer GOP QP + lambda factor (var path)."""
         if self._var_inter_active and qp_ctu is None:
             return self.encode_frame_var_p(y, cb, cr, poc=poc,
-                                           ref_poc=ref_poc)
+                                           ref_poc=ref_poc, qp=qp,
+                                           qp_factor=qp_factor)
         handle = self.submit_p(y, cb, cr, [(ref_poc, self._dpb)],
                                qp_ctu=qp_ctu)
         res, recs = self.finalize_p_downloaded(
@@ -759,10 +788,10 @@ class PFrameMixin:
             from kvazaar_tpu.encoder.quadtree import search_quadtree_p
             intra_rng, inter_rng = self._var_rngs()
 
-            def s(yp, ref_y):
+            def s(yp, ref_y, lam_satd):
                 outs = search_quadtree_p(
                     yp, ref_y.astype(jnp.int32), self.coded_w,
-                    self.coded_h, self.lambda_satd, self.cfg.me_range,
+                    self.coded_h, lam_satd, self.cfg.me_range,
                     self.bitdepth, intra_rng, inter_rng,
                     self.cfg.rd >= 1, subpel=self.cfg.me_subpel)
                 vec, self._qt_search_p_spec = _pack_device_tree(outs)
@@ -776,10 +805,10 @@ class PFrameMixin:
             from kvazaar_tpu.encoder.quadtree import search_quadtree_b
             intra_rng, inter_rng = self._var_rngs()
 
-            def s(yp, r0, r1):
+            def s(yp, r0, r1, lam_satd):
                 outs = search_quadtree_b(
                     yp, r0.astype(jnp.int32), r1.astype(jnp.int32),
-                    self.coded_w, self.coded_h, self.lambda_satd,
+                    self.coded_w, self.coded_h, lam_satd,
                     self.cfg.me_range, self.bitdepth, intra_rng,
                     inter_rng, self.cfg.rd >= 1,
                     subpel=self.cfg.me_subpel,
@@ -817,11 +846,30 @@ class PFrameMixin:
                     None if ref0[2] is None else
                     ref0[2].astype(jnp.int32),
                     sched["mv_cells"], self.bitdepth)
+            # Frame QP / lambda ride the schedule as traced data: one
+            # compiled program serves every GOP layer QP and every
+            # rate-control QP (the reference re-inits per frame,
+            # kvz_set_picture_lambda_and_qp src/rate_control.c:213;
+            # here recompiling per QP would cost minutes).  Scaling
+            # lists keep host-baked qp%6 tables -> constants.
+            if self.scaling is None and "qp" in sched:
+                from kvazaar_tpu.constants import CHROMA_QP_TAB
+                qp = sched["qp"]
+                qp_c = jnp.take(
+                    jnp.asarray(np.asarray(CHROMA_QP_TAB, np.int32)),
+                    jnp.clip(qp, 0, 51))
+                lam = sched["lam"]
+                qp_map = jnp.full((self.coded_h // 8,
+                                   self.coded_w // 8), qp, jnp.int32)
+            else:
+                qp, qp_c = self.cfg.qp, self.qp_c
+                lam = qp_to_lambda(self.cfg.qp)
+                qp_map = None
             rec_y, rec_cb, rec_cr, levels, cbf8 = reconstruct_frame_var(
-                sched, self.cfg.qp, self.qp_c, self.coded_w,
+                sched, qp, qp_c, self.coded_w,
                 self.coded_h, self.chroma, self.bitdepth,
                 self.cfg.lossless, self.cfg.signhide,
-                rdoq=self.cfg.rdoq, lam=qp_to_lambda(self.cfg.qp),
+                rdoq=self.cfg.rdoq, lam=lam,
                 scaling=self.scaling, mc_planes=mc)
             if self.cfg.deblock:
                 bs_v, bs_h = var_bs_maps(
@@ -831,7 +879,8 @@ class PFrameMixin:
                     dirs8=sched.get("dirs8") if bi else None)
                 dy, dcb, dcr = deblock_frame(
                     rec_y, rec_cb, rec_cr, self.cfg.qp, 8,
-                    self.bitdepth, bs_v=bs_v, bs_h=bs_h)
+                    self.bitdepth, bs_v=bs_v, bs_h=bs_h,
+                    qp_map=qp_map)
             else:
                 dy, dcb, dcr = rec_y, rec_cb, rec_cr
             rdt = jnp.uint8 if self.bitdepth <= 8 else jnp.uint16
@@ -917,13 +966,36 @@ class PFrameMixin:
                              fd.coeff_cb if self.chroma else None,
                              fd.coeff_cr if self.chroma else None)
 
+    def _var_frame_qp_lam(self, qp, qp_factor, slice_type):
+        """(frame_qp, lam_rd, lam_satd) for a var P/B frame.  Default
+        (no override) keeps the instance's baked lambda; a GOP layer
+        override applies the reference's per-picture lambda model
+        (qp_to_lamba, src/rate_control.c:176)."""
+        if qp is None and qp_factor is None:
+            return self.cfg.qp, qp_to_lambda(self.cfg.qp), \
+                self.lambda_satd
+        frame_qp = self.cfg.qp if qp is None else int(qp)
+        if self.scaling is not None and frame_qp != self.cfg.qp:
+            # Scaling-list quant tables are host-baked per QP: layer
+            # QP overrides need a per-QP instance (api falls back).
+            raise ValueError("per-frame qp override requires "
+                             "scaling=None")
+        lam = frame_lambda(frame_qp, slice_type,
+                           gop_len=self.cfg.gop_len,
+                           intra_period=self.cfg.intra_period,
+                           qp_factor=qp_factor, keyframe=False)
+        return frame_qp, lam, math.sqrt(lam)
+
     def encode_frame_var_p(self, y, cb=None, cr=None, poc: int = 1,
-                           ref_poc: int = 0):
+                           ref_poc: int = 0, qp=None, qp_factor=None):
         """Variable-quadtree P frame: per-size dense ME + intra search,
         bottom-up tree argmin, MC-aware wavefront reconstruction,
         per-CU merge/AMVP signalling (reference inter quadtree:
         src/search.c:424 + src/search_inter.c:1588)."""
+        from kvazaar_tpu.constants import SLICE_P
         from kvazaar_tpu.encoder.quadtree import choose_tree
+        frame_qp, lam_rd, lam_satd = self._var_frame_qp_lam(
+            qp, qp_factor, SLICE_P)
         yp = pad_to_multiple(np.asarray(y, np.int32), max(self.cu, 8))
         cbp = crp = None
         if self.chroma:
@@ -933,7 +1005,8 @@ class PFrameMixin:
                                   max(self.cu, 8) // 2)
         refs = self._dpb
         with phase("varp.search"):
-            vec = self._var_p_search()(jnp.asarray(yp), refs[0])
+            vec = self._var_p_search()(jnp.asarray(yp), refs[0],
+                                       jnp.float32(lam_satd))
             costs, modes_d, mvs_d, imaps_d = _unpack_host_tree(
                 vec, self._qt_search_p_spec)
         # Inter costs already carry their mv/mode rate (lambda*bits in
@@ -941,7 +1014,7 @@ class PFrameMixin:
         # CBF signalling only — far below the intra path's 300
         # (measured: 300 flattens P trees to the max CU everywhere).
         size8 = choose_tree(costs, self.coded_w, self.coded_h,
-                            self.lambda_satd, percu_bits=60.0,
+                            lam_satd, percu_bits=60.0,
                             split_bits=2.0)
         imaps = {k: np.asarray(v) for k, v in imaps_d.items()}
         mvs = {k: np.asarray(v) for k, v in mvs_d.items()}
@@ -949,6 +1022,9 @@ class PFrameMixin:
          mode_maps) = self._var_inter_plan(size8, modes_d, imaps, mvs)
         sched, lv_shapes = self._var_inter_sched(
             vp, yp, cbp, crp, size8, inter8, mv_cells)
+        if self.scaling is None:
+            sched["qp"] = jnp.int32(frame_qp)
+            sched["lam"] = jnp.float32(lam_rd)
         dy, dcb, dcr, lv_flat = self._var_recon_inter_fn(
             vp.n_steps, False)(sched, refs, refs)
         sao = None
@@ -959,7 +1035,7 @@ class PFrameMixin:
                  None if crp is None else crp[None]),
                 (dy[None],
                  None if dcb is None else dcb[None],
-                 None if dcr is None else dcr[None]))
+                 None if dcr is None else dcr[None]), lam=lam_rd)
             sao = sao_list[0]
             dy = ry[0]
             if self.chroma:
@@ -985,7 +1061,7 @@ class PFrameMixin:
         rec_y = np.asarray(dy)
         rec_cb = np.asarray(dcb) if self.chroma else None
         rec_cr = np.asarray(dcr) if self.chroma else None
-        nal = self._serialize_p(fd, poc, poc - ref_poc)
+        nal = self._serialize_p(fd, poc, poc - ref_poc, qp=frame_qp)
         if self.cfg.hash in ("md5", "checksum"):
             from kvazaar_tpu.bitstream.headers import \
                 write_picture_hash_sei
@@ -996,9 +1072,13 @@ class PFrameMixin:
                            recon_cr=rec_cr, frame_data=fd,
                            bits=len(nal) * 8)
 
-    def encode_frame_var_b(self, y, cb, cr, poc: int, ref0, ref1):
+    def encode_frame_var_b(self, y, cb, cr, poc: int, ref0, ref1,
+                           qp=None, qp_factor=None):
         """Variable-quadtree B frame (one reference per list)."""
+        from kvazaar_tpu.constants import SLICE_B
         from kvazaar_tpu.encoder.quadtree import choose_tree
+        frame_qp, lam_rd, lam_satd = self._var_frame_qp_lam(
+            qp, qp_factor, SLICE_B)
         yp = pad_to_multiple(np.asarray(y, np.int32), max(self.cu, 8))
         cbp = crp = None
         if self.chroma:
@@ -1009,12 +1089,13 @@ class PFrameMixin:
         poc0, r0 = ref0
         poc1, r1 = ref1
         with phase("varb.search"):
-            vec = self._var_b_search()(jnp.asarray(yp), r0[0], r1[0])
+            vec = self._var_b_search()(jnp.asarray(yp), r0[0], r1[0],
+                                       jnp.float32(lam_satd))
             (costs, modes_d, mv0_d, mv1_d, dirs_d,
              imaps_d) = _unpack_host_tree(vec, self._qt_search_b_spec)
         with phase("varb.tree"):
             size8 = choose_tree(costs, self.coded_w, self.coded_h,
-                                self.lambda_satd, percu_bits=60.0,
+                                lam_satd, percu_bits=60.0,
                                 split_bits=2.0)
         imaps, mv0s, mv1s, dirss = imaps_d, mv0_d, mv1_d, dirs_d
         with phase("varb.plan"):
@@ -1034,6 +1115,9 @@ class PFrameMixin:
             sched["mv1_cells"] = jnp.asarray(emv1)
             sched["dirs8"] = jnp.asarray(np.where(inter8, dirs8, 0)
                                          .astype(np.int32))
+            if self.scaling is None:
+                sched["qp"] = jnp.int32(frame_qp)
+                sched["lam"] = jnp.float32(lam_rd)
         with phase("varb.recon"):
             dy, dcb, dcr, lv_flat = self._var_recon_inter_fn(
                 vp.n_steps, True)(sched, r0, r1)
@@ -1047,7 +1131,7 @@ class PFrameMixin:
                  None if crp is None else crp[None]),
                 (dy[None],
                  None if dcb is None else dcb[None],
-                 None if dcr is None else dcr[None]))
+                 None if dcr is None else dcr[None]), lam=lam_rd)
             sao = sao_list[0]
             dy = ry[0]
             if self.chroma:
@@ -1082,7 +1166,8 @@ class PFrameMixin:
             rec_cb = np.asarray(dcb) if self.chroma else None
             rec_cr = np.asarray(dcr) if self.chroma else None
         with phase("varb.serialize"):
-            nal = self._serialize_b(fd, poc, poc - poc0, poc1 - poc)
+            nal = self._serialize_b(fd, poc, poc - poc0, poc1 - poc,
+                                    qp=frame_qp)
         if self.cfg.hash in ("md5", "checksum"):
             from kvazaar_tpu.bitstream.headers import \
                 write_picture_hash_sei
@@ -1273,11 +1358,15 @@ class PFrameMixin:
         return rec_y, lv_y, rec_cb, lv_cb, rec_cr, lv_cr
 
     def encode_b_frame(self, y, cb, cr, poc: int, ref0, ref1,
-                       slice_qp: int = None):
+                       slice_qp: int = None, qp: int = None,
+                       qp_factor: float = None):
         """ref0/ref1: (ref_poc, (y, cb, cr) device planes), past and
-        future references."""
+        future references.  qp/qp_factor: per-layer GOP QP offset +
+        lambda factor (traced through the var path — one compiled
+        program serves all layers)."""
         if self._var_inter_active:
-            return self.encode_frame_var_b(y, cb, cr, poc, ref0, ref1)
+            return self.encode_frame_var_b(y, cb, cr, poc, ref0, ref1,
+                                           qp=qp, qp_factor=qp_factor)
         from kvazaar_tpu.encoder.inter_cands import amvp_pair_b_at
         s = self.cu
         yp = jnp.asarray(pad_to_multiple(np.asarray(y, np.int32), s))
@@ -1432,13 +1521,14 @@ class PFrameMixin:
         return fd
 
     def _slice_nals(self, fd, slice_type, nal_type, hdr_kwargs,
-                    nref_l0: int = 1) -> bytes:
+                    nref_l0: int = 1, qp=None) -> bytes:
         """--slices emission: one NAL per slice segment (reference
         per-child slice headers, src/encoder_state-bitstream.c:964-980).
         wpp mode: CTU rows as dependent segments of one slice; tiles
         mode: independent slice per tile."""
+        qp = self.cfg.qp if qp is None else qp
         enc = SliceDataEncoder(self.params, fd,
-                               Contexts(slice_type, self.cfg.qp),
+                               Contexts(slice_type, qp),
                                CabacEncoder(BitWriter()),
                                nref_l0=nref_l0)
         self._apply_crypto_iv(enc)
@@ -1461,31 +1551,33 @@ class PFrameMixin:
         for i, (seg, a) in enumerate(zip(segs, addrs)):
             w = BitWriter()
             write_slice_header(w, self.params, slice_type, nal_type,
-                               self.cfg.qp, first_seg=(i == 0),
+                               qp, first_seg=(i == 0),
                                dependent=dep and i > 0, seg_address=a,
                                **hdr_kwargs)
             out += nal_unit(w.get_bytes() + seg, nal_type)
         return out
 
-    def _serialize_b(self, fd, poc, rpd0, rpd1):
+    def _serialize_b(self, fd, poc, rpd0, rpd1, qp=None):
+        qp = self.cfg.qp if qp is None else qp
         if self.params.slices != "none":
             from kvazaar_tpu.constants import SLICE_B
             return self._slice_nals(
                 fd, SLICE_B, NAL_TRAIL_R,
-                dict(poc=poc, ref_poc_diff=rpd0, ref_poc_diff_l1=rpd1))
+                dict(poc=poc, ref_poc_diff=rpd0, ref_poc_diff_l1=rpd1),
+                qp=qp)
         from kvazaar_tpu.constants import SLICE_B
         if _NATIVE_OK and not self.params.transquant_bypass \
                 and self.params.crypto_key is None \
                 and self.params.slices == "none" \
                 and not self.params.tiles_enabled:
             data, sizes = native.encode_slice_data_native_p(
-                self.params, fd, self.cfg.qp, self.params.wpp,
+                self.params, fd, qp, self.params.wpp,
                 slice_type=SLICE_B, nthreads=self.cfg.threads or 4)
         else:
             sizes = []
             dw = BitWriter()
             enc = SliceDataEncoder(self.params, fd,
-                                   Contexts(SLICE_B, self.cfg.qp),
+                                   Contexts(SLICE_B, qp),
                                    CabacEncoder(dw))
             self._apply_crypto_iv(enc)
             if self.params.tiles_enabled and self.params.wpp:
@@ -1500,21 +1592,22 @@ class PFrameMixin:
             data = dw.get_bytes()
         w = BitWriter()
         write_slice_header(w, self.params, SLICE_B, NAL_TRAIL_R,
-                           self.cfg.qp, poc=poc, ref_poc_diff=rpd0,
+                           qp, poc=poc, ref_poc_diff=rpd0,
                            ref_poc_diff_l1=rpd1,
                            num_entry_points=max(len(sizes) - 1, 0),
                            entry_point_offsets=sizes[:-1])
         return nal_unit(w.get_bytes() + data, NAL_TRAIL_R)
 
     def _serialize_p(self, fd, poc, ref_poc_diff, ref_list_l0=None,
-                     retained_l0=(), tmvp: bool = False):
+                     retained_l0=(), tmvp: bool = False, qp=None):
+        qp = self.cfg.qp if qp is None else qp
         nref = 1 if ref_list_l0 is None else len(ref_list_l0)
         if self.params.slices != "none":
             return self._slice_nals(
                 fd, SLICE_P, NAL_TRAIL_R,
                 dict(poc=poc, ref_poc_diff=ref_poc_diff,
                      ref_list_l0=ref_list_l0, retained_l0=retained_l0,
-                     tmvp=tmvp), nref_l0=nref)
+                     tmvp=tmvp), nref_l0=nref, qp=qp)
         if _NATIVE_OK and not self.params.transquant_bypass \
                 and self.params.crypto_key is None \
                 and self.params.slices == "none" \
@@ -1522,13 +1615,13 @@ class PFrameMixin:
             # Single-frame path: row-parallel CABAC (the batch paths
             # instead parallelize across frames in the host pool).
             data, sizes = native.encode_slice_data_native_p(
-                self.params, fd, self.cfg.qp, self.params.wpp,
+                self.params, fd, qp, self.params.wpp,
                 nthreads=self.cfg.threads or 4, nref_l0=nref)
         else:
             sizes = []
             dw = BitWriter()
             enc = SliceDataEncoder(self.params, fd,
-                                   Contexts(SLICE_P, self.cfg.qp),
+                                   Contexts(SLICE_P, qp),
                                    CabacEncoder(dw), nref_l0=nref)
             self._apply_crypto_iv(enc)
             if self.params.tiles_enabled and self.params.wpp:
@@ -1543,7 +1636,7 @@ class PFrameMixin:
             data = dw.get_bytes()
         w = BitWriter()
         write_slice_header(w, self.params, SLICE_P, NAL_TRAIL_R,
-                           self.cfg.qp, poc=poc,
+                           qp, poc=poc,
                            ref_poc_diff=ref_poc_diff,
                            ref_list_l0=ref_list_l0,
                            retained_l0=retained_l0, tmvp=tmvp,
@@ -2144,13 +2237,15 @@ class IntraFrameEncoder(PFrameMixin):
             self._sao_jit = (tpu_jit(stats), tpu_jit(apply))
         return self._sao_jit
 
-    def _sao_stage(self, srcs, recs):
+    def _sao_stage(self, srcs, recs, lam=None):
         """Search + apply SAO for a batch.  Returns (new recs,
-        per-frame param dicts for the serializer)."""
+        per-frame param dicts for the serializer).  lam: per-frame
+        lambda override (GOP layer lambdas)."""
         from kvazaar_tpu.ops.sao import sao_decide_frame
         stats_fn, apply_fn = self._sao_fns()
         ys, cbs, crs = srcs
-        lam = qp_to_lambda(self.cfg.qp)
+        if lam is None:
+            lam = qp_to_lambda(self.cfg.qp)
         s_y, s_cb, s_cr = stats_fn(
             jnp.asarray(ys), recs[0],
             None if cbs is None else jnp.asarray(cbs), recs[1],
