@@ -246,7 +246,7 @@ def verify_conformance(ife, frames):
     """Decode one benched stream through the oracle; encoder recon
     must equal decoded recon bit-for-bit (gates the TPU Pallas path)."""
     from kvazaar_tpu.bitstream.decoder import decode_stream
-    res = ife.finalize_frames(ife.submit_frames(frames[:2]))
+    res = ife.finalize_frames(ife.submit_frames(frames[:1]))
     stream = ife.headers() + b"".join(r.nals for r in res)
     dec = decode_stream(stream, ife.params)
     if len(dec) != len(res):
@@ -393,6 +393,12 @@ def measure_preset_fps_ours(preset, w, h, qp, warm=None, timed=8,
     enc = Encoder(cfg)
     if warm is None:
         warm = len(clip)
+    if cfg.gop_len > 1:
+        # GOP output lags input: the first B-pyramid flush (and its
+        # var-B compiles) happens at frame gop_len+1 — warm frames
+        # must cover at least TWO full GOP flushes or the compiles
+        # land in the timed pass.
+        warm = max(warm, 2 * cfg.gop_len + 1)
     done = 0
     t0 = None
     fed = 0

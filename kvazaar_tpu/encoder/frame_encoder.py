@@ -966,6 +966,145 @@ class PFrameMixin:
                              fd.coeff_cb if self.chroma else None,
                              fd.coeff_cr if self.chroma else None)
 
+    @staticmethod
+    def _mvd_bits_np(v):
+        """Host form of the search's EG1-shaped mvd bit estimate."""
+        a = np.abs(v).astype(np.int64)
+        nbits = np.zeros_like(a)
+        nz = a > 0
+        nbits[nz] = np.floor(np.log2(a[nz])).astype(np.int64) + 1
+        return np.where(a == 0, 1, 2 * nbits + 1).astype(np.float64)
+
+    # Truncated-unary merge_idx bin counts (max_num_merge_cand 5).
+    _MERGE_IDX_BITS = np.array([1.0, 2.0, 3.0, 4.0, 4.0])
+
+    def _cu_sums(self, maps, cy, cx, cells):
+        """Per-CU sums of per-cell maps (K, h8, w8) via integral
+        images: (K, n)."""
+        from kvazaar_tpu.encoder.inter_cands import _integral
+        out = np.empty((maps.shape[0], cy.size), np.int64)
+        for k in range(maps.shape[0]):
+            icum = _integral(maps[k])
+            out[k] = (icum[cy + cells, cx + cells] - icum[cy, cx + cells]
+                      - icum[cy + cells, cx] + icum[cy, cx])
+        return out
+
+    def _merge_rd_p(self, yp, ref_y, size8, inter8, mv_cells,
+                    lam_satd):
+        """Merge-mode RD for a P variable tree: evaluate the 5 merge
+        candidates as MC hypotheses per CU (one device pass, per-cell
+        SATD maps) against the searched MV + its mvd rate; adopt the
+        winning candidate's MV (signalling is re-derived from the
+        final field, so the stream stays decode-exact).  Reference:
+        src/search_inter.c:415-460,1451-1520."""
+        from kvazaar_tpu.encoder.inter_cands import (var_origin_maps,
+                                                     var_p_derive)
+        d = var_p_derive(size8, inter8, mv_cells)
+        cy, cx, cells = d["cy"], d["cx"], d["cells"]
+        n = cy.size
+        if n == 0:
+            return mv_cells
+        oy, ox = var_origin_maps(size8)
+        h8, w8 = inter8.shape
+        cand_cells = np.empty((5, h8, w8, 2), np.int32)
+        for k in range(5):
+            g = mv_cells.copy()
+            g[cy, cx] = d["cands"][:, k]
+            cand_cells[k] = g[oy, ox]
+        if not hasattr(self, "_merge_rd_jit_p"):
+            from kvazaar_tpu.encoder.inter_search import \
+                merge_satd_maps_p
+            self._merge_rd_jit_p = tpu_jit(functools.partial(
+                merge_satd_maps_p, bitdepth=self.bitdepth))
+        maps = np.asarray(self._merge_rd_jit_p(
+            jnp.asarray(yp), ref_y.astype(jnp.int32),
+            jnp.asarray(cand_cells), jnp.asarray(mv_cells)))
+        sums = self._cu_sums(maps, cy, cx, cells)      # (6, n)
+        mine, p0, p1 = d["mine"], d["p0"], d["p1"]
+        amvp_bits = 1.0 + np.minimum(
+            self._mvd_bits_np(mine - p0).sum(axis=1),
+            self._mvd_bits_np(mine - p1).sum(axis=1))
+        costs = np.empty((6, n))
+        for k in range(5):
+            costs[k] = sums[k] + lam_satd * self._MERGE_IDX_BITS[k]
+        costs[5] = sums[5] + lam_satd * amvp_bits
+        win = costs.argmin(axis=0)
+        upd = win < 5
+        if not upd.any():
+            return mv_cells
+        g = mv_cells.copy()
+        g[cy[upd], cx[upd]] = d["cands"][upd, win[upd]]
+        return g[oy, ox]
+
+    def _merge_rd_b(self, yp, r0_y, r1_y, size8, inter8, dirs8,
+                    emv0, emv1, poc, ref_poc, lam_satd):
+        """B variant: candidates carry (dir, mv0, mv1) incl. combined
+        bi-pred entries; the winner's full motion replaces the CU's."""
+        from kvazaar_tpu.encoder.inter_cands import (var_b_derive,
+                                                     var_origin_maps)
+        d = var_b_derive(size8, inter8, dirs8, emv0, emv1, poc,
+                         ref_poc)
+        cy, cx, cells = d["cy"], d["cx"], d["cells"]
+        n = cy.size
+        if n == 0:
+            return dirs8, emv0, emv1
+        oy, ox = var_origin_maps(size8)
+        h8, w8 = inter8.shape
+        cd = np.empty((5, h8, w8), np.int32)
+        cm0 = np.empty((5, h8, w8, 2), np.int32)
+        cm1 = np.empty((5, h8, w8, 2), np.int32)
+        for k in range(5):
+            gd = dirs8.astype(np.int32).copy()
+            g0 = emv0.copy()
+            g1 = emv1.copy()
+            gd[cy, cx] = d["cd"][:, k]
+            g0[cy, cx] = d["c0"][:, k]
+            g1[cy, cx] = d["c1"][:, k]
+            cd[k] = gd[oy, ox]
+            cm0[k] = g0[oy, ox]
+            cm1[k] = g1[oy, ox]
+        if not hasattr(self, "_merge_rd_jit_b"):
+            from kvazaar_tpu.encoder.inter_search import \
+                merge_satd_maps_b
+            self._merge_rd_jit_b = tpu_jit(functools.partial(
+                merge_satd_maps_b, bitdepth=self.bitdepth))
+        maps = np.asarray(self._merge_rd_jit_b(
+            jnp.asarray(yp), r0_y.astype(jnp.int32),
+            r1_y.astype(jnp.int32), jnp.asarray(cd),
+            jnp.asarray(cm0), jnp.asarray(cm1),
+            jnp.asarray(dirs8.astype(np.int32)), jnp.asarray(emv0),
+            jnp.asarray(emv1)))
+        sums = self._cu_sums(maps, cy, cx, cells)
+        md, mm0, mm1 = d["md"], d["mm0"], d["mm1"]
+        amvp_bits = np.full(n, 2.0)            # inter_pred_idc
+        for lst, mmv in ((0, mm0), (1, mm1)):
+            p0, p1 = d["amvp"][lst]
+            used = (md != 1) if lst == 0 else (md != 0)
+            b = 1.0 + np.minimum(
+                self._mvd_bits_np(mmv - p0).sum(axis=1),
+                self._mvd_bits_np(mmv - p1).sum(axis=1))
+            amvp_bits += np.where(used, b, 0.0)
+        costs = np.empty((6, n))
+        for k in range(5):
+            costs[k] = sums[k] + lam_satd * self._MERGE_IDX_BITS[k]
+        costs[5] = sums[5] + lam_satd * amvp_bits
+        win = costs.argmin(axis=0)
+        upd = win < 5
+        if not upd.any():
+            return dirs8, emv0, emv1
+        gd = dirs8.astype(np.int32).copy()
+        g0 = emv0.copy()
+        g1 = emv1.copy()
+        gd[cy[upd], cx[upd]] = d["cd"][upd, win[upd]]
+        g0[cy[upd], cx[upd]] = d["c0"][upd, win[upd]]
+        g1[cy[upd], cx[upd]] = d["c1"][upd, win[upd]]
+        gd, g0, g1 = gd[oy, ox], g0[oy, ox], g1[oy, ox]
+        # Keep unused-list normalization on the final field.
+        g0 = np.where((gd != 1)[..., None] & inter8[..., None], g0, 0)
+        g1 = np.where((gd != 0)[..., None] & inter8[..., None], g1, 0)
+        return gd.astype(dirs8.dtype), g0.astype(np.int32), \
+            g1.astype(np.int32)
+
     def _var_frame_qp_lam(self, qp, qp_factor, slice_type):
         """(frame_qp, lam_rd, lam_satd) for a var P/B frame.  Default
         (no override) keeps the instance's baked lambda; a GOP layer
@@ -1020,6 +1159,9 @@ class PFrameMixin:
         mvs = {k: np.asarray(v) for k, v in mvs_d.items()}
         (vp, sched_size8, inter8, mv_cells, _extras,
          mode_maps) = self._var_inter_plan(size8, modes_d, imaps, mvs)
+        with phase("varp.mergerd"):
+            mv_cells = self._merge_rd_p(yp, refs[0], size8, inter8,
+                                        mv_cells, lam_satd)
         sched, lv_shapes = self._var_inter_sched(
             vp, yp, cbp, crp, size8, inter8, mv_cells)
         if self.scaling is None:
@@ -1109,6 +1251,10 @@ class PFrameMixin:
                         mv0_cells, 0)
         emv1 = np.where((dirs8 != 0)[..., None] & inter8[..., None],
                         mv1_cells, 0)
+        with phase("varb.mergerd"):
+            dirs8, emv0, emv1 = self._merge_rd_b(
+                yp, r0[0], r1[0], size8, inter8, dirs8, emv0, emv1,
+                poc, (poc0, poc1), lam_satd)
         with phase("varb.sched"):
             sched, lv_shapes = self._var_inter_sched(
                 vp, yp, cbp, crp, size8, inter8, emv0)

@@ -907,20 +907,21 @@ def _neq2(a, b):
     return (a != b).any(axis=-1)
 
 
-def merge_amvp_var_vec(size8: np.ndarray, inter8: np.ndarray,
-                       mv8: np.ndarray):
-    """Vectorized P-slice variable-tree merge/AMVP signalling:
-    per-CU equivalent of merge_list_pu_at + amvp_pair_pu_at at cell
-    granularity (cu_cells=1, cu_yx=origin).  Returns (merge8, mvp8,
-    mvd8) shaped like the frame cell grid."""
+def var_p_derive(size8: np.ndarray, inter8: np.ndarray,
+                 mv8: np.ndarray):
+    """Vectorized per-CU derivation for P variable trees: CU arrays,
+    the 5-entry merge candidate lists, and the AMVP pair.  Returns a
+    dict {cy, cx, cells, mine, cands (n,5,2), p0, p1} (int64)."""
     h8, w8 = inter8.shape
-    merge8 = np.full((h8, w8), -1, np.int32)
-    mvp8 = np.zeros((h8, w8), np.uint8)
-    mvd8 = np.zeros((h8, w8, 2), np.int32)
     cy, cx, cells = _var_cu_arrays(size8, inter8)
     n = cy.size
+    out = dict(cy=cy, cx=cx, cells=cells)
     if n == 0:
-        return merge8, mvp8, mvd8
+        out.update(mine=np.zeros((0, 2), np.int64),
+                   cands=np.zeros((0, 5, 2), np.int64),
+                   p0=np.zeros((0, 2), np.int64),
+                   p1=np.zeros((0, 2), np.int64))
+        return out
     Z = zkey_grid(h8, w8)
     key = Z[cy, cx]
     mine = mv8[cy, cx].astype(np.int64)
@@ -952,14 +953,8 @@ def merge_amvp_var_vec(size8: np.ndarray, inter8: np.ndarray,
         cands[idx, slot[idx]] = src[idx, k]
         slot[idx] += 1
 
-    midx = np.full(n, -1, np.int64)
-    for k in range(MAX_MERGE_CANDS - 1, -1, -1):
-        eq = (cands[:, k] == mine).all(axis=1)
-        midx = np.where(eq, k, midx)
-    merged = midx >= 0
-
-    # AMVP for the rest: A = below-left else left; B = above-right
-    # else above else above-left; slot1 only when both and different.
+    # AMVP: A = below-left else left; B = above-right else above else
+    # above-left; slot1 only when both and different.
     aok = a0ok | a1ok
     a = np.where(a0ok[:, None], a0, a1)
     bok = b0ok | b1ok | b2ok
@@ -967,6 +962,33 @@ def merge_amvp_var_vec(size8: np.ndarray, inter8: np.ndarray,
     p0 = np.where(aok[:, None], a, np.where(bok[:, None], b, 0))
     second = aok & bok & _neq2(b, a)
     p1 = np.where(second[:, None], b, 0)
+    out.update(mine=mine, cands=cands, p0=p0, p1=p1)
+    return out
+
+
+def merge_amvp_var_vec(size8: np.ndarray, inter8: np.ndarray,
+                       mv8: np.ndarray):
+    """Vectorized P-slice variable-tree merge/AMVP signalling:
+    per-CU equivalent of merge_list_pu_at + amvp_pair_pu_at at cell
+    granularity (cu_cells=1, cu_yx=origin).  Returns (merge8, mvp8,
+    mvd8) shaped like the frame cell grid."""
+    h8, w8 = inter8.shape
+    merge8 = np.full((h8, w8), -1, np.int32)
+    mvp8 = np.zeros((h8, w8), np.uint8)
+    mvd8 = np.zeros((h8, w8, 2), np.int32)
+    d = var_p_derive(size8, inter8, mv8)
+    cy, cx = d["cy"], d["cx"]
+    n = cy.size
+    if n == 0:
+        return merge8, mvp8, mvd8
+    mine, cands, p0, p1 = d["mine"], d["cands"], d["p0"], d["p1"]
+
+    midx = np.full(n, -1, np.int64)
+    for k in range(MAX_MERGE_CANDS - 1, -1, -1):
+        eq = (cands[:, k] == mine).all(axis=1)
+        midx = np.where(eq, k, midx)
+    merged = midx >= 0
+
     d0 = np.abs(mine - p0).sum(axis=1)
     d1 = np.abs(mine - p1).sum(axis=1)
     pick1 = d1 < d0
@@ -991,22 +1013,24 @@ def _mv_scale_vec(v: np.ndarray, tb: int, td: int) -> np.ndarray:
     return np.clip(s * ((np.abs(p) + 127) >> 8), -32768, 32767)
 
 
-def merge_amvp_var_b_vec(size8, inter8, dirs8, mv08, mv18, poc: int,
-                         ref_poc: tuple):
-    """Vectorized B-slice variable-tree merge/AMVP signalling:
-    per-CU equivalent of merge_list_b_pu_at + amvp_pair_b_pu_at.
-    dirs8/mv08/mv18 are the effective (unused-list-zeroed) fields.
-    Returns (merge8, mvp8, mvd8, mvp8_l1, mvd8_l1)."""
+def var_b_derive(size8, inter8, dirs8, mv08, mv18, poc: int,
+                 ref_poc: tuple):
+    """Vectorized per-CU derivation for B variable trees: CU arrays,
+    full-motion merge candidates (cd/c0/c1), and per-list AMVP pairs.
+    Returns {cy, cx, cells, md, mm0, mm1, cd (n,5), c0 (n,5,2),
+    c1 (n,5,2), amvp: {0: (p0, p1), 1: (p0, p1)}}."""
     h8, w8 = inter8.shape
-    merge8 = np.full((h8, w8), -1, np.int32)
-    mvp8 = np.zeros((h8, w8), np.uint8)
-    mvd8 = np.zeros((h8, w8, 2), np.int32)
-    mvp8_l1 = np.zeros((h8, w8), np.uint8)
-    mvd8_l1 = np.zeros((h8, w8, 2), np.int32)
     cy, cx, cells = _var_cu_arrays(size8, inter8)
     n = cy.size
+    out = dict(cy=cy, cx=cx, cells=cells)
     if n == 0:
-        return merge8, mvp8, mvd8, mvp8_l1, mvd8_l1
+        z2 = np.zeros((0, 2), np.int64)
+        out.update(md=np.zeros(0, np.int64), mm0=z2, mm1=z2,
+                   cd=np.zeros((0, 5), np.int64),
+                   c0=np.zeros((0, 5, 2), np.int64),
+                   c1=np.zeros((0, 5, 2), np.int64),
+                   amvp={0: (z2, z2), 1: (z2, z2)})
+        return out
     Z = zkey_grid(h8, w8)
     key = Z[cy, cx]
     md = dirs8[cy, cx].astype(np.int64)
@@ -1071,14 +1095,6 @@ def merge_amvp_var_b_vec(size8, inter8, dirs8, mv08, mv18, poc: int,
         slot[idx] += 1
     # Zero-fill is the (2, 0, 0) initialization; but slots written by
     # spatial candidates below `slot` are final either way.
-
-    midx = np.full(n, -1, np.int64)
-    for k in range(MAX_MERGE_CANDS - 1, -1, -1):
-        eq = ((cd[:, k] == md) & (c0[:, k] == mm0).all(axis=1)
-              & (c1[:, k] == mm1).all(axis=1))
-        midx = np.where(eq, k, midx)
-    merged = midx >= 0
-    merge8[cy[merged], cx[merged]] = midx[merged]
 
     def amvp_list(lst: int):
         """(pair0, pair1, ok-pattern) per CU for target list lst —
@@ -1153,13 +1169,46 @@ def merge_amvp_var_b_vec(size8, inter8, dirs8, mv08, mv18, poc: int,
         p1 = np.where(second[:, None], b_val2, 0)
         return p0, p1
 
+    out.update(md=md, mm0=mm0, mm1=mm1, cd=cd, c0=c0, c1=c1,
+               amvp={0: amvp_list(0), 1: amvp_list(1)})
+    return out
+
+
+def merge_amvp_var_b_vec(size8, inter8, dirs8, mv08, mv18, poc: int,
+                         ref_poc: tuple):
+    """Vectorized B-slice variable-tree merge/AMVP signalling:
+    per-CU equivalent of merge_list_b_pu_at + amvp_pair_b_pu_at.
+    dirs8/mv08/mv18 are the effective (unused-list-zeroed) fields.
+    Returns (merge8, mvp8, mvd8, mvp8_l1, mvd8_l1)."""
+    h8, w8 = inter8.shape
+    merge8 = np.full((h8, w8), -1, np.int32)
+    mvp8 = np.zeros((h8, w8), np.uint8)
+    mvd8 = np.zeros((h8, w8, 2), np.int32)
+    mvp8_l1 = np.zeros((h8, w8), np.uint8)
+    mvd8_l1 = np.zeros((h8, w8, 2), np.int32)
+    d = var_b_derive(size8, inter8, dirs8, mv08, mv18, poc, ref_poc)
+    cy, cx = d["cy"], d["cx"]
+    n = cy.size
+    if n == 0:
+        return merge8, mvp8, mvd8, mvp8_l1, mvd8_l1
+    md, mm0, mm1 = d["md"], d["mm0"], d["mm1"]
+    cd, c0, c1 = d["cd"], d["c0"], d["c1"]
+
+    midx = np.full(n, -1, np.int64)
+    for k in range(MAX_MERGE_CANDS - 1, -1, -1):
+        eq = ((cd[:, k] == md) & (c0[:, k] == mm0).all(axis=1)
+              & (c1[:, k] == mm1).all(axis=1))
+        midx = np.where(eq, k, midx)
+    merged = midx >= 0
+    merge8[cy[merged], cx[merged]] = midx[merged]
+
     um = ~merged
     for lst, (mp8, md8, mmv) in ((0, (mvp8, mvd8, mm0)),
                                  (1, (mvp8_l1, mvd8_l1, mm1))):
         use_l = um & ((md != 1) if lst == 0 else (md != 0))
         if not use_l.any():
             continue
-        p0, p1 = amvp_list(lst)
+        p0, p1 = d["amvp"][lst]
         d0 = np.abs(mmv - p0).sum(axis=1)
         d1 = np.abs(mmv - p1).sum(axis=1)
         pick1 = d1 < d0

@@ -449,3 +449,51 @@ def search_inter_frame_smp(cur, ref, plan: IntraFramePlan,
         mv1_ = jnp.where(m, res[b][0], mv1_)
     mv_pu = jnp.stack([mv0, mv1_], axis=1).reshape(by, bx, 2, 2)
     return part.reshape(by, bx), mv_pu, best.reshape(by, bx)
+
+
+# ---------------------------------------------------------------------
+# Merge-mode RD evaluation (reference: merge candidates tried as
+# prediction hypotheses per PU with merge-skip early termination,
+# src/search_inter.c:415-460,1451-1520).  TPU recast: after the tree
+# choice, ONE device pass MC-predicts every merge candidate hypothesis
+# over the whole frame (cell-granularity fields serve every CU size)
+# and returns per-cell 8x8 SATD maps; the host aggregates per CU with
+# integral images and picks merge-vs-AMVP by SATD + lambda*bits.
+# ---------------------------------------------------------------------
+
+def merge_satd_maps_p(yp, ref_y, cand_cells, cur_cells,
+                      bitdepth: int = 8):
+    """Per-cell SATD of each P merge-candidate hypothesis + the
+    searched MV field.  yp: (H, W) int32; cand_cells: (K, h8, w8, 2)
+    qpel; cur_cells: (h8, w8, 2).  Returns (K+1, h8, w8) int32,
+    last entry = current field."""
+    from kvazaar_tpu.encoder.intra_search import satd8_batch
+    h8, w8 = cur_cells.shape[:2]
+    k = cand_cells.shape[0]
+    fields = [cand_cells[i] for i in range(k)] + [cur_cells]
+    outs = []
+    for mv in fields:
+        py, _, _ = mc_planes_cells(ref_y, None, None, mv, bitdepth)
+        d = (py - yp).reshape(h8, 8, w8, 8).transpose(0, 2, 1, 3)
+        outs.append(satd8_batch(d))
+    return jnp.stack(outs)
+
+
+def merge_satd_maps_b(yp, ref0_y, ref1_y, cand_d, cand_m0, cand_m1,
+                      cur_d, cur_m0, cur_m1, bitdepth: int = 8):
+    """B variant: candidates carry full motion (dir, mv0, mv1).
+    cand_d: (K, h8, w8); cand_m0/m1: (K, h8, w8, 2).  Returns
+    (K+1, h8, w8) int32 per-cell SATD, last = current."""
+    from kvazaar_tpu.encoder.intra_search import satd8_batch
+    h8, w8 = cur_d.shape[:2]
+    k = cand_d.shape[0]
+    triples = [(cand_d[i], cand_m0[i], cand_m1[i]) for i in range(k)]
+    triples.append((cur_d, cur_m0, cur_m1))
+    outs = []
+    for dd, m0, m1 in triples:
+        py, _, _ = bi_mc_planes_cells(
+            (ref0_y, None, None), (ref1_y, None, None), m0, m1, dd,
+            bitdepth)
+        d = (py - yp).reshape(h8, 8, w8, 8).transpose(0, 2, 1, 3)
+        outs.append(satd8_batch(d))
+    return jnp.stack(outs)
