@@ -788,12 +788,13 @@ class PFrameMixin:
             from kvazaar_tpu.encoder.quadtree import search_quadtree_p
             intra_rng, inter_rng = self._var_rngs()
 
-            def s(yp, ref_y, lam_satd):
+            def s(yp, ref_y, lam_satd, qp, lam_rd):
                 outs = search_quadtree_p(
                     yp, ref_y.astype(jnp.int32), self.coded_w,
                     self.coded_h, lam_satd, self.cfg.me_range,
                     self.bitdepth, intra_rng, inter_rng,
-                    self.cfg.rd >= 1, subpel=self.cfg.me_subpel)
+                    self.cfg.rd >= 1, subpel=self.cfg.me_subpel,
+                    qp=qp, lam_rd=lam_rd)
                 vec, self._qt_search_p_spec = _pack_device_tree(outs)
                 return vec
 
@@ -805,14 +806,14 @@ class PFrameMixin:
             from kvazaar_tpu.encoder.quadtree import search_quadtree_b
             intra_rng, inter_rng = self._var_rngs()
 
-            def s(yp, r0, r1, lam_satd):
+            def s(yp, r0, r1, lam_satd, qp, lam_rd):
                 outs = search_quadtree_b(
                     yp, r0.astype(jnp.int32), r1.astype(jnp.int32),
                     self.coded_w, self.coded_h, lam_satd,
                     self.cfg.me_range, self.bitdepth, intra_rng,
                     inter_rng, self.cfg.rd >= 1,
                     subpel=self.cfg.me_subpel,
-                    bipred=self.cfg.bipred)
+                    bipred=self.cfg.bipred, qp=qp, lam_rd=lam_rd)
                 vec, self._qt_search_b_spec = _pack_device_tree(outs)
                 return vec
 
@@ -865,7 +866,8 @@ class PFrameMixin:
                 qp, qp_c = self.cfg.qp, self.qp_c
                 lam = qp_to_lambda(self.cfg.qp)
                 qp_map = None
-            rec_y, rec_cb, rec_cr, levels, cbf8 = reconstruct_frame_var(
+            (rec_y, rec_cb, rec_cr, levels, cbf8,
+             coeffs) = reconstruct_frame_var(
                 sched, qp, qp_c, self.coded_w,
                 self.coded_h, self.chroma, self.bitdepth,
                 self.cfg.lossless, self.cfg.signhide,
@@ -892,6 +894,13 @@ class PFrameMixin:
                 + ([lv.reshape(-1) for lv in levels["cb"]]
                    + [lv.reshape(-1) for lv in levels["cr"]]
                    if self.chroma else []))
+            # Direct-pass inter coefficient planes ride the same
+            # download buffer (int16, after the class levels).
+            if coeffs is not None:
+                lv_flat = jnp.concatenate(
+                    [lv_flat.astype(jnp.int16)]
+                    + [c.reshape(-1).astype(jnp.int16)
+                       for c in coeffs])
             return dy, dcb, dcr, lv_flat.astype(jnp.int16)
 
         return tpu_jit(run)
@@ -938,6 +947,10 @@ class PFrameMixin:
         sched["edge_h"] = jnp.asarray(eh)
         sched["inter8"] = jnp.asarray(inter8)
         sched["mv_cells"] = jnp.asarray(mv_cells)
+        # Schedule-size grid (64 rides 32): enables the scan-free
+        # direct inter pass in reconstruct_frame_var.
+        sched["isize8"] = jnp.asarray(
+            np.minimum(size8, 32).astype(np.int32))
         del sched["bs_v"], sched["bs_h"]
         return sched, lv_shapes
 
@@ -1145,16 +1158,18 @@ class PFrameMixin:
         refs = self._dpb
         with phase("varp.search"):
             vec = self._var_p_search()(jnp.asarray(yp), refs[0],
-                                       jnp.float32(lam_satd))
+                                       jnp.float32(lam_satd),
+                                       jnp.int32(frame_qp),
+                                       jnp.float32(lam_rd))
             costs, modes_d, mvs_d, imaps_d = _unpack_host_tree(
                 vec, self._qt_search_p_spec)
-        # Inter costs already carry their mv/mode rate (lambda*bits in
-        # the search); the flat residual charge covers split/pred-mode/
-        # CBF signalling only — far below the intra path's 300
-        # (measured: 300 flattens P trees to the max CU everywhere).
+        # Costs are RD units (roundtrip SSD + lam*modeled bits incl.
+        # per-CU syntax bins — quadtree.intra_rd_recost/inter_rd_grid):
+        # the tree argmin adds only the split-flag bins.
+        from kvazaar_tpu.encoder.quadtree import SPLIT_FLAG_BINS
         size8 = choose_tree(costs, self.coded_w, self.coded_h,
-                            lam_satd, percu_bits=60.0,
-                            split_bits=2.0)
+                            lam_rd, percu_bits=0.0,
+                            split_bits=SPLIT_FLAG_BINS)
         imaps = {k: np.asarray(v) for k, v in imaps_d.items()}
         mvs = {k: np.asarray(v) for k, v in mvs_d.items()}
         (vp, sched_size8, inter8, mv_cells, _extras,
@@ -1232,13 +1247,16 @@ class PFrameMixin:
         poc1, r1 = ref1
         with phase("varb.search"):
             vec = self._var_b_search()(jnp.asarray(yp), r0[0], r1[0],
-                                       jnp.float32(lam_satd))
+                                       jnp.float32(lam_satd),
+                                       jnp.int32(frame_qp),
+                                       jnp.float32(lam_rd))
             (costs, modes_d, mv0_d, mv1_d, dirs_d,
              imaps_d) = _unpack_host_tree(vec, self._qt_search_b_spec)
         with phase("varb.tree"):
+            from kvazaar_tpu.encoder.quadtree import SPLIT_FLAG_BINS
             size8 = choose_tree(costs, self.coded_w, self.coded_h,
-                                lam_satd, percu_bits=60.0,
-                                split_bits=2.0)
+                                lam_rd, percu_bits=0.0,
+                                split_bits=SPLIT_FLAG_BINS)
         imaps, mv0s, mv1s, dirss = imaps_d, mv0_d, mv1_d, dirs_d
         with phase("varb.plan"):
             (vp, sched_size8, inter8, mv0_cells, extras,
@@ -2499,15 +2517,13 @@ class IntraFrameEncoder(PFrameMixin):
         from kvazaar_tpu.encoder.quadtree import choose_tree
         vec = self._var_search_fn()(jnp.asarray(yp))
         costs_d, modes_d = _unpack_host_tree(vec, self._qt_search_spec)
-        if self.cfg.rd >= 2:
-            # rd-2 costs are true SSD + lambda*bits: structural bits
-            # charge at the rate lambda with real magnitudes.
-            size8 = choose_tree(costs_d, self.coded_w, self.coded_h,
-                                qp_to_lambda(self.cfg.qp),
-                                percu_bits=24.0, split_bits=1.0)
-        else:
-            size8 = choose_tree(costs_d, self.coded_w, self.coded_h,
-                                self.lambda_satd)
+        # Costs are RD units at every rd level (roundtrip recost with
+        # per-CU syntax bins inside search_quadtree).
+        from kvazaar_tpu.encoder.quadtree import SPLIT_FLAG_BINS
+        size8 = choose_tree(costs_d, self.coded_w, self.coded_h,
+                            qp_to_lambda(self.cfg.qp),
+                            percu_bits=0.0,
+                            split_bits=SPLIT_FLAG_BINS)
         mode_maps = {k: np.asarray(v) for k, v in modes_d.items()}
         # 64x64 CUs reconstruct as four same-mode 32x32 TBs (forced TU
         # split, 7.3.8.8): schedule them as 32-blocks carrying the 64
@@ -2735,6 +2751,16 @@ class IntraFrameEncoder(PFrameMixin):
             cs = vp.luma[s] if pl == "y" else vp.chroma[s]
             # Pad slots' pix maps point at the trailing trash element.
             np.put(ext[pl], cs.pix.reshape(-1), lv)
+        if off < lv_np.size:
+            # Direct-pass inter coefficient planes follow the class
+            # levels (inter regions; intra class scatters above are
+            # disjoint from them).
+            for pl in planes:
+                n = planes[pl].size
+                cp = lv_np[off:off + n].astype(np.int32)
+                off += n
+                nz = cp != 0
+                ext[pl][:-1][nz] = cp[nz]
         for pl in planes:
             planes[pl][:] = ext[pl][:-1].reshape(planes[pl].shape)
         return fd

@@ -46,9 +46,31 @@ def _mv_pred_grid(mv_grid):
     return _median3(left, top, topright)
 
 
+def _int_refine_sads(cur_blocks, ref, x0s, y0s, centers_px, rng: int,
+                     size: int):
+    """(N, (2rng+1)^2) integer-pel SADs around per-block centers:
+    one (S+2rng)^2 window gather, then static shifted slices (row-major
+    dy, dx offsets -rng..rng)."""
+    from kvazaar_tpu.ops.inter import gather_windows
+    ox = x0s + centers_px[:, 0] - rng
+    oy = y0s + centers_px[:, 1] - rng
+    win = gather_windows(ref, ox, oy, size + 2 * rng)
+    outs = []
+    for dy in range(2 * rng + 1):
+        for dx in range(2 * rng + 1):
+            d = win[:, dy:dy + size, dx:dx + size] - cur_blocks
+            outs.append(jnp.abs(d).sum(axis=(-2, -1)))
+    return jnp.stack(outs, axis=1)
+
+
+def _refine_offsets(rng: int):
+    return np.array([(dx, dy) for dy in range(-rng, rng + 1)
+                     for dx in range(-rng, rng + 1)], np.int32)
+
+
 def search_inter_frame(cur, ref, plan: IntraFramePlan, lambda_satd: float,
                        me_range: int, bitdepth: int = 8,
-                       subpel: bool = True, sads=None):
+                       subpel: bool = True, sads=None, mv_hint=None):
     """cur/ref: (H, W) int32 (ref is the deblocked prior recon).
 
     Returns (mv (By, Bx, 2) int32 qpel, cost (By, Bx) f32 —
@@ -72,29 +94,57 @@ def search_inter_frame(cur, ref, plan: IntraFramePlan, lambda_satd: float,
     cur_blocks = cur.reshape(by, s, bx, s).transpose(0, 2, 1, 3)
     cur_blocks = cur_blocks.reshape(n, s, s).astype(jnp.int32)
 
-    if sads is None:
-        sads = sad_surfaces(cur, ref, r, s, bitdepth)
-    sads = sads.reshape(n, 2 * r + 1, 2 * r + 1)    # (N, Ddy, Ddx)
+    if mv_hint is not None:
+        # Hierarchical stage 2: +-rng full-res SADs around the coarse
+        # hint AND around zero (static background safety net), rate-
+        # aware re-rank over the candidate set.
+        rng = 4
+        offs = jnp.asarray(_refine_offsets(rng))           # (K, 2)
+        centers = mv_hint.reshape(n, 2) >> 2               # px
+        zero = jnp.zeros_like(centers)
+        s_h = _int_refine_sads(cur_blocks, ref, x0s, y0s, centers,
+                               rng, s)
+        s_z = _int_refine_sads(cur_blocks, ref, x0s, y0s, zero,
+                               rng, s)
+        cands = jnp.concatenate([centers[:, None] + offs[None],
+                                 zero[:, None] + offs[None]], axis=1)
+        sads_c = jnp.concatenate([s_h, s_z], axis=1)       # (N, 2K)
+        i1 = jnp.argmin(sads_c, axis=1)
+        mv1 = jnp.take_along_axis(
+            cands, i1[:, None, None], axis=1)[:, 0] * 4
+        pred = _mv_pred_grid(mv1.reshape(by, bx, 2)).reshape(n, 1, 2)
+        q = cands * 4
+        bits = (_mv_bits_est(q[..., 0] - pred[..., 0])
+                + _mv_bits_est(q[..., 1] - pred[..., 1]))
+        cost = sads_c.astype(jnp.float32) + lambda_satd * bits
+        idx2 = jnp.argmin(cost, axis=1)
+        mv_int = jnp.take_along_axis(
+            q, idx2[:, None, None], axis=1)[:, 0].astype(jnp.int32)
+        pred_n = pred.reshape(n, 2)
+    else:
+        if sads is None:
+            sads = sad_surfaces(cur, ref, r, s, bitdepth)
+        sads = sads.reshape(n, 2 * r + 1, 2 * r + 1)   # (N, Ddy, Ddx)
 
-    # Pass 1: pure-SAD integer winner.
-    flat = sads.reshape(n, -1)
-    idx1 = jnp.argmin(flat, axis=-1)
-    dy1 = idx1 // (2 * r + 1) - r
-    dx1 = idx1 % (2 * r + 1) - r
-    mv1 = jnp.stack([dx1, dy1], axis=-1).reshape(by, bx, 2) * 4
+        # Pass 1: pure-SAD integer winner.
+        flat = sads.reshape(n, -1)
+        idx1 = jnp.argmin(flat, axis=-1)
+        dy1 = idx1 // (2 * r + 1) - r
+        dx1 = idx1 % (2 * r + 1) - r
+        mv1 = jnp.stack([dx1, dy1], axis=-1).reshape(by, bx, 2) * 4
 
-    # Pass 2: re-minimize with mv-rate vs the median predictor.
-    pred = _mv_pred_grid(mv1).reshape(n, 1, 1, 2)
-    dxs = (jnp.arange(-r, r + 1) * 4)[None, None, :]
-    dys = (jnp.arange(-r, r + 1) * 4)[None, :, None]
-    bits = _mv_bits_est(dxs - pred[..., 0]) + \
-        _mv_bits_est(dys - pred[..., 1])
-    cost = sads.astype(jnp.float32) + lambda_satd * bits
-    idx2 = jnp.argmin(cost.reshape(n, -1), axis=-1)
-    dy2 = idx2 // (2 * r + 1) - r
-    dx2 = idx2 % (2 * r + 1) - r
-    mv_int = jnp.stack([dx2, dy2], axis=-1).astype(jnp.int32) * 4
-    pred_n = pred.reshape(n, 2)
+        # Pass 2: re-minimize with mv-rate vs the median predictor.
+        pred = _mv_pred_grid(mv1).reshape(n, 1, 1, 2)
+        dxs = (jnp.arange(-r, r + 1) * 4)[None, None, :]
+        dys = (jnp.arange(-r, r + 1) * 4)[None, :, None]
+        bits = _mv_bits_est(dxs - pred[..., 0]) + \
+            _mv_bits_est(dys - pred[..., 1])
+        cost = sads.astype(jnp.float32) + lambda_satd * bits
+        idx2 = jnp.argmin(cost.reshape(n, -1), axis=-1)
+        dy2 = idx2 // (2 * r + 1) - r
+        dx2 = idx2 % (2 * r + 1) - r
+        mv_int = jnp.stack([dx2, dy2], axis=-1).astype(jnp.int32) * 4
+        pred_n = pred.reshape(n, 2)
 
     if not subpel:
         # Integer-pel only (--subme 0): cost = SATD at the int winner.

@@ -50,6 +50,8 @@ def search_quadtree(y, width: int, height: int, lambda_satd: float,
     the host (choose_tree)."""
     from kvazaar_tpu.encoder.intra_search import (modes64_from_satd32,
                                                   rd_cost_given_modes)
+    if lam_rd is None:
+        lam_rd = lambda_satd * lambda_satd
     costs = {}
     modes = {}
     for s in SIZES:
@@ -60,41 +62,52 @@ def search_quadtree(y, width: int, height: int, lambda_satd: float,
             m, c, satd32 = search_frame_modes(
                 y, plan, lambda_satd, bitdepth, two_pass,
                 return_satd=True, rdo=rdo, qp=qp, lam_rd=lam_rd)
-            m64, c64 = modes64_from_satd32(satd32, lambda_satd,
-                                           two_pass)
-            if rdo:
-                # Keep the 64 level in the same RD units as the leaves:
-                # roundtrip the four 32 TBs with the chosen 64 mode.
-                m64up = jnp.repeat(jnp.repeat(m64, 2, 0), 2, 1)
-                by32, bx32 = plan.blocks_y, plan.blocks_x
-                pad = jnp.zeros((by32, bx32), jnp.int32)
-                pad = pad.at[:m64up.shape[0], :m64up.shape[1]].set(
-                    m64up)
-                cg = rd_cost_given_modes(y, plan, pad, qp,
-                                         lam_rd, bitdepth)
-                by64, bx64 = m64.shape
-                c64 = (cg[0::2, 0::2][:by64, :bx64]
-                       + cg[0::2, 1::2][:by64, :bx64]
-                       + cg[1::2, 0::2][:by64, :bx64]
-                       + cg[1::2, 1::2][:by64, :bx64])
+            m64, _c64 = modes64_from_satd32(satd32, lambda_satd,
+                                            two_pass)
+            # 64 level in the same RD units as the leaves: roundtrip
+            # the four 32 TBs with the chosen 64 mode + per-CU bins.
+            m64up = jnp.repeat(jnp.repeat(m64, 2, 0), 2, 1)
+            by32, bx32 = plan.blocks_y, plan.blocks_x
+            pad = jnp.zeros((by32, bx32), jnp.int32)
+            pad = pad.at[:m64up.shape[0], :m64up.shape[1]].set(
+                m64up)
+            cg = rd_cost_given_modes(y, plan, pad, qp,
+                                     lam_rd, bitdepth)
+            by64, bx64 = m64.shape
+            c64 = (cg[0::2, 0::2][:by64, :bx64]
+                   + cg[0::2, 1::2][:by64, :bx64]
+                   + cg[1::2, 0::2][:by64, :bx64]
+                   + cg[1::2, 1::2][:by64, :bx64]
+                   + lam_rd * (INTRA_MODE_BINS
+                               + OVERHEAD_BINS_INTRA))
             modes[64], costs[64] = m64, c64
         else:
             m, c = search_frame_modes(y, plan, lambda_satd, bitdepth,
                                       two_pass, rdo=rdo, qp=qp,
                                       lam_rd=lam_rd)
         modes[s] = m
-        costs[s] = c
+        # RD-unit leaf costs (the reference compares kvz_cu_rd_cost at
+        # every depth, src/search.c:236, regardless of rd level):
+        # rdo costs are already roundtrip SSD + lam*(TB rate + mode
+        # bits) — add the CU overhead bins; non-rdo SATD costs are
+        # re-costed with a roundtrip at the winner mode.
+        if rdo:
+            costs[s] = c + lam_rd * OVERHEAD_BINS_INTRA
+        else:
+            costs[s] = intra_rd_recost(y, plan, m, qp, lam_rd,
+                                       bitdepth, p_slice=False)
     return costs, modes
 
 
 def choose_tree(costs: dict, width: int, height: int,
-                lambda_satd: float, percu_bits: float = 300.0,
-                split_bits: float = 2.0) -> np.ndarray:
-    """Bottom-up tree argmin (host numpy).  Each extra CU is charged
-    flat structural bits beyond the mode (split flag, CBFs, last-sig
-    coords — the reference charges these through CABAC-estimated RD
-    costs in search_cu, src/search.c:424; a flat estimate keeps the
-    argmin closed-form).  Returns size8 (H/8, W/8) uint8."""
+                lambda_satd: float, percu_bits: float = 0.0,
+                split_bits: float = 1.0) -> np.ndarray:
+    """Bottom-up tree argmin (host numpy).  Per-CU costs arrive in RD
+    units with their own syntax-overhead bins included (roundtrip
+    recost in the searches — the TPU form of the reference comparing
+    kvz_cu_rd_cost at every depth, src/search.c:236,424); the argmin
+    adds only the split-flag bins per split.  Returns size8
+    (H/8, W/8) uint8."""
     percu = lambda_satd * percu_bits
     split = lambda_satd * split_bits
     c = {s: np.asarray(v).astype(np.float64) for s, v in costs.items()}
@@ -152,6 +165,95 @@ def choose_tree(costs: dict, width: int, height: int,
 
 
 # ---------------------------------------------------------------------
+# RD-unit tree costing: the reference's search_cu reconstructs the
+# winning mode and compares REAL rd costs (SSD + CABAC-estimated bits,
+# kvz_cu_rd_cost_luma src/search.c:236) at every depth, regardless of
+# rd level (the rd level only deepens the MODE search).  TPU form: one
+# luma roundtrip per candidate size over the whole frame, rate from the
+# vectorized TB model (ops/rate.py), plus syntax-derived per-CU
+# overhead bins — no hand-tuned per-CU constants.
+# ---------------------------------------------------------------------
+
+# Context-bin counts of the CU-level syntax not carried by the TB rate
+# model (which includes cbf_luma): intra = part/pred flags (~1) +
+# intra_chroma_pred_mode (~1.5) + chroma cbfs (2); inter = merge_flag
+# (1) + rqt_root_cbf (1) + chroma cbfs (2).  Derived from the syntax
+# structure (encode_coding_tree.c), not fit to outcomes.
+OVERHEAD_BINS_INTRA = 4.5
+OVERHEAD_BINS_INTER = 4.0
+INTRA_MODE_BINS = 2.5      # MPM-weighted average of mpm_idx/rem coding
+SPLIT_FLAG_BINS = 1.0
+
+
+def tb_rd_cost(resid, s: int, qp, lam_rd, bitdepth: int,
+               intra: bool):
+    """(N,) luma roundtrip RD cost of (N, s, s) int32 residuals:
+    SSD + lam * modeled TB bits (s <= 32)."""
+    from kvazaar_tpu.ops.quant import dequantize, quantize
+    from kvazaar_tpu.ops.rate import tb_rate_bits
+    from kvazaar_tpu.ops.transform import (forward_transform,
+                                           inverse_transform)
+    coeff = forward_transform(resid, s, bitdepth)
+    levels = quantize(coeff, qp, s, bitdepth, intra=intra)
+    dq = dequantize(levels, qp, s, bitdepth, intra=intra)
+    rrec = inverse_transform(dq, s, bitdepth)
+    err = (rrec - resid).astype(jnp.float32)
+    ssd = jnp.sum(err * err, axis=(-2, -1))
+    return ssd + lam_rd * tb_rate_bits(levels)
+
+
+def inter_rd_grid(y, pred_blocks, s: int, by: int, bx: int, qp,
+                  lam_rd, bitdepth: int):
+    """(by, bx) inter RD cost grid from MC pred blocks (N, s, s):
+    roundtrip cost with 32-max TU tiling for 64 CUs."""
+    n = by * bx
+    orig = y[:by * s, :bx * s].reshape(by, s, bx, s)
+    orig = orig.transpose(0, 2, 1, 3).reshape(n, s, s)
+    resid = orig.astype(jnp.int32) - pred_blocks
+    if s <= 32:
+        c = tb_rd_cost(resid, s, qp, lam_rd, bitdepth, intra=False)
+        return c.reshape(by, bx)
+    # 64: four 32x32 TBs (max transform size).
+    r4 = resid.reshape(n, 2, 32, 2, 32).transpose(0, 1, 3, 2, 4)
+    c4 = tb_rd_cost(r4.reshape(n * 4, 32, 32), 32, qp, lam_rd,
+                    bitdepth, intra=False)
+    return c4.reshape(by, bx, 4).sum(axis=-1)
+
+
+def _mc_blocks_at(ref, mvs_grid, s: int, bitdepth: int):
+    """Uni-rounded MC luma blocks (N, s, s) at a per-CU qpel MV grid."""
+    from kvazaar_tpu.encoder.inter_search import _luma_hp_blocks
+    from kvazaar_tpu.ops.inter import uni_round
+    by, bx = mvs_grid.shape[:2]
+    n = by * bx
+    ys_, xs_ = np.mgrid[0:by, 0:bx]
+    x0s = jnp.asarray((xs_ * s).reshape(-1))
+    y0s = jnp.asarray((ys_ * s).reshape(-1))
+    return uni_round(_luma_hp_blocks(ref, x0s, y0s,
+                                     mvs_grid.reshape(n, 2), s,
+                                     bitdepth), bitdepth)
+
+
+def _mv_rate_grid(mvs_grid):
+    from kvazaar_tpu.encoder.inter_search import (_mv_bits_est,
+                                                  _mv_pred_grid)
+    p = _mv_pred_grid(mvs_grid)
+    return (_mv_bits_est(mvs_grid[..., 0] - p[..., 0])
+            + _mv_bits_est(mvs_grid[..., 1] - p[..., 1]))
+
+
+def intra_rd_recost(y, plan, modes_grid, qp, lam_rd, bitdepth,
+                    p_slice: bool):
+    """Intra RD-unit cost grid for the winner modes: luma roundtrip +
+    mode bins + CU overhead bins (+pred_mode_flag on P/B slices)."""
+    from kvazaar_tpu.encoder.intra_search import rd_cost_given_modes
+    extra = INTRA_MODE_BINS + OVERHEAD_BINS_INTRA + (
+        1.0 if p_slice else 0.0)
+    return rd_cost_given_modes(y, plan, modes_grid, qp, lam_rd,
+                               bitdepth) + lam_rd * extra
+
+
+# ---------------------------------------------------------------------
 # Inter (P/B) quadtree search: dense ME at every candidate CU size +
 # per-size intra-vs-inter argmin; the tree choice reuses choose_tree on
 # the combined costs (reference: search_cu tries inter then intra per
@@ -177,76 +279,110 @@ def search_quadtree_p(y, ref_y, width: int, height: int,
                       lambda_satd: float, me_range: int,
                       bitdepth: int = 8, intra_rng=(8, 32),
                       inter_rng=(8, 32), two_pass: bool = True,
-                      subpel: bool = True):
+                      subpel: bool = True, qp=30, lam_rd=None):
     """Device search for a P variable tree.  Returns per-size dicts
-    (keys may include 64): costs (combined min of intra/inter),
-    modes (intra winners), mvs (qpel, (H/s, W/s, 2)), inter_maps
-    (bool).  Sizes outside a tool's [min, max] range take +inf for
+    (keys may include 64): costs (RD units: luma roundtrip SSD +
+    lam*modeled bits of the intra/inter winner — the TPU form of
+    kvz_cu_rd_cost_luma, src/search.c:236), modes (intra winners),
+    mvs (qpel, (H/s, W/s, 2)), inter_maps (bool, decided on the RD
+    costs).  Sizes outside a tool's [min, max] range take +inf for
     that tool (the reference's --pu-depth-intra/inter semantics,
     src/cfg.c)."""
     from kvazaar_tpu.encoder.inter_search import search_inter_frame
     from kvazaar_tpu.encoder.intra_search import (modes64_from_satd32,
+                                                  rd_cost_given_modes,
                                                   search_frame_modes)
-    from kvazaar_tpu.ops.inter import sad_surfaces_multi
+    from kvazaar_tpu.ops.inter import coarse_mv_grids
+    if lam_rd is None:
+        lam_rd = lambda_satd * lambda_satd
     sizes = [s for s in SIZES
              if (intra_rng[0] <= s <= intra_rng[1]
                  or inter_rng[0] <= s <= inter_rng[1])]
     want64 = intra_rng[1] >= 64 or inter_rng[1] >= 64
     costs, modes, mvs, imaps = {}, {}, {}, {}
     icost64 = modes64 = None
-    # One |diff| pass for the whole inter size ladder (SAD pyramid).
+    # Hierarchical ME: one ds4 dense coarse pass for the whole size
+    # ladder, full-res refinement inside search_inter_frame.
     inter_sizes = [s for s in sizes
                    if inter_rng[0] <= s <= inter_rng[1]]
     if inter_rng[1] >= 64 and (width // 64) and (height // 64):
         inter_sizes = inter_sizes + [64]
-    surfs = (sad_surfaces_multi(y, ref_y, me_range,
-                                tuple(inter_sizes), bitdepth)
-             if inter_sizes else {})
+    hints = (coarse_mv_grids(y, ref_y, me_range, tuple(inter_sizes),
+                             bitdepth) if inter_sizes else {})
     for s in sizes:
         plan = make_intra_plan(width, height, s, chroma=False)
-        if intra_rng[0] <= s <= intra_rng[1]:
+        by, bx = plan.blocks_y, plan.blocks_x
+        intra_ok = intra_rng[0] <= s <= intra_rng[1]
+        inter_ok = inter_rng[0] <= s <= inter_rng[1]
+        if intra_ok:
             if s == 32 and want64 and intra_rng[1] >= 64:
-                m, ic, satd32 = search_frame_modes(
+                m, _ic, satd32 = search_frame_modes(
                     y, plan, lambda_satd, bitdepth, two_pass,
                     return_satd=True)
                 modes64, icost64 = modes64_from_satd32(
                     satd32, lambda_satd, two_pass)
             else:
-                m, ic = search_frame_modes(y, plan, lambda_satd,
-                                           bitdepth, two_pass)
+                m, _ic = search_frame_modes(y, plan, lambda_satd,
+                                            bitdepth, two_pass)
+            ir = intra_rd_recost(y, plan, m, qp, lam_rd, bitdepth,
+                                 p_slice=True)
         else:
             m = jnp.zeros((height // s, width // s), jnp.int32)
-            ic = _inf_grid(width, height, s)
-        if inter_rng[0] <= s <= inter_rng[1]:
-            mv, mc = search_inter_frame(y, ref_y, plan, lambda_satd,
-                                        me_range, bitdepth,
-                                        subpel=subpel, sads=surfs[s])
+            ir = _inf_grid(width, height, s)
+        if inter_ok:
+            mv, _mc = search_inter_frame(y, ref_y, plan, lambda_satd,
+                                         me_range, bitdepth,
+                                         subpel=subpel,
+                                         mv_hint=hints[s])
+            pred = _mc_blocks_at(ref_y, mv, s, bitdepth)
+            er = inter_rd_grid(y, pred, s, by, bx, qp, lam_rd,
+                               bitdepth) + lam_rd * (
+                _mv_rate_grid(mv) + 1.0 + OVERHEAD_BINS_INTER)
         else:
             mv = jnp.zeros((height // s, width // s, 2), jnp.int32)
-            mc = _inf_grid(width, height, s)
-        imap = mc <= ic * 1.02
-        costs[s] = jnp.minimum(mc, ic)
+            er = _inf_grid(width, height, s)
+        imap = er <= ir
+        costs[s] = jnp.where(imap, er, ir)
         modes[s] = m
         mvs[s] = jnp.where(imap[..., None], mv, 0).astype(jnp.int32)
         imaps[s] = imap
     if want64 and (width // 64) and (height // 64):
         plan64, w64, h64 = _plan64(width, height)
-        ic64 = (icost64 if icost64 is not None
-                else jnp.full((h64 // 64, w64 // 64), jnp.inf,
-                              jnp.float32)[:, :])
-        if modes64 is None:
-            modes64 = jnp.zeros((h64 // 64, w64 // 64), jnp.int32)
-        ic64 = ic64[:h64 // 64, :w64 // 64]
-        if inter_rng[1] >= 64:
-            mv64, mc64 = search_inter_frame(
-                y[:h64, :w64], ref_y[:h64, :w64], plan64, lambda_satd,
-                me_range, bitdepth, subpel=subpel, sads=surfs[64])
+        by64, bx64 = h64 // 64, w64 // 64
+        if modes64 is not None and intra_rng[1] >= 64:
+            # RD recost of the 64 intra candidate: four 32x32 TBs with
+            # the chosen 64 mode (forced TU split, 7.3.8.8).
+            plan32 = make_intra_plan(width, height, 32, chroma=False)
+            m64up = jnp.repeat(jnp.repeat(modes64, 2, 0), 2, 1)
+            pad = jnp.zeros((plan32.blocks_y, plan32.blocks_x),
+                            jnp.int32)
+            pad = pad.at[:m64up.shape[0], :m64up.shape[1]].set(m64up)
+            cg = rd_cost_given_modes(y, plan32, pad, qp, lam_rd,
+                                     bitdepth)
+            ir64 = (cg[0::2, 0::2][:by64, :bx64]
+                    + cg[0::2, 1::2][:by64, :bx64]
+                    + cg[1::2, 0::2][:by64, :bx64]
+                    + cg[1::2, 1::2][:by64, :bx64]
+                    + lam_rd * (INTRA_MODE_BINS
+                                + OVERHEAD_BINS_INTRA + 1.0))
         else:
-            mv64 = jnp.zeros((h64 // 64, w64 // 64, 2), jnp.int32)
-            mc64 = jnp.full((h64 // 64, w64 // 64), jnp.inf,
-                            jnp.float32)
-        imap64 = mc64 <= ic64 * 1.02
-        costs[64] = jnp.minimum(mc64, ic64)
+            modes64 = jnp.zeros((by64, bx64), jnp.int32)
+            ir64 = jnp.full((by64, bx64), jnp.inf, jnp.float32)
+        if inter_rng[1] >= 64:
+            mv64, _mc64 = search_inter_frame(
+                y[:h64, :w64], ref_y[:h64, :w64], plan64, lambda_satd,
+                me_range, bitdepth, subpel=subpel,
+                mv_hint=hints[64])
+            pred64 = _mc_blocks_at(ref_y, mv64, 64, bitdepth)
+            er64 = inter_rd_grid(y[:h64, :w64], pred64, 64, by64,
+                                 bx64, qp, lam_rd, bitdepth) \
+                + lam_rd * (_mv_rate_grid(mv64) + 1.0
+                            + OVERHEAD_BINS_INTER)
+        else:
+            mv64 = jnp.zeros((by64, bx64, 2), jnp.int32)
+            er64 = jnp.full((by64, bx64), jnp.inf, jnp.float32)
+        imap64 = er64 <= ir64
+        costs[64] = jnp.where(imap64, er64, ir64)
         modes[64] = modes64
         mvs[64] = jnp.where(imap64[..., None], mv64,
                             0).astype(jnp.int32)
@@ -258,43 +394,46 @@ def search_quadtree_b(y, r0_y, r1_y, width: int, height: int,
                       lambda_satd: float, me_range: int,
                       bitdepth: int = 8, intra_rng=(8, 32),
                       inter_rng=(8, 32), two_pass: bool = True,
-                      subpel: bool = True, bipred: bool = True):
+                      subpel: bool = True, bipred: bool = True,
+                      qp=30, lam_rd=None):
     """Device search for a B variable tree: per size, L0/L1 ME + a
-    bi-pred SATD check; combined cost vs intra.  Returns (costs,
-    modes, mv0s, mv1s, dirss, inter_maps) per-size dicts."""
+    bi-pred SATD check; combined RD-unit cost vs intra (roundtrip
+    recost like search_quadtree_p).  Returns (costs, modes, mv0s,
+    mv1s, dirss, inter_maps) per-size dicts."""
     from kvazaar_tpu.encoder.inter_search import (_mv_bits_est,
                                                   _mv_pred_grid,
                                                   search_inter_frame)
     from kvazaar_tpu.encoder.intra_search import (modes64_from_satd32,
+                                                  rd_cost_given_modes,
                                                   satd8_batch,
                                                   search_frame_modes)
-    from kvazaar_tpu.ops.inter import (bi_average, mc_luma_hp,
-                                       sad_surfaces_multi)
+    from kvazaar_tpu.ops.inter import (bi_average, coarse_mv_grids,
+                                       mc_luma_hp, uni_round)
+    if lam_rd is None:
+        lam_rd = lambda_satd * lambda_satd
     sizes = [s for s in SIZES
              if (intra_rng[0] <= s <= intra_rng[1]
                  or inter_rng[0] <= s <= inter_rng[1])]
     want64 = intra_rng[1] >= 64 or inter_rng[1] >= 64
     out_c, out_m, out_mv0, out_mv1, out_d, out_i = ({}, {}, {}, {},
                                                     {}, {})
-    # One |diff| pass per reference list for the whole size ladder.
+    # One ds4 coarse pass per reference list for the whole size ladder.
     inter_sizes = [s for s in sizes
                    if inter_rng[0] <= s <= inter_rng[1]]
     if inter_rng[1] >= 64 and (width // 64) and (height // 64):
         inter_sizes = inter_sizes + [64]
-    surfs0 = (sad_surfaces_multi(y, r0_y, me_range,
-                                 tuple(inter_sizes), bitdepth)
-              if inter_sizes else {})
-    surfs1 = (sad_surfaces_multi(y, r1_y, me_range,
-                                 tuple(inter_sizes), bitdepth)
-              if inter_sizes else {})
+    hints0 = (coarse_mv_grids(y, r0_y, me_range, tuple(inter_sizes),
+                              bitdepth) if inter_sizes else {})
+    hints1 = (coarse_mv_grids(y, r1_y, me_range, tuple(inter_sizes),
+                              bitdepth) if inter_sizes else {})
 
-    def inter_at(cur, r0, r1, plan, sads0=None, sads1=None):
+    def inter_at(cur, r0, r1, plan, hint0=None, hint1=None):
         mv0, c0 = search_inter_frame(cur, r0, plan, lambda_satd,
                                      me_range, bitdepth, subpel=subpel,
-                                     sads=sads0)
+                                     mv_hint=hint0)
         mv1, c1 = search_inter_frame(cur, r1, plan, lambda_satd,
                                      me_range, bitdepth, subpel=subpel,
-                                     sads=sads1)
+                                     mv_hint=hint1)
         s = plan.cu_size
         by, bx = plan.blocks_y, plan.blocks_x
         n = by * bx
@@ -318,34 +457,53 @@ def search_quadtree_b(y, r0_y, r1_y, width: int, height: int,
             cbi = jnp.full_like(cbi, jnp.inf)
         cc = jnp.stack([c0, c1, cbi])
         dirs = jnp.argmin(cc, axis=0).astype(jnp.int32)
-        return mv0, mv1, dirs, jnp.min(cc, axis=0)
+        # RD recost of the selected hypothesis: roundtrip the selected
+        # prediction + per-list mv rate + inter_pred_idc (~2 bins).
+        dn = dirs.reshape(n, 1, 1)
+        pred_sel = jnp.where(dn == 0, uni_round(hp0, bitdepth),
+                             jnp.where(dn == 1,
+                                       uni_round(hp1, bitdepth),
+                                       bi_average(hp0, hp1, bitdepth)))
+        r0b = (_mv_bits_est(mv0[..., 0] - p0[..., 0])
+               + _mv_bits_est(mv0[..., 1] - p0[..., 1]))
+        r1b = (_mv_bits_est(mv1[..., 0] - p1[..., 0])
+               + _mv_bits_est(mv1[..., 1] - p1[..., 1]))
+        rate_sel = jnp.where(dirs == 0, r0b,
+                             jnp.where(dirs == 1, r1b, r0b + r1b))
+        er = inter_rd_grid(cur, pred_sel, s, by, bx, qp, lam_rd,
+                           bitdepth) + lam_rd * (
+            rate_sel + 2.0 + 1.0 + OVERHEAD_BINS_INTER)
+        return mv0, mv1, dirs, er
 
-    modes64 = icost64 = None
+    modes64 = None
     for s in sizes:
         plan = make_intra_plan(width, height, s, chroma=False)
-        if intra_rng[0] <= s <= intra_rng[1]:
+        intra_ok = intra_rng[0] <= s <= intra_rng[1]
+        if intra_ok:
             if s == 32 and want64 and intra_rng[1] >= 64:
-                m, ic, satd32 = search_frame_modes(
+                m, _ic, satd32 = search_frame_modes(
                     y, plan, lambda_satd, bitdepth, two_pass,
                     return_satd=True)
-                modes64, icost64 = modes64_from_satd32(
+                modes64, _ic64 = modes64_from_satd32(
                     satd32, lambda_satd, two_pass)
             else:
-                m, ic = search_frame_modes(y, plan, lambda_satd,
-                                           bitdepth, two_pass)
+                m, _ic = search_frame_modes(y, plan, lambda_satd,
+                                            bitdepth, two_pass)
+            ir = intra_rd_recost(y, plan, m, qp, lam_rd, bitdepth,
+                                 p_slice=True)
         else:
             m = jnp.zeros((height // s, width // s), jnp.int32)
-            ic = _inf_grid(width, height, s)
+            ir = _inf_grid(width, height, s)
         if inter_rng[0] <= s <= inter_rng[1]:
-            mv0, mv1, dirs, mc = inter_at(y, r0_y, r1_y, plan,
-                                          surfs0[s], surfs1[s])
+            mv0, mv1, dirs, er = inter_at(y, r0_y, r1_y, plan,
+                                          hints0[s], hints1[s])
         else:
             z = jnp.zeros((height // s, width // s, 2), jnp.int32)
             mv0 = mv1 = z
             dirs = jnp.zeros((height // s, width // s), jnp.int32)
-            mc = _inf_grid(width, height, s)
-        imap = mc <= ic * 1.02
-        out_c[s] = jnp.minimum(mc, ic)
+            er = _inf_grid(width, height, s)
+        imap = er <= ir
+        out_c[s] = jnp.where(imap, er, ir)
         out_m[s] = m
         out_mv0[s] = jnp.where(imap[..., None], mv0,
                                0).astype(jnp.int32)
@@ -355,23 +513,35 @@ def search_quadtree_b(y, r0_y, r1_y, width: int, height: int,
         out_i[s] = imap
     if want64 and (width // 64) and (height // 64):
         plan64, w64, h64 = _plan64(width, height)
-        if modes64 is None:
-            modes64 = jnp.zeros((h64 // 64, w64 // 64), jnp.int32)
-            icost64 = jnp.full((h64 // 64, w64 // 64), jnp.inf,
-                               jnp.float32)
-        ic64 = icost64[:h64 // 64, :w64 // 64]
-        if inter_rng[1] >= 64:
-            mv0, mv1, dirs, mc64 = inter_at(
-                y[:h64, :w64], r0_y[:h64, :w64], r1_y[:h64, :w64],
-                plan64, surfs0[64], surfs1[64])
+        by64, bx64 = h64 // 64, w64 // 64
+        if modes64 is not None and intra_rng[1] >= 64:
+            plan32 = make_intra_plan(width, height, 32, chroma=False)
+            m64up = jnp.repeat(jnp.repeat(modes64, 2, 0), 2, 1)
+            pad = jnp.zeros((plan32.blocks_y, plan32.blocks_x),
+                            jnp.int32)
+            pad = pad.at[:m64up.shape[0], :m64up.shape[1]].set(m64up)
+            cg = rd_cost_given_modes(y, plan32, pad, qp, lam_rd,
+                                     bitdepth)
+            ir64 = (cg[0::2, 0::2][:by64, :bx64]
+                    + cg[0::2, 1::2][:by64, :bx64]
+                    + cg[1::2, 0::2][:by64, :bx64]
+                    + cg[1::2, 1::2][:by64, :bx64]
+                    + lam_rd * (INTRA_MODE_BINS
+                                + OVERHEAD_BINS_INTRA + 1.0))
         else:
-            z = jnp.zeros((h64 // 64, w64 // 64, 2), jnp.int32)
+            modes64 = jnp.zeros((by64, bx64), jnp.int32)
+            ir64 = jnp.full((by64, bx64), jnp.inf, jnp.float32)
+        if inter_rng[1] >= 64:
+            mv0, mv1, dirs, er64 = inter_at(
+                y[:h64, :w64], r0_y[:h64, :w64], r1_y[:h64, :w64],
+                plan64, hints0[64], hints1[64])
+        else:
+            z = jnp.zeros((by64, bx64, 2), jnp.int32)
             mv0 = mv1 = z
-            dirs = jnp.zeros((h64 // 64, w64 // 64), jnp.int32)
-            mc64 = jnp.full((h64 // 64, w64 // 64), jnp.inf,
-                            jnp.float32)
-        imap64 = mc64 <= ic64 * 1.02
-        out_c[64] = jnp.minimum(mc64, ic64)
+            dirs = jnp.zeros((by64, bx64), jnp.int32)
+            er64 = jnp.full((by64, bx64), jnp.inf, jnp.float32)
+        imap64 = er64 <= ir64
+        out_c[64] = jnp.where(imap64, er64, ir64)
         out_m[64] = modes64
         out_mv0[64] = jnp.where(imap64[..., None], mv0,
                                 0).astype(jnp.int32)
@@ -713,6 +883,95 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
                 scaling.dqc(size, True, comp)[qq % 6],
                 scaling.dqc(size, False, comp)[qq % 6])
 
+    # ---- Direct (scan-free) inter reconstruction.  Inter CUs carry
+    # no wavefront dependency: ALL of them roundtrip in one batched
+    # pass per size over full static block grids (MXU-friendly, no
+    # content-dependent shapes), their recon pre-fills the edge
+    # buffers, and the scan covers only the intra islands (the planner
+    # excluded inter CUs from the classes). ----
+    direct = inter and "isize8" in sched
+    coeff_planes = None
+    cbf8_direct = None
+    if direct:
+        from kvazaar_tpu.encoder.intra_recon import (_scan_sel,
+                                                     _tu_roundtrip)
+        isize8 = sched["isize8"]
+        inter8_g = sched["inter8"] != 0
+
+        def to_blocks(p, s):
+            by, bx = p.shape[0] // s, p.shape[1] // s
+            return (p.reshape(by, s, bx, s).transpose(0, 2, 1, 3)
+                    .reshape(by * bx, s, s), by, bx)
+
+        def to_plane(b, by, bx, s):
+            return (b.reshape(by, bx, s, s).transpose(0, 2, 1, 3)
+                    .reshape(by * s, bx * s))
+
+        def direct_pass(plane, mcp, qpv, luma_pass: bool, comp: int):
+            hgt, wdt = plane.shape
+            scale = height // hgt
+            recp = jnp.zeros((hgt, wdt), jnp.int32)
+            coefp = jnp.zeros((hgt, wdt), jnp.int32)
+            cbf = jnp.zeros((height // 8, width // 8), bool)
+            sizes_px = lsizes       # luma-unit sched sizes
+            for s_l in sizes_px:
+                s = s_l // scale
+                c = s_l // 8
+                m = ((isize8[::c, ::c] == s_l)
+                     & inter8_g[::c, ::c])           # (by, bx)
+                ob, by, bx = to_blocks(plane.astype(jnp.int32), s)
+                pb, _, _ = to_blocks(mcp, s)
+                n = by * bx
+                scan_sel = None
+                if signhide:
+                    scan_sel = _scan_sel(
+                        jnp.zeros(n, jnp.int32), s, luma_pass,
+                        jnp.ones(n, bool))
+                lv, rec, _ = _tu_roundtrip(
+                    ob, pb, s, qpv, bitdepth, False, lossless,
+                    scan_sel, rdoq, lam, tab(s, comp, qpv)
+                    if scaling is not None else None)
+                mb = m.reshape(n)
+                lv = jnp.where(mb[:, None, None], lv, 0)
+                mup = jnp.repeat(jnp.repeat(m, s, 0), s, 1)
+                recp = jnp.where(mup, to_plane(rec, by, bx, s), recp)
+                coefp = jnp.where(mup,
+                                  to_plane(lv.astype(jnp.int32), by,
+                                           bx, s), coefp)
+                if luma_pass:
+                    cb_s = jnp.any(lv != 0, axis=(-1, -2)) & mb
+                    cbu = jnp.repeat(jnp.repeat(
+                        cb_s.reshape(by, bx), c, 0), c, 1)
+                    cbf = cbf | cbu
+            return recp, coefp, cbf
+
+        rec_i_y, coef_i_y, cbf8_direct = direct_pass(
+            sched["plane_y"], mc_planes[0], qp, True, 0)
+        carry0[0] = jnp.concatenate(
+            [rec_i_y[7::8, :].reshape(-1), jnp.zeros(1, jnp.int32)])
+        carry0[1] = jnp.concatenate(
+            [rec_i_y[:, 7::8].T.reshape(-1), jnp.zeros(1, jnp.int32)])
+        coeff_planes = [coef_i_y]
+        if chroma:
+            rec_i_cb, coef_i_cb, _ = direct_pass(
+                sched["plane_cb"], mc_planes[1], qp_c, False, 1)
+            rec_i_cr, coef_i_cr, _ = direct_pass(
+                sched["plane_cr"], mc_planes[2], qp_c, False, 2)
+            hb_cb = rec_i_cb[3::4, :].reshape(-1)
+            hb_cr = rec_i_cr[3::4, :].reshape(-1)
+            vb_cb = rec_i_cb[:, 3::4].T.reshape(-1)
+            vb_cr = rec_i_cr[:, 3::4].T.reshape(-1)
+            z1 = jnp.zeros(1, jnp.int32)
+            if merge_c:
+                carry0[2] = jnp.concatenate([hb_cb, z1, hb_cr, z1])
+                carry0[3] = jnp.concatenate([vb_cb, z1, vb_cr, z1])
+            else:
+                carry0[2] = jnp.concatenate([hb_cb, z1])
+                carry0[3] = jnp.concatenate([vb_cb, z1])
+                carry0[4] = jnp.concatenate([hb_cr, z1])
+                carry0[5] = jnp.concatenate([vb_cr, z1])
+            coeff_planes += [coef_i_cb, coef_i_cr]
+
     def step_fn(carry, xs_t):
         hy, vy = carry[0], carry[1]
         outs = []
@@ -748,8 +1007,10 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
 
     _, outs = jax.lax.scan(step_fn, carry0, xs)
 
-    def assemble(plane_len, classes, keys, off):
-        flat = jnp.zeros(plane_len + 1, jnp.int32)
+    def assemble(plane_len, classes, keys, off, base=None):
+        flat = (jnp.zeros(plane_len + 1, jnp.int32) if base is None
+                else jnp.concatenate([base.reshape(-1),
+                                      jnp.zeros(1, jnp.int32)]))
         for i, s in enumerate(keys):
             rec = outs[off + i][1]                   # (steps, K, S, S)
             pix = classes[s]["pix"]                  # (steps, K, S*S)
@@ -757,7 +1018,8 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
                 rec.reshape(-1).astype(jnp.int32))
         return flat[:plane_len]
 
-    rec_y = assemble(width * height, sched["luma"], lsizes, 0) \
+    rec_y = assemble(width * height, sched["luma"], lsizes, 0,
+                     base=rec_i_y if direct else None) \
         .reshape(height, width)
     rec_cb = rec_cr = None
     levels = {"y": [outs[i][0] for i in range(len(lsizes))]}
@@ -767,7 +1029,12 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
                for s in csizes}
 
         def assemble_half(half):
-            flat = jnp.zeros(wc * hc + 1, jnp.int32)
+            base = None
+            if direct:
+                base = rec_i_cb if half == 0 else rec_i_cr
+            flat = (jnp.zeros(wc * hc + 1, jnp.int32) if base is None
+                    else jnp.concatenate([base.reshape(-1),
+                                          jnp.zeros(1, jnp.int32)]))
             for j, s in enumerate(csizes):
                 k = kof[s]
                 rec = outs[len(lsizes) + j][1][
@@ -786,9 +1053,13 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
     elif chroma:
         nc = len(csizes)
         rec_cb = assemble(wc * hc, sched["chroma"], csizes,
-                          len(lsizes)).reshape(hc, wc)
+                          len(lsizes),
+                          base=rec_i_cb if direct else None) \
+            .reshape(hc, wc)
         rec_cr = assemble(wc * hc, sched["chroma"], csizes,
-                          len(lsizes) + nc).reshape(hc, wc)
+                          len(lsizes) + nc,
+                          base=rec_i_cr if direct else None) \
+            .reshape(hc, wc)
         levels["cb"] = [outs[len(lsizes) + j][0] for j in range(nc)]
         levels["cr"] = [outs[len(lsizes) + nc + j][0]
                         for j in range(nc)]
@@ -796,7 +1067,8 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
         return rec_y, rec_cb, rec_cr, levels
     # Per-TB luma cbf on the 8x8-cell grid (deblock bs=1 rule needs
     # it; 8.7.2.4 reads the LUMA TB cbf): per-slot any(level != 0)
-    # scattered through the class cell maps (pad slots hit the trash).
+    # scattered through the class cell maps (pad slots hit the trash),
+    # OR-ed with the direct inter pass's per-TB cbf.
     h8w8 = (height // 8) * (width // 8)
     cbf_flat = jnp.zeros(h8w8 + 1, jnp.int32)
     for i, s in enumerate(lsizes):
@@ -808,4 +1080,6 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
         cbf_flat = cbf_flat.at[cs["cell8"].reshape(-1)].max(
             up.reshape(-1))
     cbf8 = cbf_flat[:h8w8].reshape(height // 8, width // 8) != 0
-    return rec_y, rec_cb, rec_cr, levels, cbf8
+    if cbf8_direct is not None:
+        cbf8 = cbf8 | cbf8_direct
+    return rec_y, rec_cb, rec_cr, levels, cbf8, coeff_planes

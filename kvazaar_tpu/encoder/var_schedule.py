@@ -124,7 +124,19 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
     cu_x = np.fromiter((c[0] for c in cus), np.int32, n_cu)
     cu_y = np.fromiter((c[1] for c in cus), np.int32, n_cu)
     cu_s = np.fromiter((c[2] for c in cus), np.int32, n_cu)
-    by_size = {s: np.flatnonzero(cu_s == s) for s in SIZES}
+    # Inter CUs have NO wavefront dependency (their prediction is MC,
+    # not neighbor recon): they are excluded from the scan classes and
+    # the step DP entirely — reconstruct_frame_var reconstructs them in
+    # one parallel pass and pre-fills the edge buffers, so intra CUs
+    # that reference inter neighbors see their edges at step 0 (decode-
+    # order availability still gates every read).  This collapses
+    # n_steps from O(W+2H) to the intra-only dependency chains.
+    if inter8_map is not None:
+        cu_inter = np.asarray(inter8_map, bool)[cu_y // 8, cu_x // 8]
+    else:
+        cu_inter = np.zeros(n_cu, bool)
+    by_size = {s: np.flatnonzero((cu_s == s) & ~cu_inter)
+               for s in SIZES}
 
     # Batched luma ref availability + owner CU ids per size class
     # (H.265 6.4.1 at cell granularity; cell_step>=0 in the old form
@@ -161,9 +173,12 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
     slot_of = np.zeros(n_cu, np.int32)
     counts: dict = {}
     for k in range(n_cu):
+        if cu_inter[k]:
+            continue                  # parallel direct pass, no step
         s = int(cu_s[k])
         row = owners_of[s][pos_in_class[k]]
         ow = row[row >= 0]
+        ow = ow[~cu_inter[ow]]        # inter edges pre-filled: step 0
         st = int(step_of[ow].max()) + 1 if ow.size else 0
         while counts.get((st, s), 0) >= caps[s]:
             st += 1
@@ -172,13 +187,16 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
         step_of[k] = st
         slot_of[k] = slot
 
-    n_steps = int(step_of.max()) + 1 if n_cu else 1
+    intra_ids = np.flatnonzero(~cu_inter)
+    n_steps = (int(step_of[intra_ids].max()) + 1 if intra_ids.size
+               else 1)
     # Quantize to a coarse 1.5x ladder: every distinct n_steps is a
     # separate compiled recon program (XLA static shapes; 20-200 s per
     # compile through the remote-compile service) — per-frame content
     # variation must NOT trigger per-frame recompiles.  Padding cost is
     # bounded at +50% scan steps, amortized by the tiny per-step cost.
-    b = max(step_bucket, 128)
+    # Inter frames scan only their intra islands: a lower floor.
+    b = max(step_bucket, 32 if inter8_map is not None else 128)
     while b < n_steps:
         b = -(-(b * 3 // 2) // 64) * 64
     n_steps = b

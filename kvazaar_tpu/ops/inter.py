@@ -288,6 +288,52 @@ def sad_surfaces_multi(cur_plane, ref_plane, radius: int, sizes,
             for s, o in zip(szs, outs)}
 
 
+def box4_mean(plane):
+    """4x4 mean-pool (floor), value range preserved — the coarse level
+    of the hierarchical ME pyramid."""
+    h, w = plane.shape
+    h4, w4 = h // 4, w // 4
+    p = plane[:h4 * 4, :w4 * 4].astype(jnp.int32)
+    return p.reshape(h4, 4, w4, 4).sum(axis=(1, 3)) >> 4
+
+
+def coarse_mv_grids(cur, ref, radius: int, sizes, bitdepth: int = 8):
+    """Hierarchical ME stage 1: dense SAD surfaces at 4x downsample,
+    argmin winners returned as per-size full-res MV hint grids in
+    QPEL units ({size: (H/size, W/size, 2) int32, (x, y)}).
+
+    The full-resolution dense surface is HBM-bandwidth-bound (the
+    shifted |diff| stacks move ~tens of GB per 1080p frame); at ds4 the
+    same logical search touches 1/256 of the bytes.  Sizes < 16 share
+    the 16 winner (their ds4 blocks are too small to rank reliably);
+    stage 2 (_int_refine_sads in inter_search) re-searches +-rng
+    full-res pixels around the hint and around zero, so hints only
+    need to be coarse.  Capability parity: the reference's default
+    presets use sparse hexbs/tz searches (src/search_inter.c:690,595);
+    coarse+refine covers at least the same effective range densely."""
+    c4 = box4_mean(cur)
+    r4 = box4_mean(ref)
+    rad4 = max(radius // 4, 2)
+    want = sorted({int(s) for s in sizes if s >= 16}) or [16]
+    surf = sad_surfaces_multi(c4, r4, rad4, tuple(s // 4 for s in want),
+                              bitdepth)
+    d = 2 * rad4 + 1
+    out = {}
+    for s in want:
+        su = surf[s // 4]
+        byc, bxc = su.shape[:2]
+        idx = jnp.argmin(su.reshape(byc, bxc, d * d), axis=-1)
+        mvy = (idx // d - rad4) * 16          # ds4 step = 4 px = 16 qpel
+        mvx = (idx % d - rad4) * 16
+        out[s] = jnp.stack([mvx, mvy], axis=-1).astype(jnp.int32)
+    parent = min(out)
+    for s in sizes:
+        if s < 16:
+            f = parent // s
+            out[s] = jnp.repeat(jnp.repeat(out[parent], f, 0), f, 1)
+    return out
+
+
 def refine_qpel_dense(cur_blocks, ref_plane, x0s, y0s, mv_int,
                       size: int, bitdepth: int = 8, ridx=None):
     """Dense quarter-pel refinement: SATD of ALL 49 subpel positions in
