@@ -231,6 +231,54 @@ class Encoder:
                 self._dpb_map[poc] = ife._dpb
                 out.append(self._emit(res, poc, self._pending[i],
                                       qp=ife.cfg.qp))
+        elif (self._rc is None and self.cfg.crypto is None
+                and self._intra._var_inter_active
+                and self._intra.scaling is None):
+            # Pipelined GOP: device submit of frame i+1 chains on the
+            # device DPB while a worker finalizes frame i (downloads +
+            # host CABAC) — the reference's OWF overlap
+            # (src/encoderstate.c:790-806) at GOP granularity.
+            import concurrent.futures as _cf
+            ife = self._intra
+            if not hasattr(self, "_fin_pool"):
+                self._fin_pool = _cf.ThreadPoolExecutor(1)
+            pending = None
+            for (off, l0, l1, qp_off, qp_fac) in GOP_TABLES[self._gop]:
+                poc = base + off
+                src = self._pending[off - 1]
+                frame_qp = (min(max(self.cfg.qp + qp_off, 0), 51)
+                            if qp_off else None)
+                if l1 is None:
+                    ife._dpb = self._dpb_map[poc - l0]
+                    h = ife.submit_var_p(*src, poc=poc,
+                                         ref_poc=poc - l0,
+                                         qp=frame_qp,
+                                         qp_factor=qp_fac)
+                    self._dpb_map[poc] = ife._dpb
+                    fut = self._fin_pool.submit(ife.finalize_var_p, h)
+                else:
+                    h = ife.submit_var_b(
+                        *src, poc=poc,
+                        ref0=(poc - l0, self._dpb_map[poc - l0]),
+                        ref1=(poc + l1, self._dpb_map[poc + l1]),
+                        qp=frame_qp, qp_factor=qp_fac)
+                    self._dpb_map[poc] = (h["dy"], h["dcb"], h["dcr"])
+                    fut = self._fin_pool.submit(ife.finalize_var_b, h)
+                if pending is not None:
+                    f, p_, s_, q_ = pending
+                    out.append(self._emit(f.result(), p_, s_, qp=q_))
+                pending = (fut, poc, src,
+                           frame_qp if frame_qp is not None
+                           else ife.cfg.qp)
+            if pending is not None:
+                f, p_, s_, q_ = pending
+                out.append(self._emit(f.result(), p_, s_, qp=q_))
+            self._base_poc = base + self._gop
+            self._dpb_map = {p: v for p, v in self._dpb_map.items()
+                             if p >= self._base_poc}
+            self._pending = []
+            self._poc = self._base_poc + 1
+            return out
         else:
             for (off, l0, l1, qp_off, qp_fac) in GOP_TABLES[self._gop]:
                 poc = base + off

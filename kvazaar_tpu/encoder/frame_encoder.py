@@ -1141,9 +1141,21 @@ class PFrameMixin:
     def encode_frame_var_p(self, y, cb=None, cr=None, poc: int = 1,
                            ref_poc: int = 0, qp=None, qp_factor=None):
         """Variable-quadtree P frame: per-size dense ME + intra search,
-        bottom-up tree argmin, MC-aware wavefront reconstruction,
-        per-CU merge/AMVP signalling (reference inter quadtree:
+        bottom-up tree argmin, MC-aware direct/wavefront recon, per-CU
+        merge/AMVP signalling (reference inter quadtree:
         src/search.c:424 + src/search_inter.c:1588)."""
+        return self.finalize_var_p(self.submit_var_p(
+            y, cb, cr, poc=poc, ref_poc=ref_poc, qp=qp,
+            qp_factor=qp_factor))
+
+    def submit_var_p(self, y, cb=None, cr=None, poc: int = 1,
+                     ref_poc: int = 0, qp=None, qp_factor=None):
+        """Device half of a var P frame: search + tree + plan + merge
+        RD + recon/SAO dispatch.  Updates the device DPB immediately
+        (async arrays), so the NEXT frame's submit chains on-device
+        while this frame's finalize (downloads + host CABAC) runs on a
+        worker — the OWF overlap of the reference
+        (src/encoderstate.c:790-806) recast as submit/finalize."""
         from kvazaar_tpu.constants import SLICE_P
         from kvazaar_tpu.encoder.quadtree import choose_tree
         frame_qp, lam_rd, lam_satd = self._var_frame_qp_lam(
@@ -1198,9 +1210,22 @@ class PFrameMixin:
             if self.chroma:
                 dcb, dcr = rcb[0], rcr[0]
         self._dpb = (dy, dcb, dcr)
-        fd = self._var_frame_data(vp, size8, mode_maps,
-                                  np.asarray(lv_flat), lv_shapes,
-                                  sched_size8=sched_size8)
+        return dict(kind="p", poc=poc, ref_poc=ref_poc,
+                    frame_qp=frame_qp, vp=vp, size8=size8,
+                    sched_size8=sched_size8, mode_maps=mode_maps,
+                    inter8=inter8, mv_cells=mv_cells,
+                    lv_shapes=lv_shapes, lv_flat=lv_flat,
+                    dy=dy, dcb=dcb, dcr=dcr, sao=sao)
+
+    def finalize_var_p(self, h) -> FrameResult:
+        """Host half of a var P frame: level/recon downloads, frame
+        data assembly, signalling derivation, CABAC serialize."""
+        vp, size8, inter8 = h["vp"], h["size8"], h["inter8"]
+        mv_cells = h["mv_cells"]
+        fd = self._var_frame_data(vp, size8, h["mode_maps"],
+                                  np.asarray(h["lv_flat"]),
+                                  h["lv_shapes"],
+                                  sched_size8=h["sched_size8"])
         fd.inter8[:] = inter8.astype(np.uint8)
         fd.mv8[:] = mv_cells
         merge8, mvp8, mvd8 = self._merge_amvp_var(size8, inter8,
@@ -1209,16 +1234,18 @@ class PFrameMixin:
         fd.mvp8[:] = mvp8
         fd.mvd8[:] = mvd8
         fd.skip8[:] = self._var_skip8(fd, size8, inter8, merge8)
+        sao = h["sao"]
         if sao is not None:
             fd.sao_merge[:] = sao["merge"]
             fd.sao_type[:] = sao["type"]
             fd.sao_eo[:] = sao["eo"]
             fd.sao_bp[:] = sao["bp"]
             fd.sao_off[:] = sao["off"]
-        rec_y = np.asarray(dy)
-        rec_cb = np.asarray(dcb) if self.chroma else None
-        rec_cr = np.asarray(dcr) if self.chroma else None
-        nal = self._serialize_p(fd, poc, poc - ref_poc, qp=frame_qp)
+        rec_y = np.asarray(h["dy"])
+        rec_cb = np.asarray(h["dcb"]) if self.chroma else None
+        rec_cr = np.asarray(h["dcr"]) if self.chroma else None
+        nal = self._serialize_p(fd, h["poc"], h["poc"] - h["ref_poc"],
+                               qp=h["frame_qp"])
         if self.cfg.hash in ("md5", "checksum"):
             from kvazaar_tpu.bitstream.headers import \
                 write_picture_hash_sei
@@ -1232,6 +1259,13 @@ class PFrameMixin:
     def encode_frame_var_b(self, y, cb, cr, poc: int, ref0, ref1,
                            qp=None, qp_factor=None):
         """Variable-quadtree B frame (one reference per list)."""
+        h = self.submit_var_b(y, cb, cr, poc, ref0, ref1, qp=qp,
+                              qp_factor=qp_factor)
+        return self.finalize_var_b(h), (h["dy"], h["dcb"], h["dcr"])
+
+    def submit_var_b(self, y, cb, cr, poc: int, ref0, ref1,
+                     qp=None, qp_factor=None):
+        """Device half of a var B frame (see submit_var_p)."""
         from kvazaar_tpu.constants import SLICE_B
         from kvazaar_tpu.encoder.quadtree import choose_tree
         frame_qp, lam_rd, lam_satd = self._var_frame_qp_lam(
@@ -1285,7 +1319,6 @@ class PFrameMixin:
         with phase("varb.recon"):
             dy, dcb, dcr, lv_flat = self._var_recon_inter_fn(
                 vp.n_steps, True)(sched, r0, r1)
-            jax.block_until_ready(dy)
         sao = None
         if self.cfg.sao:
           with phase("varb.sao"):
@@ -1300,10 +1333,23 @@ class PFrameMixin:
             dy = ry[0]
             if self.chroma:
                 dcb, dcr = rcb[0], rcr[0]
+        return dict(kind="b", poc=poc, poc0=poc0, poc1=poc1,
+                    frame_qp=frame_qp, vp=vp, size8=size8,
+                    sched_size8=sched_size8, mode_maps=mode_maps,
+                    inter8=inter8, dirs8=dirs8, emv0=emv0, emv1=emv1,
+                    lv_shapes=lv_shapes, lv_flat=lv_flat,
+                    dy=dy, dcb=dcb, dcr=dcr, sao=sao)
+
+    def finalize_var_b(self, h) -> FrameResult:
+        """Host half of a var B frame."""
+        vp, size8, inter8 = h["vp"], h["size8"], h["inter8"]
+        dirs8, emv0, emv1 = h["dirs8"], h["emv0"], h["emv1"]
+        poc, poc0, poc1 = h["poc"], h["poc0"], h["poc1"]
         with phase("varb.framedata"):
-            fd = self._var_frame_data(vp, size8, mode_maps,
-                                      np.asarray(lv_flat), lv_shapes,
-                                      sched_size8=sched_size8)
+            fd = self._var_frame_data(vp, size8, h["mode_maps"],
+                                      np.asarray(h["lv_flat"]),
+                                      h["lv_shapes"],
+                                      sched_size8=h["sched_size8"])
         fd.inter8[:] = inter8.astype(np.uint8)
         fd.mv8[:] = emv0
         fd.mv8_l1[:] = emv1
@@ -1319,6 +1365,7 @@ class PFrameMixin:
         fd.mvp8_l1[:] = mvp8_l1
         fd.mvd8_l1[:] = mvd8_l1
         fd.skip8[:] = self._var_skip8(fd, size8, inter8, merge8)
+        sao = h["sao"]
         if sao is not None:
             fd.sao_merge[:] = sao["merge"]
             fd.sao_type[:] = sao["type"]
@@ -1326,22 +1373,21 @@ class PFrameMixin:
             fd.sao_bp[:] = sao["bp"]
             fd.sao_off[:] = sao["off"]
         with phase("varb.recon_dl"):
-            rec_y = np.asarray(dy)
-            rec_cb = np.asarray(dcb) if self.chroma else None
-            rec_cr = np.asarray(dcr) if self.chroma else None
+            rec_y = np.asarray(h["dy"])
+            rec_cb = np.asarray(h["dcb"]) if self.chroma else None
+            rec_cr = np.asarray(h["dcr"]) if self.chroma else None
         with phase("varb.serialize"):
             nal = self._serialize_b(fd, poc, poc - poc0, poc1 - poc,
-                                    qp=frame_qp)
+                                    qp=h["frame_qp"])
         if self.cfg.hash in ("md5", "checksum"):
             from kvazaar_tpu.bitstream.headers import \
                 write_picture_hash_sei
             nal += write_picture_hash_sei((rec_y, rec_cb, rec_cr),
                                           self.bitdepth,
                                           kind=self.cfg.hash)
-        res = FrameResult(nals=nal, recon_y=rec_y, recon_cb=rec_cb,
-                          recon_cr=rec_cr, frame_data=fd,
-                          bits=len(nal) * 8)
-        return res, (dy, dcb, dcr)
+        return FrameResult(nals=nal, recon_y=rec_y, recon_cb=rec_cb,
+                           recon_cr=rec_cr, frame_data=fd,
+                           bits=len(nal) * 8)
 
     def _assemble_p_frame_data_smp(self, modes, inter_map, part, mv8,
                                    merge8, mvp8, mvd8, lv_y, lv_cb,
