@@ -239,15 +239,38 @@ class Encoder:
             # host CABAC) — the reference's OWF overlap
             # (src/encoderstate.c:790-806) at GOP granularity.
             import concurrent.futures as _cf
+            from kvazaar_tpu.constants import NAL_CRA_NUT, NAL_RASL_R
             ife = self._intra
             if not hasattr(self, "_fin_pool"):
                 self._fin_pool = _cf.ThreadPoolExecutor(1)
             pending = None
+            period = self.cfg.intra_period
+            # Open-GOP periodic intra: the anchor at a period boundary
+            # codes as a CRA (POC continues); this GOP's B pictures
+            # precede it in display order and reference across it ->
+            # RASL leading pictures (reference NAL-type logic,
+            # src/encoderstate.c:1171-1272, open_gop src/cfg.c:120).
+            cra_poc = base + self._gop
+            is_cra_gop = period > 1 and cra_poc % period == 0
             for (off, l0, l1, qp_off, qp_fac) in GOP_TABLES[self._gop]:
                 poc = base + off
                 src = self._pending[off - 1]
                 frame_qp = (min(max(self.cfg.qp + qp_off, 0), 51)
                             if qp_off else None)
+                if l1 is None and is_cra_gop and poc == cra_poc:
+                    if pending is not None:
+                        f, p_, s_, q_ = pending
+                        out.append(self._emit(f.result(), p_, s_,
+                                              qp=q_))
+                        pending = None
+                    res = ife.encode_frame(*src, nal_type=NAL_CRA_NUT,
+                                           poc=poc)
+                    self._dpb_map[poc] = ife._dpb
+                    out.append(self._emit(res, poc, src,
+                                          qp=ife.cfg.qp,
+                                          nal_type=NAL_CRA_NUT,
+                                          slice_type=SLICE_I))
+                    continue
                 if l1 is None:
                     ife._dpb = self._dpb_map[poc - l0]
                     h = ife.submit_var_p(*src, poc=poc,
@@ -261,7 +284,8 @@ class Encoder:
                         *src, poc=poc,
                         ref0=(poc - l0, self._dpb_map[poc - l0]),
                         ref1=(poc + l1, self._dpb_map[poc + l1]),
-                        qp=frame_qp, qp_factor=qp_fac)
+                        qp=frame_qp, qp_factor=qp_fac,
+                        nal_type=NAL_RASL_R if is_cra_gop else None)
                     self._dpb_map[poc] = (h["dy"], h["dcb"], h["dcr"])
                     fut = self._fin_pool.submit(ife.finalize_var_b, h)
                 if pending is not None:
@@ -327,10 +351,12 @@ class Encoder:
         self._poc = self._base_poc + len(self._pending) + 1
         return out
 
-    def _emit(self, res, poc, src, qp=None):
+    def _emit(self, res, poc, src, qp=None, nal_type=None,
+              slice_type=None):
         if self.cfg.crypto is not None:
             self._crypto_pics += 1
-        chunks = self._au_prefix(SLICE_I if poc == 0 else 0)
+        chunks = self._au_prefix(
+            SLICE_I if (poc == 0 or slice_type == SLICE_I) else 0)
         y, cb, cr = src
         h, w = y.shape
         rec_y = res.recon_y[:h, :w]
@@ -346,8 +372,11 @@ class Encoder:
         is_idr = poc == 0
         info = FrameInfo(
             poc=poc, qp=self.cfg.qp if qp is None else qp,
-            nal_type=NAL_IDR_W_RADL if is_idr else 1,
-            slice_type=SLICE_I if is_idr else 1,
+            nal_type=(NAL_IDR_W_RADL if is_idr
+                      else (nal_type if nal_type is not None else 1)),
+            slice_type=(SLICE_I if is_idr
+                        else (slice_type if slice_type is not None
+                              else 1)),
             bits=len(res.nals) * 8,
             psnr_y=psnr(rec_y, np.asarray(y, np.int32),
                         self.cfg.input_bitdepth),

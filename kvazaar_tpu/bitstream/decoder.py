@@ -221,7 +221,7 @@ def decode_stream(stream: bytes, params: StreamParams):
         pic_count[0] += 1
 
     for nal_type, _tid, rbsp in split_annexb(stream):
-        if nal_type in (0, 1, 19, 20) \
+        if nal_type in (0, 1, 8, 9, 19, 20, 21) \
                 and getattr(params, "slices", "none") != "none":
             # Multi-segment pictures: buffer slice-data payloads until
             # the picture's segment count is complete.
@@ -256,7 +256,7 @@ def decode_stream(stream: bytes, params: StreamParams):
             _finish_picture(pend["nal_type"], slice_type, qp, poc,
                             rpd, rpd1, tmvp, fd)
             pend.clear()
-        elif nal_type in (0, 1, 19, 20):   # TRAIL or IDR slices
+        elif nal_type in (0, 1, 8, 9, 19, 20, 21):  # TRAIL/RASL/IRAP
             r = BitReader(rbsp)
             (slice_type, qp, poc, rpd, rpd1, entries,
              tmvp) = parse_slice_header(r, params, nal_type)

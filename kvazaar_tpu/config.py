@@ -28,6 +28,8 @@ class Config:
     qp: int = 22
     intra_period: int = 64     # 0 = only first frame intra; 1 = all intra
     gop_len: int = 0           # 0 = IPPP low-delay, 4/8 = B-pyramid (later)
+    open_gop: bool = True      # CRA anchors for periodic intra in GOPs
+    #                            (reference default, src/cfg.c:120)
     ref_frames: int = 1
     # Low-delay GOP structure "lp-g#d#t#" (reference --gop lp-...,
     # src/cfg.c:885): (g, d, t) or None.  Implies gop_len 0 semantics
@@ -297,9 +299,19 @@ class Config:
             # of --gop).
             self.gop_len = 0
             self.lp_gop = None
-        if self.gop_len > 1 and self.intra_period not in (0,):
-            raise ValueError("hierarchical GOPs currently require "
-                             "--period 0 (single leading IDR)")
+        if self.gop_len > 1 and self.intra_period != 0:
+            # Periodic intra inside a B pyramid: open-GOP CRA anchors
+            # with RASL leading pictures (the reference defaults
+            # open_gop true, src/cfg.c:120; closed periodic GOPs are
+            # not implemented).
+            if not self.open_gop:
+                raise ValueError("periodic intra with --gop requires "
+                                 "open GOP (CRA anchors); "
+                                 "--period 0 for closed single-IDR "
+                                 "streams")
+            if self.intra_period % self.gop_len != 0:
+                raise ValueError("--period with --gop must be a "
+                                 "multiple of the GOP length")
         if self.mesh_tiles != 1:
             # Multi-device end-to-end encode: tile-row bands sharded
             # over a device mesh, one spliced bitstream (all-intra,

@@ -29,6 +29,8 @@ SLICE_I = 2
 
 # NAL unit types (H.265 Table 7-1).
 NAL_TRAIL_N = 0
+NAL_RASL_N = 8
+NAL_RASL_R = 9
 NAL_TRAIL_R = 1
 NAL_BLA_W_LP = 16
 NAL_IDR_W_RADL = 19

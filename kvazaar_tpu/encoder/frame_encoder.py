@@ -1264,8 +1264,9 @@ class PFrameMixin:
         return self.finalize_var_b(h), (h["dy"], h["dcb"], h["dcr"])
 
     def submit_var_b(self, y, cb, cr, poc: int, ref0, ref1,
-                     qp=None, qp_factor=None):
-        """Device half of a var B frame (see submit_var_p)."""
+                     qp=None, qp_factor=None, nal_type=None):
+        """Device half of a var B frame (see submit_var_p).
+        nal_type: RASL_R for open-GOP leading pictures."""
         from kvazaar_tpu.constants import SLICE_B
         from kvazaar_tpu.encoder.quadtree import choose_tree
         frame_qp, lam_rd, lam_satd = self._var_frame_qp_lam(
@@ -1334,6 +1335,7 @@ class PFrameMixin:
             if self.chroma:
                 dcb, dcr = rcb[0], rcr[0]
         return dict(kind="b", poc=poc, poc0=poc0, poc1=poc1,
+                    nal_type=nal_type,
                     frame_qp=frame_qp, vp=vp, size8=size8,
                     sched_size8=sched_size8, mode_maps=mode_maps,
                     inter8=inter8, dirs8=dirs8, emv0=emv0, emv1=emv1,
@@ -1377,8 +1379,9 @@ class PFrameMixin:
             rec_cb = np.asarray(h["dcb"]) if self.chroma else None
             rec_cr = np.asarray(h["dcr"]) if self.chroma else None
         with phase("varb.serialize"):
-            nal = self._serialize_b(fd, poc, poc - poc0, poc1 - poc,
-                                    qp=h["frame_qp"])
+            nal = self._serialize_b(
+                fd, poc, poc - poc0, poc1 - poc, qp=h["frame_qp"],
+                nal_type=h.get("nal_type") or NAL_TRAIL_R)
         if self.cfg.hash in ("md5", "checksum"):
             from kvazaar_tpu.bitstream.headers import \
                 write_picture_hash_sei
@@ -1730,6 +1733,12 @@ class PFrameMixin:
         fd.mvd8_l1[::c8, ::c8] = np.where(use_amvp[..., None], mvd1, 0)
         return fd
 
+    def _islice_nal_poc(self):
+        """(nal_type, poc) for the current intra picture: the open-GOP
+        CRA override set by encode_frame, else IDR at POC 0."""
+        ctx = getattr(self, "_islice_ctx", None)
+        return ctx if ctx is not None else (NAL_IDR_W_RADL, 0)
+
     def _slice_nals(self, fd, slice_type, nal_type, hdr_kwargs,
                     nref_l0: int = 1, qp=None) -> bytes:
         """--slices emission: one NAL per slice segment (reference
@@ -1767,12 +1776,13 @@ class PFrameMixin:
             out += nal_unit(w.get_bytes() + seg, nal_type)
         return out
 
-    def _serialize_b(self, fd, poc, rpd0, rpd1, qp=None):
+    def _serialize_b(self, fd, poc, rpd0, rpd1, qp=None,
+                     nal_type=NAL_TRAIL_R):
         qp = self.cfg.qp if qp is None else qp
         if self.params.slices != "none":
             from kvazaar_tpu.constants import SLICE_B
             return self._slice_nals(
-                fd, SLICE_B, NAL_TRAIL_R,
+                fd, SLICE_B, nal_type,
                 dict(poc=poc, ref_poc_diff=rpd0, ref_poc_diff_l1=rpd1),
                 qp=qp)
         from kvazaar_tpu.constants import SLICE_B
@@ -1801,12 +1811,12 @@ class PFrameMixin:
                 dw.align_zero()
             data = dw.get_bytes()
         w = BitWriter()
-        write_slice_header(w, self.params, SLICE_B, NAL_TRAIL_R,
+        write_slice_header(w, self.params, SLICE_B, nal_type,
                            qp, poc=poc, ref_poc_diff=rpd0,
                            ref_poc_diff_l1=rpd1,
                            num_entry_points=max(len(sizes) - 1, 0),
                            entry_point_offsets=sizes[:-1])
-        return nal_unit(w.get_bytes() + data, NAL_TRAIL_R)
+        return nal_unit(w.get_bytes() + data, nal_type)
 
     def _serialize_p(self, fd, poc, ref_poc_diff, ref_list_l0=None,
                      retained_l0=(), tmvp: bool = False, qp=None):
@@ -2251,18 +2261,27 @@ class IntraFrameEncoder(PFrameMixin):
         return out_lv
 
     def encode_frame(self, y: np.ndarray, cb=None, cr=None,
-                     qp_ctu=None) -> FrameResult:
+                     qp_ctu=None, nal_type=None,
+                     poc: int = 0) -> FrameResult:
         """y: (H, W) source luma (uint8/uint16); cb/cr half size.
         qp_ctu: optional (Cy, Cx) int32 per-CTU QP map (LCU rate
         control / ROI / AQ); routes through the traced-QP program +
-        cu_qp_delta syntax."""
-        if self.cfg.mesh_tiles > 1:
-            return self.encode_frame_mesh(y, cb, cr)
-        if qp_ctu is not None:
-            return self.encode_frame_qp(y, cb, cr, qp_ctu)
-        if self.cfg.intra_min_cu < self.cfg.intra_max_cu:
-            return self.encode_frame_var(y, cb, cr)
-        return self.finalize_frames(self.submit_frames([(y, cb, cr)]))[0]
+        cu_qp_delta syntax.  nal_type/poc: IRAP override for open-GOP
+        intra pictures (CRA_NUT codes its POC; default IDR at 0,
+        reference NAL-type logic src/encoderstate.c:1171-1272)."""
+        self._islice_ctx = (nal_type, poc) if nal_type is not None \
+            else None
+        try:
+            if self.cfg.mesh_tiles > 1:
+                return self.encode_frame_mesh(y, cb, cr)
+            if qp_ctu is not None:
+                return self.encode_frame_qp(y, cb, cr, qp_ctu)
+            if self.cfg.intra_min_cu < self.cfg.intra_max_cu:
+                return self.encode_frame_var(y, cb, cr)
+            return self.finalize_frames(
+                self.submit_frames([(y, cb, cr)]))[0]
+        finally:
+            self._islice_ctx = None
 
     def encode_frame_mesh(self, y, cb=None, cr=None) -> FrameResult:
         """Multi-device end-to-end encode: the frame's tile-row bands
@@ -2813,7 +2832,9 @@ class IntraFrameEncoder(PFrameMixin):
 
     def _var_serialize(self, fd, rec_y, rec_cb, rec_cr) -> FrameResult:
         if self.params.slices != "none":
-            nal = self._slice_nals(fd, SLICE_I, NAL_IDR_W_RADL, {})
+            nal = self._slice_nals(fd, SLICE_I, self._islice_nal_poc()[0],
+                                   dict(poc=self._islice_nal_poc()[1],
+                                        ref_list_l0=[]))
             if self.cfg.hash in ("md5", "checksum") \
                     and rec_y is not None:
                 from kvazaar_tpu.bitstream.headers import \
@@ -2852,11 +2873,12 @@ class IntraFrameEncoder(PFrameMixin):
                 dw.align_zero()
             data = dw.get_bytes()
         w = BitWriter()
-        write_slice_header(w, self.params, SLICE_I, NAL_IDR_W_RADL,
-                           self.cfg.qp,
+        inal, ipoc = self._islice_nal_poc()
+        write_slice_header(w, self.params, SLICE_I, inal,
+                           self.cfg.qp, poc=ipoc, ref_list_l0=[],
                            num_entry_points=max(len(sizes) - 1, 0),
                            entry_point_offsets=sizes[:-1])
-        nal = nal_unit(w.get_bytes() + data, NAL_IDR_W_RADL)
+        nal = nal_unit(w.get_bytes() + data, inal)
         if self.cfg.hash in ("md5", "checksum") and rec_y is not None:
             from kvazaar_tpu.bitstream.headers import \
                 write_picture_hash_sei
@@ -2915,7 +2937,9 @@ class IntraFrameEncoder(PFrameMixin):
             fd.sao_bp[:] = sao["bp"]
             fd.sao_off[:] = sao["off"]
         if self.params.slices != "none":
-            nal = self._slice_nals(fd, SLICE_I, NAL_IDR_W_RADL, {})
+            nal = self._slice_nals(fd, SLICE_I, self._islice_nal_poc()[0],
+                                   dict(poc=self._islice_nal_poc()[1],
+                                        ref_list_l0=[]))
             if self.cfg.hash in ("md5", "checksum") \
                     and rec_y is not None:
                 from kvazaar_tpu.bitstream.headers import \
@@ -2955,11 +2979,12 @@ class IntraFrameEncoder(PFrameMixin):
                 dw.align_zero()
             data = dw.get_bytes()
         w = BitWriter()
-        write_slice_header(w, self.params, SLICE_I, NAL_IDR_W_RADL,
-                           self.cfg.qp,
+        inal, ipoc = self._islice_nal_poc()
+        write_slice_header(w, self.params, SLICE_I, inal,
+                           self.cfg.qp, poc=ipoc, ref_list_l0=[],
                            num_entry_points=max(len(sizes) - 1, 0),
                            entry_point_offsets=sizes[:-1])
-        nal = nal_unit(w.get_bytes() + data, NAL_IDR_W_RADL)
+        nal = nal_unit(w.get_bytes() + data, inal)
         if self.cfg.hash in ("md5", "checksum") and rec_y is not None:
             from kvazaar_tpu.bitstream.headers import \
                 write_picture_hash_sei
