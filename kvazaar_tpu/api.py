@@ -136,16 +136,24 @@ class Encoder:
 
     def _au_prefix(self, slice_type: int) -> bytes:
         """Per-access-unit prefix: AUD, then parameter sets + version
-        SEI once at stream start (the reference's assembly order,
+        SEI at stream start and (--vps-period N) before every Nth IRAP
+        (the reference's assembly order,
         encoder_state_write_bitstream_main,
         src/encoder_state-bitstream.c:982-1010)."""
         out = b""
         if self.cfg.aud:
             from kvazaar_tpu.bitstream.headers import write_aud
             out += write_aud(slice_type)
-        if not self._wrote_headers:
+        reemit = False
+        if slice_type == SLICE_I:
+            n = getattr(self, "_irap_count", 0)
+            self._irap_count = n + 1
+            vp = self.cfg.vps_period
+            reemit = (self._wrote_headers and vp > 0 and n > 0
+                      and n % vp == 0)
+        if not self._wrote_headers or reemit:
             out += self.headers()
-            if self.cfg.info:
+            if self.cfg.info and not self._wrote_headers:
                 from kvazaar_tpu.bitstream.headers import \
                     write_version_sei
                 out += write_version_sei()

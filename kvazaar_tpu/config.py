@@ -125,6 +125,10 @@ class Config:
     colormatrix: int = 2
     chromaloc: int = 0
     aud: bool = False
+    # Re-emit VPS/SPS/PPS before every Nth IRAP (reference
+    # --vps-period, src/encoder_state-bitstream.c:982-1010 assembly;
+    # 0 = parameter sets once at stream start, N>=1 = every Nth IRAP).
+    vps_period: int = 0
     info: bool = True
 
     # Tiles (reference --tiles WxH, uniform spacing; src/cfg.c tiles
