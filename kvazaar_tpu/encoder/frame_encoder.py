@@ -866,8 +866,8 @@ class PFrameMixin:
                 qp, qp_c = self.cfg.qp, self.qp_c
                 lam = qp_to_lambda(self.cfg.qp)
                 qp_map = None
-            (rec_y, rec_cb, rec_cr, levels, cbf8,
-             coeffs) = reconstruct_frame_var(
+            (rec_y, rec_cb, rec_cr, levels,
+             cbf8) = reconstruct_frame_var(
                 sched, qp, qp_c, self.coded_w,
                 self.coded_h, self.chroma, self.bitdepth,
                 self.cfg.lossless, self.cfg.signhide,
@@ -889,18 +889,12 @@ class PFrameMixin:
             dy = dy.astype(rdt)
             if dcb is not None:
                 dcb, dcr = dcb.astype(rdt), dcr.astype(rdt)
+            keys = (["y"] + (["cb", "cr"] if self.chroma else [])
+                    + ["iy"] + (["icb", "icr"] if self.chroma
+                                else []))
             lv_flat = jnp.concatenate(
-                [lv.reshape(-1) for lv in levels["y"]]
-                + ([lv.reshape(-1) for lv in levels["cb"]]
-                   + [lv.reshape(-1) for lv in levels["cr"]]
-                   if self.chroma else []))
-            # Direct-pass inter coefficient planes ride the same
-            # download buffer (int16, after the class levels).
-            if coeffs is not None:
-                lv_flat = jnp.concatenate(
-                    [lv_flat.astype(jnp.int16)]
-                    + [c.reshape(-1).astype(jnp.int16)
-                       for c in coeffs])
+                [lv.reshape(-1) for k in keys
+                 for lv in levels.get(k, [])])
             return dy, dcb, dcr, lv_flat.astype(jnp.int16)
 
         return tpu_jit(run)
@@ -947,10 +941,6 @@ class PFrameMixin:
         sched["edge_h"] = jnp.asarray(eh)
         sched["inter8"] = jnp.asarray(inter8)
         sched["mv_cells"] = jnp.asarray(mv_cells)
-        # Schedule-size grid (64 rides 32): enables the scan-free
-        # direct inter pass in reconstruct_frame_var.
-        sched["isize8"] = jnp.asarray(
-            np.minimum(size8, 32).astype(np.int32))
         del sched["bs_v"], sched["bs_h"]
         return sched, lv_shapes
 
@@ -2743,6 +2733,19 @@ class IntraFrameEncoder(PFrameMixin):
         if self.chroma:
             for s in sorted(vp.chroma.keys()):
                 cls_fields("chroma", s, vp.chroma[s])
+
+        def icls_fields(pl, s, d):
+            fields.extend([
+                ((pl, s, "x0"), d["x0"].astype(np.int32)),
+                ((pl, s, "y0"), d["y0"].astype(np.int32)),
+                ((pl, s, "valid"), d["valid"].astype(np.bool_)),
+            ])
+        if vp.iluma is not None:
+            for s in sorted(vp.iluma.keys()):
+                icls_fields("iluma", s, vp.iluma[s])
+            if self.chroma:
+                for s in sorted(vp.ichroma.keys()):
+                    icls_fields("ichroma", s, vp.ichroma[s])
         fields.append((("plane_y",), np.asarray(yp, sdt)))
         if self.chroma:
             fields.append((("plane_cb",), np.asarray(cbp, sdt)))
@@ -2753,6 +2756,20 @@ class IntraFrameEncoder(PFrameMixin):
                     cs = vp.chroma[s]
                     lv_shapes.append((pl, s, cs.valid.shape[0],
                                       cs.valid.shape[1]))
+        if vp.iluma is not None:
+            # Direct-pass inter batches follow the scan classes in
+            # the level buffer (same order the device concatenates).
+            for s in sorted(vp.iluma.keys()):
+                d = vp.iluma[s]
+                lv_shapes.append(("iy", s, d["valid"].shape[0],
+                                  d["valid"].shape[1]))
+            if self.chroma:
+                for pl in ("icb", "icr"):
+                    for s in sorted(vp.ichroma.keys()):
+                        d = vp.ichroma[s]
+                        lv_shapes.append((pl, s,
+                                          d["valid"].shape[0],
+                                          d["valid"].shape[1]))
         # Deblock boundary strengths on the 8x8 cell grid: intra edges
         # (bs 2) exactly at CU/TU boundaries (a 64 CU's forced 32x32
         # TUs are TU boundaries, 8.7.2 — hence min(size, 32)).
@@ -2813,19 +2830,17 @@ class IntraFrameEncoder(PFrameMixin):
             n = st * k * s * s
             lv = lv_np[off:off + n].astype(np.int32)
             off += n
-            cs = vp.luma[s] if pl == "y" else vp.chroma[s]
+            if pl == "y":
+                pix = vp.luma[s].pix
+            elif pl in ("cb", "cr"):
+                pix = vp.chroma[s].pix
+            elif pl == "iy":
+                pix = vp.iluma[s]["pix"]
+            else:                           # icb / icr
+                pix = vp.ichroma[s]["pix"]
+            tgt = {"iy": "y", "icb": "cb", "icr": "cr"}.get(pl, pl)
             # Pad slots' pix maps point at the trailing trash element.
-            np.put(ext[pl], cs.pix.reshape(-1), lv)
-        if off < lv_np.size:
-            # Direct-pass inter coefficient planes follow the class
-            # levels (inter regions; intra class scatters above are
-            # disjoint from them).
-            for pl in planes:
-                n = planes[pl].size
-                cp = lv_np[off:off + n].astype(np.int32)
-                off += n
-                nz = cp != 0
-                ext[pl][:-1][nz] = cp[nz]
+            np.put(ext[tgt], pix.reshape(-1), lv)
         for pl in planes:
             planes[pl][:] = ext[pl][:-1].reshape(planes[pl].shape)
         return fd

@@ -884,79 +884,104 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
                 scaling.dqc(size, False, comp)[qq % 6])
 
     # ---- Direct (scan-free) inter reconstruction.  Inter CUs carry
-    # no wavefront dependency: ALL of them roundtrip in one batched
-    # pass per size over full static block grids (MXU-friendly, no
-    # content-dependent shapes), their recon pre-fills the edge
-    # buffers, and the scan covers only the intra islands (the planner
-    # excluded inter CUs from the classes). ----
-    direct = inter and "isize8" in sched
-    coeff_planes = None
+    # no wavefront dependency: they roundtrip in compact per-size
+    # batches (work proportional to real CU count — padded full grids
+    # would run RDOQ over 3x the plane per size), their recon
+    # pre-fills the edge buffers, and the scan covers only the intra
+    # islands (the planner excluded inter CUs from the classes). ----
+    direct = inter and "iluma" in sched
     cbf8_direct = None
+    ilevels = {}
     if direct:
         from kvazaar_tpu.encoder.intra_recon import (_scan_sel,
                                                      _tu_roundtrip)
-        isize8 = sched["isize8"]
-        inter8_g = sched["inter8"] != 0
 
-        def to_blocks(p, s):
-            by, bx = p.shape[0] // s, p.shape[1] // s
-            return (p.reshape(by, s, bx, s).transpose(0, 2, 1, 3)
-                    .reshape(by * bx, s, s), by, bx)
+        def derive_i(cs, s, plane_w, plane_h, luma_flag):
+            x0 = cs["x0"].astype(jnp.int32)
+            y0 = cs["y0"].astype(jnp.int32)
+            valid = cs["valid"]
+            yy, xx = np.meshgrid(np.arange(s), np.arange(s),
+                                 indexing="ij")
+            off = jnp.asarray((yy * plane_w + xx).ravel()
+                              .astype(np.int32))
+            trash = plane_w * plane_h
+            pix = jnp.where(valid[..., None],
+                            (y0 * plane_w + x0)[..., None] + off,
+                            trash)
+            d = dict(cs, pix=pix)
+            if luma_flag:
+                c8 = s // 8
+                w8c, h8c = width // 8, height // 8
+                cyy, cxx = np.meshgrid(np.arange(c8), np.arange(c8),
+                                       indexing="ij")
+                coff = jnp.asarray((cyy * w8c + cxx).ravel()
+                                   .astype(np.int32))
+                cb8 = (y0 // 8) * w8c + x0 // 8
+                d["cell8"] = jnp.where(valid[..., None],
+                                       cb8[..., None] + coff,
+                                       w8c * h8c)
+            return d
 
-        def to_plane(b, by, bx, s):
-            return (b.reshape(by, bx, s, s).transpose(0, 2, 1, 3)
-                    .reshape(by * s, bx * s))
-
-        def direct_pass(plane, mcp, qpv, luma_pass: bool, comp: int):
-            hgt, wdt = plane.shape
-            scale = height // hgt
-            recp = jnp.zeros((hgt, wdt), jnp.int32)
-            coefp = jnp.zeros((hgt, wdt), jnp.int32)
-            cbf = jnp.zeros((height // 8, width // 8), bool)
-            sizes_px = lsizes       # luma-unit sched sizes
-            for s_l in sizes_px:
+        def direct_pass(cls_key, plane, mcp, qpv, luma_flag,
+                        comp, lv_key, scale):
+            flat = jnp.zeros(plane.shape[0] * plane.shape[1] + 1,
+                             jnp.int32)
+            cbf_flat = (jnp.zeros((height // 8) * (width // 8) + 1,
+                                  jnp.int32) if luma_flag else None)
+            ilevels[lv_key] = []
+            pw, ph = plane.shape[1], plane.shape[0]
+            pl_ext = _flat_ext(plane)
+            mc_ext = _flat_ext(mcp)
+            for s_l in (8, 16, 32):
                 s = s_l // scale
-                c = s_l // 8
-                m = ((isize8[::c, ::c] == s_l)
-                     & inter8_g[::c, ::c])           # (by, bx)
-                ob, by, bx = to_blocks(plane.astype(jnp.int32), s)
-                pb, _, _ = to_blocks(mcp, s)
-                n = by * bx
+                cs = derive_i(sched[cls_key][s], s, pw, ph,
+                              luma_flag)
+                sti, ki = cs["valid"].shape
+                n = sti * ki
+                origs = pl_ext[cs["pix"]].reshape(n, s, s)
+                mcb = mc_ext[cs["pix"]].reshape(n, s, s)
                 scan_sel = None
                 if signhide:
-                    scan_sel = _scan_sel(
-                        jnp.zeros(n, jnp.int32), s, luma_pass,
-                        jnp.ones(n, bool))
+                    scan_sel = _scan_sel(jnp.zeros(n, jnp.int32), s,
+                                         luma_flag,
+                                         jnp.ones(n, bool))
                 lv, rec, _ = _tu_roundtrip(
-                    ob, pb, s, qpv, bitdepth, False, lossless,
-                    scan_sel, rdoq, lam, tab(s, comp, qpv)
-                    if scaling is not None else None)
-                mb = m.reshape(n)
-                lv = jnp.where(mb[:, None, None], lv, 0)
-                mup = jnp.repeat(jnp.repeat(m, s, 0), s, 1)
-                recp = jnp.where(mup, to_plane(rec, by, bx, s), recp)
-                coefp = jnp.where(mup,
-                                  to_plane(lv.astype(jnp.int32), by,
-                                           bx, s), coefp)
-                if luma_pass:
-                    cb_s = jnp.any(lv != 0, axis=(-1, -2)) & mb
-                    cbu = jnp.repeat(jnp.repeat(
-                        cb_s.reshape(by, bx), c, 0), c, 1)
-                    cbf = cbf | cbu
-            return recp, coefp, cbf
+                    origs, mcb, s, qpv, bitdepth, False, lossless,
+                    scan_sel, rdoq, lam, tab(s, comp, qpv))
+                vmask = cs["valid"].reshape(n)
+                lv = jnp.where(vmask[:, None, None], lv, 0)
+                flat = flat.at[cs["pix"].reshape(-1)].set(
+                    rec.reshape(n, s * s).reshape(-1)
+                    .astype(jnp.int32))
+                ilevels[lv_key].append(lv.reshape(sti, ki, s, s))
+                if luma_flag:
+                    cb = (jnp.any(lv != 0, axis=(-1, -2))
+                          .astype(jnp.int32).reshape(sti, ki))
+                    c2 = cs["cell8"].shape[-1]
+                    up = jnp.broadcast_to(cb[:, :, None],
+                                          (sti, ki, c2))
+                    cbf_flat = cbf_flat.at[
+                        cs["cell8"].reshape(-1)].max(up.reshape(-1))
+            recp = flat[:pw * ph].reshape(ph, pw)
+            cbf = (cbf_flat[:(height // 8) * (width // 8)]
+                   .reshape(height // 8, width // 8) != 0
+                   if luma_flag else None)
+            return recp, cbf
 
-        rec_i_y, coef_i_y, cbf8_direct = direct_pass(
-            sched["plane_y"], mc_planes[0], qp, True, 0)
+        rec_i_y, cbf8_direct = direct_pass(
+            "iluma", sched["plane_y"].astype(jnp.int32),
+            mc_planes[0], qp, True, 0, "iy", 1)
         carry0[0] = jnp.concatenate(
             [rec_i_y[7::8, :].reshape(-1), jnp.zeros(1, jnp.int32)])
         carry0[1] = jnp.concatenate(
             [rec_i_y[:, 7::8].T.reshape(-1), jnp.zeros(1, jnp.int32)])
-        coeff_planes = [coef_i_y]
         if chroma:
-            rec_i_cb, coef_i_cb, _ = direct_pass(
-                sched["plane_cb"], mc_planes[1], qp_c, False, 1)
-            rec_i_cr, coef_i_cr, _ = direct_pass(
-                sched["plane_cr"], mc_planes[2], qp_c, False, 2)
+            rec_i_cb, _ = direct_pass(
+                "ichroma", sched["plane_cb"].astype(jnp.int32),
+                mc_planes[1], qp_c, False, 1, "icb", 2)
+            rec_i_cr, _ = direct_pass(
+                "ichroma", sched["plane_cr"].astype(jnp.int32),
+                mc_planes[2], qp_c, False, 2, "icr", 2)
             hb_cb = rec_i_cb[3::4, :].reshape(-1)
             hb_cr = rec_i_cr[3::4, :].reshape(-1)
             vb_cb = rec_i_cb[:, 3::4].T.reshape(-1)
@@ -970,7 +995,6 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
                 carry0[3] = jnp.concatenate([vb_cb, z1])
                 carry0[4] = jnp.concatenate([hb_cr, z1])
                 carry0[5] = jnp.concatenate([vb_cr, z1])
-            coeff_planes += [coef_i_cb, coef_i_cr]
 
     def step_fn(carry, xs_t):
         hy, vy = carry[0], carry[1]
@@ -1082,4 +1106,5 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
     cbf8 = cbf_flat[:h8w8].reshape(height // 8, width // 8) != 0
     if cbf8_direct is not None:
         cbf8 = cbf8 | cbf8_direct
-    return rec_y, rec_cb, rec_cr, levels, cbf8, coeff_planes
+    levels.update(ilevels)
+    return rec_y, rec_cb, rec_cr, levels, cbf8

@@ -66,6 +66,13 @@ class VarPlan:
     height: int
     luma: dict                # size -> ClassSched
     chroma: dict | None       # size//2 -> ClassSched
+    # Compact inter-CU batches for the scan-free direct pass (P/B
+    # frames): size -> {x0, y0, valid, pix, cell8} with (steps_i,
+    # kcap) shapes.  pix/cell8 are HOST maps (the device re-derives
+    # them from x0/y0 — only x0/y0/valid upload).
+    iluma: dict | None = None
+    ichroma: dict | None = None
+    isteps: int = 0
 
 
 def _enumerate_cus(size8: np.ndarray):
@@ -267,6 +274,77 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
         cs.pix[st, sl] = (y0 * plane_w + x0)[:, None] + block_pix
         return cs
 
+    # ---- Compact inter-CU batches (direct pass): chunked arange
+    # step/slot per size with large caps; total slots ~= CU count
+    # (work stays proportional to real CUs — padding a full grid
+    # would run RDOQ over 3x the plane per size).  steps_i is ladder-
+    # quantized so content variation reuses compiled programs. ----
+    ICAPS = {8: 512, 16: 128, 32: 32}
+    iluma = ichroma = None
+    steps_i = 0
+    if inter8_map is not None:
+        by_size_i = {s: np.flatnonzero((cu_s == s) & cu_inter)
+                     for s in SIZES}
+        need = 1
+        for s in SIZES:
+            need = max(need, -(-max(len(by_size_i[s]), 1)
+                               // ICAPS[s]))
+        steps_i = 1
+        while steps_i < need:
+            steps_i = max(steps_i + 1, steps_i * 3 // 2)
+
+        def make_inter_class(size_luma, plane_w, plane_h, scale):
+            s = size_luma // scale
+            kcap = ICAPS[size_luma]
+            idxs = by_size_i.get(size_luma,
+                                 np.empty(0, np.int64))
+            trash = plane_w * plane_h
+            d = dict(
+                x0=np.zeros((steps_i, kcap), np.int32),
+                y0=np.zeros((steps_i, kcap), np.int32),
+                valid=np.zeros((steps_i, kcap), bool),
+                pix=np.full((steps_i, kcap, s * s), trash, np.int32),
+                cell8=None)
+            k = len(idxs)
+            if k:
+                st = np.arange(k) // kcap
+                sl = np.arange(k) % kcap
+                x0 = cu_x[idxs] // scale
+                y0 = cu_y[idxs] // scale
+                d["x0"][st, sl] = x0
+                d["y0"][st, sl] = y0
+                d["valid"][st, sl] = True
+                yy, xx = np.meshgrid(np.arange(s), np.arange(s),
+                                     indexing="ij")
+                bp = (yy * plane_w + xx).ravel()
+                d["pix"][st, sl] = (y0 * plane_w + x0)[:, None] + bp
+                if scale == 1:
+                    c8 = size_luma // 8
+                    w8c, h8c = width // 8, height // 8
+                    cyy, cxx = np.meshgrid(np.arange(c8),
+                                           np.arange(c8),
+                                           indexing="ij")
+                    coff = (cyy * w8c + cxx).ravel()
+                    cell = ((cu_y[idxs] // 8) * w8c
+                            + cu_x[idxs] // 8)
+                    cg = np.full((steps_i, kcap, c8 * c8),
+                                 w8c * h8c, np.int32)
+                    cg[st, sl] = cell[:, None] + coff
+                    d["cell8"] = cg
+            elif scale == 1:
+                c8 = size_luma // 8
+                d["cell8"] = np.full(
+                    (steps_i, kcap, c8 * c8),
+                    (width // 8) * (height // 8), np.int32)
+            return d
+
+        iluma = {s: make_inter_class(s, width, height, 1)
+                 for s in SIZES}
+        if chroma:
+            ichroma = {s // 2: make_inter_class(s, width // 2,
+                                                height // 2, 2)
+                       for s in SIZES}
+
     luma = {}
     chroma_d = {} if chroma else None
     # All classes are always present (possibly all-invalid) so the
@@ -277,4 +355,5 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
             chroma_d[s // 2] = make_class(s, width // 2, height // 2,
                                           4, 2)
     return VarPlan(n_steps=n_steps, width=width, height=height,
+                   iluma=iluma, ichroma=ichroma, isteps=steps_i,
                    luma=luma, chroma=chroma_d)
