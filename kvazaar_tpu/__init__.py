@@ -47,6 +47,30 @@ def tpu_jit(fun, **kw):
     return jax.jit(fun, **kw)
 
 
+def serialize_jax_compiles() -> None:
+    """Serialize XLA compile + persistent-cache access with a process
+    lock.  The encoder's pipelined paths compile from worker threads;
+    concurrent cache reads have crashed the interpreter inside the
+    zstd/deserialize path (segfault in
+    compilation_cache.get_executable_and_time).  Compiles are bound by
+    the (remote) compiler service anyway, so serializing them costs
+    nothing measurable."""
+    import threading
+
+    import jax._src.compiler as _compiler
+    if getattr(_compiler, "_kvz_serialized", False):
+        return
+    lock = threading.Lock()
+    orig = _compiler.compile_or_get_cached
+
+    def locked(*a, **kw):
+        with lock:
+            return orig(*a, **kw)
+
+    _compiler.compile_or_get_cached = locked
+    _compiler._kvz_serialized = True
+
+
 def enable_compile_cache() -> None:
     """Explicitly enable the persistent compile cache (the env var is
     not always honored by every platform plugin)."""
@@ -58,6 +82,10 @@ def enable_compile_cache() -> None:
                 _os.environ["JAX_COMPILATION_CACHE_DIR"])
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+    try:
+        serialize_jax_compiles()
     except Exception:
         pass
 

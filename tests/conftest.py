@@ -10,12 +10,12 @@ import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 
-# Persistent compilation cache: this box has a single CPU core and XLA
-# compiles are the dominant test cost; cache them across runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      "/tmp/kvazaar_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# NO persistent compilation cache for the suite: deserializing cached
+# executables on the 8-virtual-device CPU backend segfaults the
+# interpreter deterministically mid-suite (crash inside
+# compilation_cache.get_executable_and_time / zstd).  Cold compiles
+# are the stable trade.  (The TPU bench paths keep their own cache.)
+os.environ["JAX_COMPILATION_CACHE_DIR"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -28,3 +28,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Concurrent jit compiles from the encoder's worker threads have
+# crashed inside the persistent-cache read path (zstd/deserialize
+# segfault); serialize compiles process-wide for the whole suite.
+import kvazaar_tpu  # noqa: E402
+
+kvazaar_tpu.serialize_jax_compiles()
