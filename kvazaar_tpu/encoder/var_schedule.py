@@ -203,9 +203,12 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
     # variation must NOT trigger per-frame recompiles.  Padding cost is
     # bounded at +50% scan steps, amortized by the tiny per-step cost.
     # Inter frames scan only their intra islands: a lower floor.
+    # POWER-OF-TWO ladder: each distinct n_steps is a compiled program
+    # (~2 min per compile at 1080p through the remote service), so the
+    # bucket count must stay tiny across arbitrary content.
     b = max(step_bucket, 32 if inter8_map is not None else 128)
     while b < n_steps:
-        b = -(-(b * 3 // 2) // 64) * 64
+        b *= 2
     n_steps = b
 
     def make_class(size_luma: int, plane_w: int, plane_h: int,
@@ -279,7 +282,7 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
     # (work stays proportional to real CUs — padding a full grid
     # would run RDOQ over 3x the plane per size).  steps_i is ladder-
     # quantized so content variation reuses compiled programs. ----
-    ICAPS = {8: 512, 16: 128, 32: 32}
+    ICAPS = {8: 2048, 16: 512, 32: 128}
     iluma = ichroma = None
     steps_i = 0
     if inter8_map is not None:
@@ -289,9 +292,11 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
         for s in SIZES:
             need = max(need, -(-max(len(by_size_i[s]), 1)
                                // ICAPS[s]))
+        # Pow2 ladder (compile-count bound, see n_steps above); with
+        # these caps 1080p needs at most 16 steps, typically 1-8.
         steps_i = 1
         while steps_i < need:
-            steps_i = max(steps_i + 1, steps_i * 3 // 2)
+            steps_i *= 2
 
         def make_inter_class(size_luma, plane_w, plane_h, scale):
             s = size_luma // scale

@@ -353,25 +353,35 @@ def refine_qpel_dense(cur_blocks, ref_plane, x0s, y0s, mv_int,
     n = cur_blocks.shape[0]
     ox = x0s + (mv_int[:, 0] >> 2) - 4
     oy = y0s + (mv_int[:, 1] >> 2) - 4
-    win = gather_windows(ref_plane, ox, oy, size + 8, ridx)
-    lf = jnp.asarray(LUMA_FILTERS)
+    w_ = size + 8
+    win = gather_windows(ref_plane, ox, oy, w_, ridx)
     shift1 = bitdepth - 8
+
+    # Banded-matmul taps (MXU) instead of stacked shifted slices: the
+    # slice stacks moved ~N*8*W*S ints per phase through HBM; a (W, S)
+    # banded matrix contracts the taps in one bf16 matmul.
+    @functools.lru_cache(maxsize=None)
+    def _hband(fx: int, c0: int):
+        b = np.zeros((w_, size), np.int32)
+        for k in range(8):
+            for x in range(size):
+                b[c0 + x + k, x] = LUMA_FILTERS[fx][k]
+        return b
+
     hor = {}
     for qx in range(-3, 4):
         ix, fx = qx >> 2, qx & 3
-        c0 = 1 + ix
-        sl = jnp.stack([win[:, :, c0 + k:c0 + k + size]
-                        for k in range(8)], axis=1)   # (N,8,24,S)
-        hv = einsum_exact("k,bkyx->byx", lf[fx], sl, 1 << bitdepth)
+        hv = einsum_exact("wx,nyw->nyx",
+                          jnp.asarray(_hband(fx, 1 + ix)), win,
+                          1 << bitdepth)            # (N, W, S)
         hor[qx] = hv >> shift1 if shift1 else hv
     preds = []
     for qy in range(-3, 4):
         iy, fy = qy >> 2, qy & 3
-        r0 = 1 + iy
+        vb = jnp.asarray(_hband(fy, 1 + iy))        # (W, S)
         for qx in range(-3, 4):
-            sl = jnp.stack([hor[qx][:, r0 + k:r0 + k + size]
-                            for k in range(8)], axis=1)  # (N,8,S,S)
-            v = einsum_exact("k,bkyx->byx", lf[fy], sl, 1 << 15) >> 6
+            v = einsum_exact("wy,nwx->nyx", vb, hor[qx],
+                             1 << 15) >> 6
             preds.append(uni_round(v, bitdepth))
     preds = jnp.stack(preds, axis=1)                  # (N, 49, S, S)
     return satd8_batch(preds - cur_blocks[:, None])
