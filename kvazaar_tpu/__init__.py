@@ -76,10 +76,18 @@ def enable_compile_cache() -> None:
     not always honored by every platform plugin)."""
     import jax
     try:
-        if jax.config.jax_compilation_cache_dir is None:
-            jax.config.update(
-                "jax_compilation_cache_dir",
-                _os.environ["JAX_COMPILATION_CACHE_DIR"])
+        # Default to a per-user cache dir when the env var is unset;
+        # an EMPTY env var is an explicit disable (the CPU test suite
+        # sets "" — deserializing on the 8-virtual-device CPU backend
+        # has segfaulted, see tests/conftest.py).  On the TPU tunnel a
+        # cold veryslow-1080p warm-up is ~6 min of remote compiles, so
+        # the persistent cache is the difference between a usable and
+        # an unusable bench budget.
+        cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.expanduser("~/.cache/kvazaar_tpu_xla"))
+        if cache_dir and jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:

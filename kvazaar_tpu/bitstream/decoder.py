@@ -962,6 +962,8 @@ def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
     lorder = np.zeros((h // 4, w // 4), np.int32)
     lu = 0
     luma_units_of_cu = []
+    trsplit = (fd.trsplit8 if fd.trsplit8 is not None
+               else np.zeros((h8, w8), np.uint8))
     for _key, x0, y0, s in cus:
         if nxn[y0 // 8, x0 // 8]:
             units = [(x0, y0, 4), (x0 + 4, y0, 4),
@@ -969,6 +971,13 @@ def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
         elif s == 64:
             units = [(x0, y0, 32), (x0 + 32, y0, 32),
                      (x0, y0 + 32, 32), (x0 + 32, y0 + 32, 32)]
+        elif trsplit[y0 // 8, x0 // 8]:
+            # Explicit one-level TU split (split_transform_flag): four
+            # z-ordered half-size TBs predicted sequentially with the
+            # CU's mode (8.4.4.2.1 at TB granularity).
+            t = s // 2
+            units = [(x0, y0, t), (x0 + t, y0, t),
+                     (x0, y0 + t, t), (x0 + t, y0 + t, t)]
         else:
             units = [(x0, y0, s)]
         luma_units_of_cu.append(units)
@@ -985,6 +994,12 @@ def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
         if s == 64:
             cunits = [(cx0, cy0, 16), (cx0 + 16, cy0, 16),
                       (cx0, cy0 + 16, 16), (cx0 + 16, cy0 + 16, 16)]
+        elif s >= 16 and trsplit[y0 // 8, x0 // 8]:
+            # TU split: chroma TBs follow the luma split while the
+            # chroma child stays >= 4 (s 16/32 -> 4x4/8x8 chroma TBs).
+            t = s // 4
+            cunits = [(cx0, cy0, t), (cx0 + t, cy0, t),
+                      (cx0, cy0 + t, t), (cx0 + t, cy0 + t, t)]
         else:
             cunits = [(cx0, cy0, s // 2)]
         chroma_units_of_cu.append(cunits)
@@ -1126,7 +1141,9 @@ def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
         from kvazaar_tpu.encoder.quadtree import (var_bs_maps,
                                                   var_edge_masks)
         from kvazaar_tpu.ops.deblock import deblock_frame
-        ev, eh = var_edge_masks(sizes8 * 8)
+        node8 = np.where((trsplit > 0) & (sizes8 > 1),
+                         sizes8 // 2, sizes8)
+        ev, eh = var_edge_masks(node8 * 8)
         # Per-TB luma cbf on the cell grid (TB = min(CU, 32), 8.7.2.4).
         cbf8 = np.zeros((h8, w8), bool)
         for (_key, x0, y0, s) in cus:
@@ -1158,8 +1175,10 @@ def reconstruct_parsed_var(fd: FrameData, params: StreamParams,
                                  None if dcr is None else np.asarray(dcr))
     elif params.deblock_enabled:
         from kvazaar_tpu.ops.deblock import deblock_frame
-        # TU boundaries filter too: a 64 CU's forced 32x32 TUs (8.7.2).
+        # TU boundaries filter too: a 64 CU's forced 32x32 TUs and
+        # explicit split_transform_flag splits (8.7.2).
         c = np.minimum(sizes8.astype(np.int32), 4)
+        c = np.where((trsplit > 0) & (c > 1), c // 2, c)
         x8 = np.arange(w8)[None, :]
         y8m = np.arange(h8)[:, None]
         bs_v = jnp.asarray(np.where(x8 % c == 0, 2, 0).astype(np.int32))

@@ -71,6 +71,11 @@ class FrameData:
     # per-PU modes in mode4, forced 4x4 TU split (IntraSplitFlag,
     # 7.3.8.5/7.3.8.8; reference intra CU src/encode_coding_tree.c:683).
     nxn8: np.ndarray = None        # (H/8, W/8) uint8
+    # split_transform_flag per intra 2Nx2N CU (7.3.8.8, coded when the
+    # SPS max_transform_hierarchy_depth_intra > 0; reference
+    # kvz_encode_transform_coeff src/encode_coding_tree.c:461-472).
+    # CU-filled: 1 = the CU codes one explicit TU split level.
+    trsplit8: np.ndarray = None    # (H/8, W/8) uint8
     # transform_skip_flag per 4x4 TB (7.3.8.11, coded only when the PPS
     # enables it and log2TrafoSize == 2; reference src/transform.c:151).
     tskip4: np.ndarray = None      # (H/4, W/4) uint8 — luma
@@ -120,6 +125,7 @@ class FrameData:
             sao_bp=np.zeros(cg + (3,), dtype=np.uint8),
             sao_off=np.zeros(cg + (3, 4), dtype=np.int8),
             nxn8=np.zeros(g8, dtype=np.uint8),
+            trsplit8=np.zeros(g8, dtype=np.uint8),
             tskip4=np.zeros((height // 4, width // 4), dtype=np.uint8),
             tskip_cb=np.zeros(g8, dtype=np.uint8),
             tskip_cr=np.zeros(g8, dtype=np.uint8),
@@ -300,6 +306,17 @@ class _SliceSyntaxBase:
         """PART_NxN intra CU (only defined at min CU size 8)."""
         return (log2_size == 3 and self.d.nxn8 is not None
                 and bool(self.d.nxn8[y0 >> 3, x0 >> 3]))
+
+    def _codes_tr_split(self, x0, y0, log2_size, tr_depth) -> bool:
+        """split_transform_flag presence (7.3.8.8): intra 2Nx2N CUs at
+        trafoDepth 0 when the SPS allows one explicit level.
+        MaxTrafoDepth(intra) = max_tr_depth_intra (+1 for NxN, whose
+        depth-0 split is inferred, not coded)."""
+        return (self.p.max_tr_depth_intra > 0 and tr_depth == 0
+                and log2_size <= self.p.log2_max_tu
+                and log2_size > 2
+                and not self._is_inter_cu(x0, y0)
+                and not self._is_nxn(x0, y0, log2_size))
 
     def skip_ctx(self, x0: int, y0: int) -> int:
         inc = 0
@@ -868,12 +885,19 @@ class SliceDataEncoder(_SliceSyntaxBase):
         self.transform_tree(x0, y0, log2_size, 0)
 
     def transform_tree(self, x0, y0, log2_size, tr_depth) -> None:
-        # max_tr_depth_intra = 0: split only when size exceeds max TU or
-        # IntraSplitFlag (NxN) forces 4x4 TUs; the flag is never coded
-        # (7.3.8.8 inference rules).
+        # Forced splits (never coded, 7.3.8.8 inference): size exceeds
+        # max TU, or IntraSplitFlag (NxN) forces 4x4 TUs.  With SPS
+        # max_transform_hierarchy_depth_intra > 0, intra 2Nx2N CUs code
+        # an explicit split_transform_flag at trafoDepth 0 (reference
+        # src/encode_coding_tree.c:461-472; ctx 5 - log2TrafoSize).
         split = (log2_size > self.p.log2_max_tu
                  or (tr_depth == 0 and self._is_nxn(x0, y0, log2_size)
                      and not self._is_inter_cu(x0, y0)))
+        if self._codes_tr_split(x0, y0, log2_size, tr_depth):
+            split = bool(self.d.trsplit8 is not None
+                         and self.d.trsplit8[y0 >> 3, x0 >> 3])
+            self.c.encode_bin(
+                self.ctx("trans_subdiv", 5 - log2_size), int(split))
         cbf_cb = cbf_cr = 0
         if self.chroma and log2_size > 2:
             cb = self._tu_cbf(1, x0, y0, log2_size)
@@ -1589,6 +1613,13 @@ class SliceDataDecoder(_SliceSyntaxBase):
         split = (log2_size > self.p.log2_max_tu
                  or (tr_depth == 0 and self._is_nxn(x0, y0, log2_size)
                      and not self._is_inter_cu(x0, y0)))
+        if self._codes_tr_split(x0, y0, log2_size, tr_depth):
+            split = bool(self.c.decode_bin(
+                self.ctx("trans_subdiv", 5 - log2_size)))
+            if split and self.d.trsplit8 is not None:
+                c = 1 << (log2_size - 3)
+                self.d.trsplit8[y0 >> 3:(y0 >> 3) + c,
+                                x0 >> 3:(x0 >> 3) + c] = 1
         cbf_cb = cbf_cr = 0
         if self.chroma and log2_size > 2:
             cbf_cb = self.c.decode_bin(self.ctx("cbf_chroma", tr_depth))

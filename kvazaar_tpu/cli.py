@@ -63,6 +63,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--ref", type=int, default=None,
                     help="reference frames per list")
     ap.add_argument("--rd", type=int, default=None)
+    ap.add_argument("--tr-depth-intra", type=int, default=None,
+                    help="intra TU-split search depth (0/1)")
     ap.add_argument("--me-range", type=int, default=None)
     ap.add_argument("--subme", type=int, default=None,
                     help="0 = integer-pel only, >0 = half+quarter")
@@ -172,6 +174,7 @@ def main(argv=None) -> int:
     cfg.threads = args.threads
     cfg.owf = args.owf
     for name, key in (("ref", "ref_frames"), ("rd", "rd"),
+                      ("tr_depth_intra", "tr_depth_intra"),
                       ("me_range", "me_range"), ("sao", "sao"),
                       ("rdoq", "rdoq"), ("signhide", "signhide"),
                       ("cqmfile", "cqmfile"), ("roi", "roi"),

@@ -48,6 +48,11 @@ class Config:
     implicit_rdpcm: bool = False
     rd: int = 1                # RDO depth (0 = pure-SATD mode argmin,
                                # 1 = +MPM-aware bit re-rank), like --rd
+    # Explicit intra TU-split search depth (--tr-depth-intra,
+    # reference src/cfg.c:721 + search_intra_trdepth
+    # src/search_intra.c:189).  1 = each 16/32 intra CU may code one
+    # split_transform_flag level (four half-size TBs, RD-chosen).
+    tr_depth_intra: int = 0
 
     # Partitioning (device-friendly knobs; see encoder/frame_encoder.py).
     # pu_depth ranges as in the reference's --pu-depth-intra/inter.
@@ -272,6 +277,25 @@ class Config:
                                  "--lossless")
             if self.scaling_list != "off":
                 raise ValueError("transform_skip with scaling lists "
+                                 "is not implemented")
+        if self.tr_depth_intra not in (0, 1):
+            raise ValueError("--tr-depth-intra supports 0 or 1 "
+                             "(one explicit TU-split level)")
+        if self.tr_depth_intra:
+            if not (self.intra_min_cu < self.intra_max_cu
+                    and self.intra_min_cu >= 8):
+                raise ValueError(
+                    "--tr-depth-intra needs the variable intra "
+                    "quadtree (intra_min_cu < intra_max_cu, min >= 8)")
+            if self.lossless:
+                raise ValueError("--tr-depth-intra with --lossless is "
+                                 "not implemented")
+            if self.cu_qp_delta_active:
+                raise ValueError("--tr-depth-intra with per-CTU QP "
+                                 "(LCU rate control / ROI) is not "
+                                 "implemented")
+            if self.mesh_tiles > 1:
+                raise ValueError("--tr-depth-intra under mesh sharding "
                                  "is not implemented")
         if not 1 <= self.ref_frames <= 4:
             raise ValueError("ref_frames must be in [1, 4]")

@@ -120,6 +120,42 @@ def _unpack_host_tree(buf, spec):
     return jax.tree.unflatten(treedef, out)
 
 
+class _LazySaoParams:
+    """Deferred download of device-decided SAO params (see
+    _sao_device_fn): the packed (B, Cy, Cx, 20) int32 buffer stays on
+    device until the finalize worker indexes it, so the submit path
+    never syncs on SAO."""
+
+    def __init__(self, packed_dev):
+        self._dev = packed_dev
+        self._list = None
+
+    def _resolve(self):
+        if self._list is None:
+            buf = np.asarray(self._dev)
+            out = []
+            for i in range(buf.shape[0]):
+                b = buf[i]
+                cy, cx = b.shape[:2]
+                out.append(dict(
+                    merge=b[..., 0].astype(np.uint8),
+                    type=b[..., 1:3].astype(np.uint8),
+                    eo=b[..., 3:5].astype(np.uint8),
+                    bp=b[..., 5:8].astype(np.uint8),
+                    off=b[..., 8:20].reshape(cy, cx, 3, 4)
+                    .astype(np.int8)))
+            self._list = out
+            self._dev = None
+        return self._list
+
+    def __getitem__(self, i):
+        return self._resolve()[i]
+
+    def __len__(self):
+        return (len(self._list) if self._list is not None
+                else int(self._dev.shape[0]))
+
+
 def pad_to_multiple(plane: np.ndarray, mult: int) -> np.ndarray:
     h, w = plane.shape
     h2 = -(-h // mult) * mult
@@ -1195,7 +1231,9 @@ class PFrameMixin:
                 (dy[None],
                  None if dcb is None else dcb[None],
                  None if dcr is None else dcr[None]), lam=lam_rd)
-            sao = sao_list[0]
+            # Defer the params download to the finalize worker (the
+            # lazy handle resolves on first index).
+            sao = sao_list
             dy = ry[0]
             if self.chroma:
                 dcb, dcr = rcb[0], rcr[0]
@@ -1226,6 +1264,8 @@ class PFrameMixin:
         fd.skip8[:] = self._var_skip8(fd, size8, inter8, merge8)
         sao = h["sao"]
         if sao is not None:
+            if isinstance(sao, _LazySaoParams):
+                sao = sao[0]            # one-buffer download, here
             fd.sao_merge[:] = sao["merge"]
             fd.sao_type[:] = sao["type"]
             fd.sao_eo[:] = sao["eo"]
@@ -1320,7 +1360,9 @@ class PFrameMixin:
                 (dy[None],
                  None if dcb is None else dcb[None],
                  None if dcr is None else dcr[None]), lam=lam_rd)
-            sao = sao_list[0]
+            # Defer the params download to the finalize worker (the
+            # lazy handle resolves on first index).
+            sao = sao_list
             dy = ry[0]
             if self.chroma:
                 dcb, dcr = rcb[0], rcr[0]
@@ -1359,6 +1401,8 @@ class PFrameMixin:
         fd.skip8[:] = self._var_skip8(fd, size8, inter8, merge8)
         sao = h["sao"]
         if sao is not None:
+            if isinstance(sao, _LazySaoParams):
+                sao = sao[0]            # one-buffer download, here
             fd.sao_merge[:] = sao["merge"]
             fd.sao_type[:] = sao["type"]
             fd.sao_eo[:] = sao["eo"]
@@ -1777,6 +1821,7 @@ class PFrameMixin:
                 qp=qp)
         from kvazaar_tpu.constants import SLICE_B
         if _NATIVE_OK and not self.params.transquant_bypass \
+                and self.params.max_tr_depth_intra == 0 \
                 and self.params.crypto_key is None \
                 and self.params.slices == "none" \
                 and not self.params.tiles_enabled:
@@ -1819,6 +1864,7 @@ class PFrameMixin:
                      ref_list_l0=ref_list_l0, retained_l0=retained_l0,
                      tmvp=tmvp), nref_l0=nref, qp=qp)
         if _NATIVE_OK and not self.params.transquant_bypass \
+                and self.params.max_tr_depth_intra == 0 \
                 and self.params.crypto_key is None \
                 and self.params.slices == "none" \
                 and not self.params.tiles_enabled:
@@ -1932,6 +1978,7 @@ class IntraFrameEncoder(PFrameMixin):
             scaling_custom=_sl_custom,
             tmvp_enabled=cfg.tmvp,
             amp=cfg.amp,
+            max_tr_depth_intra=cfg.tr_depth_intra,
             crypto_key=_ckey,
             tiles=self.tiles,
             framerate=(cfg.framerate_num, cfg.framerate_denom),
@@ -2426,15 +2473,22 @@ class IntraFrameEncoder(PFrameMixin):
                 s_y = jax.vmap(lambda o, r: sao_stats(
                     o.astype(jnp.int32), r.astype(jnp.int32), 64,
                     self.bitdepth))(ys, recs_y)
-                if cbs is None:
-                    return s_y, None, None
-                s_cb = jax.vmap(lambda o, r: sao_stats(
-                    o.astype(jnp.int32), r.astype(jnp.int32), 32,
-                    self.bitdepth))(cbs, recs_cb)
-                s_cr = jax.vmap(lambda o, r: sao_stats(
-                    o.astype(jnp.int32), r.astype(jnp.int32), 32,
-                    self.bitdepth))(crs, recs_cr)
-                return s_y, s_cb, s_cr
+                arrs = list(s_y)
+                if cbs is not None:
+                    s_cb = jax.vmap(lambda o, r: sao_stats(
+                        o.astype(jnp.int32), r.astype(jnp.int32), 32,
+                        self.bitdepth))(cbs, recs_cb)
+                    s_cr = jax.vmap(lambda o, r: sao_stats(
+                        o.astype(jnp.int32), r.astype(jnp.int32), 32,
+                        self.bitdepth))(crs, recs_cr)
+                    arrs += list(s_cb) + list(s_cr)
+                # ONE packed buffer: the tunnel charges ~30 ms per
+                # D2H call, so 12 small stat downloads cost more than
+                # the data.  Shapes recorded at trace time.
+                self._sao_stat_meta = [a.shape[1:] for a in arrs]
+                b = arrs[0].shape[0]
+                return jnp.concatenate(
+                    [a.reshape(b, -1) for a in arrs], axis=1)
 
             def apply(recs_y, recs_cb, recs_cr, t, eo, bp, off):
                 ay = jax.vmap(lambda r, t_, e_, b_, o_: apply_sao_plane(
@@ -2456,23 +2510,91 @@ class IntraFrameEncoder(PFrameMixin):
             self._sao_jit = (tpu_jit(stats), tpu_jit(apply))
         return self._sao_jit
 
+    def _sao_device_fn(self):
+        """Fused device SAO: stats + greedy-merge decide + apply in
+        ONE program — no host sync in the submit path (the host decide
+        round-trip serialized the GOP pipeline; see
+        ops/sao.py sao_decide_frame_device)."""
+        if hasattr(self, "_sao_dev_jit"):
+            return self._sao_dev_jit
+        from kvazaar_tpu.ops.sao import (apply_sao_plane,
+                                         sao_decide_frame_device,
+                                         sao_stats)
+        bd = self.bitdepth
+
+        def one(o_y, r_y, o_cb, r_cb, o_cr, r_cr, lam):
+            s_y = sao_stats(o_y.astype(jnp.int32),
+                            r_y.astype(jnp.int32), 64, bd)
+            stats_c = None
+            if o_cb is not None:
+                s_cb = sao_stats(o_cb.astype(jnp.int32),
+                                 r_cb.astype(jnp.int32), 32, bd)
+                s_cr = sao_stats(o_cr.astype(jnp.int32),
+                                 r_cr.astype(jnp.int32), 32, bd)
+                stats_c = (s_cb, s_cr)
+            p = sao_decide_frame_device(s_y, stats_c, lam)
+            t, eo, bp, off = p["type"], p["eo"], p["bp"], p["off"]
+            ay = apply_sao_plane(r_y, t[:, :, 0], eo[:, :, 0],
+                                 bp[:, :, 0], off[:, :, 0], 64, bd)
+            acb = acr = None
+            if o_cb is not None:
+                acb = apply_sao_plane(r_cb, t[:, :, 1], eo[:, :, 1],
+                                      bp[:, :, 1], off[:, :, 1], 32,
+                                      bd)
+                acr = apply_sao_plane(r_cr, t[:, :, 1], eo[:, :, 1],
+                                      bp[:, :, 2], off[:, :, 2], 32,
+                                      bd)
+            cy, cx = t.shape[:2]
+            packed = jnp.concatenate(
+                [p["merge"][:, :, None], t, eo, bp,
+                 off.reshape(cy, cx, 12)], axis=-1)   # (cy, cx, 20)
+            return ay, acb, acr, packed
+
+        def run(ys, recs_y, cbs, recs_cb, crs, recs_cr, lam):
+            if cbs is None:
+                return jax.vmap(
+                    lambda a, b, l: one(a, b, None, None, None, None,
+                                        l),
+                    in_axes=(0, 0, None))(ys, recs_y, lam)
+            return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, None))(
+                ys, recs_y, cbs, recs_cb, crs, recs_cr, lam)
+
+        self._sao_dev_jit = tpu_jit(run)
+        return self._sao_dev_jit
+
     def _sao_stage(self, srcs, recs, lam=None):
         """Search + apply SAO for a batch.  Returns (new recs,
-        per-frame param dicts for the serializer).  lam: per-frame
-        lambda override (GOP layer lambdas)."""
+        per-frame params for the serializer — a list of dicts on the
+        tiles path, a _LazySaoParams (deferred one-buffer download)
+        on the device path).  lam: per-frame lambda override (GOP
+        layer lambdas)."""
         from kvazaar_tpu.ops.sao import sao_decide_frame
-        stats_fn, apply_fn = self._sao_fns()
         ys, cbs, crs = srcs
         if lam is None:
             lam = qp_to_lambda(self.cfg.qp)
-        s_y, s_cb, s_cr = stats_fn(
+        if not self.params.tiles_enabled:
+            fn = self._sao_device_fn()
+            ay, acb, acr, packed = fn(
+                jnp.asarray(ys), recs[0],
+                None if cbs is None else jnp.asarray(cbs), recs[1],
+                None if crs is None else jnp.asarray(crs), recs[2],
+                jnp.float32(lam))
+            return (ay, acb, acr), _LazySaoParams(packed)
+        stats_fn, apply_fn = self._sao_fns()
+        packed = stats_fn(
             jnp.asarray(ys), recs[0],
             None if cbs is None else jnp.asarray(cbs), recs[1],
             None if crs is None else jnp.asarray(crs), recs[2])
-        s_y = [np.asarray(a) for a in s_y]
-        if s_cb is not None:
-            s_cb = [np.asarray(a) for a in s_cb]
-            s_cr = [np.asarray(a) for a in s_cr]
+        buf = np.asarray(packed)            # one D2H transfer
+        arrs = []
+        off = 0
+        for shp in self._sao_stat_meta:
+            n = int(np.prod(shp))
+            arrs.append(buf[:, off:off + n].reshape((-1,) + tuple(shp)))
+            off += n
+        s_y, s_cb, s_cr = arrs[:4], None, None
+        if cbs is not None:
+            s_cb, s_cr = arrs[4:8], arrs[8:12]
         nframes = ys.shape[0]
         sao_list = []
         t_all, eo_all, bp_all, off_all = [], [], [], []
@@ -2550,7 +2672,8 @@ class IntraFrameEncoder(PFrameMixin):
                     self.bitdepth, self.cfg.intra_min_cu,
                     self.cfg.intra_max_cu, self.cfg.rd >= 1,
                     rdo=self.cfg.rd >= 2, qp=self.cfg.qp,
-                    lam_rd=qp_to_lambda(self.cfg.qp))
+                    lam_rd=qp_to_lambda(self.cfg.qp),
+                    tu_split=self.cfg.tr_depth_intra > 0)
                 vec, self._qt_search_spec = _pack_device_tree(outs)
                 return vec
 
@@ -2571,14 +2694,26 @@ class IntraFrameEncoder(PFrameMixin):
             crp = pad_to_multiple(np.asarray(cr, np.int32), s // 2)
         from kvazaar_tpu.encoder.quadtree import choose_tree
         vec = self._var_search_fn()(jnp.asarray(yp))
-        costs_d, modes_d = _unpack_host_tree(vec, self._qt_search_spec)
+        unp = _unpack_host_tree(vec, self._qt_search_spec)
+        tucosts = None
+        if self.cfg.tr_depth_intra > 0:
+            costs_d, modes_d, tucosts = unp
+            tucosts = {k: np.asarray(v) for k, v in tucosts.items()}
+        else:
+            costs_d, modes_d = unp
         # Costs are RD units at every rd level (roundtrip recost with
         # per-CU syntax bins inside search_quadtree).
         from kvazaar_tpu.encoder.quadtree import SPLIT_FLAG_BINS
-        size8 = choose_tree(costs_d, self.coded_w, self.coded_h,
-                            qp_to_lambda(self.cfg.qp),
-                            percu_bits=0.0,
-                            split_bits=SPLIT_FLAG_BINS)
+        chosen = choose_tree(costs_d, self.coded_w, self.coded_h,
+                             qp_to_lambda(self.cfg.qp),
+                             percu_bits=0.0,
+                             split_bits=SPLIT_FLAG_BINS,
+                             tucosts=tucosts)
+        trsplit8 = None
+        if tucosts is not None:
+            size8, trsplit8 = chosen
+        else:
+            size8 = chosen
         mode_maps = {k: np.asarray(v) for k, v in modes_d.items()}
         # 64x64 CUs reconstruct as four same-mode 32x32 TBs (forced TU
         # split, 7.3.8.8): schedule them as 32-blocks carrying the 64
@@ -2594,16 +2729,49 @@ class IntraFrameEncoder(PFrameMixin):
                 mask32[:up.shape[0], :up.shape[1]], up, region)
             mode_maps = dict(mode_maps)
             mode_maps[32] = m32
+        # --tr-depth-intra: a split CU reconstructs as four z-ordered
+        # half-size TBs carrying the CU's mode — same recast as the
+        # forced 64->32 TB scheduling above.  depth8/trsplit8 keep the
+        # true tree for the serializer; sched_size8 becomes the TB
+        # node map (which also feeds deblock TU-edge BS, 8.7.2).
+        def _patch_children(maps, msk8, s):
+            h_ = s // 2
+            pm = maps[s]
+            up = np.kron(pm, np.ones((2, 2), pm.dtype))
+            mch = msk8[::h_ // 8, ::h_ // 8]
+            child = maps[h_].copy()
+            region = child[:up.shape[0], :up.shape[1]]
+            child[:up.shape[0], :up.shape[1]] = np.where(
+                mch[:up.shape[0], :up.shape[1]], up, region)
+            out = dict(maps)
+            out[h_] = child
+            return out
+
+        if trsplit8 is not None and trsplit8.any():
+            tmask = trsplit8.astype(bool)
+            sched_size8 = np.where(tmask, sched_size8 // 2,
+                                   sched_size8).astype(size8.dtype)
+            for s in (32, 16):
+                msk = (size8 == s) & tmask
+                if msk.any():
+                    mode_maps = _patch_children(mode_maps, msk, s)
         cmode_maps = None
         if self.cfg.rd >= 3 and self.chroma:
             cmode_maps = self._var_chroma_modes(mode_maps, size8, cbp,
                                                 crp)
+            if trsplit8 is not None and trsplit8.any():
+                for s in (32, 16):
+                    msk = (size8 == s) & trsplit8.astype(bool)
+                    if (msk.any() and s in cmode_maps
+                            and s // 2 in cmode_maps):
+                        cmode_maps = _patch_children(cmode_maps, msk,
+                                                     s)
         vp = build_var_plan(sched_size8, mode_maps, self.coded_w,
                             self.coded_h, self.chroma,
                             cmode_maps=cmode_maps)
 
         sched, lv_shapes = self._var_sched_arrays(vp, yp, cbp, crp,
-                                                  size8)
+                                                  sched_size8)
         dy, dcb, dcr, lv_flat = self._var_recon_fn(vp.n_steps)(sched)
         sao = None
         if self.cfg.sao:
@@ -2627,6 +2795,8 @@ class IntraFrameEncoder(PFrameMixin):
         fd = self._var_frame_data(vp, size8, mode_maps, lv_np,
                                   lv_shapes, sched_size8=sched_size8,
                                   cmode_maps=cmode_maps)
+        if trsplit8 is not None:
+            fd.trsplit8[:] = trsplit8
         if sao is not None:
             fd.sao_merge[:] = sao["merge"]
             fd.sao_type[:] = sao["type"]
@@ -2862,6 +3032,7 @@ class IntraFrameEncoder(PFrameMixin):
                                frame_data=fd, bits=len(nal) * 8)
         sizes = []
         if _NATIVE_OK and not self.params.transquant_bypass \
+                and self.params.max_tr_depth_intra == 0 \
                 and self.params.crypto_key is None \
                 and self.params.slices == "none" \
                 and not self.params.tiles_enabled:
@@ -2968,6 +3139,7 @@ class IntraFrameEncoder(PFrameMixin):
         # Slice data first (entry-point offsets go into the header).
         sizes = []
         if _NATIVE_OK and not self.params.transquant_bypass \
+                and self.params.max_tr_depth_intra == 0 \
                 and self.params.crypto_key is None \
                 and self.params.slices == "none" \
                 and not self.params.tiles_enabled and self.cu != 4:

@@ -38,7 +38,7 @@ def search_quadtree(y, width: int, height: int, lambda_satd: float,
                     bitdepth: int = 8, min_cu: int = 8,
                     max_cu: int = 32, two_pass: bool = True,
                     rdo: bool = False, qp: int = 30,
-                    lam_rd: float = None):
+                    lam_rd: float = None, tu_split: bool = False):
     """Open-loop mode search at every candidate CU size (device part).
 
     y: (H, W) int32 coded-size luma.  Returns (costs, modes): dicts
@@ -96,21 +96,61 @@ def search_quadtree(y, width: int, height: int, lambda_satd: float,
         else:
             costs[s] = intra_rd_recost(y, plan, m, qp, lam_rd,
                                        bitdepth, p_slice=False)
-    return costs, modes
+    if not tu_split:
+        return costs, modes
+    # --tr-depth-intra 1: cost each 16/32 CU ALSO as four half-size
+    # TBs sharing the CU's mode (one explicit split_transform_flag
+    # level, 7.3.8.8; reference search_intra_trdepth
+    # src/search_intra.c:189).  Same RD units as costs[s]; the
+    # roundtrip at TB granularity captures the prediction gain of
+    # intra refs advancing inside the CU only partially (open-loop
+    # refs), but the 4x independent last-sig/rate structure is exact.
+    tucosts = {}
+    for s in (16, 32):
+        # The half-size class must exist in the scan (its TBs ride the
+        # s/2 recon class), so min_cu bounds the splittable sizes.
+        if s not in modes or s // 2 < min_cu:
+            continue
+        plan_h = make_intra_plan(width, height, s // 2, chroma=False)
+        mh = jnp.repeat(jnp.repeat(modes[s], 2, 0), 2, 1)
+        pad = jnp.zeros((plan_h.blocks_y, plan_h.blocks_x), jnp.int32)
+        pad = pad.at[:mh.shape[0], :mh.shape[1]].set(mh)
+        cg = rd_cost_given_modes(y, plan_h, pad, qp, lam_rd, bitdepth)
+        by_, bx_ = modes[s].shape
+        tc = (cg[0::2, 0::2][:by_, :bx_] + cg[0::2, 1::2][:by_, :bx_]
+              + cg[1::2, 0::2][:by_, :bx_]
+              + cg[1::2, 1::2][:by_, :bx_])
+        tucosts[s] = tc + lam_rd * (INTRA_MODE_BINS
+                                    + OVERHEAD_BINS_INTRA
+                                    + TU_SPLIT_EXTRA_BINS)
+    return costs, modes, tucosts
 
 
 def choose_tree(costs: dict, width: int, height: int,
                 lambda_satd: float, percu_bits: float = 0.0,
-                split_bits: float = 1.0) -> np.ndarray:
+                split_bits: float = 1.0,
+                tucosts: dict | None = None) -> np.ndarray:
     """Bottom-up tree argmin (host numpy).  Per-CU costs arrive in RD
     units with their own syntax-overhead bins included (roundtrip
     recost in the searches — the TPU form of the reference comparing
     kvz_cu_rd_cost at every depth, src/search.c:236,424); the argmin
     adds only the split-flag bins per split.  Returns size8
-    (H/8, W/8) uint8."""
+    (H/8, W/8) uint8 — or (size8, trsplit8) when tucosts is given
+    (--tr-depth-intra: each 16/32 candidate enters the argmin at
+    min(whole-TB, four-half-TB) cost and the winner's TU choice is
+    recorded)."""
     percu = lambda_satd * percu_bits
     split = lambda_satd * split_bits
     c = {s: np.asarray(v).astype(np.float64) for s, v in costs.items()}
+    tr_pick = {}
+    if tucosts:
+        for s, tc in tucosts.items():
+            if s not in c:
+                continue
+            tc = np.asarray(tc).astype(np.float64)
+            pick = tc < c[s]
+            c[s] = np.where(pick, tc, c[s])
+            tr_pick[s] = pick
     use8 = None
     if 8 in c and 16 in c:
         c8sum = (c[8][0::2, 0::2] + c[8][0::2, 1::2]
@@ -161,7 +201,16 @@ def choose_tree(costs: dict, width: int, height: int,
     if use8 is not None:
         u8 = np.kron(use8, np.ones((2, 2), bool))[:h8, :w8]
         size8 = np.where(eff16 & u8, 8, size8)
-    return size8.astype(np.uint8)
+    size8 = size8.astype(np.uint8)
+    if tucosts is None:
+        return size8
+    trsplit8 = np.zeros((h8, w8), np.uint8)
+    for s, pick in tr_pick.items():
+        cell = s // 8
+        up = np.kron(pick, np.ones((cell, cell), bool))[:h8, :w8]
+        trsplit8 = np.where((size8 == s) & up, 1, trsplit8
+                            ).astype(np.uint8)
+    return size8, trsplit8
 
 
 # ---------------------------------------------------------------------
@@ -183,6 +232,10 @@ OVERHEAD_BINS_INTRA = 4.5
 OVERHEAD_BINS_INTER = 4.0
 INTRA_MODE_BINS = 2.5      # MPM-weighted average of mpm_idx/rem coding
 SPLIT_FLAG_BINS = 1.0
+# Extra structure bins a one-level TU split pays over a single TB:
+# 3 extra cbf_luma + ~2 chroma-cbf re-codings (split_transform_flag
+# itself is coded either way when the SPS enables the level).
+TU_SPLIT_EXTRA_BINS = 5.0
 
 
 def tb_rd_cost(resid, s: int, qp, lam_rd, bitdepth: int,

@@ -25,7 +25,7 @@ from kvazaar_tpu.ops.scan import coeff_scan
 # Fractional bit costs (in bits) for context-coded bins near their
 # typical operating states.  sig/gt1 contexts sit mid-range early in a
 # frame; these constants were fit against the Python CABAC on random
-# TBs (see tests/test_rate_model.py's correlation gate).
+# TBs (correlation gate: tests/test_rd2.py::test_rate_model_tracks_cabac).
 _BITS_SIG_1 = 1.0     # sig_coeff_flag = 1
 _BITS_SIG_0 = 0.5     # sig_coeff_flag = 0
 _BITS_CSBF_1 = 0.9

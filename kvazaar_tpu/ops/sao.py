@@ -431,3 +431,288 @@ def apply_sao_plane(rec, sao_type, eo_class, band_pos, offsets,
     out = jnp.where(t_map == 2, p + eo_off,
                     jnp.where(t_map == 1, p + b_off, p))
     return jnp.clip(out, 0, (1 << bitdepth) - 1).astype(rec.dtype)
+
+
+# ---------------------------------------------------------------------
+# Device-side parameter decision (jnp): the host decide above costs a
+# full device sync in the submit path (stats download + per-CTU merge
+# loop) — at veryslow 1080p that serialization halved throughput.  The
+# same math in jnp keeps recon -> stats -> decide -> apply -> DPB
+# entirely device-resident; only the small resolved-params buffer is
+# downloaded later by the finalize worker.  Merge decisions keep the
+# greedy raster RD semantics via an anti-diagonal wavefront (a cell's
+# left/up neighbors sit on the previous diagonal).
+# ---------------------------------------------------------------------
+
+def _best_offset_jnp(cnt, acc, sign: int):
+    """jnp port of _best_offset: closed-form per-category offset with
+    the +-1 quadratic refinement.  cnt/acc int32 -> (off, ddist)."""
+    cnt = cnt.astype(jnp.int32)
+    acc = acc.astype(jnp.int32)
+    off = jnp.where(cnt > 0,
+                    jnp.round(acc / jnp.maximum(cnt, 1)), 0)
+    off = jnp.clip(off, -7, 7).astype(jnp.int32)
+    if sign > 0:
+        off = jnp.maximum(off, 0)
+    elif sign < 0:
+        off = jnp.minimum(off, 0)
+    best_off = jnp.zeros_like(off)
+    best_d = jnp.zeros_like(off)
+    for delta in (-1, 0, 1):
+        o = jnp.clip(off + delta, -7, 7)
+        if sign > 0:
+            o = jnp.maximum(o, 0)
+        elif sign < 0:
+            o = jnp.minimum(o, 0)
+        d = cnt * o * o - 2 * o * acc
+        take = d < best_d
+        best_off = jnp.where(take, o, best_off)
+        best_d = jnp.where(take, d, best_d)
+    return best_off, best_d
+
+
+def _offset_bits_jnp(off, edge: bool):
+    a = jnp.abs(off).astype(jnp.float32)
+    bits = jnp.minimum(a + 1, 7)
+    if not edge:
+        bits = bits + (a > 0)
+    return bits
+
+
+def _choose_luma_jnp(e_cnt, e_sum, b_cnt, b_sum, lam):
+    """jnp port of choose_sao_params (one component)."""
+    _, _, cy, cx = e_cnt.shape
+    best_type = jnp.zeros((cy, cx), jnp.int32)
+    best_eo = jnp.zeros((cy, cx), jnp.int32)
+    best_bp = jnp.zeros((cy, cx), jnp.int32)
+    best_off = jnp.zeros((cy, cx, 4), jnp.int32)
+    best_cost = jnp.full((cy, cx), 1.0, jnp.float32) * lam
+
+    for cls in range(4):
+        offs = []
+        dd = jnp.zeros((cy, cx), jnp.int32)
+        bits = jnp.full((cy, cx), 4.0, jnp.float32)
+        for k, sign in zip(range(1, 5), (1, 1, -1, -1)):
+            o, d = _best_offset_jnp(e_cnt[cls, k], e_sum[cls, k], sign)
+            offs.append(o)
+            dd = dd + d
+            bits = bits + _offset_bits_jnp(o, True)
+        offs = jnp.stack(offs, axis=-1)
+        cost = dd.astype(jnp.float32) + lam * bits
+        take = cost < best_cost
+        best_cost = jnp.where(take, cost, best_cost)
+        best_type = jnp.where(take, 2, best_type)
+        best_eo = jnp.where(take, cls, best_eo)
+        best_off = jnp.where(take[..., None], offs, best_off)
+
+    boffs, bdd = [], []
+    for k in range(32):
+        o, d = _best_offset_jnp(b_cnt[k], b_sum[k], 0)
+        boffs.append(o)
+        bdd.append(d)
+    boffs = jnp.stack(boffs)          # (32, cy, cx)
+    bdd = jnp.stack(bdd)
+    for bp in range(32):
+        idx = [(bp + i) & 31 for i in range(4)]
+        dd = sum(bdd[i] for i in idx)
+        obits = sum(_offset_bits_jnp(boffs[i], False) for i in idx)
+        cost = dd.astype(jnp.float32) + lam * (2.0 + 5.0 + obits)
+        take = cost < best_cost
+        woff = jnp.stack([boffs[i] for i in idx], axis=-1)
+        best_cost = jnp.where(take, cost, best_cost)
+        best_type = jnp.where(take, 1, best_type)
+        best_bp = jnp.where(take, bp, best_bp)
+        best_off = jnp.where(take[..., None], woff, best_off)
+    return dict(type=best_type, eo_class=best_eo, band_pos=best_bp,
+                offsets=best_off, cost=best_cost)
+
+
+def _choose_chroma_jnp(scb, scr, lam):
+    """jnp port of _choose_chroma: shared type/eo, separate offsets."""
+    ecb, esb, bcb, bsb = scb
+    ecr, esr, bcr, bsr = scr
+    _, _, cy, cx = ecb.shape
+    b_type = jnp.zeros((cy, cx), jnp.int32)
+    b_eo = jnp.zeros((cy, cx), jnp.int32)
+    b_bpb = jnp.zeros((cy, cx), jnp.int32)
+    b_bpr = jnp.zeros((cy, cx), jnp.int32)
+    b_ob = jnp.zeros((cy, cx, 4), jnp.int32)
+    b_or = jnp.zeros((cy, cx, 4), jnp.int32)
+    b_cost = jnp.full((cy, cx), 1.0, jnp.float32) * lam
+    for cls in range(4):
+        ob_l, or_l = [], []
+        dd = jnp.zeros((cy, cx), jnp.int32)
+        bits = jnp.full((cy, cx), 4.0, jnp.float32)
+        for k, sign in zip(range(1, 5), (1, 1, -1, -1)):
+            ob, db = _best_offset_jnp(ecb[cls, k], esb[cls, k], sign)
+            orr, dr = _best_offset_jnp(ecr[cls, k], esr[cls, k], sign)
+            ob_l.append(ob)
+            or_l.append(orr)
+            dd = dd + db + dr
+            bits = (bits + _offset_bits_jnp(ob, True)
+                    + _offset_bits_jnp(orr, True))
+        cost = dd.astype(jnp.float32) + lam * bits
+        take = cost < b_cost
+        b_cost = jnp.where(take, cost, b_cost)
+        b_type = jnp.where(take, 2, b_type)
+        b_eo = jnp.where(take, cls, b_eo)
+        b_ob = jnp.where(take[..., None], jnp.stack(ob_l, -1), b_ob)
+        b_or = jnp.where(take[..., None], jnp.stack(or_l, -1), b_or)
+
+    def band_best(bc, bs):
+        boffs, bdd = [], []
+        for k in range(32):
+            o, d = _best_offset_jnp(bc[k], bs[k], 0)
+            boffs.append(o)
+            bdd.append(d)
+        boffs = jnp.stack(boffs)
+        bdd = jnp.stack(bdd)
+        bcost = jnp.full((cy, cx), jnp.inf, jnp.float32)
+        bbp = jnp.zeros((cy, cx), jnp.int32)
+        boff = jnp.zeros((cy, cx, 4), jnp.int32)
+        for bp in range(32):
+            idx = [(bp + i) & 31 for i in range(4)]
+            dd = sum(bdd[i] for i in idx)
+            bits = 5.0 + sum(_offset_bits_jnp(boffs[i], False)
+                             for i in idx)
+            cost = dd.astype(jnp.float32) + lam * bits
+            take = cost < bcost
+            bcost = jnp.where(take, cost, bcost)
+            bbp = jnp.where(take, bp, bbp)
+            boff = jnp.where(take[..., None],
+                             jnp.stack([boffs[i] for i in idx], -1),
+                             boff)
+        return bcost, bbp, boff
+
+    cb_cost, cb_bp, cb_off = band_best(bcb, bsb)
+    cr_cost, cr_bp, cr_off = band_best(bcr, bsr)
+    cost = cb_cost + cr_cost + lam * 2.0
+    take = cost < b_cost
+    b_cost = jnp.where(take, cost, b_cost)
+    b_type = jnp.where(take, 1, b_type)
+    b_bpb = jnp.where(take, cb_bp, b_bpb)
+    b_bpr = jnp.where(take, cr_bp, b_bpr)
+    b_ob = jnp.where(take[..., None], cb_off, b_ob)
+    b_or = jnp.where(take[..., None], cr_off, b_or)
+    return dict(type=b_type, eo_class=b_eo, bp_cb=b_bpb, bp_cr=b_bpr,
+                off_cb=b_ob, off_cr=b_or, cost=b_cost)
+
+
+def sao_decide_frame_device(stats_y, stats_c, lam):
+    """Device greedy-raster SAO decision: vectorized own-params choice
+    + an anti-diagonal wavefront for the left/up merge RD (a cell's
+    merge candidates are its neighbors' RESOLVED params, which sit on
+    the previous diagonal).  Mirrors sao_decide_frame (host) semantics
+    without tiles.  Returns FrameData-style int32 arrays."""
+    import jax
+
+    e_cnt, e_sum, b_cnt, b_sum = stats_y
+    _, _, cy, cx = e_cnt.shape
+    luma = _choose_luma_jnp(e_cnt, e_sum, b_cnt, b_sum, lam)
+    chroma = stats_c is not None
+    n_t = jnp.zeros((cy, cx, 2), jnp.int32)
+    n_eo = jnp.zeros((cy, cx, 2), jnp.int32)
+    n_bp = jnp.zeros((cy, cx, 3), jnp.int32)
+    n_off = jnp.zeros((cy, cx, 3, 4), jnp.int32)
+    n_t = n_t.at[:, :, 0].set(luma["type"])
+    n_eo = n_eo.at[:, :, 0].set(luma["eo_class"])
+    n_bp = n_bp.at[:, :, 0].set(luma["band_pos"])
+    n_off = n_off.at[:, :, 0].set(luma["offsets"])
+    own_cost = luma["cost"]
+    if chroma:
+        scb, scr = stats_c
+        cpar = _choose_chroma_jnp(scb, scr, lam)
+        n_t = n_t.at[:, :, 1].set(cpar["type"])
+        n_eo = n_eo.at[:, :, 1].set(cpar["eo_class"])
+        n_bp = n_bp.at[:, :, 1].set(cpar["bp_cb"])
+        n_bp = n_bp.at[:, :, 2].set(cpar["bp_cr"])
+        n_off = n_off.at[:, :, 1].set(cpar["off_cb"])
+        n_off = n_off.at[:, :, 2].set(cpar["off_cr"])
+        own_cost = own_cost + cpar["cost"]
+
+    # Exact RD of applying arbitrary per-cell params, from the stats.
+    ecT = jnp.transpose(e_cnt, (2, 3, 0, 1))     # (cy, cx, 4, 5)
+    esT = jnp.transpose(e_sum, (2, 3, 0, 1))
+    bcT = jnp.transpose(b_cnt, (1, 2, 0))        # (cy, cx, 32)
+    bsT = jnp.transpose(b_sum, (1, 2, 0))
+    if chroma:
+        comps = [(0, ecT, esT, bcT, bsT),
+                 (1, jnp.transpose(scb[0], (2, 3, 0, 1)),
+                  jnp.transpose(scb[1], (2, 3, 0, 1)),
+                  jnp.transpose(scb[2], (1, 2, 0)),
+                  jnp.transpose(scb[3], (1, 2, 0))),
+                 (2, jnp.transpose(scr[0], (2, 3, 0, 1)),
+                  jnp.transpose(scr[1], (2, 3, 0, 1)),
+                  jnp.transpose(scr[2], (1, 2, 0)),
+                  jnp.transpose(scr[3], (1, 2, 0)))]
+    else:
+        comps = [(0, ecT, esT, bcT, bsT)]
+
+    def cost_of(t2, eo2, bp2, off2):
+        """(cy, cx) RD ddist of applying candidate params per cell."""
+        c = jnp.zeros((cy, cx), jnp.float32)
+        for (ci, ec, es, bc, bs) in comps:
+            t = t2[:, :, 0 if ci == 0 else 1]
+            cls = eo2[:, :, 0 if ci == 0 else 1]
+            offs = off2[:, :, ci]                    # (cy, cx, 4)
+            # Edge ddist for the candidate class.
+            ec_c = jnp.take_along_axis(
+                ec, cls[:, :, None, None], axis=2)[:, :, 0]  # (cy,cx,5)
+            es_c = jnp.take_along_axis(
+                es, cls[:, :, None, None], axis=2)[:, :, 0]
+            dd_e = jnp.sum(ec_c[:, :, 1:] * offs * offs
+                           - 2 * offs * es_c[:, :, 1:], axis=-1)
+            # Band ddist for the candidate window.
+            bp = bp2[:, :, ci]
+            widx = (bp[:, :, None] + jnp.arange(4)[None, None]) & 31
+            bc_c = jnp.take_along_axis(bc, widx, axis=2)
+            bs_c = jnp.take_along_axis(bs, widx, axis=2)
+            dd_b = jnp.sum(bc_c * offs * offs - 2 * offs * bs_c,
+                           axis=-1)
+            c = c + jnp.where(t == 2, dd_e,
+                              jnp.where(t == 1, dd_b, 0)
+                              ).astype(jnp.float32)
+        return c
+
+    yy = jnp.arange(cy)[:, None]
+    xx = jnp.arange(cx)[None, :]
+    left_ok = (xx > 0).astype(jnp.float32) * jnp.ones((cy, cx))
+    up_ok = (yy > 0).astype(jnp.float32) * jnp.ones((cy, cx))
+
+    def shift_right(a):   # cell reads its LEFT neighbor
+        return jnp.roll(a, 1, axis=1)
+
+    def shift_down(a):    # cell reads its UP neighbor
+        return jnp.roll(a, 1, axis=0)
+
+    def body(d, carry):
+        r_t, r_eo, r_bp, r_off, merge = carry
+        on_diag = (yy + xx) == d
+        lt, leo, lbp, loff = (shift_right(r_t), shift_right(r_eo),
+                              shift_right(r_bp), shift_right(r_off))
+        ut, ueo, ubp, uoff = (shift_down(r_t), shift_down(r_eo),
+                              shift_down(r_bp), shift_down(r_off))
+        best = own_cost + lam * (left_ok + up_ok)
+        choice = jnp.zeros((cy, cx), jnp.int32)
+        cl = cost_of(lt, leo, lbp, loff) + lam * 1.0
+        tl = (left_ok > 0) & (cl < best)
+        best = jnp.where(tl, cl, best)
+        choice = jnp.where(tl, 1, choice)
+        cu = cost_of(ut, ueo, ubp, uoff) + lam * (left_ok + 1.0)
+        tu = (up_ok > 0) & (cu < best)
+        choice = jnp.where(tu, 2, choice)
+
+        def pick(cur, lv, uv):
+            ch = choice.reshape(choice.shape + (1,) * (cur.ndim - 2))
+            od = on_diag.reshape(choice.shape + (1,) * (cur.ndim - 2))
+            v = jnp.where(ch == 1, lv, jnp.where(ch == 2, uv, cur))
+            return jnp.where(od, v, cur)
+
+        return (pick(r_t, lt, ut), pick(r_eo, leo, ueo),
+                pick(r_bp, lbp, ubp), pick(r_off, loff, uoff),
+                jnp.where(on_diag, choice, merge))
+
+    carry = (n_t, n_eo, n_bp, n_off, jnp.zeros((cy, cx), jnp.int32))
+    r_t, r_eo, r_bp, r_off, merge = jax.lax.fori_loop(
+        0, cy + cx - 1, body, carry)
+    return dict(merge=merge, type=r_t, eo=r_eo, bp=r_bp, off=r_off)
