@@ -2950,6 +2950,11 @@ class IntraFrameEncoder(PFrameMixin):
                        np.where(x8 % c == 0, 2, 0).astype(np.int32)))
         fields.append((("bs_h",),
                        np.where(y8 % c == 0, 2, 0).astype(np.int32)))
+        # Real wavefront depth: traced trip count for the recon scan
+        # (schedule shapes stay at the padded bucket).
+        fields.append((("n_real",),
+                       np.array([max(vp.n_steps_real, 1)],
+                                np.int32)))
 
         blob = np.concatenate(
             [np.ascontiguousarray(a).view(np.uint8).reshape(-1)

@@ -1082,7 +1082,39 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
             new_carry += bufs
         return new_carry, tuple(outs)
 
-    _, outs = jax.lax.scan(step_fn, carry0, xs)
+    # Dynamic-length wavefront: the schedule is PADDED to an n_steps
+    # bucket so one compiled program serves many trees, but padded
+    # steps are provable no-ops (invalid slots gather/scatter the
+    # trash element).  Executing them anyway cost ~10-20 ms of
+    # dispatch-floor work per step — on inter frames whose intra
+    # islands need ~4-16 real steps, the 32/64-step bucket tripled
+    # recon time.  A fori_loop with a TRACED trip count runs only the
+    # real steps; 'n_real' rides the schedule as data.
+    n_real = sched.get("n_real")
+    if n_real is None:
+        _, outs = jax.lax.scan(step_fn, carry0, xs)
+    else:
+        import jax.tree_util as jtu
+        t_bucket = jtu.tree_leaves(xs)[0].shape[0]
+        xs0 = jtu.tree_map(lambda a: a[0], xs)
+        _c_shape, outs_shape = jax.eval_shape(step_fn, carry0, xs0)
+        bufs0 = jtu.tree_map(
+            lambda sh: jnp.zeros((t_bucket,) + sh.shape, sh.dtype),
+            outs_shape)
+
+        def body(t, state):
+            carry, bufs = state
+            xs_t = jtu.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, t, 0, keepdims=False), xs)
+            carry2, outs_t = step_fn(carry, xs_t)
+            bufs2 = jtu.tree_map(
+                lambda b, o: jax.lax.dynamic_update_index_in_dim(
+                    b, o, t, 0), bufs, outs_t)
+            return (carry2, bufs2)
+
+        trip = jnp.minimum(n_real.reshape(()), t_bucket)
+        _, outs = jax.lax.fori_loop(0, trip, body, (carry0, bufs0))
 
     def assemble(plane_len, classes, keys, off, base=None):
         flat = (jnp.zeros(plane_len + 1, jnp.int32) if base is None

@@ -73,6 +73,9 @@ class VarPlan:
     iluma: dict | None = None
     ichroma: dict | None = None
     isteps: int = 0
+    # Real wavefront depth (<= n_steps): the scan executes only this
+    # many steps (padded steps are no-ops; see reconstruct_frame_var).
+    n_steps_real: int = 0
 
 
 def _enumerate_cus(size8: np.ndarray):
@@ -209,7 +212,8 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
     b = max(step_bucket, 32 if inter8_map is not None else 128)
     while b < n_steps:
         b *= 2
-    n_steps = b
+    n_steps_real = n_steps     # executed trip count (fori_loop bound)
+    n_steps = b                # padded bucket (compiled shapes)
 
     def make_class(size_luma: int, plane_w: int, plane_h: int,
                    gran: int, scale: int):
@@ -361,4 +365,5 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
                                           4, 2)
     return VarPlan(n_steps=n_steps, width=width, height=height,
                    iluma=iluma, ichroma=ichroma, isteps=steps_i,
-                   luma=luma, chroma=chroma_d)
+                   luma=luma, chroma=chroma_d,
+                   n_steps_real=n_steps_real)
