@@ -925,12 +925,11 @@ class PFrameMixin:
             dy = dy.astype(rdt)
             if dcb is not None:
                 dcb, dcr = dcb.astype(rdt), dcr.astype(rdt)
-            keys = (["y"] + (["cb", "cr"] if self.chroma else [])
-                    + ["iy"] + (["icb", "icr"] if self.chroma
-                                else []))
+            # Levels arrive as pixel-layout planes (scattered on
+            # device) — one compact int16 buffer to download.
             lv_flat = jnp.concatenate(
-                [lv.reshape(-1) for k in keys
-                 for lv in levels.get(k, [])])
+                [lv.reshape(-1) for lv in levels
+                 if lv is not None])
             return dy, dcb, dcr, lv_flat.astype(jnp.int16)
 
         return tpu_jit(run)
@@ -2651,13 +2650,10 @@ class IntraFrameEncoder(PFrameMixin):
             dy = dy.astype(rdt)
             if dcb is not None:
                 dcb, dcr = dcb.astype(rdt), dcr.astype(rdt)
-            # One packed int16 buffer for all level tensors (transfer
-            # call count matters on the tunnel).
+            # Levels arrive as pixel-layout planes: one int16 buffer.
             lv_flat = jnp.concatenate(
-                [lv.reshape(-1) for lv in levels["y"]]
-                + ([lv.reshape(-1) for lv in levels["cb"]]
-                   + [lv.reshape(-1) for lv in levels["cr"]]
-                   if self.chroma else []))
+                [lv.reshape(-1) for lv in levels
+                 if lv is not None])
             return dy, dcb, dcr, lv_flat.astype(jnp.int16)
 
         return tpu_jit(run)
@@ -2994,30 +2990,18 @@ class IntraFrameEncoder(PFrameMixin):
                                up[:cm8.shape[0], :cm8.shape[1]], cm8)
             fd.cmode4[:] = cm8
 
-        planes = {"y": fd.coeff_y}
+        # Levels arrive in pixel layout (scattered on device inside
+        # the recon loop): the host just slices planes — the old
+        # per-class np.put scatter cost ~1-2 s/frame at 1080p.
+        ny = self.coded_w * self.coded_h
+        fd.coeff_y[:] = lv_np[:ny].astype(np.int32).reshape(
+            self.coded_h, self.coded_w)
         if self.chroma:
-            planes["cb"] = fd.coeff_cb
-            planes["cr"] = fd.coeff_cr
-        ext = {pl: np.zeros(planes[pl].size + 1, np.int32)
-               for pl in planes}
-        off = 0
-        for (pl, s, st, k) in lv_shapes:
-            n = st * k * s * s
-            lv = lv_np[off:off + n].astype(np.int32)
-            off += n
-            if pl == "y":
-                pix = vp.luma[s].pix
-            elif pl in ("cb", "cr"):
-                pix = vp.chroma[s].pix
-            elif pl == "iy":
-                pix = vp.iluma[s]["pix"]
-            else:                           # icb / icr
-                pix = vp.ichroma[s]["pix"]
-            tgt = {"iy": "y", "icb": "cb", "icr": "cr"}.get(pl, pl)
-            # Pad slots' pix maps point at the trailing trash element.
-            np.put(ext[tgt], pix.reshape(-1), lv)
-        for pl in planes:
-            planes[pl][:] = ext[pl][:-1].reshape(planes[pl].shape)
+            nc = ny // 4
+            fd.coeff_cb[:] = lv_np[ny:ny + nc].astype(
+                np.int32).reshape(self.coded_h // 2, self.coded_w // 2)
+            fd.coeff_cr[:] = lv_np[ny + nc:ny + 2 * nc].astype(
+                np.int32).reshape(self.coded_h // 2, self.coded_w // 2)
         return fd
 
     def _var_serialize(self, fd, rec_y, rec_cb, rec_cr) -> FrameResult:

@@ -944,7 +944,7 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
     # islands (the planner excluded inter CUs from the classes). ----
     direct = inter and "iluma" in sched
     cbf8_direct = None
-    ilevels = {}
+    rec_i_y = lv_i_y = rec_i_cb = lv_i_cb = rec_i_cr = lv_i_cr = None
     if direct:
         from kvazaar_tpu.encoder.intra_recon import (_scan_sel,
                                                      _tu_roundtrip)
@@ -976,12 +976,13 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
             return d
 
         def direct_pass(cls_key, plane, mcp, qpv, luma_flag,
-                        comp, lv_key, scale):
+                        comp, scale):
             flat = jnp.zeros(plane.shape[0] * plane.shape[1] + 1,
                              jnp.int32)
+            lflat = jnp.zeros(plane.shape[0] * plane.shape[1] + 1,
+                              jnp.int32)
             cbf_flat = (jnp.zeros((height // 8) * (width // 8) + 1,
                                   jnp.int32) if luma_flag else None)
-            ilevels[lv_key] = []
             pw, ph = plane.shape[1], plane.shape[0]
             pl_ext = _flat_ext(plane)
             mc_ext = _flat_ext(mcp)
@@ -1006,7 +1007,9 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
                 flat = flat.at[cs["pix"].reshape(-1)].set(
                     rec.reshape(n, s * s).reshape(-1)
                     .astype(jnp.int32))
-                ilevels[lv_key].append(lv.reshape(sti, ki, s, s))
+                lflat = lflat.at[cs["pix"].reshape(-1)].set(
+                    lv.reshape(n, s * s).reshape(-1)
+                    .astype(jnp.int32))
                 if luma_flag:
                     cb = (jnp.any(lv != 0, axis=(-1, -2))
                           .astype(jnp.int32).reshape(sti, ki))
@@ -1016,25 +1019,26 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
                     cbf_flat = cbf_flat.at[
                         cs["cell8"].reshape(-1)].max(up.reshape(-1))
             recp = flat[:pw * ph].reshape(ph, pw)
+            lvp = lflat[:pw * ph].reshape(ph, pw)
             cbf = (cbf_flat[:(height // 8) * (width // 8)]
                    .reshape(height // 8, width // 8) != 0
                    if luma_flag else None)
-            return recp, cbf
+            return recp, lvp, cbf
 
-        rec_i_y, cbf8_direct = direct_pass(
+        rec_i_y, lv_i_y, cbf8_direct = direct_pass(
             "iluma", sched["plane_y"].astype(jnp.int32),
-            mc_planes[0], qp, True, 0, "iy", 1)
+            mc_planes[0], qp, True, 0, 1)
         carry0[0] = jnp.concatenate(
             [rec_i_y[7::8, :].reshape(-1), jnp.zeros(1, jnp.int32)])
         carry0[1] = jnp.concatenate(
             [rec_i_y[:, 7::8].T.reshape(-1), jnp.zeros(1, jnp.int32)])
         if chroma:
-            rec_i_cb, _ = direct_pass(
+            rec_i_cb, lv_i_cb, _ = direct_pass(
                 "ichroma", sched["plane_cb"].astype(jnp.int32),
-                mc_planes[1], qp_c, False, 1, "icb", 2)
-            rec_i_cr, _ = direct_pass(
+                mc_planes[1], qp_c, False, 1, 2)
+            rec_i_cr, lv_i_cr, _ = direct_pass(
                 "ichroma", sched["plane_cr"].astype(jnp.int32),
-                mc_planes[2], qp_c, False, 2, "icr", 2)
+                mc_planes[2], qp_c, False, 2, 2)
             hb_cb = rec_i_cb[3::4, :].reshape(-1)
             hb_cr = rec_i_cr[3::4, :].reshape(-1)
             vb_cb = rec_i_cb[:, 3::4].T.reshape(-1)
@@ -1049,147 +1053,118 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
                 carry0[4] = jnp.concatenate([hb_cr, z1])
                 carry0[5] = jnp.concatenate([vb_cr, z1])
 
-    def step_fn(carry, xs_t):
-        hy, vy = carry[0], carry[1]
-        outs = []
+    # ---- Flat output carries: recon, level planes and per-cell cbf
+    # are scattered INSIDE the loop through the class pixel maps, so
+    # the wavefront runs a TRACED number of steps (n_real) with
+    # in-place while-carries.  (Stacked per-step outputs forced XLA to
+    # copy the whole output buffers every iteration; padded bucket
+    # steps each cost ~10-20 ms of dispatch-floor work.)
+    n_edge = len(carry0)
+    h8w8 = (height // 8) * (width // 8)
+    z1 = jnp.zeros(1, jnp.int32)
+
+    def flat0(base, n):
+        if base is None:
+            return jnp.zeros(n + 1, jnp.int32)
+        return jnp.concatenate([base.reshape(-1).astype(jnp.int32),
+                                z1])
+
+    planes0 = [flat0(rec_i_y if direct else None, width * height),
+               flat0(lv_i_y if direct else None, width * height)]
+    if chroma:
+        planes0 += [
+            flat0(rec_i_cb if direct else None, wc * hc),
+            flat0(lv_i_cb if direct else None, wc * hc),
+            flat0(rec_i_cr if direct else None, wc * hc),
+            flat0(lv_i_cr if direct else None, wc * hc)]
+    cbf_idx = None
+    if inter:
+        planes0.append(flat0(
+            cbf8_direct.astype(jnp.int32) if cbf8_direct is not None
+            else None, h8w8))
+        cbf_idx = len(planes0) - 1
+
+    def loop_body(t, carry):
+        edge = list(carry[:n_edge])
+        planes_c = list(carry[n_edge:])
+
+        def at_t(a):
+            return jax.lax.dynamic_index_in_dim(a, t, 0,
+                                                keepdims=False)
+
+        def scat(pi, pix, arr):
+            planes_c[pi] = planes_c[pi].at[pix.reshape(-1)].set(
+                arr.reshape(-1).astype(jnp.int32))
+
+        hy, vy = edge[0], edge[1]
         for i, s in enumerate(lsizes):
+            xs_t = tuple(at_t(a) for a in xs[i])
             hy, vy, lv, rec = _class_pass(
-                hy, vy, xs_t[i], s, qp, bitdepth, True, lossless,
+                hy, vy, xs_t, s, qp, bitdepth, True, lossless,
                 signhide, rdoq, lam, tab(s, 0, qp))
-            outs.append((lv, rec))
-        new_carry = [hy, vy]
+            pix = at_t(sched["luma"][s]["pix"])
+            scat(0, pix, rec)
+            scat(1, pix, lv)
+            if inter:
+                cell8 = at_t(sched["luma"][s]["cell8"])
+                cbf = jnp.any(lv != 0, axis=(-1, -2)).astype(jnp.int32)
+                up = jnp.broadcast_to(cbf[:, None],
+                                      cbf.shape + (cell8.shape[-1],))
+                planes_c[cbf_idx] = planes_c[cbf_idx].at[
+                    cell8.reshape(-1)].max(up.reshape(-1))
+        new_edge = [hy, vy]
         if merge_c:
-            hc2, vc2 = carry[2], carry[3]
+            hc2, vc2 = edge[2], edge[3]
             for j, s in enumerate(csizes):
+                xs_t = tuple(at_t(a) for a in xs[len(lsizes) + j])
                 hc2, vc2, lv, rec = _class_pass(
-                    hc2, vc2, xs_t[len(lsizes) + j], s, qp_c,
-                    bitdepth, False, lossless, signhide, rdoq, lam,
-                    None)
-                outs.append((lv, rec))
-            new_carry += [hc2, vc2]
+                    hc2, vc2, xs_t, s, qp_c, bitdepth, False,
+                    lossless, signhide, rdoq, lam, None)
+                pix = at_t(sched["chroma"][s]["pix"])
+                k = pix.shape[0]
+                scat(2, pix, rec[:k])
+                scat(3, pix, lv[:k])
+                scat(4, pix, rec[k:])
+                scat(5, pix, lv[k:])
+            new_edge += [hc2, vc2]
         elif chroma:
-            bufs = list(carry[2:])
+            bufs = list(edge[2:6])
             for p in range(2):              # cb then cr
                 hb, vb = bufs[2 * p], bufs[2 * p + 1]
                 for j, s in enumerate(csizes):
+                    xs_t = tuple(
+                        at_t(a) for a in
+                        xs[len(lsizes) + p * len(csizes) + j])
                     hb, vb, lv, rec = _class_pass(
-                        hb, vb,
-                        xs_t[len(lsizes) + p * len(csizes) + j], s,
-                        qp_c, bitdepth, False, lossless, signhide,
-                        rdoq, lam, tab(s, 1 + p, qp_c))
-                    outs.append((lv, rec))
+                        hb, vb, xs_t, s, qp_c, bitdepth, False,
+                        lossless, signhide, rdoq, lam,
+                        tab(s, 1 + p, qp_c))
+                    pix = at_t(sched["chroma"][s]["pix"])
+                    scat(2 + 2 * p, pix, rec)
+                    scat(3 + 2 * p, pix, lv)
                 bufs[2 * p], bufs[2 * p + 1] = hb, vb
-            new_carry += bufs
-        return new_carry, tuple(outs)
+            new_edge += bufs
+        return tuple(new_edge + planes_c)
 
-    # Dynamic-length wavefront: the schedule is PADDED to an n_steps
-    # bucket so one compiled program serves many trees, but padded
-    # steps are provable no-ops (invalid slots gather/scatter the
-    # trash element).  Executing them anyway cost ~10-20 ms of
-    # dispatch-floor work per step — on inter frames whose intra
-    # islands need ~4-16 real steps, the 32/64-step bucket tripled
-    # recon time.  A fori_loop with a TRACED trip count runs only the
-    # real steps; 'n_real' rides the schedule as data.
     n_real = sched.get("n_real")
-    if n_real is None:
-        _, outs = jax.lax.scan(step_fn, carry0, xs)
-    else:
-        import jax.tree_util as jtu
-        t_bucket = jtu.tree_leaves(xs)[0].shape[0]
-        xs0 = jtu.tree_map(lambda a: a[0], xs)
-        _c_shape, outs_shape = jax.eval_shape(step_fn, carry0, xs0)
-        bufs0 = jtu.tree_map(
-            lambda sh: jnp.zeros((t_bucket,) + sh.shape, sh.dtype),
-            outs_shape)
-
-        def body(t, state):
-            carry, bufs = state
-            xs_t = jtu.tree_map(
-                lambda a: jax.lax.dynamic_index_in_dim(
-                    a, t, 0, keepdims=False), xs)
-            carry2, outs_t = step_fn(carry, xs_t)
-            bufs2 = jtu.tree_map(
-                lambda b, o: jax.lax.dynamic_update_index_in_dim(
-                    b, o, t, 0), bufs, outs_t)
-            return (carry2, bufs2)
-
-        trip = jnp.minimum(n_real.reshape(()), t_bucket)
-        _, outs = jax.lax.fori_loop(0, trip, body, (carry0, bufs0))
-
-    def assemble(plane_len, classes, keys, off, base=None):
-        flat = (jnp.zeros(plane_len + 1, jnp.int32) if base is None
-                else jnp.concatenate([base.reshape(-1),
-                                      jnp.zeros(1, jnp.int32)]))
-        for i, s in enumerate(keys):
-            rec = outs[off + i][1]                   # (steps, K, S, S)
-            pix = classes[s]["pix"]                  # (steps, K, S*S)
-            flat = flat.at[pix.reshape(-1)].set(
-                rec.reshape(-1).astype(jnp.int32))
-        return flat[:plane_len]
-
-    rec_y = assemble(width * height, sched["luma"], lsizes, 0,
-                     base=rec_i_y if direct else None) \
-        .reshape(height, width)
-    rec_cb = rec_cr = None
-    levels = {"y": [outs[i][0] for i in range(len(lsizes))]}
-    if merge_c:
-        nc = len(csizes)
-        kof = {s: sched["chroma"][s]["modes"].shape[1]
-               for s in csizes}
-
-        def assemble_half(half):
-            base = None
-            if direct:
-                base = rec_i_cb if half == 0 else rec_i_cr
-            flat = (jnp.zeros(wc * hc + 1, jnp.int32) if base is None
-                    else jnp.concatenate([base.reshape(-1),
-                                          jnp.zeros(1, jnp.int32)]))
-            for j, s in enumerate(csizes):
-                k = kof[s]
-                rec = outs[len(lsizes) + j][1][
-                    :, half * k:(half + 1) * k]
-                pix = sched["chroma"][s]["pix"]
-                flat = flat.at[pix.reshape(-1)].set(
-                    rec.reshape(-1).astype(jnp.int32))
-            return flat[:wc * hc].reshape(hc, wc)
-
-        rec_cb = assemble_half(0)
-        rec_cr = assemble_half(1)
-        levels["cb"] = [outs[len(lsizes) + j][0][:, :kof[s]]
-                        for j, s in enumerate(csizes)]
-        levels["cr"] = [outs[len(lsizes) + j][0][:, kof[s]:]
-                        for j, s in enumerate(csizes)]
-    elif chroma:
-        nc = len(csizes)
-        rec_cb = assemble(wc * hc, sched["chroma"], csizes,
-                          len(lsizes),
-                          base=rec_i_cb if direct else None) \
-            .reshape(hc, wc)
-        rec_cr = assemble(wc * hc, sched["chroma"], csizes,
-                          len(lsizes) + nc,
-                          base=rec_i_cr if direct else None) \
-            .reshape(hc, wc)
-        levels["cb"] = [outs[len(lsizes) + j][0] for j in range(nc)]
-        levels["cr"] = [outs[len(lsizes) + nc + j][0]
-                        for j in range(nc)]
+    t_bucket = (sched["luma"][lsizes[0]]["pix"].shape[0] if lsizes
+                else 1)
+    trip = (jnp.minimum(n_real.reshape(()), t_bucket)
+            if n_real is not None else t_bucket)
+    final = jax.lax.fori_loop(0, trip, loop_body,
+                              tuple(list(carry0) + planes0))
+    planes_f = final[n_edge:]
+    rec_y = planes_f[0][:width * height].reshape(height, width)
+    lv_y = planes_f[1][:width * height].reshape(height, width)
+    rec_cb = rec_cr = lv_cb = lv_cr = None
+    if chroma:
+        rec_cb = planes_f[2][:wc * hc].reshape(hc, wc)
+        lv_cb = planes_f[3][:wc * hc].reshape(hc, wc)
+        rec_cr = planes_f[4][:wc * hc].reshape(hc, wc)
+        lv_cr = planes_f[5][:wc * hc].reshape(hc, wc)
+    levels = (lv_y, lv_cb, lv_cr)
     if not inter:
         return rec_y, rec_cb, rec_cr, levels
-    # Per-TB luma cbf on the 8x8-cell grid (deblock bs=1 rule needs
-    # it; 8.7.2.4 reads the LUMA TB cbf): per-slot any(level != 0)
-    # scattered through the class cell maps (pad slots hit the trash),
-    # OR-ed with the direct inter pass's per-TB cbf.
-    h8w8 = (height // 8) * (width // 8)
-    cbf_flat = jnp.zeros(h8w8 + 1, jnp.int32)
-    for i, s in enumerate(lsizes):
-        cs = sched["luma"][s]
-        lv = outs[i][0]                              # (steps, K, S, S)
-        cbf = jnp.any(lv != 0, axis=(-1, -2)).astype(jnp.int32)
-        c2 = cs["cell8"].shape[-1]
-        up = jnp.broadcast_to(cbf[:, :, None], cbf.shape + (c2,))
-        cbf_flat = cbf_flat.at[cs["cell8"].reshape(-1)].max(
-            up.reshape(-1))
-    cbf8 = cbf_flat[:h8w8].reshape(height // 8, width // 8) != 0
-    if cbf8_direct is not None:
-        cbf8 = cbf8 | cbf8_direct
-    levels.update(ilevels)
+    cbf8 = planes_f[cbf_idx][:h8w8].reshape(height // 8,
+                                            width // 8) != 0
     return rec_y, rec_cb, rec_cr, levels, cbf8

@@ -230,8 +230,7 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
             modes=np.zeros((n_steps, kcap), np.int32),
             noref=None, idx_h=None, idx_v=None, sel_h=None,
             wr_h=None, wr_v=None,
-            pix=np.full((n_steps, kcap, s * s), plane_w * plane_h,
-                        np.int32),
+            pix=None,    # device-derived; levels scatter on device
             x0=np.zeros((n_steps, kcap), np.int32),
             y0=np.zeros((n_steps, kcap), np.int32),
             inter=np.zeros((n_steps, kcap), bool),
@@ -267,8 +266,6 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
         if scale == 2 and cmode_maps is not None \
                 and size_luma in cmode_maps:
             mode_grid = cmode_maps[size_luma]
-        yy, xx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
-        block_pix = (yy * plane_w + xx).ravel()
         cs.valid[st, sl] = True
         cs.avail[st, sl] = av.astype(np.uint8)
         cs.corner_h[st, sl] = corner_h_all[idxs]
@@ -278,7 +275,6 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
         cs.y0[st, sl] = y0
         if inter8_map is not None:
             cs.inter[st, sl] = inter8_map[ly0 // 8, lx0 // 8]
-        cs.pix[st, sl] = (y0 * plane_w + x0)[:, None] + block_pix
         return cs
 
     # ---- Compact inter-CU batches (direct pass): chunked arange
@@ -307,12 +303,10 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
             kcap = ICAPS[size_luma]
             idxs = by_size_i.get(size_luma,
                                  np.empty(0, np.int64))
-            trash = plane_w * plane_h
             d = dict(
                 x0=np.zeros((steps_i, kcap), np.int32),
                 y0=np.zeros((steps_i, kcap), np.int32),
                 valid=np.zeros((steps_i, kcap), bool),
-                pix=np.full((steps_i, kcap, s * s), trash, np.int32),
                 cell8=None)
             k = len(idxs)
             if k:
@@ -323,10 +317,6 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
                 d["x0"][st, sl] = x0
                 d["y0"][st, sl] = y0
                 d["valid"][st, sl] = True
-                yy, xx = np.meshgrid(np.arange(s), np.arange(s),
-                                     indexing="ij")
-                bp = (yy * plane_w + xx).ravel()
-                d["pix"][st, sl] = (y0 * plane_w + x0)[:, None] + bp
                 if scale == 1:
                     c8 = size_luma // 8
                     w8c, h8c = width // 8, height // 8
