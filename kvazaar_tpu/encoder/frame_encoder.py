@@ -2905,6 +2905,7 @@ class IntraFrameEncoder(PFrameMixin):
                 ((pl, s, "x0"), d["x0"].astype(np.int32)),
                 ((pl, s, "y0"), d["y0"].astype(np.int32)),
                 ((pl, s, "valid"), d["valid"].astype(np.bool_)),
+                ((pl, s, "rows"), d["rows"].astype(np.int32)),
             ])
         if vp.iluma is not None:
             for s in sorted(vp.iluma.keys()):

@@ -949,75 +949,98 @@ def reconstruct_frame_var(sched, qp: int, qp_c: int, width: int,
         from kvazaar_tpu.encoder.intra_recon import (_scan_sel,
                                                      _tu_roundtrip)
 
-        def derive_i(cs, s, plane_w, plane_h, luma_flag):
-            x0 = cs["x0"].astype(jnp.int32)
-            y0 = cs["y0"].astype(jnp.int32)
-            valid = cs["valid"]
-            yy, xx = np.meshgrid(np.arange(s), np.arange(s),
-                                 indexing="ij")
-            off = jnp.asarray((yy * plane_w + xx).ravel()
-                              .astype(np.int32))
-            trash = plane_w * plane_h
-            pix = jnp.where(valid[..., None],
-                            (y0 * plane_w + x0)[..., None] + off,
-                            trash)
-            d = dict(cs, pix=pix)
-            if luma_flag:
-                c8 = s // 8
-                w8c, h8c = width // 8, height // 8
-                cyy, cxx = np.meshgrid(np.arange(c8), np.arange(c8),
-                                       indexing="ij")
-                coff = jnp.asarray((cyy * w8c + cxx).ravel()
-                                   .astype(np.int32))
-                cb8 = (y0 // 8) * w8c + x0 // 8
-                d["cell8"] = jnp.where(valid[..., None],
-                                       cb8[..., None] + coff,
-                                       w8c * h8c)
-            return d
-
         def direct_pass(cls_key, plane, mcp, qpv, luma_flag,
                         comp, scale):
-            flat = jnp.zeros(plane.shape[0] * plane.shape[1] + 1,
-                             jnp.int32)
-            lflat = jnp.zeros(plane.shape[0] * plane.shape[1] + 1,
-                              jnp.int32)
-            cbf_flat = (jnp.zeros((height // 8) * (width // 8) + 1,
-                                  jnp.int32) if luma_flag else None)
+            """Batched inter-CU reconstruction, one fori row at a
+            time: row shapes are STATIC per resolution (worst-case
+            padding) while the TRACED per-size row count bounds the
+            executed work — content variation cannot recompile this
+            program (each variant cost 16-22 s through the remote
+            compiler)."""
             pw, ph = plane.shape[1], plane.shape[0]
+            flat = jnp.zeros(ph * pw + 1, jnp.int32)
+            lflat = jnp.zeros(ph * pw + 1, jnp.int32)
+            h8w8_ = (height // 8) * (width // 8)
+            cbf_flat = (jnp.zeros(h8w8_ + 1, jnp.int32)
+                        if luma_flag else None)
             pl_ext = _flat_ext(plane)
             mc_ext = _flat_ext(mcp)
             for s_l in (8, 16, 32):
                 s = s_l // scale
-                cs = derive_i(sched[cls_key][s], s, pw, ph,
-                              luma_flag)
-                sti, ki = cs["valid"].shape
-                n = sti * ki
-                origs = pl_ext[cs["pix"]].reshape(n, s, s)
-                mcb = mc_ext[cs["pix"]].reshape(n, s, s)
-                scan_sel = None
-                if signhide:
-                    scan_sel = _scan_sel(jnp.zeros(n, jnp.int32), s,
-                                         luma_flag,
-                                         jnp.ones(n, bool))
-                lv, rec, _ = _tu_roundtrip(
-                    origs, mcb, s, qpv, bitdepth, False, lossless,
-                    scan_sel, rdoq, lam, tab(s, comp, qpv))
-                vmask = cs["valid"].reshape(n)
-                lv = jnp.where(vmask[:, None, None], lv, 0)
-                flat = flat.at[cs["pix"].reshape(-1)].set(
-                    rec.reshape(n, s * s).reshape(-1)
-                    .astype(jnp.int32))
-                lflat = lflat.at[cs["pix"].reshape(-1)].set(
-                    lv.reshape(n, s * s).reshape(-1)
-                    .astype(jnp.int32))
+                cs = sched[cls_key][s]
+                kcap = cs["valid"].shape[1]
+                yy, xx = np.meshgrid(np.arange(s), np.arange(s),
+                                     indexing="ij")
+                off = jnp.asarray((yy * pw + xx).ravel()
+                                  .astype(np.int32))
+                trash = pw * ph
+                coff = None
                 if luma_flag:
-                    cb = (jnp.any(lv != 0, axis=(-1, -2))
-                          .astype(jnp.int32).reshape(sti, ki))
-                    c2 = cs["cell8"].shape[-1]
-                    up = jnp.broadcast_to(cb[:, :, None],
-                                          (sti, ki, c2))
-                    cbf_flat = cbf_flat.at[
-                        cs["cell8"].reshape(-1)].max(up.reshape(-1))
+                    c8 = s_l // 8
+                    w8c, h8c = width // 8, height // 8
+                    cyy, cxx = np.meshgrid(np.arange(c8),
+                                           np.arange(c8),
+                                           indexing="ij")
+                    coff = jnp.asarray((cyy * w8c + cxx).ravel()
+                                       .astype(np.int32))
+
+                def row_body(t, carry, _s=s, _kcap=kcap, _off=off,
+                             _trash=trash, _cs=cs,
+                             _luma=luma_flag,
+                             _coff=coff if luma_flag else None,
+                             _c8=(s_l // 8) if luma_flag else 0):
+                    if _luma:
+                        fl, lf, cbf = carry
+                    else:
+                        fl, lf = carry
+                    ix = jax.lax.dynamic_index_in_dim
+                    x0 = ix(_cs["x0"], t, 0, keepdims=False) \
+                        .astype(jnp.int32)
+                    y0 = ix(_cs["y0"], t, 0, keepdims=False) \
+                        .astype(jnp.int32)
+                    valid = ix(_cs["valid"], t, 0, keepdims=False)
+                    pix = jnp.where(valid[:, None],
+                                    (y0 * pw + x0)[:, None] + _off,
+                                    _trash)
+                    origs = pl_ext[pix].reshape(_kcap, _s, _s)
+                    mcb = mc_ext[pix].reshape(_kcap, _s, _s)
+                    scan_sel = None
+                    if signhide:
+                        scan_sel = _scan_sel(
+                            jnp.zeros(_kcap, jnp.int32), _s, _luma,
+                            jnp.ones(_kcap, bool))
+                    lv, rec, _ = _tu_roundtrip(
+                        origs, mcb, _s, qpv, bitdepth, False,
+                        lossless, scan_sel, rdoq, lam,
+                        tab(_s, comp, qpv))
+                    lv = jnp.where(valid[:, None, None], lv, 0)
+                    fl = fl.at[pix.reshape(-1)].set(
+                        rec.reshape(-1).astype(jnp.int32))
+                    lf = lf.at[pix.reshape(-1)].set(
+                        lv.reshape(-1).astype(jnp.int32))
+                    if not _luma:
+                        return (fl, lf)
+                    w8c, h8c = width // 8, height // 8
+                    cell8 = jnp.where(
+                        valid[:, None],
+                        ((y0 // 8) * w8c + x0 // 8)[:, None] + _coff,
+                        w8c * h8c)
+                    cb = jnp.any(lv != 0, axis=(-1, -2)) \
+                        .astype(jnp.int32)
+                    up = jnp.broadcast_to(
+                        cb[:, None], (cb.shape[0], _c8 * _c8))
+                    cbf = cbf.at[cell8.reshape(-1)].max(
+                        up.reshape(-1))
+                    return (fl, lf, cbf)
+
+                rows = jnp.minimum(cs["rows"].reshape(()),
+                                   cs["valid"].shape[0])
+                if luma_flag:
+                    flat, lflat, cbf_flat = jax.lax.fori_loop(
+                        0, rows, row_body, (flat, lflat, cbf_flat))
+                else:
+                    flat, lflat = jax.lax.fori_loop(
+                        0, rows, row_body, (flat, lflat))
             recp = flat[:pw * ph].reshape(ph, pw)
             lvp = lflat[:pw * ph].reshape(ph, pw)
             cbf = (cbf_flat[:(height // 8) * (width // 8)]

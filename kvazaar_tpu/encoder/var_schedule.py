@@ -200,20 +200,19 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
     intra_ids = np.flatnonzero(~cu_inter)
     n_steps = (int(step_of[intra_ids].max()) + 1 if intra_ids.size
                else 1)
-    # Quantize to a coarse 1.5x ladder: every distinct n_steps is a
-    # separate compiled recon program (XLA static shapes; 20-200 s per
-    # compile through the remote-compile service) — per-frame content
-    # variation must NOT trigger per-frame recompiles.  Padding cost is
-    # bounded at +50% scan steps, amortized by the tiny per-step cost.
-    # Inter frames scan only their intra islands: a lower floor.
-    # POWER-OF-TWO ladder: each distinct n_steps is a compiled program
-    # (~2 min per compile at 1080p through the remote service), so the
-    # bucket count must stay tiny across arbitrary content.
-    b = max(step_bucket, 32 if inter8_map is not None else 128)
+    # ONE static schedule depth: the recon loop executes a TRACED
+    # n_steps_real trip count, so padding costs only schedule-array
+    # bytes (~2 MB H2D), while every distinct padded depth is a
+    # separate 16-22 s XLA compile through the remote service.  The
+    # old content-dependent pow2 ladder recompiled whenever a frame's
+    # intra-island chains crossed a bucket boundary — mid-stream.
+    # 256 covers every tree seen in practice; pathological content
+    # doubles (rare, compiled once).
+    b = max(step_bucket, 256)
     while b < n_steps:
         b *= 2
     n_steps_real = n_steps     # executed trip count (fori_loop bound)
-    n_steps = b                # padded bucket (compiled shapes)
+    n_steps = b                # padded static depth (compiled shapes)
 
     def make_class(size_luma: int, plane_w: int, plane_h: int,
                    gran: int, scale: int):
@@ -288,53 +287,33 @@ def build_var_plan(size8: np.ndarray, mode_maps: dict, width: int,
     if inter8_map is not None:
         by_size_i = {s: np.flatnonzero((cu_s == s) & cu_inter)
                      for s in SIZES}
-        need = 1
-        for s in SIZES:
-            need = max(need, -(-max(len(by_size_i[s]), 1)
-                               // ICAPS[s]))
-        # Pow2 ladder (compile-count bound, see n_steps above); with
-        # these caps 1080p needs at most 16 steps, typically 1-8.
-        steps_i = 1
-        while steps_i < need:
-            steps_i *= 2
+        # STATIC per-resolution row counts (worst case: every cell of
+        # this size is an inter CU).  The device direct pass loops a
+        # TRACED number of real rows ('rows'), so padding costs only
+        # upload bytes and content never forces a recompile.
+        rows_static = {s: -(-((width // s) * (height // s))
+                            // ICAPS[s]) for s in SIZES}
+        steps_i = max(rows_static.values())
 
         def make_inter_class(size_luma, plane_w, plane_h, scale):
             s = size_luma // scale
             kcap = ICAPS[size_luma]
+            ns = rows_static[size_luma]
             idxs = by_size_i.get(size_luma,
                                  np.empty(0, np.int64))
             d = dict(
-                x0=np.zeros((steps_i, kcap), np.int32),
-                y0=np.zeros((steps_i, kcap), np.int32),
-                valid=np.zeros((steps_i, kcap), bool),
-                cell8=None)
+                x0=np.zeros((ns, kcap), np.int32),
+                y0=np.zeros((ns, kcap), np.int32),
+                valid=np.zeros((ns, kcap), bool),
+                rows=np.array([max(-(-len(idxs) // kcap), 1)
+                               if len(idxs) else 1], np.int32))
             k = len(idxs)
             if k:
                 st = np.arange(k) // kcap
                 sl = np.arange(k) % kcap
-                x0 = cu_x[idxs] // scale
-                y0 = cu_y[idxs] // scale
-                d["x0"][st, sl] = x0
-                d["y0"][st, sl] = y0
+                d["x0"][st, sl] = cu_x[idxs] // scale
+                d["y0"][st, sl] = cu_y[idxs] // scale
                 d["valid"][st, sl] = True
-                if scale == 1:
-                    c8 = size_luma // 8
-                    w8c, h8c = width // 8, height // 8
-                    cyy, cxx = np.meshgrid(np.arange(c8),
-                                           np.arange(c8),
-                                           indexing="ij")
-                    coff = (cyy * w8c + cxx).ravel()
-                    cell = ((cu_y[idxs] // 8) * w8c
-                            + cu_x[idxs] // 8)
-                    cg = np.full((steps_i, kcap, c8 * c8),
-                                 w8c * h8c, np.int32)
-                    cg[st, sl] = cell[:, None] + coff
-                    d["cell8"] = cg
-            elif scale == 1:
-                c8 = size_luma // 8
-                d["cell8"] = np.full(
-                    (steps_i, kcap, c8 * c8),
-                    (width // 8) * (height // 8), np.int32)
             return d
 
         iluma = {s: make_inter_class(s, width, height, 1)
