@@ -47,14 +47,15 @@ def _mv_pred_grid(mv_grid):
 
 
 def _int_refine_sads(cur_blocks, ref, x0s, y0s, centers_px, rng: int,
-                     size: int):
+                     size: int, bitdepth: int = 8):
     """(N, (2rng+1)^2) integer-pel SADs around per-block centers:
     one (S+2rng)^2 window gather, then static shifted slices (row-major
     dy, dx offsets -rng..rng)."""
     from kvazaar_tpu.ops.inter import gather_windows
     ox = x0s + centers_px[:, 0] - rng
     oy = y0s + centers_px[:, 1] - rng
-    win = gather_windows(ref, ox, oy, size + 2 * rng)
+    win = gather_windows(ref, ox, oy, size + 2 * rng,
+                         val_bound=1 << bitdepth)
     outs = []
     for dy in range(2 * rng + 1):
         for dx in range(2 * rng + 1):
@@ -103,9 +104,9 @@ def search_inter_frame(cur, ref, plan: IntraFramePlan, lambda_satd: float,
         centers = mv_hint.reshape(n, 2) >> 2               # px
         zero = jnp.zeros_like(centers)
         s_h = _int_refine_sads(cur_blocks, ref, x0s, y0s, centers,
-                               rng, s)
+                               rng, s, bitdepth)
         s_z = _int_refine_sads(cur_blocks, ref, x0s, y0s, zero,
-                               rng, s)
+                               rng, s, bitdepth)
         cands = jnp.concatenate([centers[:, None] + offs[None],
                                  zero[:, None] + offs[None]], axis=1)
         sads_c = jnp.concatenate([s_h, s_z], axis=1)       # (N, 2K)

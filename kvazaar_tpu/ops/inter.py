@@ -46,20 +46,52 @@ CHROMA_FILTERS = np.array([
 ], dtype=np.int32)
 
 
-def gather_windows(plane, x0s, y0s, win: int, ridx=None):
+def gather_windows(plane, x0s, y0s, win: int, ridx=None,
+                   val_bound: int = 1 << 15):
     """Clamped window gather: (N, win, win) from (H, W) at per-block
     integer origins (may be out of bounds — clamping implements the
     spec's boundary padding).  With a stacked (R, H, W) plane and
     per-block reference indices `ridx` (N,), each block gathers from
     its own reference picture (multi-ref L0, src/search_inter.c:1134
-    per-ref loop collapsed into one batched gather)."""
+    per-ref loop collapsed into one batched gather).
+
+    TPU form: scalar gathers run ~1 element/cycle, so the naive
+    (N, win, win) gather was the hottest op in the inter search
+    (~95 ms at N=32k).  Instead, gather aligned 8-px GROUPS row-wise
+    (8x fewer gather elements) and extract the mis-aligned window with
+    a per-block one-hot matmul on the MXU — bit-exact, ~3.5x faster.
+    val_bound: static |value| bound of the plane (<= 256 uses the
+    single-pass bf16 product)."""
     h, w = plane.shape[-2], plane.shape[-1]
+    if w % 8:
+        ys = jnp.clip(y0s[:, None] + jnp.arange(win)[None, :], 0,
+                      h - 1)
+        xs = jnp.clip(x0s[:, None] + jnp.arange(win)[None, :], 0,
+                      w - 1)
+        if plane.ndim == 3:
+            return plane[ridx[:, None, None], ys[:, :, None],
+                         xs[:, None, :]]
+        return plane[ys[:, :, None], xs[:, None, :]]
+    g = 8
+    ng = -(-win // g) + 1
+    n = x0s.shape[0]
     ys = jnp.clip(y0s[:, None] + jnp.arange(win)[None, :], 0, h - 1)
-    xs = jnp.clip(x0s[:, None] + jnp.arange(win)[None, :], 0, w - 1)
+    gx0 = jnp.clip(x0s, 0, w - 1) // g
+    gx = jnp.clip(gx0[:, None] + jnp.arange(ng)[None, :],
+                  0, w // g - 1)
     if plane.ndim == 3:
-        return plane[ridx[:, None, None], ys[:, :, None],
-                     xs[:, None, :]]
-    return plane[ys[:, :, None], xs[:, None, :]]
+        rows = plane.reshape(plane.shape[0], h, w // g, g)
+        strip = rows[ridx[:, None, None], ys[:, :, None],
+                     gx[:, None, :]]
+    else:
+        rows = plane.reshape(h, w // g, g)
+        strip = rows[ys[:, :, None], gx[:, None, :]]
+    strip = strip.reshape(n, win, ng * g)
+    sx = (jnp.clip(x0s[:, None] + jnp.arange(win)[None, :], 0, w - 1)
+          - gx0[:, None] * g)                        # in [0, ng*g)
+    oh = (sx[:, None, :]
+          == jnp.arange(ng * g)[None, :, None]).astype(jnp.int32)
+    return einsum_exact("ncj,nyc->nyj", oh, strip, val_bound)
 
 
 def _tap_contract(win, coeffs, taps: int, out_len: int, axis_last: bool,
@@ -89,7 +121,8 @@ def mc_luma_hp(plane, x0s, y0s, mvs, size: int, bitdepth: int = 8,
     iy = y0s + (mvs[:, 1] >> 2)
     fx = mvs[:, 0] & 3
     fy = mvs[:, 1] & 3
-    win = gather_windows(plane, ix - 3, iy - 3, size + 7, ridx)
+    win = gather_windows(plane, ix - 3, iy - 3, size + 7, ridx,
+                         val_bound=1 << bitdepth)
     lf = jnp.asarray(LUMA_FILTERS)
     cfx = lf[fx]                                # (N, 8)
     cfy = lf[fy]
@@ -138,7 +171,8 @@ def mc_chroma_hp(plane, x0s, y0s, mvs, size: int, bitdepth: int = 8,
     iy = y0s + (cy >> 3)
     fx = cx & 7
     fy = cy & 7
-    win = gather_windows(plane, ix - 1, iy - 1, size + 3, ridx)
+    win = gather_windows(plane, ix - 1, iy - 1, size + 3, ridx,
+                         val_bound=1 << bitdepth)
     cf = jnp.asarray(CHROMA_FILTERS)
     shift1 = bitdepth - 8
     hor = _tap_contract(win, cf[fx], 4, size, True, 1 << bitdepth)
@@ -354,36 +388,33 @@ def refine_qpel_dense(cur_blocks, ref_plane, x0s, y0s, mv_int,
     ox = x0s + (mv_int[:, 0] >> 2) - 4
     oy = y0s + (mv_int[:, 1] >> 2) - 4
     w_ = size + 8
-    win = gather_windows(ref_plane, ox, oy, w_, ridx)
+    win = gather_windows(ref_plane, ox, oy, w_, ridx,
+                         val_bound=1 << bitdepth)
     shift1 = bitdepth - 8
 
-    # Banded-matmul taps (MXU) instead of stacked shifted slices: the
-    # slice stacks moved ~N*8*W*S ints per phase through HBM; a (W, S)
-    # banded matrix contracts the taps in one bf16 matmul.
-    @functools.lru_cache(maxsize=None)
-    def _hband(fx: int, c0: int):
-        b = np.zeros((w_, size), np.int32)
-        for k in range(8):
-            for x in range(size):
-                b[c0 + x + k, x] = LUMA_FILTERS[fx][k]
-        return b
+    # Banded-matmul taps (MXU) with ALL 7 phases fused per axis: one
+    # (W, 7S) block-banded matrix per direction turns 56 tiny
+    # (W, S)-output GEMMs into two (W, 7S)-output GEMMs — the tiny
+    # form wasted >90% of each 128x128 MXU tile.
+    def _bands():
+        b = np.zeros((w_, 7 * size), np.int32)
+        for qi, q in enumerate(range(-3, 4)):
+            iq, fq = q >> 2, q & 3
+            c0 = 1 + iq
+            for k in range(8):
+                for x in range(size):
+                    b[c0 + x + k, qi * size + x] = LUMA_FILTERS[fq][k]
+        return jnp.asarray(b)
 
-    hor = {}
-    for qx in range(-3, 4):
-        ix, fx = qx >> 2, qx & 3
-        hv = einsum_exact("wx,nyw->nyx",
-                          jnp.asarray(_hband(fx, 1 + ix)), win,
-                          1 << bitdepth)            # (N, W, S)
-        hor[qx] = hv >> shift1 if shift1 else hv
-    preds = []
-    for qy in range(-3, 4):
-        iy, fy = qy >> 2, qy & 3
-        vb = jnp.asarray(_hband(fy, 1 + iy))        # (W, S)
-        for qx in range(-3, 4):
-            v = einsum_exact("wy,nwx->nyx", vb, hor[qx],
-                             1 << 15) >> 6
-            preds.append(uni_round(v, bitdepth))
-    preds = jnp.stack(preds, axis=1)                  # (N, 49, S, S)
+    bands = _bands()
+    hv = einsum_exact("wk,nyw->nyk", bands, win,
+                      1 << bitdepth)                # (N, W, 7S)
+    if shift1:
+        hv = hv >> shift1
+    # out[n, (qy, y), (qx, x)] — every (qy, qx) phase pair at once.
+    v = einsum_exact("wk,nwx->nkx", bands, hv, 1 << 15) >> 6
+    v = v.reshape(n, 7, size, 7, size).transpose(0, 1, 3, 2, 4)
+    preds = uni_round(v.reshape(n, 49, size, size), bitdepth)
     return satd8_batch(preds - cur_blocks[:, None])
 
 
