@@ -65,7 +65,20 @@ def serialize_jax_compiles() -> None:
 
     def locked(*a, **kw):
         with lock:
-            return orig(*a, **kw)
+            # The axon remote-compile HTTP service occasionally drops
+            # a response mid-body; one failed compile would otherwise
+            # kill a whole encode/bench run.  Retry transient errors.
+            import time as _t
+            for attempt in range(3):
+                try:
+                    return orig(*a, **kw)
+                except Exception as e:     # noqa: BLE001
+                    transient = ("remote_compile" in str(e)
+                                 or "read body" in str(e)
+                                 or "DEADLINE" in str(e))
+                    if attempt == 2 or not transient:
+                        raise
+                    _t.sleep(2.0 * (attempt + 1))
 
     _compiler.compile_or_get_cached = locked
     _compiler._kvz_serialized = True
