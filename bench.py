@@ -395,10 +395,10 @@ def measure_preset_fps_ours(preset, w, h, qp, warm=None, timed=8,
         warm = len(clip)
     if cfg.gop_len > 1:
         # GOP output lags input: the first B-pyramid flush (and its
-        # var-B compiles) happens at frame gop_len+1 — warm frames
-        # must cover at least TWO full GOP flushes or the compiles
-        # land in the timed pass.
-        warm = max(warm, 2 * cfg.gop_len + 1)
+        # var-B compiles) happens at frame gop_len+1.  The recon/
+        # search programs are shape-static now (one variant per slice
+        # kind), so ONE full flush compiles everything.
+        warm = max(warm, cfg.gop_len + 2)
     done = 0
     t0 = None
     fed = 0
@@ -588,16 +588,6 @@ def main():
                     ov / out["ref_veryslow_1080p_fps"], 2)
         section("veryslow_1080p", 180, sec_veryslow)
 
-    # ---- 4. Throughput extras at the headline point ----
-    def sec_device_resident():
-        out["device_resident_fps"] = round(
-            measure_device_resident_fps(ife, frames), 3)
-    section("device_resident", 45, sec_device_resident)
-
-    def sec_ippp():
-        out["ippp_fps"] = round(measure_ippp_fps(frames, W, H, QP), 3)
-    section("ippp", 60, sec_ippp)
-
     # ---- 5. BD-rates vs reference medium (the quality scoreboard) ----
     if os.environ.get("KVZ_BENCH_BD", "1") != "0" and exe:
         def sec_bd_intra():
@@ -619,6 +609,16 @@ def main():
             if bd is not None:
                 out["bd_rate_gop8_vs_ref_medium_pct"] = bd
         section("bd_gop8", 120, sec_bd_gop8)
+
+    # ---- 4. Throughput extras at the headline point ----
+    def sec_device_resident():
+        out["device_resident_fps"] = round(
+            measure_device_resident_fps(ife, frames), 3)
+    section("device_resident", 45, sec_device_resident)
+
+    def sec_ippp():
+        out["ippp_fps"] = round(measure_ippp_fps(frames, W, H, QP), 3)
+    section("ippp", 60, sec_ippp)
 
     # ---- 6. 1080p all-intra + IPPP ----
     def sec_1080p():
