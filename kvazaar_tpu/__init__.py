@@ -25,6 +25,16 @@ import os as _os
 _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                        _os.path.expanduser("~/.cache/kvazaar_tpu_xla"))
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# Canonical cache keys across call paths: Pallas/Mosaic custom-call
+# payloads embed the Python call stack as MLIR debug locations, and the
+# outer strip-debuginfo pass cannot reach inside the serialized kernel
+# body — so the SAME program traced from bench.py vs cli.py vs a test
+# got a different persistent-cache key (measured: every entry point
+# paid the full ~7 min remote compile).  Dropping tracebacks from
+# locations makes the payload, and hence the key, call-site-invariant.
+_os.environ.setdefault("JAX_INCLUDE_FULL_TRACEBACKS_IN_LOCATIONS",
+                       "false")
+_os.environ.setdefault("JAX_TRACEBACK_IN_LOCATIONS_LIMIT", "0")
 
 # The fused wavefront kernel's VMEM working set (edge-state scratch is
 # (blocks+1, 128) int32 x2 after lane padding, plus the 35-mode
@@ -101,8 +111,15 @@ def enable_compile_cache() -> None:
             _os.path.expanduser("~/.cache/kvazaar_tpu_xla"))
         if cache_dir and jax.config.jax_compilation_cache_dir is None:
             jax.config.update("jax_compilation_cache_dir", cache_dir)
+        if cache_dir:
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 0.5)
+            # Call-site-invariant cache keys (see the env defaults at
+            # module import; config.update here covers the case where
+            # jax was imported before kvazaar_tpu).
+            jax.config.update(
+                "jax_include_full_tracebacks_in_locations", False)
+            jax.config.update("jax_traceback_in_locations_limit", 0)
     except Exception:
         pass
     try:
