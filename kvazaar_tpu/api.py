@@ -16,6 +16,7 @@ import numpy as np
 from kvazaar_tpu.config import Config
 from kvazaar_tpu.constants import NAL_IDR_W_RADL, SLICE_I, SLICE_P
 from kvazaar_tpu.encoder.frame_encoder import IntraFrameEncoder, psnr
+from kvazaar_tpu.profiler import phase
 
 
 @dataclasses.dataclass
@@ -248,6 +249,8 @@ class Encoder:
             # (src/encoderstate.c:790-806) at GOP granularity.
             import concurrent.futures as _cf
             from kvazaar_tpu.constants import NAL_CRA_NUT, NAL_RASL_R
+            import time as _time
+            _t_flush = _time.monotonic()
             ife = self._intra
             if not hasattr(self, "_fin_pool"):
                 self._fin_pool = _cf.ThreadPoolExecutor(1)
@@ -281,35 +284,47 @@ class Encoder:
                     continue
                 if l1 is None:
                     ife._dpb = self._dpb_map[poc - l0]
-                    h = ife.submit_var_p(*src, poc=poc,
-                                         ref_poc=poc - l0,
-                                         qp=frame_qp,
-                                         qp_factor=qp_fac)
+                    with phase("gop.submit_p"):
+                        h = ife.submit_var_p(*src, poc=poc,
+                                             ref_poc=poc - l0,
+                                             qp=frame_qp,
+                                             qp_factor=qp_fac)
                     self._dpb_map[poc] = ife._dpb
                     fut = self._fin_pool.submit(ife.finalize_var_p, h)
                 else:
-                    h = ife.submit_var_b(
-                        *src, poc=poc,
-                        ref0=(poc - l0, self._dpb_map[poc - l0]),
-                        ref1=(poc + l1, self._dpb_map[poc + l1]),
-                        qp=frame_qp, qp_factor=qp_fac,
-                        nal_type=NAL_RASL_R if is_cra_gop else None)
+                    with phase("gop.submit_b"):
+                        h = ife.submit_var_b(
+                            *src, poc=poc,
+                            ref0=(poc - l0, self._dpb_map[poc - l0]),
+                            ref1=(poc + l1, self._dpb_map[poc + l1]),
+                            qp=frame_qp, qp_factor=qp_fac,
+                            nal_type=NAL_RASL_R if is_cra_gop
+                            else None)
                     self._dpb_map[poc] = (h["dy"], h["dcb"], h["dcr"])
                     fut = self._fin_pool.submit(ife.finalize_var_b, h)
                 if pending is not None:
                     f, p_, s_, q_ = pending
-                    out.append(self._emit(f.result(), p_, s_, qp=q_))
+                    with phase("gop.wait"):
+                        r_ = f.result()
+                    with phase("gop.emit"):
+                        out.append(self._emit(r_, p_, s_, qp=q_))
                 pending = (fut, poc, src,
                            frame_qp if frame_qp is not None
                            else ife.cfg.qp)
             if pending is not None:
                 f, p_, s_, q_ = pending
-                out.append(self._emit(f.result(), p_, s_, qp=q_))
+                with phase("gop.wait"):
+                    r_ = f.result()
+                with phase("gop.emit"):
+                    out.append(self._emit(r_, p_, s_, qp=q_))
             self._base_poc = base + self._gop
             self._dpb_map = {p: v for p, v in self._dpb_map.items()
                              if p >= self._base_poc}
             self._pending = []
             self._poc = self._base_poc + 1
+            from kvazaar_tpu.profiler import phases as _phases
+            _phases.add("gop.flush_total",
+                        _time.monotonic() - _t_flush)
             return out
         else:
             for (off, l0, l1, qp_off, qp_fac) in GOP_TABLES[self._gop]:
