@@ -819,18 +819,59 @@ class PFrameMixin:
         return ((self.cfg.intra_min_cu, self.cfg.intra_max_cu),
                 (self.cfg.inter_min_cu, self.cfg.inter_max_cu))
 
+    def _var_dconsts(self):
+        """Device-resident big static tensors (intra mode weights +
+        per-plan ref-gather maps), threaded into every variable-tree
+        program as jit ARGUMENTS via ops/devconst.  Inlined, these were
+        ~130 MB of HLO constants per program — 100 MB serialized
+        executables whose remote compiles/cache loads each cost
+        minutes."""
+        if hasattr(self, "_dconsts_cache"):
+            return self._dconsts_cache
+        from kvazaar_tpu.encoder.geometry import (make_intra_plan,
+                                                  plan_flat_gather,
+                                                  plan_gidx_key)
+        from kvazaar_tpu.ops.devconst import POOL
+        from kvazaar_tpu.ops.intra import mode_weights_np, weight_key
+        d = {}
+        for n in (4, 8, 16, 32):
+            k = weight_key(n, True)
+            d[k] = POOL.get(k, lambda n=n: mode_weights_np(n, True)[0])
+            if n <= 16:
+                k = weight_key(n, False)
+                d[k] = POOL.get(
+                    k, lambda n=n: mode_weights_np(n, False)[0])
+        for s_ in (8, 16, 32):
+            # Plans exactly as the search functions build them
+            # (quadtree.py: chroma=False, default tiles) — a key the
+            # fetch site never asks for is harmless but wasted.
+            plan = make_intra_plan(self.coded_w, self.coded_h, s_,
+                                   chroma=False)
+            k = plan_gidx_key(plan, True)
+            d[k] = POOL.get(k, lambda p=plan: plan_flat_gather(p, True))
+            if self.chroma:
+                planc = make_intra_plan(self.coded_w, self.coded_h,
+                                        s_, chroma=True)
+                k = plan_gidx_key(planc, False)
+                d[k] = POOL.get(
+                    k, lambda p=planc: plan_flat_gather(p, False))
+        self._dconsts_cache = d
+        return d
+
     def _var_p_search(self):
         if not hasattr(self, "_qt_search_p"):
             from kvazaar_tpu.encoder.quadtree import search_quadtree_p
             intra_rng, inter_rng = self._var_rngs()
 
-            def s(yp, ref_y, lam_satd, qp, lam_rd):
-                outs = search_quadtree_p(
-                    yp, ref_y.astype(jnp.int32), self.coded_w,
-                    self.coded_h, lam_satd, self.cfg.me_range,
-                    self.bitdepth, intra_rng, inter_rng,
-                    self.cfg.rd >= 1, subpel=self.cfg.me_subpel,
-                    qp=qp, lam_rd=lam_rd)
+            def s(yp, ref_y, lam_satd, qp, lam_rd, dc):
+                from kvazaar_tpu.ops.devconst import bound
+                with bound(dc):
+                    outs = search_quadtree_p(
+                        yp, ref_y.astype(jnp.int32), self.coded_w,
+                        self.coded_h, lam_satd, self.cfg.me_range,
+                        self.bitdepth, intra_rng, inter_rng,
+                        self.cfg.rd >= 1, subpel=self.cfg.me_subpel,
+                        qp=qp, lam_rd=lam_rd)
                 vec, self._qt_search_p_spec = _pack_device_tree(outs)
                 return vec
 
@@ -842,14 +883,16 @@ class PFrameMixin:
             from kvazaar_tpu.encoder.quadtree import search_quadtree_b
             intra_rng, inter_rng = self._var_rngs()
 
-            def s(yp, r0, r1, lam_satd, qp, lam_rd):
-                outs = search_quadtree_b(
-                    yp, r0.astype(jnp.int32), r1.astype(jnp.int32),
-                    self.coded_w, self.coded_h, lam_satd,
-                    self.cfg.me_range, self.bitdepth, intra_rng,
-                    inter_rng, self.cfg.rd >= 1,
-                    subpel=self.cfg.me_subpel,
-                    bipred=self.cfg.bipred, qp=qp, lam_rd=lam_rd)
+            def s(yp, r0, r1, lam_satd, qp, lam_rd, dc):
+                from kvazaar_tpu.ops.devconst import bound
+                with bound(dc):
+                    outs = search_quadtree_b(
+                        yp, r0.astype(jnp.int32), r1.astype(jnp.int32),
+                        self.coded_w, self.coded_h, lam_satd,
+                        self.cfg.me_range, self.bitdepth, intra_rng,
+                        inter_rng, self.cfg.rd >= 1,
+                        subpel=self.cfg.me_subpel,
+                        bipred=self.cfg.bipred, qp=qp, lam_rd=lam_rd)
                 vec, self._qt_search_b_spec = _pack_device_tree(outs)
                 return vec
 
@@ -864,7 +907,12 @@ class PFrameMixin:
         from kvazaar_tpu.encoder.quadtree import (reconstruct_frame_var,
                                                   var_bs_maps)
 
-        def run(sched, ref0, ref1):
+        def run(sched, ref0, ref1, dc):
+            from kvazaar_tpu.ops.devconst import bound
+            with bound(dc):
+                return run_inner(sched, ref0, ref1)
+
+        def run_inner(sched, ref0, ref1):
             from kvazaar_tpu.encoder.inter_search import (
                 bi_mc_planes_cells, mc_planes_cells)
             if bi:
@@ -1197,7 +1245,8 @@ class PFrameMixin:
             vec = self._var_p_search()(jnp.asarray(yp), refs[0],
                                        jnp.float32(lam_satd),
                                        jnp.int32(frame_qp),
-                                       jnp.float32(lam_rd))
+                                       jnp.float32(lam_rd),
+                                       self._var_dconsts())
             costs, modes_d, mvs_d, imaps_d = _unpack_host_tree(
                 vec, self._qt_search_p_spec)
         # Costs are RD units (roundtrip SSD + lam*modeled bits incl.
@@ -1220,7 +1269,8 @@ class PFrameMixin:
             sched["qp"] = jnp.int32(frame_qp)
             sched["lam"] = jnp.float32(lam_rd)
         dy, dcb, dcr, lv_flat = self._var_recon_inter_fn(
-            vp.n_steps, False)(sched, refs, refs)
+            vp.n_steps, False)(sched, refs, refs,
+                               self._var_dconsts())
         sao = None
         if self.cfg.sao:
             (ry, rcb, rcr), sao_list = self._sao_stage(
@@ -1313,7 +1363,8 @@ class PFrameMixin:
             vec = self._var_b_search()(jnp.asarray(yp), r0[0], r1[0],
                                        jnp.float32(lam_satd),
                                        jnp.int32(frame_qp),
-                                       jnp.float32(lam_rd))
+                                       jnp.float32(lam_rd),
+                                       self._var_dconsts())
             (costs, modes_d, mv0_d, mv1_d, dirs_d,
              imaps_d) = _unpack_host_tree(vec, self._qt_search_b_spec)
         with phase("varb.tree"):
@@ -1348,7 +1399,8 @@ class PFrameMixin:
                 sched["lam"] = jnp.float32(lam_rd)
         with phase("varb.recon"):
             dy, dcb, dcr, lv_flat = self._var_recon_inter_fn(
-                vp.n_steps, True)(sched, r0, r1)
+                vp.n_steps, True)(sched, r0, r1,
+                                  self._var_dconsts())
         sao = None
         if self.cfg.sao:
           with phase("varb.sao"):
@@ -2632,7 +2684,12 @@ class IntraFrameEncoder(PFrameMixin):
     def _var_recon_fn(self, n_steps: int):
         from kvazaar_tpu.encoder.quadtree import reconstruct_frame_var
 
-        def run(sched):
+        def run(sched, dc):
+            from kvazaar_tpu.ops.devconst import bound
+            with bound(dc):
+                return run_inner(sched)
+
+        def run_inner(sched):
             rec_y, rec_cb, rec_cr, levels = reconstruct_frame_var(
                 sched, self.cfg.qp, self.qp_c, self.coded_w,
                 self.coded_h, self.chroma, self.bitdepth,
@@ -2662,14 +2719,17 @@ class IntraFrameEncoder(PFrameMixin):
         if not hasattr(self, "_qt_search"):
             from kvazaar_tpu.encoder.quadtree import search_quadtree
 
-            def s(yp):
-                outs = search_quadtree(
-                    yp, self.coded_w, self.coded_h, self.lambda_satd,
-                    self.bitdepth, self.cfg.intra_min_cu,
-                    self.cfg.intra_max_cu, self.cfg.rd >= 1,
-                    rdo=self.cfg.rd >= 2, qp=self.cfg.qp,
-                    lam_rd=qp_to_lambda(self.cfg.qp),
-                    tu_split=self.cfg.tr_depth_intra > 0)
+            def s(yp, dc):
+                from kvazaar_tpu.ops.devconst import bound
+                with bound(dc):
+                    outs = search_quadtree(
+                        yp, self.coded_w, self.coded_h,
+                        self.lambda_satd,
+                        self.bitdepth, self.cfg.intra_min_cu,
+                        self.cfg.intra_max_cu, self.cfg.rd >= 1,
+                        rdo=self.cfg.rd >= 2, qp=self.cfg.qp,
+                        lam_rd=qp_to_lambda(self.cfg.qp),
+                        tu_split=self.cfg.tr_depth_intra > 0)
                 vec, self._qt_search_spec = _pack_device_tree(outs)
                 return vec
 
@@ -2689,7 +2749,8 @@ class IntraFrameEncoder(PFrameMixin):
             cbp = pad_to_multiple(np.asarray(cb, np.int32), s // 2)
             crp = pad_to_multiple(np.asarray(cr, np.int32), s // 2)
         from kvazaar_tpu.encoder.quadtree import choose_tree
-        vec = self._var_search_fn()(jnp.asarray(yp))
+        vec = self._var_search_fn()(jnp.asarray(yp),
+                                    self._var_dconsts())
         unp = _unpack_host_tree(vec, self._qt_search_spec)
         tucosts = None
         if self.cfg.tr_depth_intra > 0:
@@ -2768,7 +2829,8 @@ class IntraFrameEncoder(PFrameMixin):
 
         sched, lv_shapes = self._var_sched_arrays(vp, yp, cbp, crp,
                                                   sched_size8)
-        dy, dcb, dcr, lv_flat = self._var_recon_fn(vp.n_steps)(sched)
+        dy, dcb, dcr, lv_flat = self._var_recon_fn(
+            vp.n_steps)(sched, self._var_dconsts())
         sao = None
         if self.cfg.sao:
             (ry, rcb, rcr), sao_list = self._sao_stage(
@@ -2818,13 +2880,17 @@ class IntraFrameEncoder(PFrameMixin):
             if s_ not in self._cm_search:
                 plan_s = make_intra_plan(self.coded_w, self.coded_h,
                                          s_, chroma=True)
-                self._cm_search[s_] = tpu_jit(
-                    lambda cb_, cr_, m_, _p=plan_s:
-                    search_chroma_modes(cb_, cr_, m_, _p, self.qp_c,
-                                        qp_to_lambda(self.cfg.qp),
-                                        self.bitdepth))
+                def cm(cb_, cr_, m_, dc_, _p=plan_s):
+                    from kvazaar_tpu.ops.devconst import bound
+                    with bound(dc_):
+                        return search_chroma_modes(
+                            cb_, cr_, m_, _p, self.qp_c,
+                            qp_to_lambda(self.cfg.qp),
+                            self.bitdepth)
+                self._cm_search[s_] = tpu_jit(cm)
             cmode_maps[s_] = np.asarray(self._cm_search[s_](
-                cbj, crj, jnp.asarray(mode_maps[s_])))
+                cbj, crj, jnp.asarray(mode_maps[s_]),
+                self._var_dconsts()))
         if 32 in cmode_maps and (size8 == 64).any():
             cm = cmode_maps[32]
             tl = np.kron(cm[0::2, 0::2], np.ones((2, 2), cm.dtype))

@@ -147,6 +147,31 @@ def _plane_maps(plan_geo, s: int, width: int, height: int) -> PlaneMaps:
                      scatter_idx=scatter, size=s)
 
 
+def plan_flat_gather(plan: "IntraFramePlan", luma: bool = True):
+    """(N_blocks, 4S+1) int32 ref-gather indices in raster-block order
+    (PlaneMaps.gather_idx indexed by each block's wavefront step/slot).
+    Large (up to ~9 MB at 1080p s=8) — thread through jits as a
+    devconst argument, keyed by plan_gidx_key, instead of inlining."""
+    maps = plan.luma if luma else plan.chroma
+    steps = plan.step_of_block.ravel()
+    slots = plan.slot_of_block.ravel()
+    return maps.gather_idx[steps, slots]
+
+
+def plan_flat_noref(plan: "IntraFramePlan", luma: bool = True):
+    maps = plan.luma if luma else plan.chroma
+    steps = plan.step_of_block.ravel()
+    slots = plan.slot_of_block.ravel()
+    return maps.no_refs[steps, slots]
+
+
+def plan_gidx_key(plan: "IntraFramePlan", luma: bool = True) -> str:
+    maps = plan.luma if luma else plan.chroma
+    return (f"gidx.{'l' if luma else 'c'}{maps.size}."
+            f"{plan.blocks_y}x{plan.blocks_x}"
+            f".t{plan.tiles[0]}x{plan.tiles[1]}")
+
+
 @functools.lru_cache(maxsize=8)
 def make_intra_plan(width: int, height: int, cu_size: int,
                     chroma: bool = True, ctu_size: int = 64,

@@ -21,7 +21,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from kvazaar_tpu.constants import INTRA_DC, INTRA_PLANAR
-from kvazaar_tpu.encoder.geometry import IntraFramePlan
+from kvazaar_tpu.encoder.geometry import (IntraFramePlan,
+                                          plan_flat_gather,
+                                          plan_flat_noref,
+                                          plan_gidx_key)
+from kvazaar_tpu.ops.devconst import fetch
 from kvazaar_tpu.ops.exactmm import einsum_exact, einsum_exact_f32
 from kvazaar_tpu.ops.intra import predict_all_modes
 
@@ -162,10 +166,9 @@ def search_frame_modes(frame, plan: IntraFramePlan, lambda_satd: float,
     n = by * bx
     flat_ext = jnp.concatenate([frame.reshape(-1),
                                 jnp.zeros((1,), frame.dtype)])
-    steps = plan.step_of_block.ravel()
-    slots = plan.slot_of_block.ravel()
-    gidx = jnp.asarray(plan.luma.gather_idx[steps, slots])     # (N, R)
-    noref = jnp.asarray(plan.luma.no_refs[steps, slots])       # (N,)
+    gidx = fetch(plan_gidx_key(plan, True),
+                 lambda: plan_flat_gather(plan, True))         # (N, R)
+    noref = jnp.asarray(plan_flat_noref(plan, True))           # (N,)
     refs = flat_ext[gidx]
     refs = jnp.where(noref[:, None], 1 << (bitdepth - 1), refs)
 
@@ -215,10 +218,9 @@ def rd_cost_given_modes(frame, plan: IntraFramePlan, modes, qp: int,
     n = by * bx
     flat_ext = jnp.concatenate([frame.reshape(-1),
                                 jnp.zeros((1,), frame.dtype)])
-    steps = plan.step_of_block.ravel()
-    slots = plan.slot_of_block.ravel()
-    gidx = jnp.asarray(plan.luma.gather_idx[steps, slots])
-    noref = jnp.asarray(plan.luma.no_refs[steps, slots])
+    gidx = fetch(plan_gidx_key(plan, True),
+                 lambda: plan_flat_gather(plan, True))
+    noref = jnp.asarray(plan_flat_noref(plan, True))
     refs = flat_ext[gidx]
     refs = jnp.where(noref[:, None], 1 << (bitdepth - 1), refs)
     pred = predict_modes(refs.astype(jnp.int32),
@@ -274,10 +276,9 @@ def search_chroma_modes(cbp, crp, luma_modes, plan: IntraFramePlan,
     s2 = maps.size
     by, bx = plan.blocks_y, plan.blocks_x
     n = by * bx
-    steps = plan.step_of_block.ravel()
-    slots = plan.slot_of_block.ravel()
-    gidx = jnp.asarray(maps.gather_idx[steps, slots])       # (N, R)
-    noref = jnp.asarray(maps.no_refs[steps, slots])         # (N,)
+    gidx = fetch(plan_gidx_key(plan, False),
+                 lambda: plan_flat_gather(plan, False))     # (N, R)
+    noref = jnp.asarray(plan_flat_noref(plan, False))       # (N,)
     lm = luma_modes.reshape(-1).astype(jnp.int32)           # (N,)
     cand = jnp.concatenate(
         [chroma_cand_table(lm), lm[:, None]], axis=1)       # (N, 5)

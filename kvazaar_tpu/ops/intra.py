@@ -65,6 +65,11 @@ def _filter_flag(mode: int, n: int) -> bool:
     return min_dist > thresh
 
 
+def weight_key(n: int, luma: bool) -> str:
+    """devconst key for the (35, N*N, 2R) mode-weight tensor."""
+    return f"iw.{'l' if luma else 'c'}{n}"
+
+
 @functools.lru_cache(maxsize=None)
 def mode_weights_np(n: int, luma: bool):
     """(W, shifts): W is (35, N*N, 2*(4N+1)) int32; shifts is (35,) int32.
@@ -213,9 +218,9 @@ def predict_all_modes(refs, n: int, luma: bool = True, bitdepth: int = 8,
     refs: (B, 4N+1) int32 substituted reference vectors (unfiltered).
     Returns (B, 35, N, N) int32 predictions.
     """
-    w_np, s_np = mode_weights_np(n, luma)
-    w = jnp.asarray(w_np)
-    shifts = jnp.asarray(s_np)
+    from kvazaar_tpu.ops.devconst import fetch
+    w = fetch(weight_key(n, luma), lambda: mode_weights_np(n, luma)[0])
+    shifts = jnp.asarray(mode_weights_np(n, luma)[1])
     if luma and n >= 8:
         filt = (strong_smooth_refs(refs, n, bitdepth) if (strong_smoothing and n == 32)
                 else smooth_refs(refs))
@@ -273,9 +278,9 @@ def predict_modes(refs, modes, n: int, luma: bool = True, bitdepth: int = 8,
 
     refs: (B, 4N+1) int32; modes: (B,) int32. Returns (B, N, N) int32.
     """
-    w_np, s_np = mode_weights_np(n, luma)
-    w = jnp.asarray(w_np)
-    shifts = jnp.asarray(s_np)
+    from kvazaar_tpu.ops.devconst import fetch
+    w = fetch(weight_key(n, luma), lambda: mode_weights_np(n, luma)[0])
+    shifts = jnp.asarray(mode_weights_np(n, luma)[1])
     if luma and n >= 8:
         filt = (strong_smooth_refs(refs, n, bitdepth) if (strong_smoothing and n == 32)
                 else smooth_refs(refs))
