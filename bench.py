@@ -309,10 +309,15 @@ def measure_bd_rate_intra(exe, seed=1, w=416, h=240, n=6,
     if not os.path.exists(yuv):
         _write_yuv(yuv, clip)
     ours_r, ours_p, ref_r, ref_p = [], [], [], []
+    enc = None
     for qp in qps:
-        cfg = config_from_preset("medium", width=w, height=h, qp=qp,
-                                 intra_period=1)
-        enc = Encoder(cfg)
+        if enc is None:
+            cfg = config_from_preset("medium", width=w, height=h,
+                                     qp=qp, intra_period=1)
+            enc = Encoder(cfg)
+        else:
+            enc.set_base_qp(qp)
+            enc.reset_stream()
         bits = 0
         psnr = 0.0
         for f in clip:
@@ -448,12 +453,20 @@ def measure_bd_rate_inter(exe, mode, seed=1, w=416, h=240, n=12,
         ours_over = dict(intra_period=0)
         ref_args = ["--gop", "8", "-p", "0"]
     ours_r, ours_p, ref_r, ref_p = [], [], [], []
+    enc = None
     for qp in qps:
         if deadline is not None and time.time() > deadline:
             return None
-        cfg = config_from_preset("medium", width=w, height=h, qp=qp,
-                                 **ours_over)
-        enc = Encoder(cfg)
+        if enc is None:
+            cfg = config_from_preset("medium", width=w, height=h,
+                                     qp=qp, **ours_over)
+            enc = Encoder(cfg)
+        else:
+            # QP is traced data on the var path: the same compiled
+            # programs serve the whole ladder (a fresh Encoder per QP
+            # re-traces + re-loads every program, ~60 s per QP).
+            enc.set_base_qp(qp)
+            enc.reset_stream()
         bits = 0
         psnr = 0.0
         nout = 0

@@ -135,6 +135,35 @@ class Encoder:
     def headers(self) -> bytes:
         return self._intra.headers()
 
+    def set_base_qp(self, qp: int) -> None:
+        """Change the stream's base QP without recompiling any device
+        program (variable-tree configs without custom scaling lists:
+        QP/lambda are traced data end to end).  Takes effect at the
+        next picture; combine with reset_stream() to start a clean
+        stream at the new QP (e.g. a BD-rate ladder over one encoder
+        instance — a fresh instance per QP re-traces and re-loads
+        every program)."""
+        import dataclasses as dc
+        self.cfg = dc.replace(self.cfg, qp=qp).validate()
+        self._intra.set_base_qp(qp)
+        self._encoders = {qp: self._intra}
+        self._prev_qp = qp
+
+    def reset_stream(self) -> None:
+        """Start a new bitstream on this encoder: headers re-emitted,
+        POC back to 0 (next picture is an IDR), GOP reorder buffer and
+        DPBs cleared.  Compiled device programs are retained."""
+        assert not self._pending, "flush() before reset_stream()"
+        self._poc = 0
+        self._wrote_headers = False
+        self._irap_count = 0
+        self._base_poc = 0
+        self._dpb_map = {}
+        self._dpb_ld = {}
+        self._intra._dpb = None
+        self._crypto_pics = 0
+        self._intra._crypto_seq = 0
+
     def _au_prefix(self, slice_type: int) -> bytes:
         """Per-access-unit prefix: AUD, then parameter sets + version
         SEI at stream start and (--vps-period N) before every Nth IRAP

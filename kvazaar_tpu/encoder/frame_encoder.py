@@ -2073,6 +2073,30 @@ class IntraFrameEncoder(PFrameMixin):
         return (write_vps(self.params) + write_sps(self.params)
                 + write_pps(self.params))
 
+    def set_base_qp(self, qp: int) -> None:
+        """Re-point the encoder at a new base QP without recompiling.
+
+        Valid on the variable-tree operating point without custom
+        scaling lists: there QP and lambda ride every device program
+        as traced data (search, recon, SAO, deblock qp_map), so the
+        same executables serve the new QP.  Fixed-grid jits bake QP at
+        trace time and are dropped here to rebuild lazily.  The
+        reference re-creates the whole encoder per QP
+        (kvz_encoder_open, src/encoder.c); reuse matters here because
+        program compilation is minutes, e.g. across a BD-rate ladder."""
+        self.cfg = dataclasses.replace(self.cfg, qp=qp)
+        self.params.qp = qp          # PPS init_qp / slice_qp_delta base
+        self.qp_c = chroma_qp(qp)
+        lam = qp_to_lambda(qp)
+        self.lambda_satd = math.sqrt(lam)
+        # QP-static compiled paths (fixed grids, per-QP fused P
+        # programs, rd3 chroma RDO) rebuild on next use.
+        self._device_encode_batch = tpu_jit(self._device_encode_impl)
+        for attr in ("_p_fused_cache", "_cm_search", "_stack_cache",
+                     "_packed_fns"):
+            if hasattr(self, attr):
+                getattr(self, attr).clear()
+
     def _apply_crypto_iv(self, enc) -> None:
         """Fresh per-picture CTR nonce for selective encryption (the
         decoder counts pictures in stream order)."""
@@ -2690,17 +2714,36 @@ class IntraFrameEncoder(PFrameMixin):
                 return run_inner(sched)
 
         def run_inner(sched):
+            # Base QP / lambda ride the schedule as traced data when
+            # no scaling lists bake qp%6 tables into constants: ONE
+            # compiled program serves every stream QP (reference
+            # re-inits per stream; recompiling per QP costs minutes
+            # and defeats encoder reuse across QPs, e.g. the BD-rate
+            # ladder).  Mirrors the inter recon path above.
+            if self.scaling is None and "qp" in sched:
+                from kvazaar_tpu.constants import CHROMA_QP_TAB
+                qp = sched["qp"]
+                qp_c = jnp.take(
+                    jnp.asarray(np.asarray(CHROMA_QP_TAB, np.int32)),
+                    jnp.clip(qp, 0, 51))
+                lam = sched["lam"]
+                qp_map = jnp.full((self.coded_h // 8,
+                                   self.coded_w // 8), qp, jnp.int32)
+            else:
+                qp, qp_c = self.cfg.qp, self.qp_c
+                lam = qp_to_lambda(self.cfg.qp)
+                qp_map = None
             rec_y, rec_cb, rec_cr, levels = reconstruct_frame_var(
-                sched, self.cfg.qp, self.qp_c, self.coded_w,
+                sched, qp, qp_c, self.coded_w,
                 self.coded_h, self.chroma, self.bitdepth,
                 self.cfg.lossless, self.cfg.signhide,
-                rdoq=self.cfg.rdoq, lam=qp_to_lambda(self.cfg.qp),
+                rdoq=self.cfg.rdoq, lam=lam,
                 scaling=self.scaling)
             if self.cfg.deblock:
                 dy, dcb, dcr = deblock_frame(
                     rec_y, rec_cb, rec_cr, self.cfg.qp, 8,
                     self.bitdepth, bs_v=sched["bs_v"],
-                    bs_h=sched["bs_h"])
+                    bs_h=sched["bs_h"], qp_map=qp_map)
             else:
                 dy, dcb, dcr = rec_y, rec_cb, rec_cr
             rdt = jnp.uint8 if self.bitdepth <= 8 else jnp.uint16
@@ -2719,16 +2762,16 @@ class IntraFrameEncoder(PFrameMixin):
         if not hasattr(self, "_qt_search"):
             from kvazaar_tpu.encoder.quadtree import search_quadtree
 
-            def s(yp, dc):
+            def s(yp, qp, lam_satd, lam_rd, dc):
                 from kvazaar_tpu.ops.devconst import bound
                 with bound(dc):
                     outs = search_quadtree(
                         yp, self.coded_w, self.coded_h,
-                        self.lambda_satd,
+                        lam_satd,
                         self.bitdepth, self.cfg.intra_min_cu,
                         self.cfg.intra_max_cu, self.cfg.rd >= 1,
-                        rdo=self.cfg.rd >= 2, qp=self.cfg.qp,
-                        lam_rd=qp_to_lambda(self.cfg.qp),
+                        rdo=self.cfg.rd >= 2, qp=qp,
+                        lam_rd=lam_rd,
                         tu_split=self.cfg.tr_depth_intra > 0)
                 vec, self._qt_search_spec = _pack_device_tree(outs)
                 return vec
@@ -2750,6 +2793,10 @@ class IntraFrameEncoder(PFrameMixin):
             crp = pad_to_multiple(np.asarray(cr, np.int32), s // 2)
         from kvazaar_tpu.encoder.quadtree import choose_tree
         vec = self._var_search_fn()(jnp.asarray(yp),
+                                    jnp.int32(self.cfg.qp),
+                                    jnp.float32(self.lambda_satd),
+                                    jnp.float32(
+                                        qp_to_lambda(self.cfg.qp)),
                                     self._var_dconsts())
         unp = _unpack_host_tree(vec, self._qt_search_spec)
         tucosts = None
@@ -2829,6 +2876,9 @@ class IntraFrameEncoder(PFrameMixin):
 
         sched, lv_shapes = self._var_sched_arrays(vp, yp, cbp, crp,
                                                   sched_size8)
+        if self.scaling is None:
+            sched["qp"] = jnp.int32(self.cfg.qp)
+            sched["lam"] = jnp.float32(qp_to_lambda(self.cfg.qp))
         dy, dcb, dcr, lv_flat = self._var_recon_fn(
             vp.n_steps)(sched, self._var_dconsts())
         sao = None
