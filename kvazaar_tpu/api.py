@@ -356,17 +356,39 @@ class Encoder:
                         _time.monotonic() - _t_flush)
             return out
         else:
-            for (off, l0, l1, qp_off, qp_fac) in GOP_TABLES[self._gop]:
+            # GOP-level rate-control allocation (gop_allocate_bits,
+            # src/rate_control.c:72): the whole GOP's budget is set
+            # from the smoothed spending plan, then split over the
+            # pyramid layers; each picture's lambda/QP comes from its
+            # own target share instead of the flat per-frame budget.
+            gop_targets = (self._rc.allocate_gop(GOP_TABLES[self._gop])
+                           if self._rc is not None else None)
+            for gi, (off, l0, l1, qp_off, qp_fac) in enumerate(
+                    GOP_TABLES[self._gop]):
                 poc = base + off
                 src = self._pending[off - 1]
-                ife, lam = self._rc_enc(False)
+                frame_qp = None
+                if gop_targets is not None:
+                    lam, rc_qp = self._rc.pic_lambda_qp(gop_targets[gi])
+                    rc_qp = min(max(rc_qp, self._prev_qp - 3),
+                                self._prev_qp + 3)
+                    self._prev_qp = rc_qp
+                    ife = self._intra
+                    if ife._var_inter_active and ife.scaling is None:
+                        # QP rides the var path as traced data: one
+                        # compiled program serves the whole RC ladder.
+                        frame_qp = rc_qp
+                    else:
+                        ife = self._encoder_for_qp(rc_qp)
+                else:
+                    ife, lam = self._rc_enc(False)
                 # Per-layer QP offsets + qp_factor lambdas (reference
                 # GOP-8 table, src/cfg.c:908-950).  The var path takes
                 # the frame QP as traced data (one compiled program
                 # serves all layers); fixed grids / scaling lists fall
                 # back to a per-QP compiled instance; RC sets its own
-                # frame QP and skips the structural offset.
-                frame_qp = None
+                # frame QP (GOP-allocated) and skips the structural
+                # offset.
                 fac = qp_fac
                 if lam is None and qp_off:
                     want_qp = min(max(self.cfg.qp + qp_off, 0), 51)

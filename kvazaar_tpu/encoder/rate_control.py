@@ -24,6 +24,11 @@ import math
 import numpy as np
 
 
+#: Frames of look-back smoothing for GOP allocation (reference
+#: SMOOTHING_WINDOW, src/rate_control.c:22).
+SMOOTHING_WINDOW = 32
+
+
 @dataclasses.dataclass
 class RateControlState:
     target_bps: float
@@ -32,6 +37,7 @@ class RateControlState:
     beta: float = -1.367
     buffer_bits: float = 0.0     # virtual buffer (+ = overspent)
     frames_coded: int = 0
+    total_bits_coded: float = 0.0
 
     @property
     def bits_per_frame(self) -> float:
@@ -65,6 +71,39 @@ class RateController:
         qp = int(round(4.2005 * math.log(lam) + 13.7122))
         qp = min(max(qp, self.MIN_QP), self.MAX_QP)
         return lam, qp
+
+    def allocate_gop(self, gop_table):
+        """Per-picture bit targets for one GOP in coding order
+        (reference gop_allocate_bits, src/rate_control.c:72: the GOP
+        target is the deficit of the smoothed spending plan — average
+        bits/picture over (frames_coded + SMOOTHING_WINDOW) minus what
+        is already spent — scaled to the GOP length; pic_allocate_bits
+        :142 then splits it over layers).  Layer weights follow the
+        B-pyramid QP ladder: a picture qp_offset levels up the pyramid
+        gets ~2^(-qp_offset/3) of the anchor's bits (the same ratio
+        the reference's rate-dependent gop_layer_weights converge to).
+
+        gop_table: coding-order (poc_off, l0, l1, qp_offset, qp_factor)
+        entries.  Returns a list of per-picture bit targets."""
+        s = self.s
+        g = max(len(gop_table), 1)
+        gop_target = (s.bits_per_frame
+                      * (s.frames_coded + SMOOTHING_WINDOW)
+                      - s.total_bits_coded) * g / SMOOTHING_WINDOW
+        gop_target = max(200.0, gop_target)
+        w = [2.0 ** (-qo / 3.0) for (_o, _l0, _l1, qo, _f) in gop_table]
+        tot = sum(w)
+        return [gop_target * wi / tot for wi in w]
+
+    def pic_lambda_qp(self, target_bits: float):
+        """(lambda, qp) hitting an explicit per-picture bit target (the
+        R-lambda model applied to a GOP-allocated share rather than the
+        flat per-frame budget)."""
+        bpp = max(target_bits, 1.0) / self.pixels
+        lam = self.s.alpha * (bpp ** self.s.beta)
+        lam = min(max(lam, 0.1), 10000.0)
+        qp = int(round(4.2005 * math.log(lam) + 13.7122))
+        return lam, min(max(qp, self.MIN_QP), self.MAX_QP)
 
     def lcu_qp_map(self, frame_qp: int, shape, weights=None,
                    max_delta: int = 3):
@@ -116,4 +155,5 @@ class RateController:
         beta_new = s.beta + 0.05 * ln_ratio * math.log(max(bpp, 1e-6))
         s.beta = min(max(beta_new, -3.0), -0.1)
         s.buffer_bits += used_bits - s.bits_per_frame
+        s.total_bits_coded += used_bits
         s.frames_coded += 1

@@ -17,6 +17,8 @@ from kvazaar_tpu.bitstream.cabac import CabacDecoder, CabacEncoder
 from kvazaar_tpu.bitstream.contexts import Contexts
 from kvazaar_tpu.constants import SLICE_I
 
+pytestmark = pytest.mark.smoke
+
 
 def test_bitwriter_ue_se_roundtrip():
     w = BitWriter()

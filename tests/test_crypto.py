@@ -12,6 +12,8 @@ from kvazaar_tpu.bitstream.decoder import decode_stream
 from kvazaar_tpu.config import Config
 from kvazaar_tpu.encoder.frame_encoder import IntraFrameEncoder
 
+pytestmark = pytest.mark.heavy
+
 
 def test_aes_fips197_vector():
     from kvazaar_tpu.bitstream.crypto import (_aes128_encrypt_block,

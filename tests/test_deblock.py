@@ -7,6 +7,8 @@ import pytest
 from kvazaar_tpu.ops.deblock import (BETA_TABLE, TC_TABLE, deblock_plane,
                                      luma_params)
 
+pytestmark = pytest.mark.heavy
+
 
 def scalar_deblock_luma(plane, qp, step, bitdepth=8):
     """Direct per-pixel spec implementation (vertical then horizontal)."""

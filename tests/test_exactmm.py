@@ -11,6 +11,8 @@ from kvazaar_tpu.ops.exactmm import (einsum_exact, einsum_exact_f32,
                                      einsum_exact_small,
                                      einsum_exact_split)
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.mark.parametrize("tmax,xmax,k", [
     (90, 255, 32), (90, 1023, 32), (90, 32767, 32), (32, 255, 130),

@@ -8,6 +8,9 @@ import numpy as np
 from kvazaar_tpu.config import Config
 from kvazaar_tpu.api import Encoder
 from kvazaar_tpu.bitstream.decoder import decode_stream
+import pytest
+
+pytestmark = pytest.mark.heavy
 
 
 def _clip(n, w, h, seed=3):

@@ -10,6 +10,9 @@ from kvazaar_tpu.bitstream.bits import split_annexb
 from kvazaar_tpu.bitstream.decoder import decode_stream
 from kvazaar_tpu.bitstream.headers import compute_level_idc
 from kvazaar_tpu.config import Config
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def test_level_idc_table():

@@ -11,6 +11,8 @@ from kvazaar_tpu.bitstream.decoder import decode_stream
 from kvazaar_tpu.config import Config
 from kvazaar_tpu.encoder.frame_encoder import IntraFrameEncoder, psnr
 
+pytestmark = pytest.mark.heavy
+
 
 def moving_clip(rng, w, h, n):
     """Textured background translating by (2, 1) px/frame + noise."""

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 from kvazaar_tpu.ops.inter import (CHROMA_FILTERS, LUMA_FILTERS,
                                    mc_chroma, mc_luma, sad_full_search)
 
+pytestmark = pytest.mark.smoke
+
 
 def scalar_mc_luma(plane, x0, y0, mv, size, bitdepth=8):
     h, w = plane.shape

@@ -11,6 +11,8 @@ from kvazaar_tpu.bitstream.bits import split_annexb
 from kvazaar_tpu.bitstream.decoder import decode_stream
 from kvazaar_tpu.config import Config
 
+pytestmark = pytest.mark.heavy
+
 
 def _frames(n, w, h, seed=2):
     rng = np.random.default_rng(seed)

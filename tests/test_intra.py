@@ -7,6 +7,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from kvazaar_tpu.ops import intra
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 ANGLES = intra.INTRA_PRED_ANGLE
 INV = intra.INV_ANGLE

@@ -14,6 +14,8 @@ from kvazaar_tpu.api import Encoder
 from kvazaar_tpu.bitstream.decoder import decode_stream
 from kvazaar_tpu.config import Config
 
+pytestmark = pytest.mark.smoke
+
 
 def _clip(n, w, h, seed=5):
     rng = np.random.default_rng(seed)

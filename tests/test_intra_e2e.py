@@ -12,6 +12,8 @@ from kvazaar_tpu.bitstream.decoder import decode_stream
 from kvazaar_tpu.config import Config
 from kvazaar_tpu.encoder.frame_encoder import IntraFrameEncoder, psnr
 
+pytestmark = pytest.mark.heavy
+
 
 def synthetic_frame(rng, w, h):
     yy, xx = np.mgrid[0:h, 0:w]

@@ -9,6 +9,8 @@ import pytest
 from kvazaar_tpu.io.yuv import (frame_size_bytes, read_frames,
                                 read_frames_async, write_frame)
 
+pytestmark = pytest.mark.smoke
+
 
 def _write_clip(path, frames, bitdepth=8, big_endian=False):
     with open(path, "wb") as f:

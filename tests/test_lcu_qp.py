@@ -19,6 +19,8 @@ from kvazaar_tpu.bitstream.syntax import (FrameData, SliceDataDecoder,
 from kvazaar_tpu.config import Config
 from kvazaar_tpu.constants import SLICE_I
 
+pytestmark = pytest.mark.heavy
+
 
 def test_quant_ops_array_qp_match_scalar():
     from kvazaar_tpu.ops.quant import (dequantize, quantize,

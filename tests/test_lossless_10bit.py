@@ -8,6 +8,8 @@ from kvazaar_tpu.bitstream.decoder import decode_stream
 from kvazaar_tpu.config import Config
 from kvazaar_tpu.encoder.frame_encoder import IntraFrameEncoder
 
+pytestmark = pytest.mark.heavy
+
 
 def test_lossless_intra_bit_exact_to_source():
     rng = np.random.default_rng(0)

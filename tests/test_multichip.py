@@ -15,6 +15,8 @@ import textwrap
 
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 _SCRIPT = textwrap.dedent("""
     import numpy as np
     import jax, jax.numpy as jnp

@@ -12,6 +12,9 @@ import numpy as np
 from kvazaar_tpu.api import Encoder
 from kvazaar_tpu.bitstream.decoder import decode_stream
 from kvazaar_tpu.config import Config, lp_gop_table
+import pytest
+
+pytestmark = pytest.mark.heavy
 
 
 def test_lp_gop_table_matches_reference_algorithm():

@@ -15,6 +15,8 @@ from kvazaar_tpu.constants import SLICE_I
 
 from tests.test_syntax import random_frame_data
 
+pytestmark = pytest.mark.smoke
+
 
 def python_slice_bytes(params, fd, qp):
     w = BitWriter()

@@ -9,6 +9,8 @@ from kvazaar_tpu.config import Config
 from kvazaar_tpu.encoder.frame_encoder import IntraFrameEncoder, psnr
 from kvazaar_tpu.bitstream.decoder import decode_stream
 
+pytestmark = pytest.mark.smoke
+
 
 def _mixed_frame(w, h, seed=7):
     rng = np.random.default_rng(seed)

@@ -9,6 +9,8 @@ from kvazaar_tpu.bitstream.decoder import decode_stream
 from kvazaar_tpu.config import Config, config_from_preset
 from kvazaar_tpu.encoder.frame_encoder import IntraFrameEncoder, psnr
 
+pytestmark = pytest.mark.heavy
+
 
 def _frame(w, h, seed=4):
     rng = np.random.default_rng(seed)

@@ -7,6 +7,9 @@ import numpy as np
 from kvazaar_tpu.config import Config
 from kvazaar_tpu.encoder.frame_encoder import IntraFrameEncoder, psnr
 from kvazaar_tpu.bitstream.decoder import decode_stream
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def _frame(w, h, seed=11):

@@ -13,8 +13,11 @@ from kvazaar_tpu.api import Encoder
 from kvazaar_tpu.bitstream.decoder import decode_stream
 from kvazaar_tpu.config import Config
 from kvazaar_tpu.ops.scaling import (DEFAULT_INTRA_8X8, ScalingLists,
+
                                      diag_scan_order, parse_cqmfile,
                                      upsample)
+
+pytestmark = pytest.mark.heavy
 
 
 def test_upsample_and_dc():

@@ -1,6 +1,9 @@
 import numpy as np
 
 from kvazaar_tpu.ops import scan
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def test_diag_4x4_pattern():

@@ -12,6 +12,8 @@ from kvazaar_tpu.bitstream.bits import split_annexb
 from kvazaar_tpu.bitstream.decoder import decode_stream
 from kvazaar_tpu.config import Config
 
+pytestmark = pytest.mark.heavy
+
 
 def _clip(n, w, h, seed=1):
     rng = np.random.default_rng(seed)

@@ -11,6 +11,8 @@ from kvazaar_tpu.bitstream.decoder import decode_stream
 from kvazaar_tpu.config import Config
 from kvazaar_tpu.encoder.frame_encoder import IntraFrameEncoder
 
+pytestmark = pytest.mark.heavy
+
 
 def _clip(n, w, h, seed=13, split="h"):
     """Half-plane motion: one half static, the other shifts — the SMP

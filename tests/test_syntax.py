@@ -17,6 +17,8 @@ from kvazaar_tpu.bitstream.syntax import (FrameData, SliceDataDecoder,
                                           SliceDataEncoder)
 from kvazaar_tpu.constants import SLICE_I
 
+pytestmark = pytest.mark.smoke
+
 
 def random_frame_data(rng, width, height, chroma=True, max_level=40,
                       density=0.25):

@@ -11,6 +11,9 @@ import numpy as np
 from kvazaar_tpu.api import Encoder
 from kvazaar_tpu.bitstream.decoder import decode_stream
 from kvazaar_tpu.config import Config
+import pytest
+
+pytestmark = pytest.mark.heavy
 
 
 def _clip(n, w, h):

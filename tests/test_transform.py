@@ -3,6 +3,9 @@ import jax.numpy as jnp
 
 from kvazaar_tpu.ops import transform as tr
 from kvazaar_tpu.ops import quant as q
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def test_dct4_matches_spec_table():
