@@ -193,6 +193,124 @@ def encode_frame_bands_sharded(y, cb, cr, qp: int, qp_c: int,
     return modes, lv_y, lv_cb, lv_cr, rec_y, rec_cb, rec_cr
 
 
+def p_search_mc_bands_sharded(cur, ref, mesh: Mesh, axis: str = "rows",
+                              cu: int = 16, me_range: int = 8,
+                              lambda_satd: float = 20.0,
+                              bitdepth: int = 8):
+    """P-frame motion search + luma MC with the frame sharded into CTU
+    row bands and an ME-WINDOW halo exchange over ICI.
+
+    The reference's inter frames exchange reconstruction rows reaching
+    the neighbours' search windows (the hor/ver exchange set,
+    src/encoderstate.h:170-186, wired by encoder_state_encode's job
+    dependencies).  TPU form: each band ppermutes `me_range + 8`
+    reference rows to both neighbours (search reach + the 8-tap qpel
+    window margin), searches +-me_range integer candidates locally,
+    re-ranks with MV rate against a median predictor whose cross-band
+    top row rides a second one-row ppermute, quarter-pel-refines on
+    the extended band, and motion-compensates from it.  Frame-edge
+    halo rows are clamp-replicated (the same padding gather_windows
+    applies at picture borders), so the result is BIT-IDENTICAL at
+    every mesh size — 1/2/4/8-way sharding must not change a single
+    MV or MC pixel (tests/test_multichip.py sweeps this).
+
+    cur/ref: (H, W) int32 full frames.  Returns (mv (By, Bx, 2) int32
+    qpel, mc_y (H, W) int32)."""
+    from jax import shard_map
+
+    from kvazaar_tpu.encoder.inter_search import (_int_refine_sads,
+                                                  _median3,
+                                                  _mv_bits_est,
+                                                  _refine_offsets)
+    from kvazaar_tpu.ops.inter import (QPEL_OFFSETS, mc_luma,
+                                       refine_qpel_dense)
+    n = mesh.shape[axis]
+    h, w = cur.shape
+    s = cu
+    assert h % (n * s) == 0, "bands must be whole block rows"
+    halo = me_range + 8
+    r = me_range
+
+    def band(curb, refb):
+        hb = curb.shape[0]
+        by, bx = hb // s, w // s
+        nblk = by * bx
+        idx = jax.lax.axis_index(axis)
+        nsh = jax.lax.axis_size(axis)
+        top, bot = _exchange_rows(refb, axis, halo)
+        # Picture-border semantics: missing halo rows clamp-replicate
+        # the band's own edge row (what gather_windows' index clamping
+        # produces on the unsharded frame).
+        top = jnp.where(idx == 0,
+                        jnp.broadcast_to(refb[:1], (halo, w)), top)
+        bot = jnp.where(idx == nsh - 1,
+                        jnp.broadcast_to(refb[-1:], (halo, w)), bot)
+        ext = jnp.concatenate([top, refb, bot], axis=0)
+
+        ys, xs = np.mgrid[0:by, 0:bx]
+        x0s = jnp.asarray((xs * s).reshape(-1))
+        y0s = jnp.asarray((ys * s).reshape(-1)) + halo
+        cur_blocks = curb.reshape(by, s, bx, s).transpose(0, 2, 1, 3)
+        cur_blocks = cur_blocks.reshape(nblk, s, s).astype(jnp.int32)
+
+        # Integer full search +-r around zero on the extended band.
+        zero = jnp.zeros((nblk, 2), jnp.int32)
+        sads = _int_refine_sads(cur_blocks, ext, x0s, y0s, zero, r, s,
+                                bitdepth)                  # (N, K)
+        offs = jnp.asarray(_refine_offsets(r))             # (K, 2)
+        i1 = jnp.argmin(sads, axis=1)
+        mv1 = jnp.take_along_axis(
+            offs[None].repeat(nblk, 0), i1[:, None, None],
+            axis=1)[:, 0] * 4
+        g1 = mv1.reshape(by, bx, 2)
+
+        # Median predictor with the top row exchanged across bands
+        # (left/top/topright — the band's row 0 reads the neighbour
+        # above's last row, zeros at the picture border).
+        prev_last = jax.lax.ppermute(
+            g1[-1:], axis, [(i, i + 1) for i in range(nsh - 1)])
+        prev_last = jnp.where(idx == 0, jnp.zeros_like(prev_last),
+                              prev_last)
+        gext = jnp.concatenate([prev_last, g1], axis=0)    # (by+1,..)
+        zcol = jnp.zeros_like(g1[:, :1])
+        left = jnp.concatenate([zcol, g1[:, :-1]], axis=1)
+        topg = gext[:-1]
+        topright = jnp.concatenate(
+            [topg[:, 1:], jnp.zeros_like(topg[:, :1])], axis=1)
+        pred = _median3(left, topg, topright).reshape(nblk, 1, 2)
+
+        # Rate-aware re-rank over the same candidate set.
+        q = offs[None] * 4
+        bits = (_mv_bits_est(q[..., 0] - pred[..., 0])
+                + _mv_bits_est(q[..., 1] - pred[..., 1]))
+        cost = sads.astype(jnp.float32) + lambda_satd * bits
+        i2 = jnp.argmin(cost, axis=1)
+        mv_int = jnp.take_along_axis(
+            jnp.broadcast_to(q, (nblk, q.shape[1], 2)),
+            i2[:, None, None], axis=1)[:, 0].astype(jnp.int32)
+
+        # Dense quarter-pel refinement + MC on the extended band.
+        satd49 = refine_qpel_dense(cur_blocks, ext, x0s, y0s, mv_int,
+                                   s, bitdepth)
+        cands = mv_int[:, None, :] + jnp.asarray(QPEL_OFFSETS)[None]
+        pn = pred.reshape(nblk, 2)
+        rate = _mv_bits_est(cands[..., 0] - pn[:, None, 0]) + \
+            _mv_bits_est(cands[..., 1] - pn[:, None, 1])
+        c49 = satd49.astype(jnp.float32) + lambda_satd * rate
+        k = jnp.argmin(c49, axis=-1)
+        mv_q = jnp.take_along_axis(cands, k[:, None, None],
+                                   axis=1)[:, 0]
+        mc = mc_luma(ext, x0s, y0s, mv_q, s, bitdepth)
+        mc = mc.reshape(by, bx, s, s).transpose(0, 2, 1, 3)
+        return mv_q.reshape(by, bx, 2), mc.reshape(hb, w)
+
+    spec = P(axis, None)
+    return shard_map(band, mesh=mesh, in_specs=(spec, spec),
+                     out_specs=(P(axis, None, None), spec),
+                     check_vma=False)(cur.astype(jnp.int32),
+                                      ref.astype(jnp.int32))
+
+
 def intra_encode_tiles_sharded(y, qp: int, lambda_satd: float,
                                mesh: Mesh, axis: str = "rows",
                                bitdepth: int = 8):
