@@ -400,14 +400,14 @@ def measure_preset_fps_ours(preset, w, h, qp, warm=None, timed=8,
     if warm is None:
         warm = len(clip)
     if cfg.gop_len > 1:
-        # Steady-state GOP throughput: warm through the IDR + two full
-        # pyramid flushes (all compiles), then time whole GOPs only —
-        # the timed window starts and ends at a flush boundary with an
-        # empty reorder buffer, so it covers exactly k*gop_len coded
+        # Steady-state GOP throughput: warm through the IDR + one full
+        # pyramid flush (covers every compile — the recon schedule is
+        # one static depth), then time whole GOPs only — the timed
+        # window starts and ends at a flush boundary with an empty
+        # reorder buffer, so it covers exactly k*gop_len coded
         # pictures and no partial-GOP tail (the tail is a one-time
-        # stream-end cost that a production stream amortizes to zero;
-        # the old timed-inputs window was dominated by it).
-        warm = 2 * g + 1
+        # stream-end cost that a production stream amortizes to zero).
+        warm = g + 1
         timed = max(g, (timed // g) * g)
     done = 0
     t0 = None
@@ -435,7 +435,7 @@ def measure_preset_fps_ours(preset, w, h, qp, warm=None, timed=8,
     return fed / max(time.time() - t0, 1e-9)
 
 
-def measure_bd_rate_inter(exe, mode, seed=1, w=416, h=240, n=12,
+def measure_bd_rate_inter(exe, mode, seed=1, w=416, h=240, n=9,
                           qps=(22, 27, 32, 37), deadline=None):
     """BD-rate of OUR medium IPPP / GOP-8 point vs the reference's
     medium at the same structure (the scoreboard for merge-RD and
@@ -652,7 +652,7 @@ def main():
             from kvazaar_tpu.profiler import phases
             phases.reset()
             ov = measure_preset_fps_ours(
-                "veryslow", vw, vh, 27, timed=16,
+                "veryslow", vw, vh, 27, timed=8,
                 deadline=t_start + BUDGET_S - 15)
             out["veryslow_1080p_fps"] = round(ov, 3)
             # Per-stage wall budget over the timed window (seconds
@@ -667,7 +667,7 @@ def main():
             if out.get("ref_veryslow_1080p_fps"):
                 out["vs_ref_veryslow_1080p"] = round(
                     ov / out["ref_veryslow_1080p_fps"], 2)
-        section("veryslow_1080p", 180, sec_veryslow)
+        section("veryslow_1080p", 150, sec_veryslow)
 
     if os.environ.get("KVZ_BENCH_BD", "1") != "0" and exe:
         def sec_bd_intra():
