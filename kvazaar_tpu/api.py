@@ -276,14 +276,22 @@ class Encoder:
             # device DPB while a worker finalizes frame i (downloads +
             # host CABAC) — the reference's OWF overlap
             # (src/encoderstate.c:790-806) at GOP granularity.
+            import collections as _collections
             import concurrent.futures as _cf
             from kvazaar_tpu.constants import NAL_CRA_NUT, NAL_RASL_R
             import time as _time
             _t_flush = _time.monotonic()
             ife = self._intra
             if not hasattr(self, "_fin_pool"):
-                self._fin_pool = _cf.ThreadPoolExecutor(1)
-            pending = None
+                # TWO finalize workers: host CABAC + downloads of up to
+                # two pictures overlap the next submits' device search
+                # (per-frame FrameData/CABAC state is allocated per
+                # call; the native CABAC already runs 2-way concurrent
+                # on the intra pipeline).  Emission stays coding-order
+                # via the FIFO deque.
+                self._fin_pool = _cf.ThreadPoolExecutor(2)
+            pending = _collections.deque()
+            depth = 2
             period = self.cfg.intra_period
             # Open-GOP periodic intra: the anchor at a period boundary
             # codes as a CRA (POC continues); this GOP's B pictures
@@ -298,11 +306,10 @@ class Encoder:
                 frame_qp = (min(max(self.cfg.qp + qp_off, 0), 51)
                             if qp_off else None)
                 if l1 is None and is_cra_gop and poc == cra_poc:
-                    if pending is not None:
-                        f, p_, s_, q_ = pending
+                    while pending:
+                        f, p_, s_, q_ = pending.popleft()
                         out.append(self._emit(f.result(), p_, s_,
                                               qp=q_))
-                        pending = None
                     res = ife.encode_frame(*src, nal_type=NAL_CRA_NUT,
                                            poc=poc)
                     self._dpb_map[poc] = ife._dpb
@@ -331,17 +338,17 @@ class Encoder:
                             else None)
                     self._dpb_map[poc] = (h["dy"], h["dcb"], h["dcr"])
                     fut = self._fin_pool.submit(ife.finalize_var_b, h)
-                if pending is not None:
-                    f, p_, s_, q_ = pending
+                pending.append((fut, poc, src,
+                                frame_qp if frame_qp is not None
+                                else ife.cfg.qp))
+                while len(pending) > depth:
+                    f, p_, s_, q_ = pending.popleft()
                     with phase("gop.wait"):
                         r_ = f.result()
                     with phase("gop.emit"):
                         out.append(self._emit(r_, p_, s_, qp=q_))
-                pending = (fut, poc, src,
-                           frame_qp if frame_qp is not None
-                           else ife.cfg.qp)
-            if pending is not None:
-                f, p_, s_, q_ = pending
+            while pending:
+                f, p_, s_, q_ = pending.popleft()
                 with phase("gop.wait"):
                     r_ = f.result()
                 with phase("gop.emit"):
