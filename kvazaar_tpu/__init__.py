@@ -24,7 +24,7 @@ import os as _os
 # ~minutes of first-frame compile into milliseconds on re-runs.
 _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                        _os.path.expanduser("~/.cache/kvazaar_tpu_xla"))
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 # Canonical cache keys across call paths: Pallas/Mosaic custom-call
 # payloads embed the Python call stack as MLIR debug locations, and the
 # outer strip-debuginfo pass cannot reach inside the serialized kernel
@@ -113,7 +113,7 @@ def enable_compile_cache() -> None:
             jax.config.update("jax_compilation_cache_dir", cache_dir)
         if cache_dir:
             jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 0.5)
+                "jax_persistent_cache_min_compile_time_secs", 0.0)
             # Call-site-invariant cache keys (see the env defaults at
             # module import; config.update here covers the case where
             # jax was imported before kvazaar_tpu).
