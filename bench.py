@@ -44,7 +44,13 @@ kvazaar_tpu.enable_compile_cache()
 
 W, H, FRAMES, QP = 832, 480, 8, 22
 REF_FPS_RECORDED = 60.0     # natural clip, this box, 2026-08-19
-BUDGET_S = float(os.environ.get("KVZ_BENCH_BUDGET_S", "480"))
+BUDGET_S = float(os.environ.get("KVZ_BENCH_BUDGET_S", "900"))
+# 900 s: the per-process floor is real even fully cache-warm — loading
+# the veryslow program set through the axon tunnel costs ~260 s
+# (compile_cache.load_s in the artifact), and the BD ladders ~320 s.
+# Incremental emission keeps every completed section in the stdout
+# tail even if the driver cuts the run early; the SIGALRM backstop
+# force-emits and exits 0 at budget+90 s.
 # The headline clip is video-like (synth_clip_natural): BASELINE.md
 # config #1 names BQMall, a natural sequence.  White-noise synthetics
 # distort everything — bits/frame 8x too high, PSNR floors, and a
